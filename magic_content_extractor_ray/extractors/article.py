@@ -1,0 +1,167 @@
+"""Article extraction strategy.
+
+Re-expresses /root/reference/app/lib/extractors/ArticleExtractor.ts as a
+``BaseStrategy`` subclass: tightened thresholds, custom selectors,
+pre-process cleanup, author/publish-time cascades, score boosts, and the
+article-specific post-process (code <br>, image containers, heading-level
+flattening, empty-p removal, <br>-run collapse).
+"""
+
+from __future__ import annotations
+
+from ..htmlib.dom import Node, TAG
+from ..functions import heuristics as H
+from .base import BaseStrategy, ExtractorOptions, ExtractResult
+
+
+_AUTHOR_SELECTORS = (
+    'meta[name="author"]', 'meta[property="article:author"]',
+    ".author-name", ".author", ".byline", ".writer", '[rel="author"]',
+)
+
+_TIME_SELECTORS = (
+    'meta[property="article:published_time"]', 'meta[name="publishdate"]',
+    "time[pubdate]", ".publish-time", ".post-time", ".entry-date",
+    ".post-date", "[datetime]",
+)
+
+
+class ArticleStrategy(BaseStrategy):
+    platform = "article"
+
+    def __init__(self):
+        super().__init__(ExtractorOptions(min_text_length=150, min_score=25))
+
+    def pre_normalize(self, html: str) -> str:
+        return H.normalize_entities(html)
+
+    def custom_selectors(self):
+        """ArticleExtractor.ts:16-42"""
+        return (
+            "article", ".article", ".post-content", ".entry-content",
+            ".article-content", ".article-body", ".post-body", ".content-main",
+            ".blog-post", ".blog-entry", ".blog-content",
+            "#article-content", "#post-content", "#content-main",
+            '[itemprop="articleBody"]', '[property="og:description"]',
+            ".rich_media_content", ".rich-content",
+        )
+
+    def pre_process(self, root: Node, url: str) -> None:
+        """ArticleExtractor.ts:47-96 + handleSpecialSites (:191-217)."""
+        for sel in ("script", "style", 'link[rel="stylesheet"]'):
+            for n in root.find(sel):
+                n.remove()
+        for n in list(root.iter()):
+            if n.type == "comment":
+                n.remove()
+        for sel in ("header, footer, nav, aside",
+                    ".comment-list, .related-posts, .share-buttons",
+                    ".advertisement, .ad, .banner",
+                    ".author-info, .article-meta"):
+            for n in root.find(sel):
+                n.remove()
+
+        for img in root.find("img"):
+            if img.get("data-src"):
+                img.set("src", img.get("data-src"))
+            if img.get("data-original"):
+                img.set("src", img.get("data-original"))
+            alt = img.get("alt")
+            if alt and img.parent is not None:
+                cap = Node(TAG, "figcaption", {"class": "image-caption"})
+                cap.append(Node("text", data=alt))
+                img.parent.insert(img.index_in_parent() + 1, cap)
+
+        for video in root.find("video"):
+            if video.get("data-src"):
+                video.set("src", video.get("data-src"))
+
+        for link in root.find("a"):
+            href = link.get("href") or ""
+            if "javascript:" in href or "ads" in href or href == "#":
+                link.del_attr("href")
+
+        self._handle_special_sites(root, url)
+
+    def _handle_special_sites(self, root: Node, url: str) -> None:
+        site_rules = {
+            "blog.csdn.net": ("#content_views .pre-numbering", ".article-copyright"),
+            "jianshu.com": (".collapse-tips", ".support-author"),
+            "zhihu.com": (".ContentItem-actions", ".Reward"),
+            "mp.weixin.qq.com": ("#js_pc_qr_code", ".qr_code_pc_outer"),
+        }
+        for site, sels in site_rules.items():
+            if site in url:
+                for sel in sels:
+                    for n in root.find(sel):
+                        n.remove()
+
+    def node_score(self, node: Node) -> float:
+        """ArticleExtractor.ts:222-267"""
+        score = H.calculate_node_score(node)
+        if node.tag == "article" or node.has_class("article"):
+            score += 15
+        tlen = node.text_len()
+        if tlen > 100:
+            score += min(tlen // 100, 10)
+        imgs = len(node.find("img"))
+        if imgs > 0:
+            score += min(imgs * 2, 10)
+        headings = len(node.find("h1, h2, h3, h4, h5, h6"))
+        if headings > 0:
+            score += headings * 4
+        paras = len(node.find("p"))
+        if paras > 0:
+            score += min(paras, 5)
+        if node.find_first(".ad, .advertisement, .banner") is not None:
+            score -= 10
+        if node.find_first(".comment, .comments, #comments") is not None:
+            score -= 8
+        return score
+
+    def post_process_extra(self, main: Node) -> None:
+        """ArticleExtractor.ts:272-333"""
+        from ..htmlib.dom import parse_fragment
+
+        for block in main.find("pre, code"):
+            inner = block.inner_html()
+            if inner and "\n" in inner:
+                block.children = []
+                for frag in parse_fragment(inner.replace("\n", "<br>")):
+                    block.append(frag)
+            block.add_class("article-code")
+
+        for quote in main.find("blockquote"):
+            quote.add_class("article-quote")
+
+        for img in main.find("img"):
+            container = Node(TAG, "div", {"class": "article-image-container"})
+            img.replace_with(container)
+            container.append(img)
+            alt = img.get("alt")
+            if alt:
+                cap = Node(TAG, "div", {"class": "article-image-caption"})
+                cap.append(Node("text", data=alt))
+                container.append(cap)
+
+        # heading-level flattening (:306-319)
+        last_level = 1
+        for heading in main.find("h1, h2, h3, h4, h5, h6"):
+            level = int(heading.tag[1])
+            if level - last_level > 1:
+                new_level = min(last_level + 1, 6)
+                heading.tag = f"h{new_level}"
+                last_level = new_level
+            else:
+                last_level = level
+
+        for p in main.find("p"):
+            if not p.text().strip() and p.find_first("img, video, iframe") is None:
+                p.remove()
+
+        self.collapse_br_runs(main)
+
+    def enrich(self, result: ExtractResult, root: Node) -> None:
+        result.author = self.first_by_selectors(root, _AUTHOR_SELECTORS)
+        result.publish_time = self.first_by_selectors(
+            root, _TIME_SELECTORS, attr="datetime")

@@ -125,16 +125,37 @@ def _parse_simple(tok: str) -> _Simple:
     return _Simple(tag, conds)
 
 
+def _split_outside_brackets(s: str, sep_ws: bool) -> list[str]:
+    """Split on commas (or whitespace when ``sep_ws``) that sit outside
+    ``[...]`` attribute blocks, so values like ``[style*="display: none"]``
+    stay intact."""
+    out, buf, depth = [], [], 0
+    for c in s:
+        if c == "[":
+            depth += 1
+        elif c == "]":
+            depth = max(0, depth - 1)
+        if depth == 0 and ((c.isspace() and sep_ws) or (c == "," and not sep_ws)):
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            continue
+        buf.append(c)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 @lru_cache(maxsize=4096)
 def compile_selector(selector: str) -> tuple[tuple, ...]:
     """Compile to a tuple of alternatives; each alternative is a tuple of
     compound selectors joined by the descendant combinator."""
     alts = []
-    for part in selector.split(","):
+    for part in _split_outside_brackets(selector, sep_ws=False):
         part = part.strip()
         if not part:
             continue
-        seq = tuple(_parse_simple(tok) for tok in part.split())
+        seq = tuple(_parse_simple(tok) for tok in _split_outside_brackets(part, sep_ws=True))
         if seq:
             alts.append(seq)
     return tuple(alts)
