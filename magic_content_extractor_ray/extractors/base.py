@@ -161,20 +161,25 @@ class BaseStrategy:
         self.clean_document(root, dropped)
         title = extract_title(root)
         main, strategy_used = self.extract_main_content(root, dropped)
-        self.post_process(main)
-        self.post_process_extra(main)
 
         result = ExtractResult(
             title=title,
-            content=main.inner_html(),
-            text_content=main.text().strip(),
             url=eff_url,
             platform=self.platform,
             strategy_used=strategy_used,
             main_node=main,
             doc_root=root,
         )
+        # metadata cascades read the intact document BEFORE the main subtree
+        # is rewritten — the reference reads ``this.$`` after extraction, but
+        # its reorganize works on a detached fragment (ForumExtractor.ts:199),
+        # so the live doc it queries still holds the count/meta elements.
         self.enrich(result, root)
+
+        self.post_process(main)
+        self.post_process_extra(main)
+        result.content = main.inner_html()
+        result.text_content = main.text().strip()
         return result
 
     # ---- cleaning passes (BaseExtractor.ts:119-204) ---------------------

@@ -1,0 +1,73 @@
+"""The stateful extraction stage: an actor-pool ``map_batches`` callable.
+
+Maps the reference's process-lifetime extractor cache
+(/root/reference/app/lib/ExtractorFactory.ts:9-41) onto Ray Data's actor
+pool: ``__init__`` runs once per actor and builds all strategy instances +
+compiled selector tables; ``__call__`` runs per Arrow batch (zero-copy in,
+Arrow out). Per-row failures land in the ``error`` column so one bad
+document never poisons a batch or kills a task retry (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..extractors.registry import build_strategies, extract_document
+from ..schema import EXTRACTED_SCHEMA, SPANS_TYPE
+
+
+_OUT_FIELDS = [f.name for f in EXTRACTED_SCHEMA]
+
+
+class ExtractorActor:
+    """``ds.map_batches(ExtractorActor, batch_format='pyarrow',
+    concurrency=(min,max), batch_size=B)``"""
+
+    def __init__(self, strategy_override: str | None = None,
+                 keep_content: bool = False):
+        # once per actor: strategy instances + selector/regex compilation
+        self.strategies = build_strategies()
+        self.strategy_override = strategy_override
+        self.keep_content = keep_content
+        # warm the selector cache so first-batch latency is stable
+        from ..extractors.base import CONTENT_SELECTORS, NOISE_SELECTORS, XPATH_SELECTORS
+        from ..htmlib.selectors import compile_selector
+        for sel in (*CONTENT_SELECTORS, *NOISE_SELECTORS, *XPATH_SELECTORS):
+            compile_selector(sel)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        urls = (batch.column("url").to_pylist()
+                if "url" in batch.column_names else [""] * len(doc_ids))
+
+        t0 = time.perf_counter()
+        rows = [
+            extract_document(d, s or [], u or "", self.strategies,
+                             self.strategy_override)
+            for d, s, u in zip(doc_ids, spans_col, urls)
+        ]
+        elapsed = time.perf_counter() - t0
+
+        cols: dict[str, list] = {name: [] for name in _OUT_FIELDS}
+        for r in rows:
+            for name in _OUT_FIELDS:
+                cols[name].append(r[name])
+        arrays = [
+            pa.array(cols[f.name], type=f.type) for f in EXTRACTED_SCHEMA
+        ]
+        out = pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
+        if self.keep_content:
+            out = out.append_column(
+                "content", pa.array([r["content"] for r in rows], pa.string()))
+            out = out.append_column(
+                "text_content",
+                pa.array([r["text_content"] for r in rows], pa.string()))
+        # per-batch wall time: feeds the lineage/metrics aggregate
+        out = out.append_column(
+            "batch_wall_ms",
+            pa.array([elapsed * 1000.0 / max(1, len(rows))] * len(rows),
+                     pa.float64()))
+        return out
