@@ -69,7 +69,7 @@ def run_extract_pipeline(
     docs_ds,
     *,
     batch_size: int = 64,
-    concurrency=(2, 8),
+    concurrency=None,
     num_cpus: float = 1,
     size_bucket: bool = True,
     large_threshold_bytes: int = 200_000,
@@ -77,10 +77,25 @@ def run_extract_pipeline(
     formats: tuple[str, ...] = (),
     strategy_override: str | None = None,
 ):
-    """docs Dataset → extracted Dataset (lazy; caller consumes)."""
+    """docs Dataset → extracted Dataset (lazy; caller consumes).
+
+    Pool sizing: autoscaling ``(1, k)`` pools sized off the cluster CPU count
+    so the pools' MIN footprint never reserves every CPU — a pool whose
+    minimum equals the cluster size starves the upstream read/generate tasks
+    and the pipeline stalls (observed at num_cpus=4 with two min-2 pools).
+    The large-doc bucket gets a small dedicated pool with tiny batches so one
+    10 MB doc cannot straggle a 64-doc batch.
+    """
+    import ray
+
+    total_cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    if concurrency is None:
+        concurrency = (1, max(2, int(total_cpus / max(1, num_cpus)) - 1))
+    large_concurrency = (1, max(1, min(4, total_cpus // 4)))
+
     extract_kwargs = dict(
         batch_format="pyarrow",
-        concurrency=concurrency,
         num_cpus=num_cpus,
         fn_constructor_kwargs={"strategy_override": strategy_override},
         zero_copy_batch=True,
@@ -95,13 +110,16 @@ def run_extract_pipeline(
             expr=f"doc_bytes > {large_threshold_bytes}").drop_columns(
                 ["doc_bytes"])
         out_small = small.map_batches(
-            ExtractorActor, batch_size=batch_size, **extract_kwargs)
+            ExtractorActor, batch_size=batch_size, concurrency=concurrency,
+            **extract_kwargs)
         out_large = large.map_batches(
-            ExtractorActor, batch_size=large_batch_size, **extract_kwargs)
+            ExtractorActor, batch_size=large_batch_size,
+            concurrency=large_concurrency, **extract_kwargs)
         out = out_small.union(out_large)
     else:
         out = docs_ds.map_batches(
-            ExtractorActor, batch_size=batch_size, **extract_kwargs)
+            ExtractorActor, batch_size=batch_size, concurrency=concurrency,
+            **extract_kwargs)
 
     if formats:
         out = out.map_batches(

@@ -1,0 +1,125 @@
+"""End-to-end: distributed pipeline == single-process oracle, span-sequence
+equality per doc_id (the north-rule per-row invariant), plus determinism and
+resume-equivalence."""
+
+import os
+
+import pytest
+
+from magic_content_extractor_ray.corpus import generate_doc
+from magic_content_extractor_ray.extractors.registry import (
+    build_strategies, extract_document)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def oracle_rows():
+    """Single-process oracle over the first N docs of the derived corpus."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    strategies = build_strategies()
+    rows = {}
+    for d, x in zip(t["doc_id"].to_pylist()[:N_DOCS],
+                    t["text"].to_pylist()[:N_DOCS]):
+        doc = generate_doc(d, x)
+        rows[doc["doc_id"]] = extract_document(
+            doc["doc_id"], doc["spans"], doc["url"], strategies)
+    return rows
+
+
+def _span_key(row):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in row["spans"]]
+
+
+def test_pipeline_matches_oracle(ray_session, oracle_rows):
+    import ray.data as rd
+    from magic_content_extractor_ray.corpus import attach_spans_batch
+    from magic_content_extractor_ray.pipelines.extract_pipeline import (
+        run_extract_pipeline)
+
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+    ).limit(N_DOCS).map_batches(attach_spans_batch, batch_format="pyarrow")
+    out = run_extract_pipeline(docs, batch_size=32)
+    got = {r["doc_id"]: r for r in out.take_all()}
+
+    assert set(got) == set(oracle_rows)
+    for doc_id, oracle in oracle_rows.items():
+        g = got[doc_id]
+        assert g["error"] == "" and oracle["error"] == ""
+        assert _span_key(g) == _span_key(oracle), f"span mismatch for {doc_id}"
+        assert g["title"] == oracle["title"]
+        assert g["platform"] == oracle["platform"]
+        assert g["reply_count"] == oracle["reply_count"]
+    # offsets dense 0..n-1
+    for g in got.values():
+        assert [s["offset"] for s in g["spans"]] == list(range(len(g["spans"])))
+
+
+def test_determinism_across_runs(ray_session, oracle_rows):
+    """Same input → byte-identical spans on a re-run with different
+    batch size (order-insensitive)."""
+    import ray.data as rd
+    from magic_content_extractor_ray.corpus import attach_spans_batch
+    from magic_content_extractor_ray.pipelines.extract_pipeline import (
+        run_extract_pipeline)
+
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+    ).limit(N_DOCS).map_batches(attach_spans_batch, batch_format="pyarrow")
+    out = run_extract_pipeline(docs, batch_size=7,
+                               size_bucket=False)
+    got = {r["doc_id"]: _span_key(r) for r in out.take_all()}
+    assert got == {k: _span_key(v) for k, v in oracle_rows.items()}
+
+
+def test_checkpoint_resume(ray_session, tmp_path, oracle_rows):
+    """Kill after k partitions → resume completes only the rest; final
+    output set identical to a fresh full run."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from magic_content_extractor_ray.corpus import attach_spans_batch
+    from magic_content_extractor_ray.state.checkpoint import (
+        run_checkpointed, load_manifest)
+
+    def factory():
+        return rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+        ).limit(N_DOCS).map_batches(attach_spans_batch, batch_format="pyarrow")
+
+    out_dir = str(tmp_path / "ckpt")
+    kwargs = dict(num_partitions=4,
+                  pipeline_kwargs=dict(batch_size=32))
+
+    # run partitions 0-1, then simulate a crash by truncating the loop:
+    recs = run_checkpointed(factory, out_dir, **kwargs)
+    assert len(recs) == 4
+    manifest = load_manifest(out_dir)
+    assert set(manifest) == {0, 1, 2, 3}
+
+    # simulated crash: drop partition 3's manifest line and output dir
+    import shutil
+
+    lines = open(os.path.join(out_dir, "manifest.jsonl")).read().splitlines()
+    kept = [l for l in lines if '"partition_id": 3' not in l]
+    with open(os.path.join(out_dir, "manifest.jsonl"), "w") as f:
+        f.write("\n".join(kept) + "\n")
+    shutil.rmtree(os.path.join(out_dir, "part=3"))
+
+    recs2 = run_checkpointed(factory, out_dir, **kwargs)
+    assert [r["partition_id"] for r in recs2] == [3]  # only the missing one
+
+    # full output equals the oracle set exactly
+    got = {}
+    for p in range(4):
+        t = pq.read_table(os.path.join(out_dir, f"part={p}"),
+                          columns=["doc_id", "spans"])
+        for r in t.to_pylist():
+            got[r["doc_id"]] = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in r["spans"]]
+    assert got == {k: _span_key(v) for k, v in oracle_rows.items()}
