@@ -1,0 +1,208 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  once (``ray.put``) and every batch does one numpy matmul against it,
+  emitting per-batch partial top-k candidates; a tiny driver-side merge
+  produces the final top-k (candidates ≤ batches × queries × k — never the
+  corpus).
+- ``lsh_topk``: random-hyperplane LSH bucketing as the scale path — each
+  vector lands in ``n_tables`` sign-pattern buckets; a query only scans its
+  matching buckets. Same output schema; recall measured against brute force
+  in tests.
+
+Embeddings stay float32 end-to-end; scores are cast to float64 only at the
+final merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, column: str) -> np.ndarray:
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.asarray(flat, dtype=np.float32).reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _PartialTopK:
+    """Stateful stage: the broadcast query matrix is fetched once per actor."""
+
+    def __init__(self, queries_ref, k: int, column: str, id_column: str):
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qmat = _normalize(np.asarray(q["matrix"], dtype=np.float32))
+        self.k = k
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_column).to_numpy(
+            zero_copy_only=False))
+        mat = _normalize(_batch_matrix(batch, self.column))
+        sims = self.qmat @ mat.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            for j in idx[qi]:
+                out_q.append(self.qids[qi])
+                out_n.append(ids[j])
+                out_s.append(float(sims[qi, j]))
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
+             pa.array(out_s, pa.float64())],
+            names=["query_id", "neighbor_id", "score"])
+
+
+def _merge_topk(rows, k: int):
+    """Driver-side merge of partial candidates → global top-k per query,
+    deterministic tie-break on (−score, neighbor_id)."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    if df.empty:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rank": [],
+                             "score": []})
+    df = df.sort_values(["query_id", "score", "neighbor_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "neighbor_id", "rank", "score"]]
+
+
+def load_queries(sf_dir: str, n_queries: int, column: str = "embedding",
+                 id_column: str = "vec_id"):
+    """First n vectors (by id) are the query set — deterministic."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=[id_column, column])
+    t = t.sort_by(id_column).slice(0, n_queries)
+    ids = t.column(id_column).to_pylist()
+    mat = np.asarray(t.column(column).to_pylist(), dtype=np.float32)
+    return {"ids": ids, "matrix": mat}
+
+
+def brute_force_topk(ds, queries: dict, *, k: int = 10,
+                     column: str = "embedding", id_column: str = "vec_id"):
+    """Exact cosine top-k of each query against the full dataset."""
+    import ray
+
+    qref = ray.put(queries)
+    partials = ds.select_columns([id_column, column]).map_batches(
+        _PartialTopK, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, column=column,
+                                   id_column=id_column))
+    return _merge_topk(partials.take_all(), k)
+
+
+class _LshBucketer:
+    def __init__(self, planes_ref, column: str, id_column: str):
+        import ray
+
+        self.planes = ray.get(planes_ref)  # (n_tables, n_bits, dim) fp32
+        self.column = column
+        self.id_column = id_column
+
+    def _keys(self, mat: np.ndarray) -> list[list[str]]:
+        keys = []
+        n_tables = self.planes.shape[0]
+        bits_list = []
+        for t in range(n_tables):
+            proj = mat @ self.planes[t].T  # (n, n_bits)
+            bits = (proj > 0).astype(np.uint64)
+            key = (bits << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+            bits_list.append([f"{t}:{int(v)}" for v in key])
+        return bits_list
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_matrix(batch, self.column))
+        per_table = self._keys(mat)
+        n = len(ids)
+        out_ids, out_keys, out_vecs = [], [], []
+        for t_keys in per_table:
+            out_ids.extend(ids.tolist())
+            out_keys.extend(t_keys)
+            out_vecs.append(mat)
+        vec_mat = np.concatenate(out_vecs) if out_vecs else np.zeros((0, 1))
+        dim = vec_mat.shape[1] if len(vec_mat) else 1
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(vec_mat.astype(np.float32).ravel(), pa.float32()), dim)
+        return pa.Table.from_arrays(
+            [pa.array(out_keys), pa.array(out_ids, pa.int64()), vec_arr],
+            names=["bucket", self.id_column, "vec"])
+
+
+def make_planes(dim: int, n_tables: int = 8, n_bits: int = 8,
+                seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_tables, n_bits, dim).astype(np.float32)
+
+
+def lsh_topk(ds, queries: dict, *, k: int = 10, n_tables: int = 8,
+             n_bits: int = 8, column: str = "embedding",
+             id_column: str = "vec_id", seed: int = 7):
+    """LSH-bucketed ANN: scan only buckets the query hashes into."""
+    import ray
+    import pandas as pd
+
+    qmat = _normalize(np.asarray(queries["matrix"], dtype=np.float32))
+    dim = qmat.shape[1]
+    planes = make_planes(dim, n_tables, n_bits, seed)
+    planes_ref = ray.put(planes)
+
+    bucketed = ds.select_columns([id_column, column]).map_batches(
+        _LshBucketer, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(planes_ref=planes_ref, column=column,
+                                   id_column=id_column))
+
+    # query bucket keys
+    qkeys: dict[str, list[int]] = {}
+    for t in range(n_tables):
+        proj = qmat @ planes[t].T
+        bits = (proj > 0).astype(np.uint64)
+        key = (bits << np.arange(n_bits, dtype=np.uint64)).sum(axis=1)
+        for qi, v in enumerate(key):
+            qkeys.setdefault(f"{t}:{int(v)}", []).append(qi)
+    qkey_ref = ray.put({"qkeys": qkeys, "qmat": qmat,
+                        "qids": queries["ids"]})
+
+    def scan_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        info = ray.get(qkey_ref)
+        bucket = g["bucket"].iloc[0]
+        q_idx = info["qkeys"].get(bucket)
+        if not q_idx:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "score": []})
+        mat = np.stack(g["vec"].to_numpy())
+        ids = g[id_column].to_numpy()
+        sub = info["qmat"][q_idx]
+        sims = sub @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for row, qi in enumerate(q_idx):
+            for j in range(sims.shape[1]):
+                out_q.append(info["qids"][qi])
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[row, j]))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "score": out_s})
+
+    cands = bucketed.groupby("bucket").map_groups(
+        scan_bucket, batch_format="pandas")
+    df = cands.to_pandas().drop_duplicates(subset=["query_id", "neighbor_id"])
+    return _merge_topk(df.to_dict("records"), k)
