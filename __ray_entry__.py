@@ -1,16 +1,11 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native magic-content-extractor engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + the training-data operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (same column names on
+both sides). Ray is initialised by the driver — nothing here calls
+``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,340 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_STOPWORD_ALT = ("a|an|and|are|as|at|be|been|by|for|from|in|is|it|of|on|or|"
+                 "that|the|this|to|was|were|with")
+
+
+def _docs(sf_dir: str):
+    from magic_content_extractor_ray.corpus import docs_dataset
+
+    return docs_dataset(sf_dir)
+
+
+def _extracted(sf_dir: str, **kwargs):
+    from magic_content_extractor_ray.pipelines.extract_pipeline import (
+        run_extract_pipeline)
+
+    return run_extract_pipeline(_docs(sf_dir), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_extract_pipeline(sf_dir: str):
+    """Flagship: interleaved docs → per-doc extraction summary (rows-only
+    check; span-level equality is pinned by pytest goldens)."""
+    out = _extracted(sf_dir)
+    return out.select_columns(
+        ["doc_id", "platform", "strategy_used", "title", "author",
+         "publish_time", "read_count", "reply_count", "view_count",
+         "text_len", "span_count", "error"]).sort("doc_id")
+
+
+def q_extract_spans(sf_dir: str):
+    """Exploded output spans: one row per (doc_id, offset)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        ids = batch.column("doc_id")
+        out_id, out_k, out_t, out_r, out_o = [], [], [], [], []
+        for chunk_ids, chunk in zip(ids.to_pylist(),
+                                    spans.to_pylist()):
+            for s in chunk:
+                out_id.append(chunk_ids)
+                out_k.append(s["kind"])
+                out_t.append(s["text"])
+                out_r.append(s["media_ref"])
+                out_o.append(s["offset"])
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.string()),
+            "offset": pa.array(out_o, pa.int32()),
+            "kind": pa.array(out_k, pa.string()),
+            "media_ref": pa.array(out_r, pa.string()),
+            "span_text": pa.array(out_t, pa.string()),
+        })
+
+    return _extracted(sf_dir).select_columns(["doc_id", "spans"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def q_extract_formats(sf_dir: str):
+    """Formatter stage outputs (text & markdown) summary lengths."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = _extracted(sf_dir, formats=("text", "markdown"))
+
+    def lens(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "platform": batch.column("platform"),
+            "text_out_len": pc.cast(pc.utf8_length(batch.column("text_out")),
+                                    pa.int64()),
+            "markdown_len": pc.cast(pc.utf8_length(batch.column("markdown")),
+                                    pa.int64()),
+        })
+
+    return out.map_batches(lens, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import exact_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def q_dedup_minhash(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import minhash_lsh_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return minhash_lsh_dedup(docs, threshold=0.6)
+
+
+def q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import simhash_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return simhash_dedup(docs, max_hamming=3)
+
+
+def q_token_count(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.textops import token_counts
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(token_counts, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"])
+
+
+def q_quality_counts(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.textops import quality_counts
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(quality_counts, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars_q", "n_alpha", "n_digit", "n_punct",
+         "n_stopword"])
+
+
+def q_lang_id(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.textops import LangId
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"],
+    ).map_batches(LangId, batch_format="pyarrow",
+                  concurrency=(1, 4)).select_columns(
+        ["doc_id", "lang", "lang_pred"])
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.textops import fingerprint_batch
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"])
+
+
+def q_lang_stats(sf_dir: str):
+    """Grouped aggregate with partial pre-aggregation inside map_batches
+    (the combiner pattern — the shuffle moves one row per lang per batch)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = batch.group_by("lang").aggregate(
+            [("n_chars", "sum"), ("doc_id", "count")])
+        return g.rename_columns(["lang", "total_chars", "n_docs"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("lang").aggregate(
+        Sum("total_chars", alias_name="total_chars"),
+        Sum("n_docs", alias_name="n_docs"),
+    ).sort("lang")
+
+
+def q_top_docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+    ).sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+
+
+def q_source_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Max
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"],
+    ).groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    ).sort("source")
+
+
+def q_events_by_type(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Max
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
+    ).groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Min("user_id", alias_name="min_user"),
+        Max("user_id", alias_name="max_user"),
+    ).sort("event_type")
+
+
+_ANN_NQ = 5
+_ANN_K = 10
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-k; float64 math end-to-end so scores match DuckDB's
+    double accumulation; ties broken on neighbor_id."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.ann import (
+        brute_force_topk, load_queries)
+
+    queries = load_queries(sf_dir, _ANN_NQ)
+    queries["matrix"] = np.asarray(queries["matrix"], dtype=np.float64)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, k=_ANN_K)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def q_ann_lsh(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.ann import lsh_topk, load_queries
+
+    queries = load_queries(sf_dir, _ANN_NQ)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return lsh_topk(ds, queries, k=_ANN_K, n_tables=12, n_bits=6)
+
+
+def q_media_features(sf_dir: str):
+    from magic_content_extractor_ray.stages.multimodal import media_pipeline
+
+    out = media_pipeline(_extracted(sf_dir), fake=True)
+    return out.select_columns(
+        ["media_ref", "kind", "width", "height", "pixel_mean"]).sort(
+        "media_ref")
+
+
+def q_checkpoint_lineage(sf_dir: str):
+    """Run the checkpointed pipeline into /tmp (2 partitions) and surface
+    the per-partition lineage records."""
+    import os
+    import shutil
+    import pandas as pd
+    from magic_content_extractor_ray.state.checkpoint import run_checkpointed
+
+    out_dir = "/tmp/mce_ray_ckpt_query"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    recs = run_checkpointed(
+        lambda: _docs(sf_dir), out_dir, num_partitions=2)
+    return pd.DataFrame(recs)[
+        ["partition_id", "num_docs", "num_spans", "num_errors",
+         "total_text_len"]]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    return q_extract_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_pipeline": q_extract_pipeline,
+        "extract_spans": q_extract_spans,
+        "extract_formats": q_extract_formats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "token_count": q_token_count,
+        "quality_counts": q_quality_counts,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "lang_stats": q_lang_stats,
+        "top_docs": q_top_docs,
+        "source_stats": q_source_stats,
+        "events_by_type": q_events_by_type,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "media_features": q_media_features,
+        "checkpoint_lineage": q_checkpoint_lineage,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, "
+            "count(*) AS n_dups FROM documents GROUP BY md5(text)"),
+        "token_count": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "FROM documents"),
+        "quality_counts": (
+            "SELECT doc_id, length(text) AS n_chars_q, "
+            "len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha, "
+            "len(regexp_extract_all(text, '[0-9]')) AS n_digit, "
+            "len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, "
+            f"len(regexp_extract_all(text, '\\b({_STOPWORD_ALT})\\b')) "
+            "AS n_stopword FROM documents"),
+        "lang_stats": (
+            "SELECT lang, sum(n_chars) AS total_chars, "
+            "count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),
+        "top_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 100"),
+        "source_stats": (
+            "SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars, "
+            "max(n_chars) AS max_chars FROM documents GROUP BY source "
+            "ORDER BY source"),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n_events, "
+            "min(user_id) AS min_user, max(user_id) AS max_user "
+            "FROM events GROUP BY event_type ORDER BY event_type"),
+        "ann_topk": (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            f"FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS score "
+            "FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
+            f"FROM scored) SELECT query_id, neighbor_id, rank FROM ranked "
+            f"WHERE rank <= {_ANN_K}"),
+    }
