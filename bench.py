@@ -1,0 +1,163 @@
+"""Benchmark harness.
+
+Headline: end-to-end extraction throughput (docs/sec) of the flagship
+pipeline over the interleaved corpus derived from ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1), plus per-query timings for the other
+operator families. Prints ONE JSON line.
+
+``--scaling``: run the headline pipeline in fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and report both
+throughputs + scaling efficiency (the sandbox evidence for the
+N-vs-4N-nodes criterion).
+
+The corpus is replicated ``BENCH_REPLICAS``× (deterministic per-replica
+seeds) so the job is long enough to measure compute rather than startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "8"))
+
+
+def replicated_docs(sf_dir: str, replicas: int):
+    """documents.parquet expanded replicas× with distinct deterministic
+    doc ids (salted into the generator seed)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from magic_content_extractor_ray.corpus import attach_spans_batch
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        if replicas == 1:
+            return batch
+        tables = []
+        ids = batch.column("doc_id")
+        import pyarrow.compute as pc
+
+        for r in range(replicas):
+            t = batch.set_column(
+                batch.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(pc.multiply(ids, replicas), r))
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    # one parquet file = one block by default: split so the generate and
+    # extract stages parallelize across every core
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=NUM_CPUS * 4,
+    ).map_batches(replicate, batch_format="pyarrow").map_batches(
+        attach_spans_batch, batch_format="pyarrow", batch_size=64)
+
+
+def bench_extract(sf_dir: str) -> tuple[float, int]:
+    """Headline: full extract pipeline streamed to parquet."""
+    import shutil
+    from magic_content_extractor_ray.pipelines.extract_pipeline import (
+        run_extract_pipeline)
+
+    out_dir = "/tmp/mce_bench_out"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    docs = replicated_docs(sf_dir, REPLICAS)
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    docs.count()
+    t0 = time.time()
+    # fixed-size pool: autoscaling ramp-up costs ~30% on a short bench job
+    out = run_extract_pipeline(docs, batch_size=64,
+                               concurrency=max(2, NUM_CPUS - 1))
+    out.write_parquet(out_dir)
+    wall = time.time() - t0
+    import pyarrow.parquet as pq
+    import glob
+
+    n = sum(pq.read_metadata(f).num_rows
+            for f in glob.glob(f"{out_dir}/*.parquet"))
+    return wall, n
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Secondary per-family timings (smaller, un-replicated input)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    picks = ["dedup_exact", "dedup_minhash", "dedup_simhash", "token_count",
+             "quality_counts", "lang_id", "fingerprint", "lang_stats",
+             "top_docs", "ann_topk", "ann_lsh", "media_features"]
+    qs = entrymod.queries()
+    times = {}
+    for name in picks:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
+
+    wall, n_docs = bench_extract(SF_DIR)
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else \
+        bench_queries(SF_DIR)
+    ray.shutdown()
+    return {
+        "metric": "extract_pipeline_wall_seconds",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "docs_per_sec": round(n_docs / wall, 1),
+        "n_docs": n_docs,
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicas": REPLICAS,
+    }
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = sub(lo)
+    r_hi = sub(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "n_docs": r_hi["n_docs"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

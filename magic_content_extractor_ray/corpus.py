@@ -353,11 +353,21 @@ def attach_spans_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
 
 
-def docs_dataset(sf_dir: str):
+def docs_dataset(sf_dir: str, *, num_blocks: int | None = None):
     """Ray Dataset of interleaved-span docs derived from ``documents.parquet``
-    (columns pruned at the read; generation streams per batch)."""
+    (columns pruned at the read; generation streams per batch).
+
+    A single parquet file reads as ONE block, which would serialize the
+    generate stage — split to ~4 blocks per core by default.
+    """
+    import ray
     import ray.data as rd
 
+    if num_blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+            ray.is_initialized() else 8
+        num_blocks = cpus * 4
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-    ).map_batches(attach_spans_batch, batch_format="pyarrow", batch_size=256)
+        override_num_blocks=num_blocks,
+    ).map_batches(attach_spans_batch, batch_format="pyarrow", batch_size=64)
