@@ -26,11 +26,24 @@ _TIME_SELECTORS = (
 )
 
 
+_PRE_REMOVE = (
+    "script", "style", 'link[rel="stylesheet"]',
+    "header", "footer", "nav", "aside",
+    ".comment-list", ".related-posts", ".share-buttons",
+    ".advertisement", ".ad", ".banner",
+    ".author-info", ".article-meta",
+)
+
+
 class ArticleStrategy(BaseStrategy):
     platform = "article"
 
     def __init__(self):
         super().__init__(ExtractorOptions(min_text_length=150, min_score=25))
+        from ..htmlib.multimatch import SelectorIndex
+
+        self._pre_index = SelectorIndex(_PRE_REMOVE)
+        self._meta_index = SelectorIndex(_AUTHOR_SELECTORS + _TIME_SELECTORS)
 
     def pre_normalize(self, html: str) -> str:
         return H.normalize_entities(html)
@@ -47,21 +60,17 @@ class ArticleStrategy(BaseStrategy):
         )
 
     def pre_process(self, root: Node, url: str) -> None:
-        """ArticleExtractor.ts:47-96 + handleSpecialSites (:191-217)."""
-        for sel in ("script", "style", 'link[rel="stylesheet"]'):
-            for n in root.find(sel):
+        """ArticleExtractor.ts:47-96 + handleSpecialSites (:191-217).
+        One walk resolves removals + comments + the img/video/a rewrites."""
+        matches, tag_map, comment_nodes = self._pre_index.find_all_with_tags(
+            root, tags=("img", "video", "a"), comments=True)
+        for sel in _PRE_REMOVE:
+            for n in matches[sel]:
                 n.remove()
-        for n in list(root.iter()):
-            if n.type == "comment":
-                n.remove()
-        for sel in ("header, footer, nav, aside",
-                    ".comment-list, .related-posts, .share-buttons",
-                    ".advertisement, .ad, .banner",
-                    ".author-info, .article-meta"):
-            for n in root.find(sel):
-                n.remove()
+        for n in comment_nodes:
+            n.remove()
 
-        for img in root.find("img"):
+        for img in tag_map["img"]:
             if img.get("data-src"):
                 img.set("src", img.get("data-src"))
             if img.get("data-original"):
@@ -72,11 +81,11 @@ class ArticleStrategy(BaseStrategy):
                 cap.append(Node("text", data=alt))
                 img.parent.insert(img.index_in_parent() + 1, cap)
 
-        for video in root.find("video"):
+        for video in tag_map["video"]:
             if video.get("data-src"):
                 video.set("src", video.get("data-src"))
 
-        for link in root.find("a"):
+        for link in tag_map["a"]:
             href = link.get("href") or ""
             if "javascript:" in href or "ads" in href or href == "#":
                 link.del_attr("href")
@@ -96,23 +105,22 @@ class ArticleStrategy(BaseStrategy):
                     for n in root.find(sel):
                         n.remove()
 
-    def node_score(self, node: Node) -> float:
+    def node_score(self, node: Node, stats: dict | None = None) -> float:
         """ArticleExtractor.ts:222-267"""
-        score = H.calculate_node_score(node)
+        if stats is None:
+            stats = H.node_stats(node)
+        score = H.calculate_node_score(node, stats)
         if node.tag == "article" or node.has_class("article"):
             score += 15
-        tlen = node.text_len()
+        tlen = len(stats["text"].strip())
         if tlen > 100:
             score += min(tlen // 100, 10)
-        imgs = len(node.find("img"))
-        if imgs > 0:
-            score += min(imgs * 2, 10)
-        headings = len(node.find("h1, h2, h3, h4, h5, h6"))
-        if headings > 0:
-            score += headings * 4
-        paras = len(node.find("p"))
-        if paras > 0:
-            score += min(paras, 5)
+        if stats["n_img"] > 0:
+            score += min(stats["n_img"] * 2, 10)
+        if stats["n_heading"] > 0:
+            score += stats["n_heading"] * 4
+        if stats["n_p"] > 0:
+            score += min(stats["n_p"], 5)
         if node.find_first(".ad, .advertisement, .banner") is not None:
             score -= 10
         if node.find_first(".comment, .comments, #comments") is not None:
@@ -162,6 +170,7 @@ class ArticleStrategy(BaseStrategy):
         self.collapse_br_runs(main)
 
     def enrich(self, result: ExtractResult, root: Node) -> None:
-        result.author = self.first_by_selectors(root, _AUTHOR_SELECTORS)
-        result.publish_time = self.first_by_selectors(
-            root, _TIME_SELECTORS, attr="datetime")
+        found = self._meta_index.find_first_each(root)
+        result.author = self.cascade_value(found, _AUTHOR_SELECTORS)
+        result.publish_time = self.cascade_value(
+            found, _TIME_SELECTORS, attr="datetime")

@@ -116,12 +116,31 @@ class ExtractResult:
 
 class BaseStrategy:
     """One extraction strategy; stateless across documents (all per-doc state
-    lives in locals), safe to share inside one actor process."""
+    lives in locals), safe to share inside one actor process.
+
+    ``__init__`` pre-compiles the selector tables into one-walk
+    ``SelectorIndex`` structures (htmlib.multimatch) — the actor-pool warm
+    state: per-document work is pure matching."""
 
     platform = "article"
 
     def __init__(self, options: ExtractorOptions | None = None):
+        from ..htmlib.multimatch import SelectorIndex
+
         self.options = options or ExtractorOptions()
+        self._noise_index = SelectorIndex(NOISE_SELECTORS)
+        self._cascade_selectors = (
+            [("xpath", s) for s in XPATH_SELECTORS]
+            + [("custom", s) for s in self.custom_selectors()]
+            + [("content", s) for s in CONTENT_SELECTORS])
+        self._cascade_index = SelectorIndex(
+            [s for _, s in self._cascade_selectors])
+        self._post_index = SelectorIndex((
+            "table", "pre, code", "img",
+            "span.math-inline, .MathJax_Preview",
+            "div.math-display, .MathJax_Display",
+            "blockquote", ".footnote, .reference", ".sidenote, .marginnote",
+        ))
 
     # ---- subclass hooks -------------------------------------------------
     def custom_selectors(self) -> tuple[str, ...]:
@@ -133,8 +152,8 @@ class BaseStrategy:
     def post_process_extra(self, main: Node) -> None:
         pass
 
-    def node_score(self, node: Node) -> float:
-        return H.calculate_node_score(node)
+    def node_score(self, node: Node, stats: dict | None = None) -> float:
+        return H.calculate_node_score(node, stats)
 
     def enrich(self, result: ExtractResult, root: Node) -> None:
         pass
@@ -189,45 +208,85 @@ class BaseStrategy:
         self.normalize_content(root)
 
     def remove_noise_nodes(self, root: Node, dropped: set[int]) -> None:
+        # single walk resolves all 38 noise selectors; processing order stays
+        # selector-by-selector with in-flight removals (reference semantics)
+        matches = self._noise_index.find_all(root)
         for sel in NOISE_SELECTORS:
-            for node in root.find(sel):
-                if not self.should_keep_node(node):
-                    self.remove_node(node, dropped)
+            for node in matches[sel]:
+                stats = H.node_stats(node)
+                if not self.should_keep_node(node, stats):
+                    self.remove_node(node, dropped, stats)
         for node in root.find('[style*="display: none"], [style*="visibility: hidden"]'):
             node.remove()
         for node in root.find("div:empty, p:empty, span:empty"):
             node.remove()
 
-    def should_keep_node(self, node: Node) -> bool:
+    def should_keep_node(self, node: Node, stats: dict | None = None) -> bool:
         """BaseExtractor.ts:146-164"""
-        if node.find_first("img, video, iframe") is not None:
+        if stats is None:
+            stats = H.node_stats(node)
+        if stats["n_img"] or stats["n_video"] or stats["n_iframe"]:
             return True
-        text = node.text().strip()
+        text = stats["text"].strip()
         if len(text) > self.options.min_text_length:
-            link_text = "".join(a.text() for a in node.find("a")).strip()
+            link_text = stats["links_text"].strip()
             return (len(link_text) / len(text)) < 0.5
         return False
 
-    def remove_node(self, node: Node, dropped: set[int]) -> None:
+    def remove_node(self, node: Node, dropped: set[int],
+                    stats: dict | None = None) -> None:
         """Link-density / length-gated removal (BaseExtractor.ts:362-386)."""
         if id(node) in dropped:
             return
-        tlen = node.text_len()
-        link_len = H.first_link_text_len(node)
+        if stats is None:
+            stats = H.node_stats(node)
+        tlen = len(stats["text"].strip())
+        link_len = len(stats["first_link_text"].strip())
         link_density = (link_len / tlen) if tlen else 0.0
         if link_density > 0.5 or tlen < self.options.min_text_length:
             node.remove()
             dropped.add(id(node))
 
+    _EMPTY_KEEP = frozenset(
+        {"html", "body", "head", "#root", "title", "meta", "link", "base",
+         "br", "hr"}) | MEDIA_TAGS
+
     def clean_empty_nodes(self, root: Node) -> None:
-        for node in list(root.iter_elements()):
-            if node.tag in ("html", "body", "head", "#root", "title", "meta",
-                            "link", "base", "br", "hr") or node.tag in MEDIA_TAGS:
-                continue
-            if any(a.tag == "head" for a in node.ancestors()):
-                continue
-            if not node.text().strip() and node.find_first("img, video, iframe") is None:
-                node.remove()
+        """Remove elements with no text and no media in one post-order pass
+        (content flags computed bottom-up; the reference recomputes
+        ``.text()`` per element, O(n²))."""
+        keep = self._EMPTY_KEEP
+
+        def walk(node: Node, in_head: bool) -> tuple[bool, bool]:
+            has_text = False
+            has_media = False
+            kept_children = []
+            for c in node.children:
+                if c.type == TEXT:
+                    if not has_text and c.data.strip():
+                        has_text = True
+                    kept_children.append(c)
+                    continue
+                if c.type != TAG:
+                    kept_children.append(c)
+                    continue
+                child_head = in_head or c.tag == "head"
+                c_text, c_media = walk(c, child_head)
+                if c.tag in ("img", "video", "iframe"):
+                    c_media = True
+                if c_text:
+                    has_text = True
+                if c_media:
+                    has_media = True
+                if (c.tag in keep or child_head or c_text or c_media):
+                    kept_children.append(c)
+                else:
+                    c.parent = None
+            if len(kept_children) != len(node.children):
+                node.children = kept_children
+            return has_text, has_media
+
+        walk(root, False)
 
     def normalize_content(self, root: Node) -> None:
         """Whitespace collapse + adjacent-text-node merge
@@ -247,41 +306,40 @@ class BaseStrategy:
 
     # ---- main-content cascade (BaseExtractor.ts:210-242) ----------------
     def extract_main_content(self, root: Node, dropped: set[int]) -> tuple[Node, str]:
-        n = self.extract_by_xpath(root)
-        if n is not None:
-            return n, "xpath"
-        for sel in self.custom_selectors():
-            el = root.find_first(sel)
-            if el is not None and self.is_valid_content(el):
-                return el, "custom"
-        for sel in CONTENT_SELECTORS:
-            el = root.find_first(sel)
-            if el is not None and self.is_valid_content(el):
-                return el, "content"
+        """5-stage cascade. A single walk resolves the first match of every
+        cascade selector (xpath-intent → custom → CONTENT_SELECTORS);
+        per-stage validity gating is unchanged."""
+        firsts = self._cascade_index.find_first_each(root)
+        seen_stats: dict[int, dict] = {}
+        for stage, sel in self._cascade_selectors:
+            el = firsts.get(sel)
+            if el is None:
+                continue
+            stats = seen_stats.get(id(el))
+            if stats is None:
+                stats = H.node_stats(el)
+                seen_stats[id(el)] = stats
+            if self.is_valid_content(el, stats):
+                return el, stage
         best = self.find_best_node(root, dropped)
         if best is not None:
             return best, "heuristic"
         return body_of(root), "body"
 
-    def extract_by_xpath(self, root: Node) -> Node | None:
-        for sel in XPATH_SELECTORS:
-            el = root.find_first(sel)
-            if el is not None and self.is_valid_content(el):
-                return el
-        return None
-
-    def is_valid_content(self, node: Node) -> bool:
+    def is_valid_content(self, node: Node, stats: dict | None = None) -> bool:
         """BaseExtractor.ts:326-360"""
         if node.type != TAG or not node.tag:
             return False
         if node.tag in _EXCLUDE_MAIN_TAGS:
             return False
-        if self.node_score(node) < self.options.min_score:
+        if stats is None:
+            stats = H.node_stats(node)
+        if self.node_score(node, stats) < self.options.min_score:
             return False
-        tlen = node.text_len()
+        tlen = len(stats["text"].strip())
         if tlen < self.options.min_text_length:
             return False
-        if (H.first_link_text_len(node) / tlen) > 0.5:
+        if (len(stats["first_link_text"].strip()) / tlen) > 0.5:
             return False
         return True
 
@@ -289,15 +347,19 @@ class BaseStrategy:
         """Argmax of calculate_content_score over candidate containers
         (BaseExtractor.ts:639-664)."""
         best: Node | None = None
+        best_stats: dict | None = None
         best_score = -1.0
         for node in root.find("div, article, section, main"):
             if id(node) in dropped:
                 continue
-            score = H.calculate_content_score(node, self.node_score(node))
+            stats = H.node_stats(node)
+            score = H.calculate_content_score(
+                node, self.node_score(node, stats), stats)
             if score > best_score:
                 best_score = score
                 best = node
-        if best is not None and self.is_valid_content(best):
+                best_stats = stats
+        if best is not None and self.is_valid_content(best, best_stats):
             return best
         return None
 
@@ -312,9 +374,13 @@ class BaseStrategy:
             if node.tag not in MEDIA_TAGS and node.tag not in ("br", "hr"):
                 node.remove()
         self.normalize_content(main)
-        self.process_special_tags(main)
-        self.process_math(main)
-        self.process_quotes_and_notes(main)
+        # one walk resolves the special/math/quote selector groups; the
+        # restructuring passes never create nodes a later group matches
+        # (verified against the reference pass order)
+        m = self._post_index.find_all(main)
+        self.process_special_tags(main, m)
+        self.process_math(main, m)
+        self.process_quotes_and_notes(main, m)
 
     def clean_attributes(self, node: Node) -> None:
         for el in [node, *[n for n in node.descendants() if n.type == TAG]]:
@@ -322,9 +388,9 @@ class BaseStrategy:
                 el.attrs = {k: v for k, v in el.attrs.items()
                             if k.lower() in H.KEEP_ATTRIBUTES}
 
-    def process_special_tags(self, main: Node) -> None:
+    def process_special_tags(self, main: Node, m: dict) -> None:
         """Tables, code blocks, lazy images (BaseExtractor.ts:547-600)."""
-        for table in main.find("table"):
+        for table in m["table"]:
             first_row = table.find_first("tr")
             if first_row is not None:
                 for cell in list(first_row.children):
@@ -335,13 +401,13 @@ class BaseStrategy:
             wrapper.append(table)
             table.add_class("content-table")
 
-        for code in main.find("pre, code"):
+        for code in m["pre, code"]:
             inner = code.inner_html()
             if inner:
                 lang_cls = code.get("class") or ""
-                m = _LANG_RE.search(lang_cls)
-                if m:
-                    code.set("data-language", m.group(1))
+                lang_m = _LANG_RE.search(lang_cls)
+                if lang_m:
+                    code.set("data-language", lang_m.group(1))
                 new = inner.replace("\n", "<br>").replace(" ", "&nbsp;")
                 if new != inner:
                     code.children = []
@@ -349,7 +415,7 @@ class BaseStrategy:
                         code.append(frag)
             code.add_class("content-code")
 
-        for img in main.find("img"):
+        for img in m["img"]:
             data_src = img.get("data-src") or img.get("data-original")
             if data_src:
                 img.set("src", data_src)
@@ -364,15 +430,15 @@ class BaseStrategy:
                 fig.append(cap)
             img.add_class("img-fluid content-image")
 
-    def process_math(self, main: Node) -> None:
+    def process_math(self, main: Node, m: dict) -> None:
         """Math tagging + LaTeX lifting out of text nodes
         (BaseExtractor.ts:414-501; display-first regex order)."""
-        for node in main.find("span.math-inline, .MathJax_Preview"):
+        for node in m["span.math-inline, .MathJax_Preview"]:
             tex = node.text().strip()
             if tex:
                 node.set("data-tex", tex)
                 node.add_class("math-inline")
-        for node in main.find("div.math-display, .MathJax_Display"):
+        for node in m["div.math-display, .MathJax_Display"]:
             tex = node.text().strip()
             if tex:
                 node.set("data-tex", tex)
@@ -419,20 +485,20 @@ class BaseStrategy:
                 if frags:
                     tnode.replace_with(frags)
 
-    def process_quotes_and_notes(self, main: Node) -> None:
+    def process_quotes_and_notes(self, main: Node, m: dict) -> None:
         """BaseExtractor.ts:506-542"""
-        for quote in main.find("blockquote"):
+        for quote in m["blockquote"]:
             quote.add_class("content-quote")
             cite = quote.find_first("cite")
             if cite is not None:
                 cite.add_class("quote-source")
-        for note in main.find(".footnote, .reference"):
+        for note in m[".footnote, .reference"]:
             note.add_class("content-footnote")
             for link in note.find("a"):
                 href = link.get("href")
                 if href and href.startswith("#"):
                     link.add_class("footnote-link")
-        for note in main.find(".sidenote, .marginnote"):
+        for note in m[".sidenote, .marginnote"]:
             note.add_class("content-sidenote")
 
     # ---- shared subclass helpers ---------------------------------------
@@ -451,6 +517,20 @@ class BaseStrategy:
         ``content``, ``[datetime]`` carriers read the attr, else text."""
         for sel in selectors:
             n = root.find_first(sel)
+            if n is None:
+                continue
+            if sel.startswith("meta"):
+                return n.get("content") or ""
+            if attr and n.get(attr):
+                return n.get(attr) or ""
+            return n.text().strip()
+        return ""
+
+    @staticmethod
+    def cascade_value(found: dict, selectors, attr: str | None = None) -> str:
+        """first_by_selectors over a precomputed find_first_each() result."""
+        for sel in selectors:
+            n = found.get(sel)
             if n is None:
                 continue
             if sel.startswith("meta"):

@@ -25,12 +25,27 @@ _REPLY_COUNT_SELECTORS = (
 _VIEW_COUNT_SELECTORS = (".view-count", ".views", ".hits", ".read-count")
 
 
+_PRE_REMOVE = (
+    "script", "style", "link", "iframe", "form",
+    ".ad", ".advertisement", ".banner",
+    ".user-signature", ".signature",
+    ".user-info", ".author-info",
+    ".post-actions", ".thread-actions",
+    ".share-buttons", ".social-share",
+)
+
+
 class ForumStrategy(BaseStrategy):
     platform = "forum"
 
     def __init__(self):
         super().__init__(ExtractorOptions(
             min_text_length=50, min_score=15, include_comments=True))
+        from ..htmlib.multimatch import SelectorIndex
+
+        self._pre_index = SelectorIndex(_PRE_REMOVE)
+        self._meta_index = SelectorIndex(
+            _TIME_SELECTORS + _REPLY_COUNT_SELECTORS + _VIEW_COUNT_SELECTORS)
 
     def pre_normalize(self, html: str) -> str:
         return H.normalize_entities(html)
@@ -48,16 +63,13 @@ class ForumStrategy(BaseStrategy):
 
     def pre_process(self, root: Node, url: str) -> None:
         """ForumExtractor.ts:49-96 (comments kept)."""
-        for sel in ("script, style, link, iframe, form",
-                    ".ad, .advertisement, .banner",
-                    ".user-signature, .signature",
-                    ".user-info, .author-info",
-                    ".post-actions, .thread-actions",
-                    ".share-buttons, .social-share"):
-            for n in root.find(sel):
+        matches, tag_map, _ = self._pre_index.find_all_with_tags(
+            root, tags=("img",))
+        for sel in _PRE_REMOVE:
+            for n in matches[sel]:
                 n.remove()
 
-        for img in root.find("img"):
+        for img in tag_map["img"]:
             if img.get("data-src"):
                 img.set("src", img.get("data-src"))
             if img.get("data-original"):
@@ -74,9 +86,11 @@ class ForumStrategy(BaseStrategy):
                 counter += 1
                 elem.set(UNIQUE_ID_ATTR, str(counter))
 
-    def node_score(self, node: Node) -> float:
+    def node_score(self, node: Node, stats: dict | None = None) -> float:
         """ForumExtractor.ts:278-310"""
-        score = H.calculate_node_score(node)
+        if stats is None:
+            stats = H.node_stats(node)
+        score = H.calculate_node_score(node, stats)
         if node.has_class("first-post") or node.has_class("main-post"):
             score += 15
         if node.has_class("reply-content") or node.has_class("comment-content"):
@@ -85,7 +99,7 @@ class ForumStrategy(BaseStrategy):
             score -= 5
         if node.find_first(".user-info, .author-info") is not None:
             score -= 3
-        tlen = node.text_len()
+        tlen = len(stats["text"].strip())
         if tlen > 100:
             score += min(tlen // 200, 8)
         return score
@@ -159,25 +173,26 @@ class ForumStrategy(BaseStrategy):
         return ""
 
     def enrich(self, result: ExtractResult, root: Node) -> None:
-        result.publish_time = self.first_by_selectors(
-            root, _TIME_SELECTORS, attr="datetime")
-        result.reply_count = self._extract_reply_count(root)
-        result.view_count = self._extract_view_count(root)
+        found = self._meta_index.find_first_each(root)
+        result.publish_time = self.cascade_value(
+            found, _TIME_SELECTORS, attr="datetime")
+        result.reply_count = self._extract_reply_count(root, found)
+        result.view_count = self._extract_view_count(found)
 
-    def _extract_reply_count(self, root: Node) -> int:
+    def _extract_reply_count(self, root: Node, found: dict) -> int:
         """ForumExtractor.ts:131-153"""
         for sel in _REPLY_COUNT_SELECTORS:
-            n = root.find_first(sel)
+            n = found.get(sel)
             if n is not None:
                 c = H.parse_count(n.text().strip())
                 if c is not None:
                     return c
         return len(root.find(".reply-content, .comment-content, .response-content"))
 
-    def _extract_view_count(self, root: Node) -> int:
+    def _extract_view_count(self, found: dict) -> int:
         """ForumExtractor.ts:158-178"""
         for sel in _VIEW_COUNT_SELECTORS:
-            n = root.find_first(sel)
+            n = found.get(sel)
             if n is not None:
                 c = H.parse_count(n.text().strip())
                 if c is not None:

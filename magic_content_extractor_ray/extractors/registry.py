@@ -38,6 +38,17 @@ _FORUM_FEATURE_SELECTORS = (
 )
 _FORUM_URL_RE = re.compile(r"forum|bbs|thread|topic")
 
+_FORUM_INDEX = None
+
+
+def _forum_index():
+    global _FORUM_INDEX
+    if _FORUM_INDEX is None:
+        from ..htmlib.multimatch import SelectorIndex
+
+        _FORUM_INDEX = SelectorIndex(_FORUM_FEATURE_SELECTORS)
+    return _FORUM_INDEX
+
 _STRATEGIES: dict[str, type] = {}
 
 
@@ -65,10 +76,8 @@ def detect_page_type(url: str, root: Node | None, spans: list[dict]) -> str:
         return "pdf"
     if "mp.weixin.qq.com" in url:
         return "weixin"
-    if root is not None:
-        for sel in _FORUM_FEATURE_SELECTORS:
-            if root.find_first(sel) is not None:
-                return "forum"
+    if root is not None and _forum_index().any_match(root):
+        return "forum"
     if _FORUM_URL_RE.search(url):
         return "forum"
     return "article"

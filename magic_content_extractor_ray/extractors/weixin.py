@@ -40,11 +40,21 @@ _TIME_SELECTORS = (
 _READ_COUNT_SELECTORS = ("#js_read_count", ".read_count", ".weui-page__read-count")
 
 
+_PRE_REMOVE = ("script", "style", 'link[rel="stylesheet"]') + _NOISE + _INVISIBLE
+
+
 class WeixinStrategy(BaseStrategy):
     platform = "weixin"
 
     def __init__(self):
         super().__init__(ExtractorOptions(min_text_length=100, min_score=20))
+        from ..htmlib.multimatch import SelectorIndex
+
+        self._pre_index = SelectorIndex(
+            _PRE_REMOVE + ('[style*="color: rgb(255, 255, 255)"]',
+                           ".video_iframe"))
+        self._meta_index = SelectorIndex(
+            _AUTHOR_SELECTORS + _TIME_SELECTORS + _READ_COUNT_SELECTORS)
 
     def can_handle(self, url: str) -> bool:
         return "mp.weixin.qq.com" in url
@@ -62,22 +72,20 @@ class WeixinStrategy(BaseStrategy):
 
     def pre_process(self, root: Node, url: str) -> None:
         """WeixinExtractor.ts:38-178"""
-        for sel in ("script", "style", 'link[rel="stylesheet"]'):
-            for n in root.find(sel):
+        matches, tag_map, comment_nodes = self._pre_index.find_all_with_tags(
+            root, tags=("img",), comments=True)
+        for sel in _PRE_REMOVE:
+            for n in matches[sel]:
                 n.remove()
-        for n in list(root.iter()):
-            if n.type == "comment":
-                n.remove()
-        for sel in _NOISE + _INVISIBLE:
-            for n in root.find(sel):
-                n.remove()
+        for n in comment_nodes:
+            n.remove()
         # rgba-0 / opacity-0 invisible text (:157-158)
-        for n in root.find('[style*="color: rgb(255, 255, 255)"]'):
+        for n in matches['[style*="color: rgb(255, 255, 255)"]']:
             style = n.get("style") or ""
             if "opacity: 0" in style:
                 n.remove()
 
-        for img in root.find("img"):
+        for img in tag_map["img"]:
             data_src = img.get("data-src")
             if data_src:
                 img.set("src", data_src)
@@ -91,7 +99,7 @@ class WeixinStrategy(BaseStrategy):
                 img.parent.insert(img.index_in_parent() + 1, d)
 
         # Tencent video rebuild (:135-150)
-        for video in root.find(".video_iframe"):
+        for video in matches[".video_iframe"]:
             vid = video.get("data-vidtype") or ""
             if vid:
                 box = Node(TAG, "div", {"class": "weixin-video-container"})
@@ -102,18 +110,19 @@ class WeixinStrategy(BaseStrategy):
                 box.append(iframe)
                 video.replace_with(box)
 
-    def node_score(self, node: Node) -> float:
+    def node_score(self, node: Node, stats: dict | None = None) -> float:
         """WeixinExtractor.ts:281-315"""
-        score = H.calculate_node_score(node)
+        if stats is None:
+            stats = H.node_stats(node)
+        score = H.calculate_node_score(node, stats)
         if node.get("id") == "js_content" or node.has_class("rich_media_content"):
             score += 20
-        tlen = node.text_len()
+        tlen = len(stats["text"].strip())
         if tlen > 100:
             score += min(tlen // 100, 10)
-        imgs = len(node.find("img"))
-        if imgs > 0:
-            score += min(imgs * 2, 10)
-        videos = len(node.find("iframe, .video_iframe"))
+        if stats["n_img"] > 0:
+            score += min(stats["n_img"] * 2, 10)
+        videos = stats["n_iframe"] + len(node.find(".video_iframe"))
         if videos > 0:
             score += videos * 5
         if node.find_first(".advertisement_area, .reward_area") is not None:
@@ -148,14 +157,15 @@ class WeixinStrategy(BaseStrategy):
         self.collapse_br_runs(main)
 
     def enrich(self, result: ExtractResult, root: Node) -> None:
-        result.author = self.first_by_selectors(root, _AUTHOR_SELECTORS)
-        result.publish_time = self.first_by_selectors(root, _TIME_SELECTORS)
-        result.read_count = self._extract_read_count(root)
+        found = self._meta_index.find_first_each(root)
+        result.author = self.cascade_value(found, _AUTHOR_SELECTORS)
+        result.publish_time = self.cascade_value(found, _TIME_SELECTORS)
+        result.read_count = self._extract_read_count(found)
 
-    def _extract_read_count(self, root: Node) -> int:
+    def _extract_read_count(self, found: dict) -> int:
         """WeixinExtractor.ts:232-251"""
         for sel in _READ_COUNT_SELECTORS:
-            n = root.find_first(sel)
+            n = found.get(sel)
             if n is not None:
                 c = H.parse_count(n.text().strip())
                 if c is not None:

@@ -81,10 +81,19 @@ def all_links_text_len(node: Node) -> int:
     return len("".join(a.text() for a in node.find("a")).strip())
 
 
-def calculate_node_score(node: Node) -> float:
+def node_stats(node: Node) -> dict:
+    """One-walk stats for the scorers (htmlib.multimatch.subtree_stats)."""
+    from ..htmlib.multimatch import subtree_stats
+
+    return subtree_stats(node)
+
+
+def calculate_node_score(node: Node, stats: dict | None = None) -> float:
     """Readability-style base score (BaseExtractor.ts:251-297)."""
     if node.type != "tag" or not node.tag:
         return 0.0
+    if stats is None:
+        stats = node_stats(node)
     score = 0.0
     score += TAG_WEIGHTS.get(node.tag, 0)
 
@@ -93,29 +102,30 @@ def calculate_node_score(node: Node) -> float:
         score += POSITIVE_CLASS_WEIGHTS.get(lc, 0)
         score += NEGATIVE_CLASS_WEIGHTS.get(lc, 0)
 
-    tlen = node.text_len()
-    link_len = first_link_text_len(node)
+    tlen = len(stats["text"].strip())
+    link_len = len(stats["first_link_text"].strip())
     link_density = link_len / (tlen or 1)
 
     score += min(tlen // 100, 10)
     if link_density > 0.5:
         score -= math.floor(link_density * 10)
 
-    imgs = len(node.find("img"))
-    score += min(imgs * 2, 8)
-    paras = len(node.find("p"))
-    score += min(paras, 5)
-    headings = len(node.find("h1, h2, h3, h4, h5, h6"))
-    score += min(headings * 2, 6)
+    score += min(stats["n_img"] * 2, 8)
+    score += min(stats["n_p"], 5)
+    score += min(stats["n_heading"] * 2, 6)
     return score
 
 
-def calculate_content_score(node: Node, base_score: float | None = None) -> float:
+def calculate_content_score(node: Node, base_score: float | None = None,
+                            stats: dict | None = None) -> float:
     """Extended scorer used by the heuristic best-node search
     (BaseExtractor.ts:669-726)."""
-    score = base_score if base_score is not None else calculate_node_score(node)
+    if stats is None:
+        stats = node_stats(node)
+    score = base_score if base_score is not None else \
+        calculate_node_score(node, stats)
 
-    tlen = node.text_len()
+    tlen = len(stats["text"].strip())
     inner = node.inner_html()
     score += (tlen / (len(inner) or 1)) * 10.0
 
@@ -128,14 +138,14 @@ def calculate_content_score(node: Node, base_score: float | None = None) -> floa
             para_score += 1
     score += min(para_score, 30)
 
-    score += (5 if node.find_first("img") else 0)
-    score += (5 if node.find_first("table") else 0)
-    score += (3 if node.find_first("ul, ol") else 0)
-    score += (3 if node.find_first("pre, code") else 0)
+    score += (5 if stats["n_img"] else 0)
+    score += (5 if stats["n_table"] else 0)
+    score += (3 if stats["n_list"] else 0)
+    score += (3 if stats["n_code"] else 0)
 
     score -= node.depth()
 
-    link_density = all_links_text_len(node) / (tlen or 1)
+    link_density = len(stats["links_text"].strip()) / (tlen or 1)
     score -= link_density * 20.0
 
     lower = inner.lower()

@@ -45,20 +45,40 @@ def clean_title(title: str) -> str:
     return t.strip()
 
 
+_TITLE_INDEX = None
+
+
+def _title_index():
+    global _TITLE_INDEX
+    if _TITLE_INDEX is None:
+        from ..htmlib.multimatch import SelectorIndex
+
+        _TITLE_INDEX = SelectorIndex(
+            (*_META_SELECTORS, "title", "h1", "h2", "h3", *_OTHER_SELECTORS))
+    return _TITLE_INDEX
+
+
 def extract_title(root: Node) -> str:
+    # one walk resolves the whole cascade's candidates
+    found = _title_index().find_all(root)
+
     # 1. meta cascade
     for sel in _META_SELECTORS:
-        m = root.find_first(sel)
-        if m is not None:
-            content = (m.get("content") or "").strip()
+        ms = found[sel]
+        if ms:
+            content = (ms[0].get("content") or "").strip()
             if content:
                 return clean_title(content)
 
-    page_title_node = root.find_first("title")
-    page_title = page_title_node.text().strip() if page_title_node else ""
+    titles = found["title"]
+    page_title = titles[0].text().strip() if titles else ""
 
-    # 2. best h1-h3 by similarity to <title>
-    headings = [h.text().strip() for h in root.find("h1, h2, h3")]
+    # 2. best h1-h3 by similarity to <title>; candidate order is document
+    # order (cheerio 'h1, h2, h3' returns document order, not tag order)
+    h_nodes = sorted(
+        (found["h1"] + found["h2"] + found["h3"]),
+        key=_doc_order_key(root))
+    headings = [h.text().strip() for h in h_nodes]
     headings = [h for h in headings if h]
     if headings:
         if page_title:
@@ -67,9 +87,9 @@ def extract_title(root: Node) -> str:
             best = max(headings, key=lambda h: dice_similarity(h, page_title))
             # max() returns the first maximal element == sorted()[0]
             return clean_title(best)
-        h1 = root.find_first("h1")
-        if h1 is not None and h1.text().strip():
-            return clean_title(h1.text().strip())
+        h1s = found["h1"]
+        if h1s and h1s[0].text().strip():
+            return clean_title(h1s[0].text().strip())
         return clean_title(headings[0])
 
     # 3. <title>
@@ -78,9 +98,24 @@ def extract_title(root: Node) -> str:
 
     # 4. class-based selectors
     for sel in _OTHER_SELECTORS:
-        n = root.find_first(sel)
-        if n is not None:
-            t = n.text().strip()
+        ns = found[sel]
+        if ns:
+            t = ns[0].text().strip()
             if t:
                 return clean_title(t)
     return ""
+
+
+def _doc_order_key(root: Node):
+    """Key function: document-order position (path of child indices)."""
+    def key(n: Node):
+        path = []
+        cur = n
+        while cur is not None and cur is not root:
+            p = cur.parent
+            if p is None:
+                break
+            path.append(p.children.index(cur))
+            cur = p
+        return tuple(reversed(path))
+    return key
