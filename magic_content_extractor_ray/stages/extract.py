@@ -51,13 +51,34 @@ class ExtractorActor:
         ]
         elapsed = time.perf_counter() - t0
 
-        cols: dict[str, list] = {name: [] for name in _OUT_FIELDS}
+        # build the nested spans column from flattened child arrays —
+        # pa.array() over a list of per-row dict lists is ~3× slower
+        offsets = [0]
+        kinds: list[str] = []
+        texts: list[str] = []
+        refs: list[str] = []
+        span_offs: list[int] = []
         for r in rows:
-            for name in _OUT_FIELDS:
-                cols[name].append(r[name])
-        arrays = [
-            pa.array(cols[f.name], type=f.type) for f in EXTRACTED_SCHEMA
-        ]
+            for s in r["spans"]:
+                kinds.append(s["kind"])
+                texts.append(s["text"])
+                refs.append(s["media_ref"])
+                span_offs.append(s["offset"])
+            offsets.append(len(kinds))
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+                 pa.array(refs, pa.string()),
+                 pa.array(span_offs, pa.int32())],
+                names=["kind", "text", "media_ref", "offset"]))
+
+        arrays = []
+        for f in EXTRACTED_SCHEMA:
+            if f.name == "spans":
+                arrays.append(spans_arr)
+            else:
+                arrays.append(pa.array([r[f.name] for r in rows], type=f.type))
         out = pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
         if self.keep_content:
             out = out.append_column(
