@@ -90,11 +90,14 @@ _ALIGN_RE = re.compile(r"\\begin\{align\}([\s\S]*?)\\end\{align\}")
 
 @dataclass
 class ExtractorOptions:
-    """BaseExtractor.ts:62-72 defaults."""
+    """BaseExtractor.ts:62-72 defaults + the user-override config surface
+    (ExtractorConfig shape, app/types/extractor.ts:197-270): score-weight
+    tables are overridable per strategy instance."""
     min_text_length: int = 25
     retry_length: int = 250
     include_comments: bool = False
     min_score: float = 20.0
+    weights: "object | None" = None  # functions.heuristics.ScoreWeights
 
 
 @dataclass
@@ -153,7 +156,7 @@ class BaseStrategy:
         pass
 
     def node_score(self, node: Node, stats: dict | None = None) -> float:
-        return H.calculate_node_score(node, stats)
+        return H.calculate_node_score(node, stats, self.options.weights)
 
     def enrich(self, result: ExtractResult, root: Node) -> None:
         pass

@@ -21,7 +21,7 @@ import re
 
 from ..htmlib.dom import Node, parse_fragment, TEXT, TAG
 
-_SPACE_RUN = re.compile(r"[ \t]+")
+_SPACE_RUN = re.compile(r" {2,}")  # keep tabs: table cells separate with \t
 _NL_RUN = re.compile(r"\n{3,}")
 
 

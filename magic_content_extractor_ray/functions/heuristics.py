@@ -50,6 +50,20 @@ _PUNCT_RE = re.compile(r"[.。!！?？]")
 _WS_RE = re.compile(r"\s+")
 
 
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ScoreWeights:
+    """User-override surface for the scoring tables (the reference's
+    ``ExtractorConfig.weights`` shape, app/types/extractor.ts:236-260)."""
+    tags: dict = field(default_factory=lambda: dict(TAG_WEIGHTS))
+    positive_classes: dict = field(
+        default_factory=lambda: dict(POSITIVE_CLASS_WEIGHTS))
+    negative_classes: dict = field(
+        default_factory=lambda: dict(NEGATIVE_CLASS_WEIGHTS))
+
+
 def dice_similarity(a: str, b: str) -> float:
     """Dice coefficient over lowercase whitespace tokens
     (app/utils/similarity.ts:4-20; duplicates in ``a`` count, as in the
@@ -88,19 +102,28 @@ def node_stats(node: Node) -> dict:
     return subtree_stats(node)
 
 
-def calculate_node_score(node: Node, stats: dict | None = None) -> float:
-    """Readability-style base score (BaseExtractor.ts:251-297)."""
+def calculate_node_score(node: Node, stats: dict | None = None,
+                         weights: "ScoreWeights | None" = None) -> float:
+    """Readability-style base score (BaseExtractor.ts:251-297).
+
+    ``weights`` is the user-override surface (the reference declares
+    ``ExtractorConfig.weights``, app/types/extractor.ts:236-260, but its live
+    code path uses the hard-coded ``BaseExtractor`` tables — we use those
+    same executed-path defaults and make the override real)."""
     if node.type != "tag" or not node.tag:
         return 0.0
     if stats is None:
         stats = node_stats(node)
+    tag_w = weights.tags if weights else TAG_WEIGHTS
+    pos_w = weights.positive_classes if weights else POSITIVE_CLASS_WEIGHTS
+    neg_w = weights.negative_classes if weights else NEGATIVE_CLASS_WEIGHTS
     score = 0.0
-    score += TAG_WEIGHTS.get(node.tag, 0)
+    score += tag_w.get(node.tag, 0)
 
     for cls in node.classes():
         lc = cls.lower()
-        score += POSITIVE_CLASS_WEIGHTS.get(lc, 0)
-        score += NEGATIVE_CLASS_WEIGHTS.get(lc, 0)
+        score += pos_w.get(lc, 0)
+        score += neg_w.get(lc, 0)
 
     tlen = len(stats["text"].strip())
     link_len = len(stats["first_link_text"].strip())
