@@ -45,3 +45,28 @@ class ReadabilityPlusStrategy(BaseStrategy):
         if not H.has_valid_links(node):
             return False
         return H.score_element(node) >= self.options.min_score
+
+    def post_process(self, main: Node) -> None:
+        """ReadabilityPlus runs only normalizeContent = normalizeText +
+        normalizeMedia (readability_plus.ts:110-113) — not the base
+        post-process chain."""
+        self.normalize_content(main)
+        self.normalize_media(main)
+
+    def normalize_media(self, main: Node) -> None:
+        """normalizeMedia (app/utils/extractor.ts:135-173): lazy-img fix,
+        external links get target=_blank rel=noopener, first-row td→th."""
+        for img in main.find("img"):
+            if not img.get("src") and img.get("data-src"):
+                img.set("src", img.get("data-src"))
+        for link in main.find("a"):
+            href = link.get("href") or ""
+            if href.startswith("http"):
+                link.set("target", "_blank")
+                link.set("rel", "noopener noreferrer")
+        for table in main.find("table"):
+            first_row = table.find_first("tr")
+            if first_row is not None:
+                for cell in first_row.children:
+                    if cell.type == "tag" and cell.tag == "td":
+                        cell.tag = "th"

@@ -16,7 +16,9 @@ Output-span contract (deterministic, pinned by golden fixtures):
   {image, video, iframe, embed}, media_ref = resolved src, text = alt;
   the walk does not descend into media elements;
 - each leaf block element (block tag whose subtree contains no block or
-  media element) → one text span carrying its outer HTML;
+  media element) → one text span carrying its outer HTML; composite blocks
+  (table/ul/ol/blockquote/figure/pre) stay ATOMIC — one span with their
+  full outer HTML — unless they contain media, which must be threaded;
 - bare text / inline runs directly under a container → one text span each;
 - offsets are regenerated densely 0..n-1 in document order (never inherited
   from block/batch order).
@@ -69,9 +71,18 @@ def dom_to_spans(main: Node) -> list[dict]:
         out.append({"kind": kind, "text": text, "media_ref": media_ref,
                     "offset": len(out)})
 
+    ATOMIC_BLOCKS = frozenset(
+        {"table", "ul", "ol", "blockquote", "figure", "pre"})
+
     def has_block_or_media(node: Node) -> bool:
         for d in node.descendants():
             if d.type == TAG and (d.tag in BLOCK_TAGS or d.tag in MEDIA_TAGS):
+                return True
+        return False
+
+    def has_media(node: Node) -> bool:
+        for d in node.descendants():
+            if d.type == TAG and d.tag in MEDIA_TAGS:
                 return True
         return False
 
@@ -87,7 +98,9 @@ def dom_to_spans(main: Node) -> list[dict]:
                          child.get("alt") or "",
                          child.get("src") or child.get("data-src") or "")
                 elif child.tag in BLOCK_TAGS:
-                    if has_block_or_media(child):
+                    if child.tag in ATOMIC_BLOCKS and not has_media(child):
+                        emit("text", child.outer_html(), "")
+                    elif has_block_or_media(child):
                         walk(child)
                     else:
                         emit("text", child.outer_html(), "")
