@@ -253,6 +253,47 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(ds, queries, k=_ANN_K, n_tables=12, n_bits=6)
 
 
+def q_extract_metrics(sf_dir: str):
+    """Per-platform pipeline metrics (the lineage/metrics aggregate over
+    the extraction output): doc/span counts, total text, error count —
+    partial-aggregated per batch before the tiny grouped reduce."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.append_column(
+            "n_errors",
+            pc.cast(pc.not_equal(batch.column("error"), ""), pa.int64()))
+        batch = batch.append_column(
+            "n_docs", pa.array([1] * len(batch), pa.int64()))
+        g = batch.select(
+            ["platform", "n_docs", "span_count", "text_len", "n_errors"]
+        ).group_by("platform").aggregate(
+            [("n_docs", "sum"), ("span_count", "sum"), ("text_len", "sum"),
+             ("n_errors", "sum")])
+        return g.rename_columns(
+            ["platform", "n_docs", "n_spans", "total_text_len", "n_errors"])
+
+    partials = _extracted(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("platform").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("total_text_len", alias_name="total_text_len"),
+        Sum("n_errors", alias_name="n_errors"),
+    ).sort("platform")
+
+
+def q_extract_readability(sf_dir: str):
+    """Alternate ReadabilityPlus strategy over the same corpus
+    (strategy-override dispatch path)."""
+    out = _extracted(sf_dir, strategy_override="readability")
+    return out.select_columns(
+        ["doc_id", "strategy_used", "title", "text_len", "span_count",
+         "error"]).sort("doc_id")
+
+
 def q_media_features(sf_dir: str):
     from magic_content_extractor_ray.stages.multimodal import media_pipeline
 
@@ -304,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q_events_by_type,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "extract_metrics": q_extract_metrics,
+        "extract_readability": q_extract_readability,
         "media_features": q_media_features,
         "checkpoint_lineage": q_checkpoint_lineage,
     }

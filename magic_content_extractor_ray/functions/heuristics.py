@@ -218,6 +218,51 @@ def has_valid_links(node: Node) -> bool:
     return False
 
 
+def longest_common_subsequence(a: str, b: str) -> str:
+    """LCS via DP (app/utils/similarity.ts:25-57). Dead code in the
+    reference — defined but never called (SURVEY.md M12); provided for API
+    parity and capped for safety."""
+    m, n = len(a), len(b)
+    if m * n > 1_000_000:
+        raise ValueError("inputs too long for O(mn) LCS")
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m + 1):
+        ai = a[i - 1]
+        row, prev = dp[i], dp[i - 1]
+        for j in range(1, n + 1):
+            row[j] = prev[j - 1] + 1 if ai == b[j - 1] else \
+                max(prev[j], row[j - 1])
+    out = []
+    i, j = m, n
+    while i > 0 and j > 0:
+        if a[i - 1] == b[j - 1]:
+            out.append(a[i - 1])
+            i -= 1
+            j -= 1
+        elif dp[i - 1][j] > dp[i][j - 1]:
+            i -= 1
+        else:
+            j -= 1
+    return "".join(reversed(out))
+
+
+def edit_distance(a: str, b: str) -> int:
+    """Levenshtein DP (app/utils/similarity.ts:62-87; reference dead code,
+    SURVEY.md M12)."""
+    m, n = len(a), len(b)
+    if m * n > 1_000_000:
+        raise ValueError("inputs too long for O(mn) edit distance")
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        ai = a[i - 1]
+        for j in range(1, n + 1):
+            cur[j] = prev[j - 1] if ai == b[j - 1] else \
+                1 + min(prev[j], cur[j - 1], prev[j - 1])
+        prev = cur
+    return prev[n]
+
+
 def parse_count(text: str) -> int | None:
     """``parseInt(text.replace(/[^0-9]/g,''))`` (ForumExtractor.ts:143)."""
     digits = re.sub(r"[^0-9]", "", text)
