@@ -121,8 +121,18 @@ def _gen_article(rng, doc_id, words, variant="plain"):
             heading_level = rng.choice([2, 3, 4, 5])
             body.append(f"<h{heading_level}>{_title_words(rng, words)}</h{heading_level}>")
         if variant == "math" and rng.random() < 0.5:
-            body.append(f"<p>{_para(rng, words, 1)} $${words[0]}^2 + {words[1]}$$ "
-                        f"{_para(rng, words, 1)} ${words[2]}_i$ tail.</p>")
+            roll = rng.random()
+            if roll < 0.25:
+                body.append(f"<p>{_para(rng, words, 1)} "
+                            f"\\begin{{equation}}{words[0]} = {words[1]}^2"
+                            f"\\end{{equation}} {_para(rng, words, 1)}</p>")
+            elif roll < 0.4:
+                body.append(f"<p>{_para(rng, words, 1)} "
+                            f"\\begin{{align}}{words[0]} &= {words[1]}"
+                            f"\\end{{align}}</p>")
+            else:
+                body.append(f"<p>{_para(rng, words, 1)} $${words[0]}^2 + {words[1]}$$ "
+                            f"{_para(rng, words, 1)} ${words[2]}_i$ tail.</p>")
         elif variant == "tablecode" and i == 1:
             rows = "".join(
                 f"<tr><td>{words[j % len(words)]}</td><td>{j}</td></tr>"
@@ -135,18 +145,49 @@ def _gen_article(rng, doc_id, words, variant="plain"):
         if rng.random() < 0.2:
             body.append(f"<blockquote>{_para(rng, words, 1)}"
                         f"<cite>{author}</cite></blockquote>")
+        if rng.random() < 0.1:
+            # footnote / sidenote classes (BaseExtractor.ts:506-542)
+            body.append(f'<div class="footnote"><a href="#fn{i}">[{i}]</a> '
+                        f"{_para(rng, words, 1)}</div>")
+        if rng.random() < 0.06:
+            body.append(f'<span class="sidenote">{_para(rng, words, 1)}</span>')
+        if rng.random() < 0.12:
+            # lazy-load image as raw HTML inside a text span (data-src /
+            # data-original promotion path, BaseExtractor.ts:584-590)
+            lazy_attr = rng.choice(["data-src", "data-original"])
+            body.append(f'<img {lazy_attr}='
+                        f'"https://media.example/{doc_id}/lazy-{i}.jpg" '
+                        f'alt="{words[i % len(words)]}">')
         if i in media_at:
             body.append(_media(rng, doc_id, mi, words))
             mi += 1
 
-    head = (f"<html><head><title>{title} | {site}</title>"
+    # occasional special-site documents (handleSpecialSites,
+    # ArticleExtractor.ts:191-217) and base-href resolution (:167-169)
+    site_roll = rng.random()
+    extra_head = ""
+    strip_block = ""
+    if site_roll < 0.08:
+        url = f"https://blog.csdn.net/{doc_id}"
+        strip_block = '<div class="article-copyright">CSDN copyright</div>'
+    elif site_roll < 0.14:
+        url = f"https://www.jianshu.com/p/{doc_id}"
+        strip_block = '<div class="support-author">赞赏支持</div>'
+    elif site_roll < 0.20:
+        url = f"https://zhuanlan.zhihu.com/p/{doc_id}"
+        strip_block = '<div class="ContentItem-actions">actions</div>'
+    else:
+        url = f"https://blog.example/{doc_id}"
+    if rng.random() < 0.1:
+        extra_head = f'<base href="https://cdn.example/{doc_id}/">'
+
+    head = (f"<html><head><title>{title} | {site}</title>{extra_head}"
             f'<meta property="og:title" content="{title}">'
             f'<meta name="author" content="{author}">'
             f'<meta property="article:published_time" content="{date}T08:00:00Z">'
             f"</head><body>{_noise_header(rng, words)}"
-            f'<article class="post-content">')
+            f'<article class="post-content">{strip_block}')
     tail = f"</article>{_noise_footer(rng, words)}</body></html>"
-    url = f"https://blog.example/{doc_id}"
     return url, _interleave(head, body, tail)
 
 
@@ -216,7 +257,12 @@ def _gen_forum(rng, doc_id, words):
         return (f'<div class="{cls}" id="{pid}">{quote}'
                 f"<p>{_para(rng, words, n_sent)}</p>{sig}</div>")
 
-    main_post = post("post first-post", "post-1", rng.randint(3, 6))
+    # ~25% of threads have no .first-post class: the main post is found via
+    # the [id*="post-1"]/[id*="post_1"] fallback (ForumExtractor.ts:231-234)
+    if rng.random() < 0.25:
+        main_post = post("post", "post_1", rng.randint(3, 6))
+    else:
+        main_post = post("post first-post", "post-1", rng.randint(3, 6))
     replies = [post("reply post", f"post-{i + 2}", rng.randint(1, 4))
                for i in range(n_replies)]
     # main post NOT first (exercises the reorder) for most docs
