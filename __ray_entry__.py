@@ -120,6 +120,18 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_dedup(docs, max_hamming=3)
 
 
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the embeddings table."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import embedding_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # the synthetic embeddings top out near cosine 0.51; 0.4 keeps the
+    # result non-trivial while staying in the far tail of the distribution
+    return embedding_dedup(ds, threshold=0.4)
+
+
 def q_token_count(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.textops import token_counts
@@ -217,6 +229,84 @@ def q_events_by_type(sf_dir: str):
         Min("user_id", alias_name="min_user"),
         Max("user_id", alias_name="max_user"),
     ).sort("event_type")
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (SURVEY §2.10): events per (type, hour)
+    bucket, pre-aggregated per batch before the grouped reduce."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        batch = batch.append_column("hour_bucket", hour)
+        g = batch.select(["event_type", "hour_bucket"]).group_by(
+            ["event_type", "hour_bucket"]).aggregate([("hour_bucket", "count")])
+        return g.rename_columns(["event_type", "hour_bucket", "n_events"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["event_type", "hour_bucket"]).aggregate(
+        Sum("n_events", alias_name="n_events"))
+
+
+def q_events_by_segment(sf_dir: str):
+    """Broadcast hash join: the small customer dim is ray.put once and
+    looked up inside map_batches — no shuffle (ray_guide join pattern)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
+                                  cust.column("c_mktsegment").to_pylist())))
+
+    class SegmentJoin:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            users = batch.column("user_id").to_pylist()
+            segs = [self.lookup.get(u, "UNKNOWN") for u in users]
+            batch = batch.append_column(
+                "c_mktsegment", pa.array(segs, pa.string()))
+            g = batch.select(["c_mktsegment", "user_id"]).group_by(
+                "c_mktsegment").aggregate([("user_id", "count")])
+            return g.rename_columns(["c_mktsegment", "n_events"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return ds.map_batches(SegmentJoin, batch_format="pyarrow",
+                          concurrency=(1, 4)).groupby(
+        "c_mktsegment").aggregate(
+        Sum("n_events", alias_name="n_events")).sort("c_mktsegment")
+
+
+def q_user_sessions(sf_dir: str):
+    """Sessionization (30-min inactivity gap) per user: a per-key ordered
+    window computed in groupby().map_groups over ts-sorted groups."""
+    import pandas as pd
+    import ray.data as rd
+
+    GAP_S = 1800
+
+    def sessions(g: "pd.DataFrame") -> "pd.DataFrame":
+        ts = g["ts"].sort_values()
+        gaps = (ts.diff().dt.total_seconds() > GAP_S).sum()
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(gaps) + 1]})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(
+        sessions, batch_format="pandas").sort("user_id")
 
 
 _ANN_NQ = 5
@@ -335,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "token_count": q_token_count,
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
@@ -343,6 +434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": q_top_docs,
         "source_stats": q_source_stats,
         "events_by_type": q_events_by_type,
+        "events_hourly": q_events_hourly,
+        "events_by_segment": q_events_by_segment,
+        "user_sessions": q_user_sessions,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "extract_metrics": q_extract_metrics,
@@ -382,6 +476,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n_events, "
             "min(user_id) AS min_user, max(user_id) AS max_user "
             "FROM events GROUP BY event_type ORDER BY event_type"),
+        "events_hourly": (
+            "SELECT event_type, "
+            "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "
+            "count(*) AS n_events FROM events GROUP BY 1, 2"),
+        "events_by_segment": (
+            "SELECT c.c_mktsegment, count(*) AS n_events FROM events e "
+            "JOIN customer c ON e.user_id = c.c_custkey "
+            "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"),
+        "user_sessions": (
+            "WITH o AS (SELECT user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts "
+            "FROM events) SELECT user_id, "
+            "1 + sum(CASE WHEN pts IS NOT NULL AND "
+            "epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END) AS n_sessions "
+            "FROM o GROUP BY user_id ORDER BY user_id"),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             f"FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}), "

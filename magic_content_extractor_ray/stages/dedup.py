@@ -313,6 +313,71 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dedup(ds, *, threshold: float = 0.95,
+                    column: str = "embedding", id_column: str = "vec_id",
+                    n_tables: int = 12, n_bits: int = 6, seed: int = 11):
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Scale path: random-hyperplane LSH buckets (reusing the ANN bucketer) so
+    only vectors sharing a sign-pattern bucket are compared — candidate
+    generation is O(rows × tables), never O(rows²); pairs are verified with
+    exact cosine inside each bucket. High thresholds (≥0.9) have near-1
+    bucket-collision probability with this table count.
+    """
+    import pandas as pd
+    import ray
+
+    from .ann import _LshBucketer, make_planes
+
+    # probe the dim from one row
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
+    dim = len(first[0][column])
+    planes_ref = ray.put(make_planes(dim, n_tables, n_bits, seed))
+
+    bucketed = ds.select_columns([id_column, column]).map_batches(
+        _LshBucketer, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(planes_ref=planes_ref, column=column,
+                                   id_column=id_column))
+
+    def pairs_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
+        ids = g[id_column].to_numpy()
+        mat = np.stack(g["vec"].to_numpy())  # already L2-normalized
+        sims = mat @ mat.T
+        out_l, out_r, out_c = [], [], []
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        for i, j in zip(ii, jj):
+            a, b = int(ids[i]), int(ids[j])
+            if a == b:
+                continue
+            if b < a:
+                a, b = b, a
+            out_l.append(a)
+            out_r.append(b)
+            out_c.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame({"left_id": out_l, "right_id": out_r,
+                             "cosine": out_c})
+
+    pairs = bucketed.groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas")
+    df = pairs.to_pandas()
+    if df.empty or "left_id" not in df.columns:
+        return pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                             "right_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return df.drop_duplicates(subset=["left_id", "right_id"]).sort_values(
+        ["left_id", "right_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verifier)
 # ---------------------------------------------------------------------------
 

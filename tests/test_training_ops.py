@@ -165,3 +165,24 @@ def test_multimodal_plumbing(ray_session):
     batch = fetch_media_stub(pa.table({"media_ref": ["x"], "kind": ["image"]}))
     with pytest.raises(NotImplementedError):
         dec(batch)
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(50, 16).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(50)]
+    # near-duplicate of vec 0 (tiny perturbation) and exact dup of vec 1
+    rows.append({"vec_id": 100,
+                 "embedding": (base[0] + 0.001 * rng.randn(16).astype(
+                     np.float32)).tolist()})
+    rows.append({"vec_id": 101, "embedding": base[1].tolist()})
+    ds = rd.from_items(rows)
+    pairs = embedding_dedup(ds, threshold=0.95)
+    got = {(r.left_id, r.right_id) for r in pairs.itertuples()}
+    assert (0, 100) in got
+    assert (1, 101) in got
+    # random 16-d gaussians essentially never hit cosine 0.95
+    assert len(got) <= 4
