@@ -30,13 +30,22 @@ def add_doc_bytes(batch: pa.Table) -> pa.Table:
     spans = batch.column("spans")
     if spans.num_chunks == 0:
         return batch.append_column("doc_bytes", pa.array([], pa.int64()))
+    def _lens(arr) -> np.ndarray:
+        # all-null blocks surface as null-typed arrays; treat as length 0
+        if pa.types.is_null(arr.type):
+            return np.zeros(len(arr))
+        return pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+
     sizes = []
     for chunk in spans.chunks:
+        value_type = chunk.type.value_type if \
+            pa.types.is_list(chunk.type) else None
+        if value_type is None or not pa.types.is_struct(value_type):
+            sizes.append(np.zeros(len(chunk)))
+            continue
         flat = pc.list_flatten(chunk)
-        tl = pc.utf8_length(pc.struct_field(flat, "text")).to_numpy(
-            zero_copy_only=False)
-        ml = pc.utf8_length(pc.struct_field(flat, "media_ref")).to_numpy(
-            zero_copy_only=False)
+        tl = _lens(pc.struct_field(flat, "text"))
+        ml = _lens(pc.struct_field(flat, "media_ref"))
         cs = np.concatenate([[0], np.cumsum(
             np.nan_to_num(tl) + np.nan_to_num(ml))])
         offs = chunk.offsets.to_numpy(zero_copy_only=False)
