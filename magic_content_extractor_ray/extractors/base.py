@@ -507,7 +507,11 @@ class BaseStrategy:
     # ---- shared subclass helpers ---------------------------------------
     def collapse_br_runs(self, main: Node) -> None:
         """``(\\s*<br\\s*/?>\\s*){3,}`` → ``<br><br>``
-        (ArticleExtractor.ts:332 et al.)."""
+        (ArticleExtractor.ts:332 et al.). Serializing + re-parsing the whole
+        subtree is only paid when a <br> run can actually exist."""
+        if sum(1 for n in main.descendants()
+               if n.type == TAG and n.tag == "br") < 3:
+            return
         inner = main.inner_html()
         new = _BR_RUN_RE.sub("<br><br>", inner)
         if new != inner:
