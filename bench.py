@@ -58,21 +58,39 @@ def replicated_docs(sf_dir: str, replicas: int):
 
 
 def bench_extract(sf_dir: str) -> tuple[float, int]:
-    """Headline: full extract pipeline streamed to parquet."""
+    """Headline: read stored interleaved docs → extract pool → parquet.
+
+    The synthetic corpus is materialized to parquet ONCE per (sf, replicas)
+    outside the timed window — a real deployment reads stored Lance/Parquet
+    docs, it doesn't generate them inline, and inline generation steals CPU
+    slots from the extract pool at low num_cpus, polluting the scaling
+    measurement.
+    """
     import shutil
+    import ray.data as rd
     from magic_content_extractor_ray.pipelines.extract_pipeline import (
         run_extract_pipeline)
+
+    corpus_dir = f"/tmp/mce_bench_corpus_{os.path.basename(sf_dir)}_{REPLICAS}"
+    if not os.path.exists(os.path.join(corpus_dir, "_DONE")):
+        if os.path.exists(corpus_dir):
+            shutil.rmtree(corpus_dir)
+        replicated_docs(sf_dir, REPLICAS).write_parquet(corpus_dir)
+        open(os.path.join(corpus_dir, "_DONE"), "w").close()
 
     out_dir = "/tmp/mce_bench_out"
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
-    docs = replicated_docs(sf_dir, REPLICAS)
+    docs = rd.read_parquet(corpus_dir, columns=["doc_id", "spans", "url"],
+                           override_num_blocks=NUM_CPUS * 8)
     # warm the page cache so we measure compute + shuffle, not cold reads
     docs.count()
     t0 = time.time()
-    # fixed-size pool: autoscaling ramp-up costs ~30% on a short bench job
+    # fixed-size pool (autoscaling ramp-up costs ~30% on a short job), with
+    # read/write headroom: a pool of cpus-1 actors starves the read tasks
+    reserve = min(4, max(1, NUM_CPUS // 8))
     out = run_extract_pipeline(docs, batch_size=64,
-                               concurrency=max(2, NUM_CPUS - 1))
+                               concurrency=max(2, NUM_CPUS - reserve))
     out.write_parquet(out_dir)
     wall = time.time() - t0
     import pyarrow.parquet as pq
