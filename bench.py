@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICAS = int(os.environ.get("BENCH_REPLICAS", "8"))
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "16"))
 
 
 def replicated_docs(sf_dir: str, replicas: int):
