@@ -29,8 +29,7 @@ import re
 from dataclasses import dataclass, field
 
 from ..htmlib.dom import (
-    Node, parse, parse_fragment, body_of, TAG, TEXT, COMMENT, MEDIA_TAGS,
-    BLOCK_TAGS,
+    Node, parse, parse_fragment, body_of, TAG, TEXT, MEDIA_TAGS,
 )
 from ..functions import heuristics as H
 from ..functions.title import extract_title

@@ -25,7 +25,6 @@ import re
 from ..htmlib.dom import parse, Node
 from ..functions import heuristics as H
 from ..functions.spans import spans_to_html, dom_to_spans
-from .base import BaseStrategy
 from .article import ArticleStrategy
 from .forum import ForumStrategy
 from .weixin import WeixinStrategy

@@ -15,7 +15,7 @@ import time
 import pyarrow as pa
 
 from ..extractors.registry import build_strategies, extract_document
-from ..schema import EXTRACTED_SCHEMA, SPANS_TYPE
+from ..schema import EXTRACTED_SCHEMA
 
 
 _OUT_FIELDS = [f.name for f in EXTRACTED_SCHEMA]

@@ -53,8 +53,6 @@ def quality_counts(batch: pa.Table, column: str = "text") -> pa.Table:
 def quality_score_batch(batch: pa.Table, column: str = "text",
                         min_len: int = 50) -> pa.Table:
     """Composite 0-100 quality score (float, for filtering not oracles)."""
-    import pandas as pd
-
     texts = batch.column(column).to_pylist()
     scores = []
     for t in texts:
