@@ -109,15 +109,18 @@ class MinHasher:
 
 
 def _band_explode(batch: pa.Table, *, bands: int, id_column: str) -> pa.Table:
-    """(doc_id, sig) → one row per band: (band_key, doc_id, minhash)."""
+    """(doc_id, sig) → one LIGHT row per band: (band_key, doc_id).
+
+    The band shuffle ships only the 16-byte band hash + id — never the
+    signature (512 B × bands would be ~25× the average document payload).
+    Signatures are looked up later, only for candidate ids."""
     ids = batch.column(id_column).to_pylist()
     sigs = np.asarray(batch.column("minhash").combine_chunks()
                       .flatten().to_numpy(zero_copy_only=False)).reshape(
         len(ids), -1)
     num_perm = sigs.shape[1] if len(ids) else 0
-    rows_per = bands
     r = num_perm // bands if bands else 0
-    out_ids, out_keys, out_sigs = [], [], []
+    out_ids, out_keys = [], []
     for i, did in enumerate(ids):
         for b in range(bands):
             chunk = sigs[i, b * r:(b + 1) * r]
@@ -125,45 +128,31 @@ def _band_explode(batch: pa.Table, *, bands: int, id_column: str) -> pa.Table:
                 b"%d:" % b + chunk.tobytes()).hexdigest()[:16]
             out_ids.append(did)
             out_keys.append(key)
-            out_sigs.append(sigs[i].astype(np.int64))
-    sig_arr = pa.FixedSizeListArray.from_arrays(
-        pa.array(np.concatenate(out_sigs) if out_sigs else
-                 np.zeros(0, np.int64), pa.int64()),
-        num_perm if out_sigs else 1)
     return pa.Table.from_arrays(
-        [pa.array(out_keys, pa.string()),
-         pa.array(out_ids),
-         sig_arr],
-        names=["band_key", id_column, "minhash"])
+        [pa.array(out_keys, pa.string()), pa.array(out_ids)],
+        names=["band_key", id_column])
 
 
-def _bucket_pairs(group, *, id_column: str, threshold: float,
-                  max_bucket_size: int):
-    """Within one LSH bucket: candidate pairs whose signature-estimated
-    Jaccard ≥ threshold. pandas in / pandas out (map_groups)."""
+def _bucket_candidate_pairs(group, *, id_column: str, max_bucket_size: int):
+    """Within one LSH bucket: all candidate id pairs (verification happens
+    later against the signatures). pandas in / pandas out (map_groups)."""
     import pandas as pd
 
     n = len(group)
     if n < 2:
-        return pd.DataFrame({"left_id": [], "right_id": [], "est_jaccard": []})
+        return pd.DataFrame({"left_id": [], "right_id": []})
     if n > max_bucket_size:
+        # explicit cap on pathological buckets; at scale, log + salt instead
         group = group.iloc[:max_bucket_size]
         n = max_bucket_size
-    ids = group[id_column].tolist()
-    sigs = np.stack(group["minhash"].to_numpy())
-    out_l, out_r, out_j = [], [], []
+    ids = sorted(group[id_column].tolist())
+    out_l, out_r = [], []
     for i in range(n):
-        eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-        for off, j in enumerate(eq):
-            if j >= threshold:
-                a, b = ids[i], ids[i + 1 + off]
-                if b < a:
-                    a, b = b, a
-                out_l.append(a)
-                out_r.append(b)
-                out_j.append(float(j))
-    return pd.DataFrame({"left_id": out_l, "right_id": out_r,
-                         "est_jaccard": out_j})
+        for j in range(i + 1, n):
+            if ids[i] != ids[j]:
+                out_l.append(ids[i])
+                out_r.append(ids[j])
+    return pd.DataFrame({"left_id": out_l, "right_id": out_r})
 
 
 def minhash_lsh_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
@@ -171,25 +160,59 @@ def minhash_lsh_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
                       threshold: float = 0.7, shingle_k: int = 5,
                       max_bucket_size: int = 1000, seed: int = 42):
     """Returns (doc_id, cluster_id) for every doc in a near-dup cluster;
-    cluster_id = min doc_id of the connected component."""
+    cluster_id = min doc_id of the connected component.
+
+    Shuffle budget: the band groupby moves (16 B key + id) × bands per doc;
+    the signature table (num_perm × 8 B per doc) is computed once, kept as a
+    (small) materialized dataset, and only candidate ids' signatures are
+    pulled for verification."""
     sigs = ds.select_columns([id_column, column]).map_batches(
         MinHasher, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    seed=seed, column=column),
-    ).drop_columns([column])
+    ).drop_columns([column]).materialize()
 
     banded = sigs.map_batches(
         _band_explode, batch_format="pyarrow",
         fn_kwargs=dict(bands=bands, id_column=id_column))
 
     pairs = banded.groupby("band_key").map_groups(
-        _bucket_pairs, batch_format="pandas",
-        fn_kwargs=dict(id_column=id_column, threshold=threshold,
+        _bucket_candidate_pairs, batch_format="pandas",
+        fn_kwargs=dict(id_column=id_column,
                        max_bucket_size=max_bucket_size))
 
-    # candidate pair graph → connected components (driver-side union-find;
-    # the pair list is orders of magnitude smaller than the corpus)
-    pair_rows = pairs.take_all()
+    cand_df = pairs.to_pandas()
+    if cand_df.empty or "left_id" not in cand_df.columns:
+        import pandas as pd
+
+        return pd.DataFrame({id_column: [], "cluster_id": []})
+    cand_df = cand_df.drop_duplicates(subset=["left_id", "right_id"])
+    cand_ids = set(cand_df["left_id"]) | set(cand_df["right_id"])
+
+    # fetch signatures for candidate ids only (broadcast filter; the
+    # candidate set is ≪ corpus by construction)
+    import ray
+
+    cand_ref = ray.put(cand_ids)
+
+    def keep_cands(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        mask = [i in wanted for i in batch.column(id_column).to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    sig_rows = sigs.map_batches(keep_cands, batch_format="pyarrow").take_all()
+    sig_map = {r[id_column]: np.asarray(r["minhash"]) for r in sig_rows}
+
+    # verify estimated Jaccard on the driver, then union-find
+    pair_rows = []
+    for r in cand_df.itertuples():
+        sa, sb = sig_map.get(r.left_id), sig_map.get(r.right_id)
+        if sa is None or sb is None:
+            continue
+        est = float((sa == sb).mean())
+        if est >= threshold:
+            pair_rows.append({"left_id": r.left_id, "right_id": r.right_id,
+                              "est_jaccard": est})
     parent: dict = {}
 
     def find(x):
