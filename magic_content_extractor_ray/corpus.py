@@ -181,13 +181,20 @@ def _gen_article(rng, doc_id, words, variant="plain"):
     if rng.random() < 0.1:
         extra_head = f'<base href="https://cdn.example/{doc_id}/">'
 
+    # ~12% of articles use a bare <main> container with a neutral class:
+    # no xpath-intent or custom selector matches, so the cascade reaches
+    # stage 3 (CONTENT_SELECTORS 'main', BaseExtractor.ts:227-232)
+    if rng.random() < 0.12:
+        open_tag, close_tag = '<main class="page-zone">', "</main>"
+    else:
+        open_tag, close_tag = '<article class="post-content">', "</article>"
     head = (f"<html><head><title>{title} | {site}</title>{extra_head}"
             f'<meta property="og:title" content="{title}">'
             f'<meta name="author" content="{author}">'
             f'<meta property="article:published_time" content="{date}T08:00:00Z">'
             f"</head><body>{_noise_header(rng, words)}"
-            f'<article class="post-content">{strip_block}')
-    tail = f"</article>{_noise_footer(rng, words)}</body></html>"
+            f"{open_tag}{strip_block}")
+    tail = f"{close_tag}{_noise_footer(rng, words)}</body></html>"
     return url, _interleave(head, body, tail)
 
 
