@@ -231,6 +231,53 @@ def q_events_by_type(sf_dir: str):
     ).sort("event_type")
 
 
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate over the widest table (600k rows at
+    sf0.1): per-batch partial sums → small grouped reduce. Quantities are
+    integral doubles, so the sum is order-independent and hash-exact."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(
+            ["l_returnflag", "l_linestatus", "l_quantity"]).group_by(
+            ["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("n_rows", alias_name="n_rows"),
+    ).sort(["l_returnflag", "l_linestatus"])
+
+
+def q_event_props(sf_dir: str):
+    """JSON scalar extraction (§2.9 analog): parse the props JSON column,
+    bucket its 'k' field, grouped counts."""
+    import json
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] // 10 for p in
+              batch.column("props").to_pylist()]
+        t = pa.table({"k_bucket": pa.array(ks, pa.int64())})
+        g = t.group_by("k_bucket").aggregate([("k_bucket", "count")])
+        return g.rename_columns(["k_bucket", "n_events"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "k_bucket").aggregate(Sum("n_events", alias_name="n_events")).sort(
+        "k_bucket")
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate (SURVEY §2.10): events per (type, hour)
     bucket, pre-aggregated per batch before the grouped reduce."""
@@ -434,6 +481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs": q_top_docs,
         "source_stats": q_source_stats,
         "events_by_type": q_events_by_type,
+        "lineitem_pricing": q_lineitem_pricing,
+        "event_props": q_event_props,
         "events_hourly": q_events_hourly,
         "events_by_segment": q_events_by_segment,
         "user_sessions": q_user_sessions,
@@ -476,6 +525,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*) AS n_events, "
             "min(user_id) AS min_user, max(user_id) AS max_user "
             "FROM events GROUP BY event_type ORDER BY event_type"),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(l_quantity) AS sum_qty, count(*) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"),
+        "event_props": (
+            "SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 "
+            "AS k_bucket, count(*) AS n_events FROM events "
+            "GROUP BY 1 ORDER BY 1"),
         "events_hourly": (
             "SELECT event_type, "
             "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "
