@@ -512,7 +512,7 @@ def oracle_sql() -> dict[str, str]:
             f"len(regexp_extract_all(text, '\\b({_STOPWORD_ALT})\\b')) "
             "AS n_stopword FROM documents"),
         "lang_stats": (
-            "SELECT lang, sum(n_chars) AS total_chars, "
+            "SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),
         "top_docs": (
             "SELECT doc_id, n_chars FROM documents "
@@ -546,8 +546,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH o AS (SELECT user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts "
             "FROM events) SELECT user_id, "
-            "1 + sum(CASE WHEN pts IS NOT NULL AND "
-            "epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END) AS n_sessions "
+            "CAST(1 + sum(CASE WHEN pts IS NOT NULL AND "
+            "epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_sessions "
             "FROM o GROUP BY user_id ORDER BY user_id"),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
