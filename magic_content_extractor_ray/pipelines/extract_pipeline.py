@@ -154,5 +154,5 @@ def run_extract_pipeline(
         out = out.map_batches(
             _Formatter, batch_format="pyarrow",
             fn_constructor_kwargs={"formats": tuple(formats)},
-            concurrency=(1, 4))
+            concurrency=(1, max(2, total_cpus // 4)))
     return out
