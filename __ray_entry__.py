@@ -380,6 +380,16 @@ def q_ann_topk(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_ann_ivf(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.ann import ivf_topk, load_queries
+
+    queries = load_queries(sf_dir, _ANN_NQ)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, k=_ANN_K, n_centroids=16, nprobe=6)
+
+
 def q_ann_lsh(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.ann import lsh_topk, load_queries
@@ -488,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q_user_sessions,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "extract_metrics": q_extract_metrics,
         "extract_readability": q_extract_readability,
         "media_features": q_media_features,

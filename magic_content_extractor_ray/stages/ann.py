@@ -109,6 +109,99 @@ def brute_force_topk(ds, queries: dict, *, k: int = 10,
     return _merge_topk(partials.take_all(), k)
 
 
+def sample_centroids(ds, n_centroids: int, *, column: str = "embedding",
+                     id_column: str = "vec_id") -> np.ndarray:
+    """Deterministic IVF 'training': centroids = the n lowest-id vectors,
+    L2-normalized (a seeded stand-in for k-means; at scale run minibatch
+    k-means over a sample the same way)."""
+    import pyarrow.compute as pc
+
+    take = ds.sort(id_column).limit(n_centroids).take_all()
+    mat = np.asarray([r[column] for r in take], dtype=np.float32)
+    return _normalize(mat)
+
+
+class _IvfAssigner:
+    """Stateful stage: assigns each vector to its nearest centroid (one
+    matmul per batch against the broadcast centroid matrix)."""
+
+    def __init__(self, centroids_ref, column: str, id_column: str):
+        import ray
+
+        self.centroids = ray.get(centroids_ref)  # (C, dim), normalized
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_matrix(batch, self.column))
+        lists = np.argmax(mat @ self.centroids.T, axis=1)
+        dim = mat.shape[1] if len(mat) else 1
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.astype(np.float32).ravel(), pa.float32()), dim)
+        return pa.Table.from_arrays(
+            [pa.array(lists.astype(np.int64)), pa.array(ids, pa.int64()),
+             vec_arr],
+            names=["ivf_list", self.id_column, "vec"])
+
+
+def ivf_topk(ds, queries: dict, *, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, column: str = "embedding",
+             id_column: str = "vec_id"):
+    """IVF-style ANN: vectors are inverted-listed by nearest centroid; a
+    query scans only its ``nprobe`` closest lists. Same output schema as
+    ``brute_force_topk``; recall grows with nprobe/n_centroids."""
+    import ray
+    import pandas as pd
+
+    qmat = _normalize(np.asarray(queries["matrix"], dtype=np.float32))
+    centroids = sample_centroids(ds, n_centroids, column=column,
+                                 id_column=id_column)
+    centroids_ref = ray.put(centroids)
+
+    assigned = ds.select_columns([id_column, column]).map_batches(
+        _IvfAssigner, batch_format="pyarrow", batch_size=2048,
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(centroids_ref=centroids_ref,
+                                   column=column, id_column=id_column))
+
+    # per-query probe lists
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probe_map: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probes):
+        for li in lists:
+            probe_map.setdefault(int(li), []).append(qi)
+    info_ref = ray.put({"probe_map": probe_map, "qmat": qmat,
+                        "qids": queries["ids"]})
+
+    def scan_list(g: "pd.DataFrame") -> "pd.DataFrame":
+        info = ray.get(info_ref)
+        q_idx = info["probe_map"].get(int(g["ivf_list"].iloc[0]))
+        if not q_idx:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [],
+                                 "score": []})
+        mat = np.stack(g["vec"].to_numpy())
+        ids = g[id_column].to_numpy()
+        sims = info["qmat"][q_idx] @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for row, qi in enumerate(q_idx):
+            order = np.argsort(-sims[row])[:max(64, 4 * len(ids) // 10)]
+            for j in order:
+                out_q.append(info["qids"][qi])
+                out_n.append(int(ids[j]))
+                out_s.append(float(sims[row, j]))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "score": out_s})
+
+    cands = assigned.groupby("ivf_list").map_groups(
+        scan_list, batch_format="pandas")
+    df = cands.to_pandas()
+    if df.empty:
+        return _merge_topk([], k)
+    df = df.drop_duplicates(subset=["query_id", "neighbor_id"])
+    return _merge_topk(df.to_dict("records"), k)
+
+
 class _LshBucketer:
     def __init__(self, planes_ref, column: str, id_column: str):
         import ray

@@ -186,3 +186,20 @@ def test_embedding_dedup(ray_session):
     assert (1, 101) in got
     # random 16-d gaussians essentially never hit cosine 0.95
     assert len(got) <= 4
+
+
+def test_ivf_topk_recall(emb_ds):
+    from magic_content_extractor_ray.stages.ann import (
+        brute_force_topk, ivf_topk)
+
+    ds, mat = emb_ds
+    queries = {"ids": [0, 1, 2, 3], "matrix": mat[:4]}
+    exact = brute_force_topk(ds, queries, k=5)
+    approx = ivf_topk(ds, queries, k=5, n_centroids=8, nprobe=4)
+    hits = 0
+    for q in [0, 1, 2, 3]:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+    # probing half the lists should recover most true neighbors
+    assert hits / 20 >= 0.6
