@@ -101,7 +101,7 @@ def bench_extract(sf_dir: str) -> tuple[float, int]:
         # with read/write headroom: cpus-1 actors starve the read tasks
         out = run_extract_pipeline(docs, batch_size=64,
                                    concurrency=max(2, NUM_CPUS - reserve))
-        out.write_parquet(out_dir)
+        out.write_parquet(out_dir, min_rows_per_file=10_000)
         wall = time.time() - t0
         if best_wall is None or wall < best_wall:
             best_wall, best_out = wall, out

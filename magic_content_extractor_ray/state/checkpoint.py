@@ -109,7 +109,8 @@ def run_checkpointed(
         # stream straight to disk (no mid-pipeline materialization); lineage
         # counts come from a cheap column-pruned read-back of the output
         os.makedirs(tmp_dir, exist_ok=True)
-        out.write_parquet(tmp_dir)
+        # fewer, larger files per partition (resumable layout stays per-dir)
+        out.write_parquet(tmp_dir, min_rows_per_file=100_000)
 
         import ray.data as rd
         has_files = any(f.endswith(".parquet") for f in os.listdir(tmp_dir))
