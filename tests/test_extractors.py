@@ -159,3 +159,32 @@ def test_error_isolation():
     assert row["doc_id"] == "bad"
     # never raises; either a clean empty extraction or an error marker
     assert "error" in row
+
+
+def test_pdf_two_column_reading_order():
+    spans = [
+        {"kind": "text", "text": "⟦p=1;y=100;x=40;c=0⟧left top", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "⟦p=1;y=150;x=320;c=1⟧right top", "media_ref": "", "offset": 1},
+        {"kind": "text", "text": "⟦p=1;y=200;x=40;c=0⟧left bottom", "media_ref": "", "offset": 2},
+        {"kind": "text", "text": "⟦p=1;y=400;x=320;c=1⟧right bottom", "media_ref": "", "offset": 3},
+    ]
+    row = extract_document("p2", spans, "https://x.example/two.pdf",
+                           build_strategies())
+    texts = [s["text"] for s in row["spans"]]
+    # full left column before right column (reading order, not stream order)
+    assert texts == ["left top", "left bottom", "right top", "right bottom"]
+
+
+def test_media_inside_figure_threaded():
+    html = (f'<html><head><title>T</title></head><body>'
+            f'<article class="post-content"><p>{LONG * 3}</p>'
+            f'<figure><img src="http://m/f.png" alt="figalt">'
+            f"<figcaption>the caption</figcaption></figure>"
+            f"</article></body></html>")
+    row = _doc(html)
+    kinds = [s["kind"] for s in row["spans"]]
+    assert "image" in kinds
+    media = next(s for s in row["spans"] if s["kind"] == "image")
+    assert media["media_ref"] == "http://m/f.png"
+    cap = [s for s in row["spans"] if "caption" in s["text"]]
+    assert cap, "figcaption must survive as a text span"
