@@ -197,6 +197,18 @@ def q_lang_stats(sf_dir: str):
     ).sort("lang")
 
 
+def q_long_docs(sf_dir: str):
+    """Predicate pushdown at the read: only row groups passing the filter
+    leave storage (pyarrow dataset expression, ray_guide sources)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"],
+        filter=(pc.field("n_chars") >= 400),
+    ).sort("doc_id")
+
+
 def q_top_docs(sf_dir: str):
     import ray.data as rd
 
@@ -489,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "lang_stats": q_lang_stats,
         "top_docs": q_top_docs,
+        "long_docs": q_long_docs,
         "source_stats": q_source_stats,
         "events_by_type": q_events_by_type,
         "lineitem_pricing": q_lineitem_pricing,
@@ -528,6 +541,9 @@ def oracle_sql() -> dict[str, str]:
         "top_docs": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 100"),
+        "long_docs": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE n_chars >= 400 ORDER BY doc_id"),
         "source_stats": (
             "SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars, "
             "max(n_chars) AS max_chars FROM documents GROUP BY source "
