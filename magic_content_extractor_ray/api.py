@@ -52,6 +52,7 @@ def extract_html(html: str, url: str = "", output_format: str = "markdown",
         "title": row["title"],
         "content": content,
         "textContent": row["text_content"],
+        "html": html,  # original input echo (ExtractResult.html, route.ts)
         "url": url,
         "metadata": {
             "author": row["author"],

@@ -18,7 +18,7 @@ HTML = (f'<html><head><title>API Doc | Site</title>'
 
 def test_markdown_response_shape():
     out = extract_html(HTML, url="https://e.com/a")
-    assert set(out) == {"title", "content", "textContent", "url", "metadata"}
+    assert set(out) == {"title", "content", "textContent", "html", "url", "metadata"}
     assert out["title"] == "API Doc"
     assert out["metadata"]["platform"] == "article"
     assert out["metadata"]["author"] == "Jo"
