@@ -186,6 +186,18 @@ def find(scope: Node, selector: str) -> list[Node]:
     document order (scope itself excluded, like cheerio ``.find``)."""
     alts = compile_selector(selector)
     out = []
+    if len(alts) == 1:  # fast path: no per-node genexpr
+        seq = alts[0]
+        if len(seq) == 1:
+            m = seq[0].match
+            for n in scope.descendants():
+                if n.type == TAG and m(n):
+                    out.append(n)
+            return out
+        for n in scope.descendants():
+            if n.type == TAG and _matches_seq(n, seq):
+                out.append(n)
+        return out
     for n in scope.descendants():
         if n.type == TAG and any(_matches_seq(n, seq) for seq in alts):
             out.append(n)
@@ -194,6 +206,12 @@ def find(scope: Node, selector: str) -> list[Node]:
 
 def find_first(scope: Node, selector: str) -> Node | None:
     alts = compile_selector(selector)
+    if len(alts) == 1:
+        seq = alts[0]
+        for n in scope.descendants():
+            if n.type == TAG and _matches_seq(n, seq):
+                return n
+        return None
     for n in scope.descendants():
         if n.type == TAG and any(_matches_seq(n, seq) for seq in alts):
             return n
