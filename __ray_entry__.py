@@ -368,6 +368,33 @@ def q_user_sessions(sf_dir: str):
         sessions, batch_format="pandas").sort("user_id")
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (custom operator the Dataset API lacks): each click event
+    matched to the user's most recent prior view — per-key sorted
+    ``pd.merge_asof`` inside ``groupby(user).map_groups`` (ray_guide's
+    bucketed as-of pattern; the partitioning assumption is user_id
+    co-location, provided by the groupby shuffle)."""
+    import pandas as pd
+    import ray.data as rd
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        clicks = g[g["event_type"] == "click"][["ts", "event_id"]].sort_values("ts")
+        views = g[g["event_type"] == "view"][["ts", "event_id"]].sort_values("ts")
+        if clicks.empty or views.empty:
+            return pd.DataFrame({"click_id": pd.Series(dtype="int64"),
+                                 "view_id": pd.Series(dtype="int64")})
+        m = pd.merge_asof(clicks, views, on="ts", direction="backward",
+                          suffixes=("_c", "_v"))
+        m = m.dropna(subset=["event_id_v"])
+        return pd.DataFrame({"click_id": m["event_id_c"].astype("int64"),
+                             "view_id": m["event_id_v"].astype("int64")})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "event_id"])
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").sort("click_id")
+
+
 _ANN_NQ = 5
 _ANN_K = 10
 
@@ -509,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_by_segment": q_events_by_segment,
         "user_sessions": q_user_sessions,
+        "asof_join": q_asof_join,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -577,6 +605,14 @@ def oracle_sql() -> dict[str, str]:
             "epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_sessions "
             "FROM o GROUP BY user_id ORDER BY user_id"),
+        "asof_join": (
+            "WITH a AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'click'), "
+            "b AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT a.event_id AS click_id, b.event_id AS view_id "
+            "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts "
+            "ORDER BY click_id"),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             f"FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}), "
