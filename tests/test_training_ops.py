@@ -203,3 +203,35 @@ def test_ivf_topk_recall(emb_ds):
         hits += len(e & a)
     # probing half the lists should recover most true neighbors
     assert hits / 20 >= 0.6
+
+
+def test_minhash_recall_vs_exact_jaccard(ray_session):
+    """The testdata documents table has planted near-duplicates (char-5
+    shingle Jaccard ≈0.99). MinHash-LSH clustering must recover them."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        _shingle_hashes, minhash_lsh_dedup)
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    sets = [set(_shingle_hashes(x or "", 5).tolist())
+            for x in t["text"].to_pylist()]
+    truth = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i]) + len(sets[j]) - inter
+            if union and inter / union >= 0.7:
+                truth.add((ids[i], ids[j]))
+    assert len(truth) >= 10  # planted dups exist in the fixture data
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                         columns=["doc_id", "text"])
+    clusters = minhash_lsh_dedup(ds, threshold=0.6).set_index(
+        "doc_id")["cluster_id"].to_dict()
+    found = sum(
+        1 for a, b in truth
+        if clusters.get(a) is not None and clusters.get(a) == clusters.get(b))
+    assert found / len(truth) >= 0.9  # recall of planted near-dups
