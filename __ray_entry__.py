@@ -368,6 +368,27 @@ def q_user_sessions(sf_dir: str):
         sessions, batch_format="pandas").sort("user_id")
 
 
+def q_orders_by_segment(sf_dir: str):
+    """Big-big partitioned hash join (stages/join.py): orders ⋈ customer on
+    custkey (one bucket-groupby shuffle), then grouped counts."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    joined = hash_join(orders, cust, key="o_custkey",
+                       left_cols=["o_orderkey"],
+                       right_cols=["c_mktsegment"])
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders")).sort("c_mktsegment")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (custom operator the Dataset API lacks): each click event
     matched to the user's most recent prior view — per-key sorted
@@ -537,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_segment": q_events_by_segment,
         "user_sessions": q_user_sessions,
         "asof_join": q_asof_join,
+        "orders_by_segment": q_orders_by_segment,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -605,6 +627,10 @@ def oracle_sql() -> dict[str, str]:
             "epoch(ts) - epoch(pts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_sessions "
             "FROM o GROUP BY user_id ORDER BY user_id"),
+        "orders_by_segment": (
+            "SELECT c.c_mktsegment, count(*) AS n_orders FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"),
         "asof_join": (
             "WITH a AS (SELECT user_id, ts, event_id FROM events "
             "WHERE event_type = 'click'), "

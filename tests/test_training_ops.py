@@ -235,3 +235,18 @@ def test_minhash_recall_vs_exact_jaccard(ray_session):
         1 for a, b in truth
         if clusters.get(a) is not None and clusters.get(a) == clusters.get(b))
     assert found / len(truth) >= 0.9  # recall of planted near-dups
+
+
+def test_hash_join(ray_session):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    left = rd.from_items([{"k": i % 5, "l": i} for i in range(20)])
+    right = rd.from_items([{"k": i, "r": f"v{i}"} for i in range(4)])
+    out = hash_join(left, right, key="k", left_cols=["l"], right_cols=["r"],
+                    num_buckets=8).to_pandas()
+    # keys 0-3 match (4 left rows each); key 4 drops on inner join
+    assert len(out) == 16
+    assert set(out.columns) == {"k", "l", "r"}
+    assert set(out[out["k"] == 2]["r"]) == {"v2"}
+    assert 4 not in set(out["k"])
