@@ -1,0 +1,46 @@
+"""DuckDB-oracle equality inside the pytest gate: a fast subset of the
+SQL-expressible queries compared at sf0.001 (the full set runs in
+tools/check_correctness.py at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
+        "top_docs", "long_docs", "source_stats", "events_by_type",
+        "lineitem_pricing", "event_props", "events_by_segment",
+        "user_sessions", "asof_join", "orders_by_segment", "ann_topk"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_oracle_equality(name, duck, ray_session):
+    import __ray_entry__ as entrymod
+
+    got = entrymod.queries()[name](SF_DIR)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    exp = duck.sql(entrymod.oracle_sql()[name]).df()
+    g, e = _norm(got), _norm(exp)
+    assert list(g.columns) == list(e.columns)
+    assert len(g) == len(e)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                  check_exact=False, rtol=1e-9)
