@@ -6,8 +6,9 @@ pipeline over the interleaved corpus derived from ``$GRAFT_SF_DIR``
 operator families. Prints ONE JSON line.
 
 ``--scaling``: run the headline pipeline in fresh processes at
-``num_cpus=8`` and ``num_cpus=32`` on the same input and report both
-throughputs + scaling efficiency (the sandbox evidence for the
+``SCALING_LO``/``SCALING_HI`` cpus (default 4 and 16 — N vs 4N; see the
+comment in run_scaling for why not 8/32 on this VM) on the same input and
+report both throughputs + scaling efficiency (the sandbox evidence for the
 N-vs-4N-nodes criterion).
 
 The corpus is replicated ``BENCH_REPLICAS``× (deterministic per-replica

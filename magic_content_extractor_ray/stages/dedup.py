@@ -19,7 +19,8 @@ All are Ray-Data-first:
 Scale notes: signatures are fixed-width int64 arrays (Arrow
 fixed_size_list), so the band shuffle is O(docs × bands × 16 bytes);
 hot buckets (boilerplate-heavy corpora) are capped by ``max_bucket_size``
-with a logged drop count — no silent truncation.
+(documented cap; at fleet scale salt hot band keys into sub-buckets
+instead of truncating).
 """
 
 from __future__ import annotations
