@@ -132,6 +132,18 @@ def q_dedup_embedding(sf_dir: str):
     return embedding_dedup(ds, threshold=0.4)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for training contexts (stages/packing.py): greedy
+    per-block packs of documents into a 2048-token budget."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.packing import pack_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return pack_documents(docs, budget=2048).drop_columns(
+        ["doc_ids"]).sort("pack_key")
+
+
 def q_token_count(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.textops import token_counts
@@ -544,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "token_count": q_token_count,
+        "pack_sequences": q_pack_sequences,
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

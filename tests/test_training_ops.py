@@ -250,3 +250,19 @@ def test_hash_join(ray_session):
     assert set(out.columns) == {"k", "l", "r"}
     assert set(out[out["k"] == 2]["r"]) == {"v2"}
     assert 4 not in set(out["k"])
+
+
+def test_sequence_packing(ray_session):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.packing import pack_documents
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    packs = pack_documents(docs, budget=256).to_pandas()
+    # every doc packed exactly once
+    all_ids = [d for row in packs["doc_ids"] for d in row]
+    assert len(all_ids) == 500
+    assert len(set(all_ids)) == 500
+    # no pack over budget; packing is reasonably tight
+    assert (packs["total_tokens"] <= 256).all()
+    assert packs["fill"].mean() >= 0.5
