@@ -120,3 +120,92 @@ def test_docs_page_main_selected():
     assert "framework.App()" in c
     assert "--port" in c            # table kept
     assert "faq" not in c           # sidebar stripped
+
+
+FORUM_THREAD = '''
+<html><head><title>Weird memory growth in long-running worker - DevTalk Forum</title></head>
+<body>
+<div class="header"><a href="/">DevTalk</a><div class="nav">
+<a href="/new">new</a><a href="/top">top</a></div></div>
+<div class="thread-content">
+  <div class="reply post" id="post-2">
+    <div class="user-info">moderator · 12k posts</div>
+    <p>Check whether you are holding references in a module-level cache;
+    that is the usual culprit for unbounded growth in worker processes that
+    recycle jobs without restarting the interpreter between tasks. Caches
+    keyed by request payload are especially sneaky because every distinct
+    payload adds an entry that nothing ever evicts, and the growth rate then
+    tracks traffic diversity rather than volume, which is why it looks
+    random when you plot it against requests per second.</p>
+  </div>
+  <div class="post first-post" id="post-1">
+    <p>Our background worker grows by about thirty megabytes an hour until
+    the container is killed. Heap profiling shows mostly small dictionaries
+    and we cannot figure out who owns them. The workload itself is a simple
+    queue consumer that processes a few hundred jobs a minute. We have
+    ruled out the obvious suspects: connections are pooled, responses are
+    streamed, and the job objects themselves are small. Restarting the
+    process clears it, so it is definitely state accumulating inside the
+    interpreter rather than kernel-side memory.</p>
+  </div>
+  <div class="reply post" id="post-3">
+    <div class="quote">Check whether you are holding references…</div>
+    <p>Adding to this: enable tracemalloc snapshots every few minutes and
+    diff them; the owning frame usually shows up within an hour of runtime
+    and makes the leak obvious in a way sampling profilers do not. In our
+    case the diff pointed straight at a memoization decorator someone added
+    to a hot serialization helper two years ago, invisible in code review
+    because the decorator lived in a shared utility module.</p>
+  </div>
+  <span class="reply-count">2 replies</span>
+  <span class="view-count">5,812 views</span>
+</div>
+<div class="footer">© DevTalk</div>
+</body></html>
+'''
+
+
+def test_forum_thread_reordered():
+    out = extract_html(FORUM_THREAD, url="https://devtalk.example/thread/88")
+    assert out["metadata"]["platform"] == "forum"
+    assert out["metadata"]["replyCount"] == 2
+    assert out["metadata"]["viewCount"] == 5812
+    c = out["content"]
+    # main post first despite appearing second in the source
+    assert c.index("background worker grows") < c.index("module-level cache")
+    assert "tracemalloc" in c
+    # user chrome stripped
+    assert "12k posts" not in c
+
+
+WEIXIN_ARTICLE = '''
+<html><head><title>一文读懂分布式数据处理</title></head><body>
+<div class="rich_media_area_primary">
+  <h2 id="activity-name">一文读懂分布式数据处理</h2>
+  <div id="js_name">技术小灶</div>
+  <em id="publish_time">2024-05-20</em>
+  <div id="js_content">
+    <p>当数据量超过单机内存时，真正重要的不是框架的名字，而是数据如何被切分、
+    混洗与重组。理解这三个动作，就理解了分布式计算的大半。本文用最朴素的语言
+    把这三件事讲清楚，并给出常见的性能陷阱清单。</p>
+    <img data-src="https://mmbiz.example/pipeline-diagram" alt="流水线示意图">
+    <p>切分决定并行度，混洗决定网络开销，重组决定内存峰值。三者中混洗最贵，
+    因为它要求所有节点两两交换数据；能用广播或预聚合避免的混洗都应该避免。</p>
+  </div>
+  <div class="reward_area">喜欢作者</div>
+  <div class="qr_code_pc_outer">扫码关注</div>
+</div>
+</body></html>
+'''
+
+
+def test_weixin_article():
+    out = extract_html(WEIXIN_ARTICLE, url="https://mp.weixin.qq.com/s/abc123")
+    assert out["metadata"]["platform"] == "weixin"
+    assert out["metadata"]["author"] == "技术小灶"
+    assert out["metadata"]["publishTime"] == "2024-05-20"
+    c = out["content"]
+    assert "分布式计算" in c
+    assert "![流水线示意图](https://mmbiz.example/pipeline-diagram)" in c
+    assert "喜欢作者" not in c
+    assert "扫码关注" not in c
