@@ -136,9 +136,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
-    picks = ["dedup_exact", "dedup_minhash", "dedup_simhash", "token_count",
-             "quality_counts", "lang_id", "fingerprint", "lang_stats",
-             "top_docs", "ann_topk", "ann_lsh", "media_features"]
+    picks = ["dedup_exact", "dedup_minhash", "dedup_simhash",
+             "dedup_embedding", "token_count", "quality_counts", "lang_id",
+             "fingerprint", "lang_stats", "top_docs", "ann_topk", "ann_lsh",
+             "ann_ivf", "asof_join", "orders_by_segment", "user_sessions",
+             "pack_sequences", "media_features"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
