@@ -9,9 +9,10 @@ pinned semantics (see SURVEY.md §2.4).
 
 Documented deviations from the reference, all pinned by golden fixtures:
 
-- ``extract_by_xpath`` implements the *intended* XPath semantics; the
-  reference's ``//``→``''`` rewrite (BaseExtractor.ts:621) makes every
-  expression a css-select parse error, so its stage 1 never fires.
+- the cascade's xpath stage (``XPATH_SELECTORS``) implements the *intended*
+  XPath semantics; the reference's ``//``→``''`` rewrite
+  (BaseExtractor.ts:621) makes every expression a css-select parse error,
+  so its stage 1 never fires.
 - ``clean_empty_nodes`` treats media elements (img/video/iframe/embed) and
   <br>/<hr> as content and skips the <head> subtree; the reference's version
   (BaseExtractor.ts:166-177) removes every <img> and <meta> because
