@@ -1,0 +1,40 @@
+"""WARC source: write → read → extract end-to-end."""
+
+
+def test_warc_roundtrip_and_extract(ray_session, tmp_path):
+    from magic_content_extractor_ray.sources.warc import write_warc, read_warc
+    from magic_content_extractor_ray.pipelines.extract_pipeline import (
+        run_extract_pipeline)
+
+    LONG = ("A full paragraph of content that easily exceeds the article "
+            "extraction thresholds when repeated a couple of times over. ")
+    records = [
+        {"uri": "https://site.example/a",
+         "body": (f"<html><head><title>Page A</title></head><body>"
+                  f'<article class="post-content"><h1>Page A</h1>'
+                  f"<p>{LONG * 3}</p></article></body></html>")},
+        {"uri": "https://site.example/b",
+         "body": (f"<html><head><title>Page B</title></head><body>"
+                  f'<div class="entry-content"><p>{LONG * 4}</p>'
+                  f'<img src="https://img.example/x.png" alt="pic">'
+                  f"</div></body></html>")},
+        # a request record must be skipped
+        {"uri": "https://site.example/a", "type": "request",
+         "body": "GET / HTTP/1.1"},
+    ]
+    warc_path = str(tmp_path / "shard-00000.warc")
+    write_warc(warc_path, records)
+
+    docs = read_warc(warc_path)
+    assert docs.count() == 2
+
+    id_by_url = {r["url"]: r["doc_id"] for r in docs.take_all()}
+    out = {r["doc_id"]: r for r in
+           run_extract_pipeline(docs, batch_size=8).take_all()}
+    a = out[id_by_url["https://site.example/a"]]
+    assert a["title"] == "Page A"
+    assert a["error"] == ""
+    b = out[id_by_url["https://site.example/b"]]
+    assert any(s["kind"] == "image" and
+               s["media_ref"] == "https://img.example/x.png"
+               for s in b["spans"])
