@@ -38,3 +38,28 @@ def test_warc_roundtrip_and_extract(ray_session, tmp_path):
     assert any(s["kind"] == "image" and
                s["media_ref"] == "https://img.example/x.png"
                for s in b["spans"])
+
+
+def test_jsonl_html_source(ray_session, tmp_path):
+    import json
+    import ray.data as rd
+    from magic_content_extractor_ray.sources.html_table import (
+        html_docs_to_spans)
+    from magic_content_extractor_ray.pipelines.extract_pipeline import (
+        run_extract_pipeline)
+
+    LONG = ("Sufficiently long paragraph content for extraction thresholds "
+            "to be met without any trouble at all in this document. ")
+    path = tmp_path / "docs.jsonl"
+    with open(path, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({
+                "doc_id": f"j{i}", "url": f"https://j.example/{i}",
+                "html": (f"<html><head><title>J{i}</title></head><body>"
+                         f'<article class="post-content"><p>{LONG * 3}</p>'
+                         f"</article></body></html>")}) + "\n")
+    ds = html_docs_to_spans(rd.read_json(str(path)))
+    out = run_extract_pipeline(ds, batch_size=4).take_all()
+    assert len(out) == 5
+    assert {r["title"] for r in out} == {f"J{i}" for i in range(5)}
+    assert all(r["error"] == "" for r in out)
