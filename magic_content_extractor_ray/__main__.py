@@ -20,6 +20,10 @@ import json
 def main() -> int:
     ap = argparse.ArgumentParser(prog="magic_content_extractor_ray")
     ap.add_argument("--input", required=True)
+    ap.add_argument("--input-format", default="docs",
+                    choices=["docs", "warc", "jsonl"],
+                    help="docs = parquet/lance spans table; warc = web "
+                         "archive shards; jsonl = lines of (doc_id,url,html)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", action="store_true",
                     help="resumable partitioned run with lineage manifest")
@@ -47,18 +51,30 @@ def main() -> int:
     from .pipelines.extract_pipeline import run_extract_pipeline
     from .state.checkpoint import run_checkpointed
 
+    def load():
+        if args.input_format == "warc":
+            from .sources.warc import read_warc
+
+            return read_warc(args.input)
+        if args.input_format == "jsonl":
+            import ray.data as rd
+            from .sources.html_table import html_docs_to_spans
+
+            return html_docs_to_spans(rd.read_json(args.input))
+        return read_docs(args.input)
+
     formats = tuple(f for f in args.formats.split(",") if f)
     kwargs = dict(batch_size=args.batch_size, formats=formats,
                   strategy_override=args.strategy)
 
     if args.checkpoint:
         recs = run_checkpointed(
-            lambda: read_docs(args.input), args.output,
+            load, args.output,
             num_partitions=args.partitions, pipeline_kwargs=kwargs)
         print(json.dumps({"partitions_completed": len(recs),
                           "lineage": recs}))
     else:
-        out = run_extract_pipeline(read_docs(args.input), **kwargs)
+        out = run_extract_pipeline(load(), **kwargs)
         out.write_parquet(args.output)
         print(json.dumps({"output": args.output}))
     ray.shutdown()
