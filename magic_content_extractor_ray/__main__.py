@@ -25,6 +25,8 @@ def main() -> int:
                     help="docs = parquet/lance spans table; warc = web "
                          "archive shards; jsonl = lines of (doc_id,url,html)")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--output-format", default="parquet",
+                    choices=["parquet", "jsonl"])
     ap.add_argument("--checkpoint", action="store_true",
                     help="resumable partitioned run with lineage manifest")
     ap.add_argument("--partitions", type=int, default=16)
@@ -75,7 +77,10 @@ def main() -> int:
                           "lineage": recs}))
     else:
         out = run_extract_pipeline(load(), **kwargs)
-        out.write_parquet(args.output)
+        if args.output_format == "jsonl":
+            out.write_json(args.output)
+        else:
+            out.write_parquet(args.output)
         print(json.dumps({"output": args.output}))
     ray.shutdown()
     return 0
