@@ -293,15 +293,22 @@ class BaseStrategy:
 
     def normalize_content(self, root: Node) -> None:
         """Whitespace collapse + adjacent-text-node merge
-        (BaseExtractor.ts:179-204, corrected merge)."""
+        (BaseExtractor.ts:179-204, corrected merge).
+
+        Deviation (same bug family as the module docstring): the reference
+        ``.trim()``s every text node, which deletes the spaces between
+        inline elements and jams words together ("an inline<b>bold</b>word"
+        → "an inlineboldword" in every text output). We collapse whitespace
+        runs but keep single boundary spaces; goldens pin this."""
         for node in root.iter():
             if node.type == TEXT:
-                node.data = H.collapse_ws(node.data).strip()
+                node.data = H.collapse_ws(node.data)
         for node in list(root.iter_elements()):
             merged: list[Node] = []
             for child in node.children:
                 if (merged and child.type == TEXT and merged[-1].type == TEXT):
-                    merged[-1].data = f"{merged[-1].data} {child.data}".strip()
+                    merged[-1].data = H.collapse_ws(
+                        merged[-1].data + child.data)
                 else:
                     merged.append(child)
             if len(merged) != len(node.children):
