@@ -75,11 +75,10 @@ class ArticleStrategy(BaseStrategy):
                 img.set("src", img.get("data-src"))
             if img.get("data-original"):
                 img.set("src", img.get("data-original"))
-            alt = img.get("alt")
-            if alt and img.parent is not None:
-                cap = Node(TAG, "figcaption", {"class": "image-caption"})
-                cap.append(Node("text", data=alt))
-                img.parent.insert(img.index_in_parent() + 1, cap)
+            # NOTE: the reference's (dead-code) preProcess would add an
+            # alt-text figcaption here (ArticleExtractor.ts:72-76) on top of
+            # the base figure/figcaption (BaseExtractor.ts:592-596) — one
+            # caption per image is emitted, by the base pass only.
 
         for video in tag_map["video"]:
             if video.get("data-src"):
@@ -146,11 +145,9 @@ class ArticleStrategy(BaseStrategy):
             container = Node(TAG, "div", {"class": "article-image-container"})
             img.replace_with(container)
             container.append(img)
-            alt = img.get("alt")
-            if alt:
-                cap = Node(TAG, "div", {"class": "article-image-caption"})
-                cap.append(Node("text", data=alt))
-                container.append(cap)
+            # caption comes from the base figure/figcaption pass; the
+            # reference's second alt-caption (ArticleExtractor.ts:298-303)
+            # would duplicate it verbatim in every output span sequence
 
         # heading-level flattening (:306-319)
         last_level = 1

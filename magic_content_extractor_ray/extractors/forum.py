@@ -123,11 +123,7 @@ class ForumStrategy(BaseStrategy):
             container = Node(TAG, "div", {"class": "forum-image-container"})
             img.replace_with(container)
             container.append(img)
-            alt = img.get("alt")
-            if alt:
-                cap = Node(TAG, "div", {"class": "forum-image-caption"})
-                cap.append(Node("text", data=alt))
-                container.append(cap)
+            # alt caption already emitted by the base figure/figcaption pass
 
         self.collapse_br_runs(main)
         self._reorganize(main)

@@ -92,8 +92,10 @@ class WeixinStrategy(BaseStrategy):
                 img.del_attr("data-src")
             img.del_attr("data-lazy-src")
             img.del_attr("data-fail")
-            desc = img.get("alt") or img.get("data-backh")
-            if desc and img.parent is not None:
+            # data-backh is weixin-only caption info; alt captions are
+            # emitted once by the base figure/figcaption pass
+            desc = img.get("data-backh")
+            if desc and not img.get("alt") and img.parent is not None:
                 d = Node(TAG, "div", {"class": "weixin-img-desc"})
                 d.append(Node("text", data=desc))
                 img.parent.insert(img.index_in_parent() + 1, d)
