@@ -130,6 +130,8 @@ def _md(n: Node) -> str:
         if n.parent is not None and n.parent.tag == "pre":
             return inner
         return f"`{n.text()}`"
+    if tag == "cite":
+        return f" — {inner}"
     if tag == "blockquote":
         quoted = "\n".join(
             f"> {line}" for line in inner.strip().split("\n"))
