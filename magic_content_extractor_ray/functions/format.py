@@ -75,7 +75,11 @@ def spans_to_text(spans: list[dict]) -> str:
     out: list[str] = []
     for s in sorted(spans, key=lambda s: s["offset"]):
         if s["kind"] == "text":
-            for n in parse_fragment(s["text"] or ""):
+            t = s["text"] or ""
+            if "<" not in t:  # plain-text span (e.g. pdf layout block)
+                out.append(t + "\n\n")
+                continue
+            for n in parse_fragment(t):
                 _node_text(n, out)
         else:
             if s["text"]:
@@ -157,7 +161,11 @@ def spans_to_markdown(spans: list[dict]) -> str:
     parts: list[str] = []
     for s in sorted(spans, key=lambda s: s["offset"]):
         if s["kind"] == "text":
-            parts.append("".join(_md(n) for n in parse_fragment(s["text"] or "")))
+            t = s["text"] or ""
+            if "<" not in t:  # plain-text span (e.g. pdf layout block)
+                parts.append(f"\n\n{t}\n\n")
+                continue
+            parts.append("".join(_md(n) for n in parse_fragment(t)))
         elif s["kind"] == "image":
             parts.append(f"\n\n![{s['text']}]({s['media_ref']})\n\n")
         else:
