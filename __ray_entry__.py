@@ -401,6 +401,23 @@ def q_orders_by_segment(sf_dir: str):
         Count(alias_name="n_orders")).sort("c_mktsegment")
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact distinct-user count per event type (the oracle-checkable twin
+    of the HLL sketch in stages/sketch.py, which the tests validate to
+    ~1.6% error; exact here so DuckDB can hash-match)."""
+    import pandas as pd
+    import ray.data as rd
+
+    def per_type(g: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n_users": [int(g["user_id"].nunique())]})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return ds.groupby("event_type").map_groups(
+        per_type, batch_format="pandas").sort("event_type")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (custom operator the Dataset API lacks): each click event
     matched to the user's most recent prior view — per-key sorted
@@ -571,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_segment": q_events_by_segment,
         "user_sessions": q_user_sessions,
         "asof_join": q_asof_join,
+        "distinct_users": q_distinct_users,
         "orders_by_segment": q_orders_by_segment,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -644,6 +662,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.c_mktsegment, count(*) AS n_orders FROM orders o "
             "JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"),
+        "distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"),
         "asof_join": (
             "WITH a AS (SELECT user_id, ts, event_id FROM events "
             "WHERE event_type = 'click'), "

@@ -266,3 +266,14 @@ def test_sequence_packing(ray_session):
     # no pack over budget; packing is reasonably tight
     assert (packs["total_tokens"] <= 256).all()
     assert packs["fill"].mean() >= 0.5
+
+
+def test_hll_distinct(ray_session):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sketch import approx_distinct
+
+    # 1500 distinct user ids repeated across 6000 rows
+    rows = [{"user_id": i % 1500} for i in range(6000)]
+    ds = rd.from_items(rows)
+    est = approx_distinct(ds, "user_id", p=12)
+    assert abs(est - 1500) / 1500 < 0.05  # HLL p=12 ≈ 1.6% std error
