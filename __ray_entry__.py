@@ -17,6 +17,14 @@ _STOPWORD_ALT = ("a|an|and|are|as|at|be|been|by|for|from|in|is|it|of|on|or|"
                  "that|the|this|to|was|were|with")
 
 
+def _read_pq(path: str, *, columns=None, **kwargs):
+    """Column-pruned parquet read with a metadata-free schema (keeps Ray's
+    block-schema dedup working; see sources/io.read_parquet_clean)."""
+    from magic_content_extractor_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(path, columns=columns, **kwargs)
+
+
 def _docs(sf_dir: str):
     from magic_content_extractor_ray.corpus import docs_dataset
 
@@ -45,28 +53,23 @@ def q_extract_pipeline(sf_dir: str):
 
 
 def q_extract_spans(sf_dir: str):
-    """Exploded output spans: one row per (doc_id, offset)."""
+    """Exploded output spans: one row per (doc_id, offset). Fully vectorized
+    (list_flatten + list_parent_indices — no Python row loop)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     def explode(batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
-        ids = batch.column("doc_id")
-        out_id, out_k, out_t, out_r, out_o = [], [], [], [], []
-        for chunk_ids, chunk in zip(ids.to_pylist(),
-                                    spans.to_pylist()):
-            for s in chunk:
-                out_id.append(chunk_ids)
-                out_k.append(s["kind"])
-                out_t.append(s["text"])
-                out_r.append(s["media_ref"])
-                out_o.append(s["offset"])
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
         return pa.table({
-            "doc_id": pa.array(out_id, pa.string()),
-            "offset": pa.array(out_o, pa.int32()),
-            "kind": pa.array(out_k, pa.string()),
-            "media_ref": pa.array(out_r, pa.string()),
-            "span_text": pa.array(out_t, pa.string()),
+            "doc_id": pc.take(batch.column("doc_id"), parent),
+            "offset": pc.struct_field(flat, "offset"),
+            "kind": pc.struct_field(flat, "kind"),
+            "media_ref": pc.struct_field(flat, "media_ref"),
+            "span_text": pc.struct_field(flat, "text"),
         })
 
     return _extracted(sf_dir).select_columns(["doc_id", "spans"]).map_batches(
@@ -97,7 +100,7 @@ def q_dedup_exact(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.dedup import exact_dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return exact_dedup(docs)
 
@@ -106,7 +109,7 @@ def q_dedup_minhash(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.dedup import minhash_lsh_dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return minhash_lsh_dedup(docs, threshold=0.6)
 
@@ -115,7 +118,7 @@ def q_dedup_simhash(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.dedup import simhash_dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return simhash_dedup(docs, max_hamming=3)
 
@@ -125,7 +128,7 @@ def q_dedup_embedding(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.dedup import embedding_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     # the synthetic embeddings top out near cosine 0.51; 0.4 keeps the
     # result non-trivial while staying in the far tail of the distribution
@@ -138,7 +141,7 @@ def q_pack_sequences(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.packing import pack_documents
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return pack_documents(docs, budget=2048).drop_columns(
         ["doc_ids"]).sort("pack_key")
@@ -148,7 +151,7 @@ def q_token_count(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.textops import token_counts
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
     ).map_batches(token_counts, batch_format="pyarrow").select_columns(
         ["doc_id", "n_tokens"])
@@ -158,7 +161,7 @@ def q_quality_counts(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.textops import quality_counts
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
     ).map_batches(quality_counts, batch_format="pyarrow").select_columns(
         ["doc_id", "n_chars_q", "n_alpha", "n_digit", "n_punct",
@@ -169,7 +172,7 @@ def q_lang_id(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.textops import LangId
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"],
     ).map_batches(LangId, batch_format="pyarrow",
                   concurrency=(1, 4)).select_columns(
@@ -180,7 +183,7 @@ def q_fingerprint(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.textops import fingerprint_batch
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
     ).map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
         ["doc_id", "fingerprint"])
@@ -196,11 +199,17 @@ def q_lang_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # select generated aggregate columns BY NAME: the key column's
+        # position in group_by output has differed across pyarrow versions
         g = batch.group_by("lang").aggregate(
             [("n_chars", "sum"), ("doc_id", "count")])
-        return g.rename_columns(["lang", "total_chars", "n_docs"])
+        return pa.table({
+            "lang": g.column("lang"),
+            "total_chars": g.column("n_chars_sum"),
+            "n_docs": pc.cast(g.column("doc_id_count"), pa.int64()),
+        })
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("lang").aggregate(
@@ -215,7 +224,7 @@ def q_long_docs(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data as rd
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"],
         filter=(pc.field("n_chars") >= 400),
     ).sort("doc_id")
@@ -224,7 +233,7 @@ def q_long_docs(sf_dir: str):
 def q_top_docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
     ).sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
 
@@ -233,7 +242,7 @@ def q_source_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Min, Max
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"],
     ).groupby("source").aggregate(
         Count(alias_name="n_docs"),
@@ -246,7 +255,7 @@ def q_events_by_type(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Min, Max
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
     ).groupby("event_type").aggregate(
         Count(alias_name="n_events"),
@@ -264,14 +273,20 @@ def q_lineitem_pricing(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         g = batch.select(
             ["l_returnflag", "l_linestatus", "l_quantity"]).group_by(
             ["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_quantity", "count")])
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": g.column("l_quantity_sum"),
+            "n_rows": pc.cast(g.column("l_quantity_count"), pa.int64()),
+        })
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity"])
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
@@ -290,13 +305,18 @@ def q_event_props(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ks = [json.loads(p)["k"] // 10 for p in
               batch.column("props").to_pylist()]
         t = pa.table({"k_bucket": pa.array(ks, pa.int64())})
         g = t.group_by("k_bucket").aggregate([("k_bucket", "count")])
-        return g.rename_columns(["k_bucket", "n_events"])
+        return pa.table({
+            "k_bucket": g.column("k_bucket"),
+            "n_events": pc.cast(g.column("k_bucket_count"), pa.int64()),
+        })
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["props"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["props"])
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         "k_bucket").aggregate(Sum("n_events", alias_name="n_events")).sort(
         "k_bucket")
@@ -316,9 +336,13 @@ def q_events_hourly(sf_dir: str):
         batch = batch.append_column("hour_bucket", hour)
         g = batch.select(["event_type", "hour_bucket"]).group_by(
             ["event_type", "hour_bucket"]).aggregate([("hour_bucket", "count")])
-        return g.rename_columns(["event_type", "hour_bucket", "n_events"])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "hour_bucket": g.column("hour_bucket"),
+            "n_events": pc.cast(g.column("hour_bucket_count"), pa.int64()),
+        })
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts"])
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["event_type", "hour_bucket"]).aggregate(
@@ -345,15 +369,20 @@ def q_events_by_segment(sf_dir: str):
             self.lookup = ray.get(lookup_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             users = batch.column("user_id").to_pylist()
             segs = [self.lookup.get(u, "UNKNOWN") for u in users]
             batch = batch.append_column(
                 "c_mktsegment", pa.array(segs, pa.string()))
             g = batch.select(["c_mktsegment", "user_id"]).group_by(
                 "c_mktsegment").aggregate([("user_id", "count")])
-            return g.rename_columns(["c_mktsegment", "n_events"])
+            return pa.table({
+                "c_mktsegment": g.column("c_mktsegment"),
+                "n_events": pc.cast(g.column("user_id_count"), pa.int64()),
+            })
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
     return ds.map_batches(SegmentJoin, batch_format="pyarrow",
                           concurrency=(1, 4)).groupby(
         "c_mktsegment").aggregate(
@@ -374,7 +403,7 @@ def q_user_sessions(sf_dir: str):
         return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
                              "n_sessions": [int(gaps) + 1]})
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     return ds.groupby("user_id").map_groups(
         sessions, batch_format="pandas").sort("user_id")
@@ -388,9 +417,9 @@ def q_orders_by_segment(sf_dir: str):
     from ray.data.aggregate import Count
     from magic_content_extractor_ray.stages.join import hash_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
         batch_format="pyarrow")
@@ -404,18 +433,37 @@ def q_orders_by_segment(sf_dir: str):
 def q_distinct_users(sf_dir: str):
     """Exact distinct-user count per event type (the oracle-checkable twin
     of the HLL sketch in stages/sketch.py, which the tests validate to
-    ~1.6% error; exact here so DuckDB can hash-match)."""
-    import pandas as pd
+    ~1.6% error; exact here so DuckDB can hash-match).
+
+    Scale shape: event_type has ~5 values, so a plain groupby(event_type)
+    would pull ~20% of a 100 TB table into one task. Instead: per-batch
+    distinct (event_type, user_id) pairs → composite-key groupby (spread
+    over user_id, no hot key) → per-batch partial user counts → tiny
+    grouped sum. No group ever exceeds one composite key's rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
+    from ray.data.aggregate import Count, Sum
 
-    def per_type(g: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "n_users": [int(g["user_id"].nunique())]})
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate([("user_id", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n_users": pc.cast(g.column("user_id_count"), pa.int64()),
+        })
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
-    return ds.groupby("event_type").map_groups(
-        per_type, batch_format="pandas").sort("event_type")
+    distinct = ds.map_batches(
+        distinct_pairs, batch_format="pyarrow",
+    ).groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    return distinct.map_batches(
+        partial_counts, batch_format="pyarrow",
+    ).groupby("event_type").aggregate(
+        Sum("n_users", alias_name="n_users")).sort("event_type")
 
 
 def q_asof_join(sf_dir: str):
@@ -439,7 +487,7 @@ def q_asof_join(sf_dir: str):
         return pd.DataFrame({"click_id": m["event_id_c"].astype("int64"),
                              "view_id": m["event_id_v"].astype("int64")})
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_pq(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type", "ts", "event_id"])
     return ds.groupby("user_id").map_groups(
         per_user, batch_format="pandas").sort("click_id")
@@ -450,22 +498,17 @@ _ANN_K = 10
 
 
 def q_ann_topk(sf_dir: str):
-    """Exact cosine top-k; float64 math end-to-end so scores match DuckDB's
-    double accumulation; ties broken on neighbor_id."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import ray
+    """Exact cosine top-k; dtype='float64' threads double precision through
+    the whole partial-top-k path so ranks match DuckDB's double
+    accumulation; ties broken on neighbor_id."""
     import ray.data as rd
     from magic_content_extractor_ray.stages.ann import (
         brute_force_topk, load_queries)
 
     queries = load_queries(sf_dir, _ANN_NQ)
-    queries["matrix"] = np.asarray(queries["matrix"], dtype=np.float64)
-
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    out = brute_force_topk(ds, queries, k=_ANN_K)
+    out = brute_force_topk(ds, queries, k=_ANN_K, dtype="float64")
     return out[["query_id", "neighbor_id", "rank"]]
 
 
@@ -474,7 +517,7 @@ def q_ann_ivf(sf_dir: str):
     from magic_content_extractor_ray.stages.ann import ivf_topk, load_queries
 
     queries = load_queries(sf_dir, _ANN_NQ)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return ivf_topk(ds, queries, k=_ANN_K, n_centroids=16, nprobe=6)
 
@@ -484,7 +527,7 @@ def q_ann_lsh(sf_dir: str):
     from magic_content_extractor_ray.stages.ann import lsh_topk, load_queries
 
     queries = load_queries(sf_dir, _ANN_NQ)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return lsh_topk(ds, queries, k=_ANN_K, n_tables=12, n_bits=6)
 
@@ -509,8 +552,13 @@ def q_extract_metrics(sf_dir: str):
         ).group_by("platform").aggregate(
             [("n_docs", "sum"), ("span_count", "sum"), ("text_len", "sum"),
              ("n_errors", "sum")])
-        return g.rename_columns(
-            ["platform", "n_docs", "n_spans", "total_text_len", "n_errors"])
+        return pa.table({
+            "platform": g.column("platform"),
+            "n_docs": g.column("n_docs_sum"),
+            "n_spans": pc.cast(g.column("span_count_sum"), pa.int64()),
+            "total_text_len": g.column("text_len_sum"),
+            "n_errors": g.column("n_errors_sum"),
+        })
 
     partials = _extracted(sf_dir).map_batches(partial, batch_format="pyarrow")
     return partials.groupby("platform").aggregate(

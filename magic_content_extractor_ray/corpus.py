@@ -414,13 +414,14 @@ def docs_dataset(sf_dir: str, *, num_blocks: int | None = None):
     generate stage — split to ~4 blocks per core by default.
     """
     import ray
-    import ray.data as rd
+
+    from .sources.io import read_parquet_clean
 
     if num_blocks is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if \
             ray.is_initialized() else 8
         num_blocks = cpus * 4
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         override_num_blocks=num_blocks,
     ).map_batches(attach_spans_batch, batch_format="pyarrow", batch_size=64)

@@ -16,12 +16,44 @@ def lance_available() -> bool:
     return importlib.util.find_spec("lance") is not None
 
 
+def clean_parquet_schema(path: str, columns: list[str] | None = None):
+    """The file footer schema with key-value metadata stripped (and pruned
+    to ``columns``). pandas-written parquet carries a ``pandas`` metadata
+    dict that makes ``pa.Schema`` unhashable on pyarrow 16.1, which defeats
+    Ray Data's block-schema deduplication and spams
+    'Failed to hash the schemas' on every task — pass this as
+    ``read_parquet(schema=...)`` so blocks are born metadata-free."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        inner = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        path = os.path.join(path, inner[0])
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return sch
+
+
+def read_parquet_clean(path: str, *, columns: list[str] | None = None,
+                       **kwargs):
+    """``ray.data.read_parquet`` with a metadata-free schema (see
+    ``clean_parquet_schema``). Drop-in replacement for every parquet read."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        path, columns=columns,
+        schema=clean_parquet_schema(path, columns), **kwargs)
+
+
 def read_docs(uri: str, *, columns: list[str] | None = None):
     import ray.data as rd
 
     if lance_available() and uri.endswith(".lance"):
         return rd.read_lance(uri, columns=columns)
-    return rd.read_parquet(uri, columns=columns)
+    return read_parquet_clean(uri, columns=columns)
 
 
 def write_docs(ds, uri: str, **kwargs) -> None:

@@ -10,8 +10,10 @@
   matching buckets. Same output schema; recall measured against brute force
   in tests.
 
-Embeddings stay float32 end-to-end; scores are cast to float64 only at the
-final merge.
+Embeddings default to float32; ``dtype`` threads through the brute-force
+path so oracle-compared queries can run the whole cosine computation in
+float64 (matching DuckDB's double accumulation — a float32 near-tie can
+flip ranks).
 """
 
 from __future__ import annotations
@@ -20,12 +22,13 @@ import numpy as np
 import pyarrow as pa
 
 
-def _batch_matrix(batch: pa.Table, column: str) -> np.ndarray:
+def _batch_matrix(batch: pa.Table, column: str,
+                  dtype=np.float32) -> np.ndarray:
     col = batch.column(column)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False)
-    return np.asarray(flat, dtype=np.float32).reshape(len(batch), -1)
+    return np.asarray(flat, dtype=dtype).reshape(len(batch), -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -37,12 +40,14 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 class _PartialTopK:
     """Stateful stage: the broadcast query matrix is fetched once per actor."""
 
-    def __init__(self, queries_ref, k: int, column: str, id_column: str):
+    def __init__(self, queries_ref, k: int, column: str, id_column: str,
+                 dtype_name: str = "float32"):
         import ray
 
         q = ray.get(queries_ref)
+        self.dtype = np.dtype(dtype_name)
         self.qids = q["ids"]
-        self.qmat = _normalize(np.asarray(q["matrix"], dtype=np.float32))
+        self.qmat = _normalize(np.asarray(q["matrix"], dtype=self.dtype))
         self.k = k
         self.column = column
         self.id_column = id_column
@@ -50,7 +55,7 @@ class _PartialTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_column).to_numpy(
             zero_copy_only=False))
-        mat = _normalize(_batch_matrix(batch, self.column))
+        mat = _normalize(_batch_matrix(batch, self.column, self.dtype))
         sims = self.qmat @ mat.T  # (nq, nb)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -96,8 +101,11 @@ def load_queries(sf_dir: str, n_queries: int, column: str = "embedding",
 
 
 def brute_force_topk(ds, queries: dict, *, k: int = 10,
-                     column: str = "embedding", id_column: str = "vec_id"):
-    """Exact cosine top-k of each query against the full dataset."""
+                     column: str = "embedding", id_column: str = "vec_id",
+                     dtype: str = "float32"):
+    """Exact cosine top-k of each query against the full dataset.
+    ``dtype='float64'`` runs all cosine math in double precision (needed
+    when ranks are compared against a double-precision SQL oracle)."""
     import ray
 
     qref = ray.put(queries)
@@ -105,7 +113,7 @@ def brute_force_topk(ds, queries: dict, *, k: int = 10,
         _PartialTopK, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, 8),
         fn_constructor_kwargs=dict(queries_ref=qref, k=k, column=column,
-                                   id_column=id_column))
+                                   id_column=id_column, dtype_name=dtype))
     return _merge_topk(partials.take_all(), k)
 
 
@@ -113,11 +121,24 @@ def sample_centroids(ds, n_centroids: int, *, column: str = "embedding",
                      id_column: str = "vec_id") -> np.ndarray:
     """Deterministic IVF 'training': centroids = the n lowest-id vectors,
     L2-normalized (a seeded stand-in for k-means; at scale run minibatch
-    k-means over a sample the same way)."""
-    import pyarrow.compute as pc
+    k-means over a sample the same way).
 
-    take = ds.sort(id_column).limit(n_centroids).take_all()
-    mat = np.asarray([r[column] for r in take], dtype=np.float32)
+    Selection is a per-batch partial bottom-k + tiny driver merge — the
+    exact mirror of _PartialTopK (the previous global ``ds.sort`` was an
+    all-to-all shuffle of the whole embedding table to pick n rows)."""
+
+    def partial_bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        if len(ids) > n_centroids:
+            keep = np.argpartition(ids, n_centroids - 1)[:n_centroids]
+            batch = batch.take(pa.array(np.sort(keep)))
+        return batch.select([id_column, column])
+
+    rows = ds.select_columns([id_column, column]).map_batches(
+        partial_bottomk, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_column])
+    mat = np.asarray([r[column] for r in rows[:n_centroids]],
+                     dtype=np.float32)
     return _normalize(mat)
 
 
