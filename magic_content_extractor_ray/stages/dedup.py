@@ -6,21 +6,24 @@ All are Ray-Data-first:
   ``groupby(hash)`` keep min(doc_id). The only shuffle moves (hash, doc_id)
   pairs, never the payload.
 - ``minhash_lsh_dedup``: char-shingle → minhash signature (numpy, per batch)
-  → band explode → ``groupby(band_key)`` bucket → candidate pairs → verify
-  by signature-estimated Jaccard → connected components via min-label
-  propagation on the driver (candidate graph is tiny relative to the
-  corpus; at 100 TB the pair list is still ≪ input because buckets cap
-  pair generation).
+  → band explode (the signature rides each band row as a binary column) →
+  ``groupby(band_key)`` bucket → pairs VERIFIED by signature-estimated
+  Jaccard inside the bucket ``map_groups`` → distributed duplicate-pair
+  dedup (composite-key groupby) → connected components as Ray Data
+  min-label-propagation rounds (stages/graph.py). Nothing funnels through
+  the driver; every step returns/consumes a Dataset.
 - ``simhash_dedup``: 64-bit simhash, pigeonhole band split (any pair within
   hamming distance d shares ≥1 of d+1 bands) → bucket → verify hamming.
 - ``ngram_jaccard``: exact word n-gram Jaccard between candidate pairs
   (the precise verifier behind the sketch-based candidates).
 
-Scale notes: signatures are fixed-width int64 arrays (Arrow
-fixed_size_list), so the band shuffle is O(docs × bands × 16 bytes);
-hot buckets (boilerplate-heavy corpora) are capped by ``max_bucket_size``
-(documented cap; at fleet scale salt hot band keys into sub-buckets
-instead of truncating).
+Hot buckets (the boilerplate-heavy-corpus hazard): a bucket of n members
+with identical signatures — the common pathological case — produces only
+n-1 star pairs (members link to the min-id representative), not n²/2,
+because members are first grouped by signature identity inside the bucket
+task; pairwise estimation runs only across DISTINCT signatures, chunked
+and capped at ``max_distinct_sigs`` representatives. No candidate from an
+identity group is ever dropped, regardless of bucket size.
 """
 
 from __future__ import annotations
@@ -110,140 +113,140 @@ class MinHasher:
 
 
 def _band_explode(batch: pa.Table, *, bands: int, id_column: str) -> pa.Table:
-    """(doc_id, sig) → one LIGHT row per band: (band_key, doc_id).
+    """(doc_id, sig) → one row per band: (band_key, doc_id, sig-bytes).
 
-    The band shuffle ships only the 16-byte band hash + id — never the
-    signature (512 B × bands would be ~25× the average document payload).
-    Signatures are looked up later, only for candidate ids."""
+    The full signature rides each band row as a binary column so
+    verification can happen INSIDE the bucket task — no driver round-trip.
+    Cost: num_perm×8 B × bands per doc on the shuffle; verification
+    locality is worth it (the alternative re-reads signatures per
+    candidate on the driver, which is unbounded on a dup-heavy corpus)."""
     ids = batch.column(id_column).to_pylist()
     sigs = np.asarray(batch.column("minhash").combine_chunks()
                       .flatten().to_numpy(zero_copy_only=False)).reshape(
         len(ids), -1)
     num_perm = sigs.shape[1] if len(ids) else 0
     r = num_perm // bands if bands else 0
-    out_ids, out_keys = [], []
+    out_ids, out_keys, out_sigs = [], [], []
     for i, did in enumerate(ids):
+        row_bytes = sigs[i].tobytes()
         for b in range(bands):
             chunk = sigs[i, b * r:(b + 1) * r]
             key = hashlib.md5(
                 b"%d:" % b + chunk.tobytes()).hexdigest()[:16]
             out_ids.append(did)
             out_keys.append(key)
+            out_sigs.append(row_bytes)
     return pa.Table.from_arrays(
-        [pa.array(out_keys, pa.string()), pa.array(out_ids)],
-        names=["band_key", id_column])
+        [pa.array(out_keys, pa.string()), pa.array(out_ids),
+         pa.array(out_sigs, pa.binary())],
+        names=["band_key", id_column, "sig"])
 
 
-def _bucket_candidate_pairs(group, *, id_column: str, max_bucket_size: int):
-    """Within one LSH bucket: all candidate id pairs (verification happens
-    later against the signatures). pandas in / pandas out (map_groups)."""
+def _bucket_verified_pairs(group, *, id_column: str, threshold: float,
+                           max_distinct_sigs: int):
+    """Within one LSH bucket: emit VERIFIED pairs (est Jaccard ≥ threshold).
+
+    Hot-bucket handling: members are first grouped by signature identity —
+    an identity group of size m yields m-1 star pairs to its min-id
+    representative (est 1.0), never m²/2. Pairwise estimation then runs
+    only across distinct-signature representatives, chunked; buckets with
+    more than ``max_distinct_sigs`` distinct signatures (a degenerate band)
+    compare only the first that-many representatives, but identity pairs
+    are always complete."""
     import pandas as pd
 
     n = len(group)
     if n < 2:
-        return pd.DataFrame({"left_id": [], "right_id": []})
-    if n > max_bucket_size:
-        # explicit cap on pathological buckets; at scale, log + salt instead
-        group = group.iloc[:max_bucket_size]
-        n = max_bucket_size
-    ids = sorted(group[id_column].tolist())
-    out_l, out_r = [], []
-    for i in range(n):
-        for j in range(i + 1, n):
-            if ids[i] != ids[j]:
-                out_l.append(ids[i])
-                out_r.append(ids[j])
-    return pd.DataFrame({"left_id": out_l, "right_id": out_r})
+        return pd.DataFrame({"left_id": [], "right_id": [],
+                             "est_jaccard": []})
+    ids = group[id_column].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sigs = np.frombuffer(
+        b"".join(group["sig"].to_numpy()[order]), dtype=np.uint64,
+    ).reshape(n, -1)
+
+    uniq, first_idx, inverse = np.unique(
+        sigs, axis=0, return_index=True, return_inverse=True)
+    out_l, out_r, out_e = [], [], []
+    # identity pairs: member → min-id representative of its identity group
+    rep_of = {}
+    for g in range(len(uniq)):
+        members = np.nonzero(inverse == g)[0]
+        rep = members[0]  # ids sorted → first member has the min id
+        rep_of[g] = rep
+        for m in members[1:]:
+            out_l.append(ids[rep])
+            out_r.append(ids[m])
+            out_e.append(1.0)
+    # representative pairwise (distinct signatures only), chunked
+    r_count = min(len(uniq), max_distinct_sigs)
+    reps = uniq[:r_count]
+    step = 128
+    for i0 in range(0, r_count, step):
+        a = reps[i0:i0 + step]
+        est = (a[:, None, :] == reps[None, :, :]).mean(axis=2)
+        ii, jj = np.nonzero(est >= threshold)
+        for i, j in zip(ii, jj):
+            gi, gj = i0 + i, j
+            if gi >= gj:
+                continue
+            ra, rb = rep_of[gi], rep_of[gj]
+            la, lb = ids[ra], ids[rb]
+            if lb < la:
+                la, lb = lb, la
+            out_l.append(la)
+            out_r.append(lb)
+            out_e.append(float(est[i, j]))
+    return pd.DataFrame({"left_id": out_l, "right_id": out_r,
+                         "est_jaccard": out_e})
 
 
-def minhash_lsh_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
-                      num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.7, shingle_k: int = 5,
-                      max_bucket_size: int = 1000, seed: int = 42):
-    """Returns (doc_id, cluster_id) for every doc in a near-dup cluster;
-    cluster_id = min doc_id of the connected component.
+def minhash_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
+                  num_perm: int = 64, bands: int = 16,
+                  threshold: float = 0.7, shingle_k: int = 5,
+                  max_distinct_sigs: int = 1000, seed: int = 42):
+    """Verified near-dup pairs as a Dataset (left_id, right_id,
+    est_jaccard), deduplicated across bands by a composite-key groupby."""
+    from ray.data.aggregate import Max
 
-    Shuffle budget: the band groupby moves (16 B key + id) × bands per doc;
-    the signature table (num_perm × 8 B per doc) is computed once, kept as a
-    (small) materialized dataset, and only candidate ids' signatures are
-    pulled for verification."""
     sigs = ds.select_columns([id_column, column]).map_batches(
         MinHasher, batch_format="pyarrow", concurrency=(1, 8),
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    seed=seed, column=column),
-    ).drop_columns([column]).materialize()
+    ).drop_columns([column])
 
     banded = sigs.map_batches(
         _band_explode, batch_format="pyarrow",
         fn_kwargs=dict(bands=bands, id_column=id_column))
 
     pairs = banded.groupby("band_key").map_groups(
-        _bucket_candidate_pairs, batch_format="pandas",
-        fn_kwargs=dict(id_column=id_column,
-                       max_bucket_size=max_bucket_size))
+        _bucket_verified_pairs, batch_format="pandas",
+        fn_kwargs=dict(id_column=id_column, threshold=threshold,
+                       max_distinct_sigs=max_distinct_sigs))
 
-    cand_df = pairs.to_pandas()
-    if cand_df.empty or "left_id" not in cand_df.columns:
-        import pandas as pd
+    # a pair found in k bands appears k times — distributed dedup
+    return pairs.groupby(["left_id", "right_id"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
 
-        return pd.DataFrame({id_column: [], "cluster_id": []})
-    cand_df = cand_df.drop_duplicates(subset=["left_id", "right_id"])
-    cand_ids = set(cand_df["left_id"]) | set(cand_df["right_id"])
 
-    # fetch signatures for candidate ids only (broadcast filter; the
-    # candidate set is ≪ corpus by construction)
-    import ray
+def minhash_lsh_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.7, shingle_k: int = 5,
+                      max_distinct_sigs: int = 1000, seed: int = 42):
+    """Returns a Dataset (doc_id, cluster_id) for every doc in a near-dup
+    cluster; cluster_id = min doc_id of the connected component, computed
+    as distributed min-label-propagation rounds (stages/graph.py) — no
+    driver-side pair materialization anywhere on the path."""
+    from .graph import connected_components
 
-    cand_ref = ray.put(cand_ids)
-
-    def keep_cands(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_ref)
-        mask = [i in wanted for i in batch.column(id_column).to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    sig_rows = sigs.map_batches(keep_cands, batch_format="pyarrow").take_all()
-    sig_map = {r[id_column]: np.asarray(r["minhash"]) for r in sig_rows}
-
-    # verify estimated Jaccard on the driver, then union-find
-    pair_rows = []
-    for r in cand_df.itertuples():
-        sa, sb = sig_map.get(r.left_id), sig_map.get(r.right_id)
-        if sa is None or sb is None:
-            continue
-        est = float((sa == sb).mean())
-        if est >= threshold:
-            pair_rows.append({"left_id": r.left_id, "right_id": r.right_id,
-                              "est_jaccard": est})
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-
-    seen_pairs = set()
-    for r in pair_rows:
-        key = (r["left_id"], r["right_id"])
-        if key in seen_pairs:
-            continue
-        seen_pairs.add(key)
-        parent.setdefault(r["left_id"], r["left_id"])
-        parent.setdefault(r["right_id"], r["right_id"])
-        union(r["left_id"], r["right_id"])
-
-    assignments = sorted(
-        (x, find(x)) for x in parent)
-    import pandas as pd
-
-    return pd.DataFrame(assignments, columns=[id_column, "cluster_id"])
+    pairs = minhash_pairs(
+        ds, column=column, id_column=id_column, num_perm=num_perm,
+        bands=bands, threshold=threshold, shingle_k=shingle_k,
+        max_distinct_sigs=max_distinct_sigs, seed=seed)
+    return connected_components(
+        pairs, left="left_id", right="right_id",
+        node_col=id_column, label_col="cluster_id")
 
 
 # ---------------------------------------------------------------------------
@@ -281,8 +284,11 @@ class SimHasher:
 def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
                   max_hamming: int = 3):
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via pigeonhole
-    banding (d+1 bands: any pair within distance d matches on ≥1 band)."""
+    banding (d+1 bands: any pair within distance d matches on ≥1 band).
+    Returns a Dataset (left_id, right_id, hamming); cross-band duplicate
+    pairs are deduplicated by a composite-key groupby, not on the driver."""
     import pandas as pd
+    from ray.data.aggregate import Min
 
     n_bands = max_hamming + 1
     hashed = ds.select_columns([id_column, column]).map_batches(
@@ -331,9 +337,8 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
 
     pairs = hashed.map_batches(explode, batch_format="pyarrow").groupby(
         "band_key").map_groups(pairs_in_bucket, batch_format="pandas")
-    df = pairs.to_pandas()
-    return df.drop_duplicates(subset=["left_id", "right_id"]).reset_index(
-        drop=True)
+    return pairs.groupby(["left_id", "right_id"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -349,17 +354,23 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
     only vectors sharing a sign-pattern bucket are compared — candidate
     generation is O(rows × tables), never O(rows²); pairs are verified with
     exact cosine inside each bucket. High thresholds (≥0.9) have near-1
-    bucket-collision probability with this table count.
+    bucket-collision probability with this table count. Returns a Dataset
+    (left_id, right_id, cosine), deduplicated across tables distributively.
     """
     import pandas as pd
     import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max
 
     from .ann import _LshBucketer, make_planes
 
     # probe the dim from one row
     first = ds.take(1)
     if not first:
-        return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
+        return rd.from_arrow(pa.table({
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
     dim = len(first[0][column])
     planes_ref = ray.put(make_planes(dim, n_tables, n_bits, seed))
 
@@ -392,13 +403,8 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
 
     pairs = bucketed.groupby("bucket").map_groups(
         pairs_in_bucket, batch_format="pandas")
-    df = pairs.to_pandas()
-    if df.empty or "left_id" not in df.columns:
-        return pd.DataFrame({"left_id": pd.Series(dtype="int64"),
-                             "right_id": pd.Series(dtype="int64"),
-                             "cosine": pd.Series(dtype="float64")})
-    return df.drop_duplicates(subset=["left_id", "right_id"]).sort_values(
-        ["left_id", "right_id"]).reset_index(drop=True)
+    return pairs.groupby(["left_id", "right_id"]).aggregate(
+        Max("cosine", alias_name="cosine"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,142 @@
+"""Distributed connected components via min-label propagation.
+
+The near-dup dedup operators (stages/dedup.py) produce a verified candidate
+pair list; clustering those pairs is a connected-components problem. On a
+100 TB boilerplate-heavy corpus the pair list can be far larger than driver
+memory, so components are computed as **Ray Data rounds** — no
+``to_pandas``/``take_all`` of the edge set ever happens:
+
+  1. edges are exploded in both directions: (node, nbr),
+  2. labels start as ``min(node, neighbors)`` (one groupby),
+  3. each round, every node broadcasts its current label to its neighbors
+     (a tagged-union groupby — the distributed equivalent of an
+     edges⋈labels join) and adopts the minimum it hears,
+  4. rounds stop when no label changed (labels decrease monotonically, so
+     the changed-count is an exact fixpoint test).
+
+Round count is the cluster diameter; near-dup clusters from LSH buckets
+are dense (star/clique-like), so 2–4 rounds is typical. Shuffle budget per
+round: 2 shuffles over (edges + labels) rows. The public hash-to-min
+formulation (Rastogi et al. 2013) has the same structure.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _concat(col_a, col_b):
+    a = col_a.combine_chunks() if isinstance(col_a, pa.ChunkedArray) else col_a
+    b = col_b.combine_chunks() if isinstance(col_b, pa.ChunkedArray) else col_b
+    return pa.concat_arrays([a, b])
+
+
+def connected_components(pairs, *, left: str = "left_id",
+                         right: str = "right_id",
+                         node_col: str = "doc_id",
+                         label_col: str = "cluster_id",
+                         max_rounds: int = 25):
+    """Pairs Dataset (left, right) → Dataset (node_col, label_col) where
+    label = min node id of the connected component. Fully distributed;
+    returns a (small: one row per clustered node) Dataset."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    # one materialization (blocks stay in the object store, never on the
+    # driver): count + schema probe + edge build would otherwise each
+    # re-execute the whole upstream pair-generation pipeline
+    pairs = pairs.materialize()
+    base = pairs.schema().base_schema
+    if not hasattr(base, "field"):  # pandas-block upstream → arrow blocks
+        pairs = pairs.map_batches(
+            lambda t: t, batch_format="pyarrow").materialize()
+        base = pairs.schema().base_schema
+    id_type = base.field(left).type
+    if pairs.count() == 0:
+        return rd.from_arrow(pa.table({
+            node_col: pa.array([], id_type),
+            label_col: pa.array([], id_type)}))
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a, b = batch.column(left), batch.column(right)
+        return pa.table({"node": _concat(a, b), "nbr": _concat(b, a)})
+
+    edges = pairs.map_batches(
+        to_edges, batch_format="pyarrow").materialize()
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("node").aggregate([("nbr", "min")])
+        return pa.table({
+            "node": g.column("node"),
+            "label": pc.min_element_wise(g.column("nbr_min"),
+                                         g.column("node")),
+        })
+
+    labels = edges.map_batches(
+        init_partial, batch_format="pyarrow").groupby("node").aggregate(
+        Min("label", alias_name="label")).materialize()
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "key": batch.column("node"),
+            "nbr": pa.nulls(n, id_type),
+            "label": batch.column("label"),
+        })
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "key": batch.column("node"),
+            "nbr": batch.column("nbr"),
+            "label": pa.nulls(n, id_type),
+        })
+
+    def broadcast_label(g: "pd.DataFrame") -> "pd.DataFrame":
+        lab = g["label"].dropna()
+        cur = lab.min()  # exactly one label row per key
+        nbrs = g["nbr"].dropna().tolist()
+        nodes = nbrs + [g["key"].iloc[0]]
+        old = [None] * len(nbrs) + [cur]
+        return pd.DataFrame({"node": nodes, "cand": [cur] * len(nodes),
+                             "old": old})
+
+    def count_changed(batch: pa.Table) -> pa.Table:
+        ne = pc.not_equal(batch.column("label"), batch.column("old_label"))
+        c = pc.sum(pc.cast(ne, pa.int64())).as_py() or 0
+        return pa.table({"n_changed": pa.array([c], pa.int64())})
+
+    for _ in range(max_rounds):
+        msgs = labels.map_batches(tag_labels, batch_format="pyarrow").union(
+            edges.map_batches(tag_edges, batch_format="pyarrow"))
+        grouped = msgs.groupby("key").map_groups(
+            broadcast_label, batch_format="pandas")
+
+        def to_arrow(df: "pd.DataFrame") -> pa.Table:
+            # arrow blocks with REAL nulls: pandas object columns mixing
+            # str and NaN break pandas-side min reductions downstream
+            return pa.table({
+                "node": pa.array(df["node"], id_type),
+                "cand": pa.array(df["cand"], id_type),
+                "old": pa.array(df["old"].where(df["old"].notna(), None),
+                                id_type),
+            })
+
+        grouped = grouped.map_batches(to_arrow, batch_format="pandas")
+        new_labels = grouped.groupby("node").aggregate(
+            Min("cand", alias_name="label"),
+            Min("old", alias_name="old_label"),
+        ).materialize()
+        changed = new_labels.map_batches(
+            count_changed, batch_format="pyarrow").sum("n_changed")
+        labels = new_labels.drop_columns(["old_label"]).materialize()
+        if not changed:
+            break
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({node_col: batch.column("node"),
+                         label_col: batch.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

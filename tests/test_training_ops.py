@@ -41,7 +41,7 @@ def test_minhash_lsh_dedup(docs_ds):
     from magic_content_extractor_ray.stages.dedup import minhash_lsh_dedup
 
     out = minhash_lsh_dedup(docs_ds, threshold=0.5, shingle_k=4)
-    clusters = out.set_index("doc_id")["cluster_id"].to_dict()
+    clusters = out.to_pandas().set_index("doc_id")["cluster_id"].to_dict()
     # exact dup pair clusters together
     assert clusters.get(0) == clusters.get(10) == 0
     # exact dup of doc 1
@@ -56,7 +56,7 @@ def test_simhash_dedup(docs_ds):
 
     # identical text → identical simhash → hamming 0
     pairs = simhash_dedup(docs_ds, max_hamming=3)
-    got = {(r.left_id, r.right_id) for r in pairs.itertuples()}
+    got = {(r.left_id, r.right_id) for r in pairs.to_pandas().itertuples()}
     assert (0, 10) in got
     assert (1, 12) in got
     h1 = SimHasher.simhash64("the quick brown fox")
@@ -181,7 +181,7 @@ def test_embedding_dedup(ray_session):
     rows.append({"vec_id": 101, "embedding": base[1].tolist()})
     ds = rd.from_items(rows)
     pairs = embedding_dedup(ds, threshold=0.95)
-    got = {(r.left_id, r.right_id) for r in pairs.itertuples()}
+    got = {(r.left_id, r.right_id) for r in pairs.to_pandas().itertuples()}
     assert (0, 100) in got
     assert (1, 101) in got
     # random 16-d gaussians essentially never hit cosine 0.95
@@ -229,7 +229,7 @@ def test_minhash_recall_vs_exact_jaccard(ray_session):
 
     ds = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
                          columns=["doc_id", "text"])
-    clusters = minhash_lsh_dedup(ds, threshold=0.6).set_index(
+    clusters = minhash_lsh_dedup(ds, threshold=0.6).to_pandas().set_index(
         "doc_id")["cluster_id"].to_dict()
     found = sum(
         1 for a, b in truth
@@ -277,3 +277,52 @@ def test_hll_distinct(ray_session):
     ds = rd.from_items(rows)
     est = approx_distinct(ds, "user_id", p=12)
     assert abs(est - 1500) / 1500 < 0.05  # HLL p=12 ≈ 1.6% std error
+
+
+def test_connected_components_chain(ray_session):
+    """Min-label propagation must traverse multi-hop chains (a-b, b-c, c-d
+    → one cluster labeled by the min node), plus a separate 2-cluster."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.graph import connected_components
+
+    pairs = rd.from_items([
+        {"left_id": "b", "right_id": "c"},
+        {"left_id": "a", "right_id": "b"},
+        {"left_id": "c", "right_id": "d"},
+        {"left_id": "x", "right_id": "y"},
+    ])
+    out = connected_components(pairs).to_pandas()
+    lab = out.set_index("doc_id")["cluster_id"].to_dict()
+    assert lab == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.graph import connected_components
+
+    pairs = rd.from_arrow(pa.table({
+        "left_id": pa.array([], pa.string()),
+        "right_id": pa.array([], pa.string())}))
+    assert connected_components(pairs).count() == 0
+
+
+def test_minhash_hot_bucket_no_truncation(ray_session):
+    """A planted hot bucket (60 identical docs — every band collides) must
+    still cluster ALL members together: identity grouping emits star pairs
+    instead of truncating the bucket."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import minhash_lsh_dedup
+
+    hot = [{"doc_id": i, "text": "the same boilerplate page " * 20}
+           for i in range(60)]
+    cold = [{"doc_id": 100 + i, "text": f"unique document number {i} " * 10
+             + str(i) * 7} for i in range(10)]
+    ds = rd.from_items(hot + cold)
+    # max_distinct_sigs far below the bucket size: identity pairs must
+    # still cover every hot member
+    out = minhash_lsh_dedup(ds, threshold=0.9,
+                            max_distinct_sigs=4).to_pandas()
+    lab = out.set_index("doc_id")["cluster_id"].to_dict()
+    assert all(lab.get(i) == 0 for i in range(60))
