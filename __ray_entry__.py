@@ -593,14 +593,15 @@ def q_checkpoint_lineage(sf_dir: str):
     import os
     import shutil
     import pandas as pd
-    from magic_content_extractor_ray.state.checkpoint import run_checkpointed
+    from magic_content_extractor_ray.state.checkpoint import (
+        run_checkpointed, make_fragment_docs_factory)
 
     out_dir = "/tmp/mce_ray_ckpt_query"
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
 
     recs = run_checkpointed(
-        lambda: _docs(sf_dir), out_dir, num_partitions=2)
+        make_fragment_docs_factory(sf_dir), out_dir, num_partitions=2)
     return pd.DataFrame(recs)[
         ["partition_id", "num_docs", "num_spans", "num_errors",
          "total_text_len"]]

@@ -5,24 +5,31 @@ Ray Data has task-level lineage re-execution but no job-level checkpoint
 north rule's "resumable from checkpoint with per-partition lineage +
 metrics":
 
-- the input keyspace is split into ``num_partitions`` hash partitions of
-  ``doc_id`` (deterministic, independent of block layout),
+- the input is split into ``num_partitions`` partitions of parquet
+  FRAGMENTS (row groups, split by contiguous global row ranges) — each
+  input byte is read by exactly one partition per run (a row group is
+  shared only when a partition boundary falls inside it, i.e. at most
+  ``P-1`` boundary row groups are read twice, vs the previous design's P
+  full scans of the corpus),
 - each partition runs as its own streaming pipeline and writes to
   ``out_dir/part=<p>/`` atomically (temp dir + rename),
 - a JSONL manifest records one lineage row per completed partition:
-  partition id, doc/span/error counts, doc_id hash range, wall seconds,
+  partition id, doc/span/error counts, wall seconds,
 - resume = skip manifest-complete partitions; a crashed partial write is
-  invisible (temp dir never renamed) and is redone,
+  invisible (temp dir never renamed) and is redone; a completed rename
+  that crashed BEFORE its manifest append is detected (final dir already
+  present) and replaced, so the redo path cannot wedge on ENOTEMPTY,
 - exact dedup by doc_id (``dedup_exact``) is the idempotency backstop if an
   input shard is ever double-fed across runs.
 
-At cluster scale each partition is itself many blocks, so per-partition
+At cluster scale each partition is itself many row groups, so per-partition
 streaming keeps the executor busy; partition count trades resume granularity
 against scheduling overhead.
 """
 
 from __future__ import annotations
 
+import inspect
 import json
 import os
 import time
@@ -53,6 +60,83 @@ def add_partition_column(batch, num_partitions: int):
     return batch.append_column("part_id", pa.array(buckets, pa.int64()))
 
 
+def parquet_fragment_plan(paths, num_partitions: int) -> list[list[dict]]:
+    """Assign parquet row groups to partitions by contiguous global row
+    ranges. Returns per-partition lists of
+    ``{path, row_group, start, end}`` (start/end are row offsets WITHIN the
+    row group). A row group fully inside one partition's range is read
+    whole; only boundary row groups are sliced (and re-read by the
+    adjacent partition) — so a full checkpointed run reads each byte
+    once, plus ≤ num_partitions-1 boundary row groups twice."""
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        paths = [paths]
+    rgs: list[tuple[str, int, int, int]] = []  # (path, rg, global_s, global_e)
+    total = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for i in range(md.num_row_groups):
+            n = md.row_group(i).num_rows
+            rgs.append((p, i, total, total + n))
+            total += n
+    plan: list[list[dict]] = [[] for _ in range(num_partitions)]
+    for part in range(num_partitions):
+        lo = total * part // num_partitions
+        hi = total * (part + 1) // num_partitions
+        for (p, i, s, e) in rgs:
+            a, b = max(s, lo), min(e, hi)
+            if a < b:
+                plan[part].append({"path": p, "row_group": i,
+                                   "start": a - s, "end": b - s})
+    return plan
+
+
+def read_fragment_partition(frags: list[dict], columns: list[str]):
+    """One partition's fragments → a Dataset; each fragment is its own
+    read task (parallelism = fragments per partition)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if not frags:
+        return rd.from_items([])
+    cols = list(columns)
+
+    def load(batch: pa.Table) -> pa.Table:
+        tables = []
+        for path, rg, s, e in zip(batch.column("path").to_pylist(),
+                                  batch.column("row_group").to_pylist(),
+                                  batch.column("start").to_pylist(),
+                                  batch.column("end").to_pylist()):
+            t = pq.ParquetFile(path).read_row_group(rg, columns=cols)
+            tables.append(t.slice(s, e - s).replace_schema_metadata(None))
+        return pa.concat_tables(tables)
+
+    return rd.from_items(frags, override_num_blocks=len(frags)).map_batches(
+        load, batch_format="pyarrow", batch_size=1)
+
+
+def make_fragment_docs_factory(sf_dir: str):
+    """Partition factory for ``run_checkpointed``: reads ONLY partition
+    ``p``'s row-group fragments of documents.parquet, then expands them to
+    interleaved-span docs (corpus.attach_spans_batch)."""
+    from ..corpus import attach_spans_batch
+
+    path = f"{sf_dir}/documents.parquet"
+    plans: dict[int, list[list[dict]]] = {}
+
+    def factory(p: int, num_partitions: int):
+        if num_partitions not in plans:
+            plans[num_partitions] = parquet_fragment_plan(path, num_partitions)
+        ds = read_fragment_partition(plans[num_partitions][p],
+                                     ["doc_id", "text"])
+        return ds.map_batches(attach_spans_batch, batch_format="pyarrow",
+                              batch_size=64)
+
+    return factory
+
+
 def load_manifest(out_dir: str) -> dict[int, dict]:
     path = os.path.join(out_dir, "manifest.jsonl")
     done: dict[int, dict] = {}
@@ -81,11 +165,25 @@ def run_checkpointed(
 ) -> list[dict]:
     """Run the extract pipeline partition-by-partition with resume.
 
-    ``docs_ds_factory()`` must return a fresh lazy docs Dataset (a factory,
-    not a Dataset, so each partition's run re-reads only what it filters).
+    ``docs_ds_factory(p, num_partitions)`` must return partition ``p``'s
+    docs Dataset (see ``make_fragment_docs_factory`` — fragment-partitioned
+    input, each byte read once per run). A legacy zero-argument factory
+    (full scan + doc_id-hash filter per partition — P scans; kept for
+    non-parquet sources) is detected by arity and wrapped.
     Returns the lineage records of THIS run (skipped partitions excluded).
     """
     from ..pipelines.extract_pipeline import run_extract_pipeline
+
+    takes_partition = len(
+        inspect.signature(docs_ds_factory).parameters) >= 2
+
+    def partition_ds(p: int):
+        if takes_partition:
+            return docs_ds_factory(p, num_partitions)
+        return docs_ds_factory().map_batches(
+            add_partition_column, batch_format="pyarrow",
+            fn_kwargs={"num_partitions": num_partitions},
+        ).filter(expr=f"part_id == {p}").drop_columns(["part_id"])
 
     os.makedirs(out_dir, exist_ok=True)
     done = load_manifest(out_dir)
@@ -94,12 +192,8 @@ def run_checkpointed(
         if p in done:
             continue
         t0 = time.time()
-        ds = docs_ds_factory()
-        part = ds.map_batches(
-            add_partition_column, batch_format="pyarrow",
-            fn_kwargs={"num_partitions": num_partitions},
-        ).filter(expr=f"part_id == {p}").drop_columns(["part_id"])
-        out = run_extract_pipeline(part, **(pipeline_kwargs or {}))
+        out = run_extract_pipeline(partition_ds(p),
+                                   **(pipeline_kwargs or {}))
 
         tmp_dir = os.path.join(out_dir, f".tmp-part-{p}")
         final_dir = os.path.join(out_dir, f"part={p}")
@@ -122,6 +216,13 @@ def run_checkpointed(
             stats = stats_ds.aggregate(*_lineage_aggs()) if n_docs else {}
         else:
             n_docs, stats = 0, {}
+        # crash-window repair: if a previous run renamed final_dir but died
+        # before appending its manifest row, os.replace onto the non-empty
+        # dir would raise ENOTEMPTY forever — redoing the partition is the
+        # declared semantics, so drop the orphaned output first
+        if os.path.exists(final_dir):
+            import shutil
+            shutil.rmtree(final_dir)
         os.replace(tmp_dir, final_dir)
 
         rec = {

@@ -79,23 +79,31 @@ def test_determinism_across_runs(ray_session, oracle_rows):
 
 def test_checkpoint_resume(ray_session, tmp_path, oracle_rows):
     """Kill after k partitions → resume completes only the rest; final
-    output set identical to a fresh full run."""
+    output set identical to a fresh full run. Input is fragment-partitioned
+    (row-group assignment — each byte read once per run), and the
+    rename-before-manifest crash window is exercised."""
     import pyarrow.parquet as pq
-    import ray.data as rd
-    from magic_content_extractor_ray.corpus import attach_spans_batch
     from magic_content_extractor_ray.state.checkpoint import (
-        run_checkpointed, load_manifest)
+        run_checkpointed, load_manifest, make_fragment_docs_factory,
+        parquet_fragment_plan)
 
-    def factory():
-        return rd.read_parquet(
-            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
-        ).limit(N_DOCS).map_batches(attach_spans_batch, batch_format="pyarrow")
+    # slice the oracle subset into its own parquet with several row groups
+    # so the fragment plan has real fragments to assign
+    in_dir = tmp_path / "input"
+    in_dir.mkdir()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"]).slice(0, N_DOCS)
+    pq.write_table(t, str(in_dir / "documents.parquet"), row_group_size=20)
 
+    plan = parquet_fragment_plan(str(in_dir / "documents.parquet"), 4)
+    covered = sum(f["end"] - f["start"] for part in plan for f in part)
+    assert covered == N_DOCS  # every row assigned exactly once
+
+    factory = make_fragment_docs_factory(str(in_dir))
     out_dir = str(tmp_path / "ckpt")
     kwargs = dict(num_partitions=4,
                   pipeline_kwargs=dict(batch_size=32))
 
-    # run partitions 0-1, then simulate a crash by truncating the loop:
     recs = run_checkpointed(factory, out_dir, **kwargs)
     assert len(recs) == 4
     manifest = load_manifest(out_dir)
@@ -112,6 +120,18 @@ def test_checkpoint_resume(ray_session, tmp_path, oracle_rows):
 
     recs2 = run_checkpointed(factory, out_dir, **kwargs)
     assert [r["partition_id"] for r in recs2] == [3]  # only the missing one
+
+    # crash WINDOW: partition 2 renamed but died before its manifest
+    # append — final dir exists, manifest row missing; resume must redo it
+    # without wedging on a rename-onto-non-empty-dir error
+    lines = open(os.path.join(out_dir, "manifest.jsonl")).read().splitlines()
+    kept = [l for l in lines if '"partition_id": 2' not in l]
+    with open(os.path.join(out_dir, "manifest.jsonl"), "w") as f:
+        f.write("\n".join(kept) + "\n")
+    assert os.path.isdir(os.path.join(out_dir, "part=2"))  # orphan remains
+
+    recs3 = run_checkpointed(factory, out_dir, **kwargs)
+    assert [r["partition_id"] for r in recs3] == [2]
 
     # full output equals the oracle set exactly
     got = {}
