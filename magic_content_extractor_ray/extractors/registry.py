@@ -84,9 +84,14 @@ def detect_page_type(url: str, root: Node | None, spans: list[dict]) -> str:
 
 def extract_document(doc_id: str, spans: list[dict], url: str,
                      strategies: dict[str, object],
-                     strategy_override: str | None = None) -> dict:
+                     strategy_override: str | None = None,
+                     formats: tuple[str, ...] = ()) -> dict:
     """Extract one interleaved-span document. Exception-safe: errors surface
-    as an ``error`` column, never poisoning the batch (SURVEY.md §4.2)."""
+    as an ``error`` column, never poisoning the batch (SURVEY.md §4.2).
+
+    ``formats`` ('text'/'markdown') are rendered HERE, from the span nodes
+    of the just-parsed tree — the formatter stage used to re-parse every
+    span's HTML downstream, which halved formats-on throughput."""
     try:
         html = spans_to_html(spans)
         if strategy_override and strategy_override in strategies:
@@ -94,12 +99,14 @@ def extract_document(doc_id: str, spans: list[dict], url: str,
         else:
             platform = detect_page_type(url, None, spans)
 
+        span_nodes = None
         if platform == "pdf":
             out_spans, result = strategies["pdf"].extract_spans(
                 sorted(spans, key=lambda s: s["offset"]), url)
         elif strategy_override:
             result = strategies[platform].extract(html, url)
-            out_spans = dom_to_spans(result.main_node)
+            out_spans, span_nodes = dom_to_spans(result.main_node,
+                                                 return_nodes=True)
         else:
             # parse once: the forum feature probe (route.ts:139-154) and the
             # chosen strategy share the same pre-normalized DOM
@@ -107,9 +114,20 @@ def extract_document(doc_id: str, spans: list[dict], url: str,
             if platform == "article":
                 platform = detect_page_type(url, root, spans)
             result = strategies[platform].extract_from_root(root, url)
-            out_spans = dom_to_spans(result.main_node)
+            out_spans, span_nodes = dom_to_spans(result.main_node,
+                                                 return_nodes=True)
+
+        extra = {}
+        if formats:
+            from ..functions.format import spans_to_text, spans_to_markdown
+
+            if "text" in formats:
+                extra["text_out"] = spans_to_text(out_spans, span_nodes)
+            if "markdown" in formats:
+                extra["markdown"] = spans_to_markdown(out_spans, span_nodes)
 
         return {
+            **extra,
             "doc_id": doc_id,
             "spans": out_spans,
             "title": result.title,
@@ -127,10 +145,13 @@ def extract_document(doc_id: str, spans: list[dict], url: str,
             "error": "",
         }
     except Exception as e:  # noqa: BLE001 - per-row error isolation
-        return {
+        row = {
             "doc_id": doc_id, "spans": [], "title": "", "platform": "error",
             "strategy_used": "", "author": "", "publish_time": "",
             "read_count": 0, "reply_count": 0, "view_count": 0,
             "content": "", "text_content": "", "text_len": 0,
             "span_count": 0, "error": f"{type(e).__name__}: {e}",
         }
+        for f in formats:
+            row[{"text": "text_out", "markdown": "markdown"}.get(f, f)] = ""
+        return row

@@ -71,15 +71,21 @@ def _node_text(n: Node, out: list[str]) -> None:
         out.append("\n\n")
 
 
-def spans_to_text(spans: list[dict]) -> str:
+def spans_to_text(spans: list[dict], nodes: list | None = None) -> str:
+    """``nodes`` (from ``dom_to_spans(..., return_nodes=True)``, aligned
+    with the pre-sort span order) lets text spans walk the already-parsed
+    subtree instead of re-parsing their HTML — the formats-on fast path."""
     out: list[str] = []
-    for s in sorted(spans, key=lambda s: s["offset"]):
+    order = sorted(range(len(spans)), key=lambda i: spans[i]["offset"])
+    for i in order:
+        s = spans[i]
         if s["kind"] == "text":
             t = s["text"] or ""
             if "<" not in t:  # plain-text span (e.g. pdf layout block)
                 out.append(t + "\n\n")
                 continue
-            for n in parse_fragment(t):
+            node = nodes[i] if nodes is not None else None
+            for n in ([node] if node is not None else parse_fragment(t)):
                 _node_text(n, out)
         else:
             if s["text"]:
@@ -157,15 +163,20 @@ def _md(n: Node) -> str:
     return inner
 
 
-def spans_to_markdown(spans: list[dict]) -> str:
+def spans_to_markdown(spans: list[dict], nodes: list | None = None) -> str:
     parts: list[str] = []
-    for s in sorted(spans, key=lambda s: s["offset"]):
+    order = sorted(range(len(spans)), key=lambda i: spans[i]["offset"])
+    for i in order:
+        s = spans[i]
         if s["kind"] == "text":
             t = s["text"] or ""
             if "<" not in t:  # plain-text span (e.g. pdf layout block)
                 parts.append(f"\n\n{t}\n\n")
                 continue
-            parts.append("".join(_md(n) for n in parse_fragment(t)))
+            node = nodes[i] if nodes is not None else None
+            parts.append("".join(
+                _md(n) for n in
+                ([node] if node is not None else parse_fragment(t))))
         elif s["kind"] == "image":
             parts.append(f"\n\n![{s['text']}]({s['media_ref']})\n\n")
         else:

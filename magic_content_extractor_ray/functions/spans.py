@@ -61,15 +61,22 @@ def _strip_unique_ids(node: Node) -> None:
         el.attrs.pop("data-unique-id", None)
 
 
-def dom_to_spans(main: Node) -> list[dict]:
+def dom_to_spans(main: Node, return_nodes: bool = False):
     """Flatten the extracted main-content subtree into the output span
-    sequence (media threading + dense offset regeneration)."""
+    sequence (media threading + dense offset regeneration).
+
+    ``return_nodes=True`` additionally returns the source Node per span
+    (None for bare text runs / media spans) so downstream formatters can
+    walk the already-parsed tree instead of re-parsing each span's HTML
+    (functions/format.py)."""
     _strip_unique_ids(main)
     out: list[dict] = []
+    nodes: list[Node | None] = []
 
-    def emit(kind: str, text: str, media_ref: str) -> None:
+    def emit(kind: str, text: str, media_ref: str, node=None) -> None:
         out.append({"kind": kind, "text": text, "media_ref": media_ref,
                     "offset": len(out)})
+        nodes.append(node)
 
     ATOMIC_BLOCKS = frozenset(
         {"table", "ul", "ol", "blockquote", "figure", "pre"})
@@ -99,17 +106,19 @@ def dom_to_spans(main: Node) -> list[dict]:
                          child.get("src") or child.get("data-src") or "")
                 elif child.tag in BLOCK_TAGS:
                     if child.tag in ATOMIC_BLOCKS and not has_media(child):
-                        emit("text", child.outer_html(), "")
+                        emit("text", child.outer_html(), "", child)
                     elif has_block_or_media(child):
                         walk(child)
                     else:
-                        emit("text", child.outer_html(), "")
+                        emit("text", child.outer_html(), "", child)
                 else:  # inline element
                     if has_block_or_media(child):
                         walk(child)
                     else:
                         t = child.outer_html()
                         if child.text().strip() or t:
-                            emit("text", t, "")
+                            emit("text", t, "", child)
     walk(main)
+    if return_nodes:
+        return out, nodes
     return out

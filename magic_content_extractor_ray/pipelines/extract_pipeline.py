@@ -80,23 +80,22 @@ def make_size_rebatcher(max_bytes: int = 2_000_000, max_rows: int = 64):
     return rebatch
 
 
-class _Formatter:
-    """Stateless formatter stage (route.ts format switch)."""
-
-    def __init__(self, formats: tuple[str, ...]):
-        self.formats = formats
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        spans = batch.column("spans").to_pylist()
-        if "text" in self.formats:
-            batch = batch.append_column(
-                "text_out", pa.array([spans_to_text(s) for s in spans],
-                                     pa.string()))
-        if "markdown" in self.formats:
-            batch = batch.append_column(
-                "markdown", pa.array([spans_to_markdown(s) for s in spans],
-                                     pa.string()))
-        return batch
+def format_spans_batch(batch: pa.Table,
+                       formats: tuple[str, ...] = ("text",)) -> pa.Table:
+    """Standalone formatter over an extracted spans table (route.ts format
+    switch) — for formatting PERSISTED extraction output. The flagship
+    pipeline formats inside ExtractorActor instead (the spans' parsed
+    nodes are still in memory there; re-parsing here costs ~2×)."""
+    spans = batch.column("spans").to_pylist()
+    if "text" in formats:
+        batch = batch.append_column(
+            "text_out", pa.array([spans_to_text(s) for s in spans],
+                                 pa.string()))
+    if "markdown" in formats:
+        batch = batch.append_column(
+            "markdown", pa.array([spans_to_markdown(s) for s in spans],
+                                 pa.string()))
+    return batch
 
 
 def run_extract_pipeline(
@@ -129,7 +128,8 @@ def run_extract_pipeline(
     extract_kwargs = dict(
         batch_format="pyarrow",
         num_cpus=num_cpus,
-        fn_constructor_kwargs={"strategy_override": strategy_override},
+        fn_constructor_kwargs={"strategy_override": strategy_override,
+                               "formats": tuple(formats)},
         zero_copy_batch=True,
     )
 
@@ -150,9 +150,4 @@ def run_extract_pipeline(
             ExtractorActor, batch_size=batch_size, concurrency=concurrency,
             **extract_kwargs)
 
-    if formats:
-        out = out.map_batches(
-            _Formatter, batch_format="pyarrow",
-            fn_constructor_kwargs={"formats": tuple(formats)},
-            concurrency=(1, max(2, total_cpus // 4)))
     return out

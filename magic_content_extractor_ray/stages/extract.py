@@ -26,11 +26,13 @@ class ExtractorActor:
     concurrency=(min,max), batch_size=B)``"""
 
     def __init__(self, strategy_override: str | None = None,
-                 keep_content: bool = False):
+                 keep_content: bool = False,
+                 formats: tuple[str, ...] = ()):
         # once per actor: strategy instances + selector/regex compilation
         self.strategies = build_strategies()
         self.strategy_override = strategy_override
         self.keep_content = keep_content
+        self.formats = tuple(formats)
         # warm the selector cache so first-batch latency is stable
         from ..extractors.base import CONTENT_SELECTORS, NOISE_SELECTORS, XPATH_SELECTORS
         from ..htmlib.selectors import compile_selector
@@ -46,7 +48,7 @@ class ExtractorActor:
         t0 = time.perf_counter()
         rows = [
             extract_document(d, s or [], u or "", self.strategies,
-                             self.strategy_override)
+                             self.strategy_override, self.formats)
             for d, s, u in zip(doc_ids, spans_col, urls)
         ]
         elapsed = time.perf_counter() - t0
@@ -80,6 +82,14 @@ class ExtractorActor:
             else:
                 arrays.append(pa.array([r[f.name] for r in rows], type=f.type))
         out = pa.Table.from_arrays(arrays, schema=EXTRACTED_SCHEMA)
+        if "text" in self.formats:
+            out = out.append_column(
+                "text_out", pa.array([r["text_out"] for r in rows],
+                                     pa.string()))
+        if "markdown" in self.formats:
+            out = out.append_column(
+                "markdown", pa.array([r["markdown"] for r in rows],
+                                     pa.string()))
         if self.keep_content:
             out = out.append_column(
                 "content", pa.array([r["content"] for r in rows], pa.string()))

@@ -54,3 +54,29 @@ def test_out_of_order_offsets_sorted():
     spans = [_t("<p>second</p>", 1), _t("<p>first</p>", 0)]
     assert spans_to_text(spans).index("first") < \
         spans_to_text(spans).index("second")
+
+
+def test_node_path_formatting_matches_reparse():
+    """The actor formats from the already-parsed span nodes; output must be
+    byte-identical to the standalone re-parse formatters (which goldens
+    pin), across every corpus family."""
+    import pyarrow.parquet as pq
+    from magic_content_extractor_ray.corpus import generate_doc
+    from magic_content_extractor_ray.extractors.registry import (
+        build_strategies, extract_document)
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    strategies = build_strategies()
+    checked = 0
+    for d, x in zip(t["doc_id"].to_pylist()[:120],
+                    t["text"].to_pylist()[:120]):
+        doc = generate_doc(d, x)
+        row = extract_document(doc["doc_id"], doc["spans"], doc["url"],
+                               strategies, None, ("text", "markdown"))
+        if row["error"]:
+            continue
+        assert row["text_out"] == spans_to_text(row["spans"])
+        assert row["markdown"] == spans_to_markdown(row["spans"])
+        checked += 1
+    assert checked >= 100
