@@ -94,7 +94,14 @@ def extract_document(doc_id: str, spans: list[dict], url: str,
     span's HTML downstream, which halved formats-on throughput."""
     try:
         html = spans_to_html(spans)
-        if strategy_override and strategy_override in strategies:
+        if strategy_override is not None and \
+                strategy_override not in strategies:
+            # a typo'd override must surface in the error column, not fall
+            # back to a silently different extraction path
+            raise KeyError(
+                f"unknown strategy_override {strategy_override!r}; "
+                f"registered: {sorted(strategies)}")
+        if strategy_override:
             platform = strategy_override
         else:
             platform = detect_page_type(url, None, spans)

@@ -71,6 +71,28 @@ class _PartialTopK:
             names=["query_id", "neighbor_id", "score"])
 
 
+def _dedup_and_topk(cands, k: int):
+    """Candidate Dataset (query_id, neighbor_id, score) → per-query top-k
+    Dataset (query_id, neighbor_id, rank, score). Fully distributed: a
+    composite-key groupby dedups multi-bucket hits, then a per-query
+    map_groups ranks — no driver materialization."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    deduped = cands.groupby(["query_id", "neighbor_id"]).aggregate(
+        Max("score", alias_name="score"))
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        return g[["query_id", "neighbor_id", "rank", "score"]]
+
+    return deduped.groupby("query_id").map_groups(
+        topk, batch_format="pandas")
+
+
 def _merge_topk(rows, k: int):
     """Driver-side merge of partial candidates → global top-k per query,
     deterministic tie-break on (−score, neighbor_id)."""
@@ -216,11 +238,7 @@ def ivf_topk(ds, queries: dict, *, k: int = 10, n_centroids: int = 16,
 
     cands = assigned.groupby("ivf_list").map_groups(
         scan_list, batch_format="pandas")
-    df = cands.to_pandas()
-    if df.empty:
-        return _merge_topk([], k)
-    df = df.drop_duplicates(subset=["query_id", "neighbor_id"])
-    return _merge_topk(df.to_dict("records"), k)
+    return _dedup_and_topk(cands, k)
 
 
 class _LshBucketer:
@@ -318,5 +336,4 @@ def lsh_topk(ds, queries: dict, *, k: int = 10, n_tables: int = 8,
 
     cands = bucketed.groupby("bucket").map_groups(
         scan_bucket, batch_format="pandas")
-    df = cands.to_pandas().drop_duplicates(subset=["query_id", "neighbor_id"])
-    return _merge_topk(df.to_dict("records"), k)
+    return _dedup_and_topk(cands, k)

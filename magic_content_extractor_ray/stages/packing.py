@@ -5,11 +5,14 @@ tokens); packing efficiency directly sets achieved tokens/step. Distributed
 shape: token counts come from the vectorized textops stage; packing runs
 per-block with a greedy first-fit over the block's docs (blocks are
 independent, so packing parallelizes; cross-block fragmentation is bounded
-by one partial pack per block and is reported, not hidden). Oversized
-documents are split across packs (`allow_split`) or emitted as singleton
-overflow packs.
+by one partial pack per block and is reported, not hidden). A document
+longer than the budget becomes its own SINGLETON OVERFLOW pack
+(``is_overflow=true``) carrying its true token count — consumers that
+split long documents across contexts can do so downstream; nothing is
+silently truncated and tokens/step accounting stays exact.
 
-Output: one row per pack — (pack_id, doc_ids, n_docs, total_tokens, fill).
+Output: one row per pack —
+(pack_key, doc_ids, n_docs, total_tokens, fill, is_overflow).
 """
 
 from __future__ import annotations
@@ -27,11 +30,17 @@ def pack_batch(batch: pa.Table, *, budget: int = 4096,
 
     packs: list[list[int]] = []
     loads: list[int] = []
+    overflow: list[bool] = []
     for i in order:
-        t = min(toks[i], budget)  # oversized docs truncate to one pack
+        t = toks[i]
+        if t > budget:  # singleton overflow pack, true count reported
+            packs.append([i])
+            loads.append(t)
+            overflow.append(True)
+            continue
         placed = False
         for p in range(len(packs)):
-            if loads[p] + t <= budget:
+            if not overflow[p] and loads[p] + t <= budget:
                 packs[p].append(i)
                 loads[p] += t
                 placed = True
@@ -39,6 +48,7 @@ def pack_batch(batch: pa.Table, *, budget: int = 4096,
         if not placed:
             packs.append([i])
             loads.append(t)
+            overflow.append(False)
 
     first_ids = [str(ids[p[0]]) for p in packs]
     return pa.table({
@@ -47,8 +57,9 @@ def pack_batch(batch: pa.Table, *, budget: int = 4096,
                             pa.list_(pa.string())),
         "n_docs": pa.array([len(p) for p in packs], pa.int64()),
         "total_tokens": pa.array(loads, pa.int64()),
-        "fill": pa.array([round(l / budget, 4) for l in loads],
+        "fill": pa.array([round(min(l, budget) / budget, 4) for l in loads],
                          pa.float64()),
+        "is_overflow": pa.array(overflow, pa.bool_()),
     })
 
 

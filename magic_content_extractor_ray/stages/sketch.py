@@ -22,26 +22,45 @@ class HllSketch:
         self.m = 1 << p
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
-    def add_many(self, values) -> None:
-        hashes = np.array(
+    @staticmethod
+    def _hash64(values) -> np.ndarray:
+        """uint64 hashes: vectorized splitmix64 for integer arrays (the
+        common distinct-count key case), blake2b fallback for anything
+        else. Both are public mixers with HLL-grade bit diffusion."""
+        arr = np.asarray(values)
+        if arr.dtype.kind in ("i", "u"):
+            x = arr.astype(np.uint64)
+            x = (x + np.uint64(0x9E3779B97F4A7C15))
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+        return np.array(
             [int.from_bytes(
                 hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
                 "big") for v in values],
             dtype=np.uint64)
+
+    @staticmethod
+    def _clz64(x: np.ndarray) -> np.ndarray:
+        """Vectorized count-leading-zeros (6 masked shift passes)."""
+        x = x.copy()
+        n = np.zeros(x.shape, dtype=np.uint8)
+        for s in (32, 16, 8, 4, 2, 1):
+            mask = x < (np.uint64(1) << np.uint64(64 - s))
+            n[mask] += np.uint8(s)
+            x[mask] = x[mask] << np.uint64(s)
+        n[x == 0] = 64
+        return n
+
+    def add_many(self, values) -> None:
+        hashes = self._hash64(values)
         if not len(hashes):
             return
         idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
         rest = hashes << np.uint64(self.p)
-        # rank = leading zeros of the remaining 64-p bits, + 1
-        ranks = np.zeros(len(hashes), dtype=np.uint8)
-        for i, r in enumerate(rest):
-            r = int(r)
-            rank = 1
-            bit = 1 << 63
-            while rank <= 64 - self.p and not (r & bit):
-                rank += 1
-                r <<= 1
-            ranks[i] = rank
+        # rank = leading zeros of the remaining 64-p bits, + 1 (vectorized)
+        ranks = np.minimum(self._clz64(rest) + 1, 64 - self.p + 1).astype(
+            np.uint8)
         np.maximum.at(self.registers, idx, ranks)
 
     def merge(self, other: "HllSketch") -> "HllSketch":
@@ -75,7 +94,12 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
     register-max merge of the tiny sketch rows."""
     def sketch_batch(batch: pa.Table) -> pa.Table:
         s = HllSketch(p)
-        s.add_many(batch.column(column).to_pylist())
+        col = batch.column(column)
+        try:
+            vals = col.to_numpy(zero_copy_only=False)  # int fast path
+        except Exception:
+            vals = col.to_pylist()
+        s.add_many(vals)
         return pa.table({"sketch": pa.array([s.to_bytes()], pa.binary())})
 
     rows = ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()

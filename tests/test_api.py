@@ -42,3 +42,17 @@ def test_short_input_rejected():
 def test_strategy_override():
     out = extract_html(HTML, url="https://e.com/a", strategy="readability")
     assert out["content"]
+
+
+def test_unknown_strategy_override_surfaces_error():
+    """A typo'd override must land in the error column, not silently fall
+    back to a different extraction path."""
+    from magic_content_extractor_ray.extractors.registry import (
+        build_strategies, extract_document)
+
+    row = extract_document(
+        "d1", [{"kind": "text", "text": "<p>hello world</p>",
+                "media_ref": "", "offset": 0}],
+        "https://e.com/a", build_strategies(), "readabilty")  # sic
+    assert "readabilty" in row["error"]
+    assert row["platform"] == "error"

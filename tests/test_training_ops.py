@@ -108,7 +108,7 @@ def test_lsh_topk_recall(emb_ds):
     ds, mat = emb_ds
     queries = {"ids": [0, 1, 2, 3], "matrix": mat[:4]}
     exact = brute_force_topk(ds, queries, k=5)
-    approx = lsh_topk(ds, queries, k=5, n_tables=12, n_bits=4)
+    approx = lsh_topk(ds, queries, k=5, n_tables=12, n_bits=4).to_pandas()
     # recall@5 over the 4 queries should be reasonable for 12 tables
     hits = 0
     for q in [0, 1, 2, 3]:
@@ -195,7 +195,7 @@ def test_ivf_topk_recall(emb_ds):
     ds, mat = emb_ds
     queries = {"ids": [0, 1, 2, 3], "matrix": mat[:4]}
     exact = brute_force_topk(ds, queries, k=5)
-    approx = ivf_topk(ds, queries, k=5, n_centroids=8, nprobe=4)
+    approx = ivf_topk(ds, queries, k=5, n_centroids=8, nprobe=4).to_pandas()
     hits = 0
     for q in [0, 1, 2, 3]:
         e = set(exact[exact["query_id"] == q]["neighbor_id"])
@@ -263,9 +263,19 @@ def test_sequence_packing(ray_session):
     all_ids = [d for row in packs["doc_ids"] for d in row]
     assert len(all_ids) == 500
     assert len(set(all_ids)) == 500
-    # no pack over budget; packing is reasonably tight
+    # no pack over budget (corpus docs are 10-99 tokens, all fit);
+    # packing is reasonably tight
     assert (packs["total_tokens"] <= 256).all()
+    assert not packs["is_overflow"].any()
     assert packs["fill"].mean() >= 0.5
+    # a budget below the longest doc forces singleton overflow packs that
+    # carry the TRUE token count (nothing silently truncated)
+    packs64 = pack_documents(docs, budget=64).to_pandas()
+    over = packs64[packs64["is_overflow"]]
+    assert len(over) > 0
+    assert (over["n_docs"] == 1).all()
+    assert (over["total_tokens"] > 64).all()
+    assert sum(len(row) for row in packs64["doc_ids"]) == 500
 
 
 def test_hll_distinct(ray_session):
