@@ -189,6 +189,146 @@ def q_fingerprint(sf_dir: str):
         ["doc_id", "fingerprint"])
 
 
+def q_token_histogram(sf_dir: str):
+    """Histogram of document token counts (textops chain → bucket →
+    partial-agg combiner)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from magic_content_extractor_ray.stages.textops import token_counts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = token_counts(batch)
+        bucket = pc.divide(batch.column("n_tokens"), 10)
+        t = pa.table({"token_bucket": bucket})
+        g = t.group_by("token_bucket").aggregate([("token_bucket", "count")])
+        return pa.table({
+            "token_bucket": g.column("token_bucket"),
+            "n_docs": pc.cast(g.column("token_bucket_count"), pa.int64()),
+        })
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["text"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        "token_bucket").aggregate(
+        Sum("n_docs", alias_name="n_docs")).sort("token_bucket")
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER partitioned hash join: every customer with their order
+    count, zero-order customers included (pre-aggregated right side, so
+    the join's shuffle moves one row per customer per side)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    counts = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+    ).groupby("o_custkey").aggregate(Count(alias_name="cnt")).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "cnt"]),
+        batch_format="pyarrow")
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    joined = hash_join(cust.map_batches(
+        lambda t: t.append_column("one", pa.array([1] * len(t), pa.int64())),
+        batch_format="pyarrow"), counts, key="c_custkey",
+        left_cols=["one"], right_cols=["cnt"], how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.coalesce(batch.column("cnt"), pa.scalar(0, pa.int64()))
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "n_orders": pc.cast(n, pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort(
+        "c_custkey")
+
+
+def q_last_event_per_user(sf_dir: str):
+    """Per-key top-1 window (row_number() = 1 analog): each user's most
+    recent event, ties broken by event_id."""
+    import pandas as pd
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        top = g.sort_values(["ts", "event_id"],
+                            ascending=[False, False]).iloc[0]
+        return pd.DataFrame({"user_id": [top["user_id"]],
+                             "last_event": [int(top["event_id"])]})
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id"])
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").sort("user_id")
+
+
+def q_supplier_nation(sf_dir: str):
+    """Broadcast dim join #2: suppliers per nation name (nation is put
+    once; lookup inside map_batches — no shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    lookup_ref = ray.put(dict(zip(nat.column("n_nationkey").to_pylist(),
+                                  nat.column("n_name").to_pylist())))
+
+    class NationJoin:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("s_nationkey").to_pylist()
+            names = [self.lookup.get(k, "UNKNOWN") for k in keys]
+            t = pa.table({"n_name": pa.array(names, pa.string())})
+            g = t.group_by("n_name").aggregate([("n_name", "count")])
+            return pa.table({
+                "n_name": g.column("n_name"),
+                "n_suppliers": pc.cast(g.column("n_name_count"), pa.int64()),
+            })
+
+    ds = _read_pq(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+    return ds.map_batches(NationJoin, batch_format="pyarrow",
+                          concurrency=(1, 4)).groupby("n_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers")).sort("n_name")
+
+
+def q_lineitem_revenue(sf_dir: str):
+    """Discounted revenue per return flag in EXACT integer arithmetic
+    (cents × discount-percent, both integral) so the distributed sum is
+    order-independent and hash-matches DuckDB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+            pa.scalar(1.0), batch.column("l_discount")), 100)), pa.int64())
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "rev": pc.multiply(price_c, disc_pct),
+        })
+        g = t.group_by("l_returnflag").aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "revenue_c4": g.column("rev_sum"),
+            "n_rows": pc.cast(g.column("rev_count"), pa.int64()),
+        })
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_returnflag", "l_extendedprice", "l_discount"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "l_returnflag").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"),
+        Sum("n_rows", alias_name="n_rows")).sort("l_returnflag")
+
+
 def q_lang_stats(sf_dir: str):
     """Grouped aggregate with partial pre-aggregation inside map_batches
     (the combiner pattern — the shuffle moves one row per lang per batch)."""
@@ -626,6 +766,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "token_histogram": q_token_histogram,
+        "customer_order_counts": q_customer_order_counts,
+        "last_event_per_user": q_last_event_per_user,
+        "supplier_nation": q_supplier_nation,
+        "lineitem_revenue": q_lineitem_revenue,
         "lang_stats": q_lang_stats,
         "top_docs": q_top_docs,
         "long_docs": q_long_docs,
@@ -665,6 +810,33 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct, "
             f"len(regexp_extract_all(text, '\\b({_STOPWORD_ALT})\\b')) "
             "AS n_stopword FROM documents"),
+        "fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g'))) AS fingerprint FROM documents"),
+        "token_histogram": (
+            "SELECT len(regexp_extract_all(text, '\\S+')) // 10 "
+            "AS token_bucket, count(*) AS n_docs FROM documents "
+            "GROUP BY 1 ORDER BY 1"),
+        "customer_order_counts": (
+            "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) "
+            "AS n_orders FROM customer c LEFT JOIN orders o "
+            "ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey "
+            "ORDER BY c.c_custkey"),
+        "last_event_per_user": (
+            "SELECT user_id, event_id AS last_event FROM ("
+            "SELECT user_id, event_id, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1 ORDER BY user_id"),
+        "supplier_nation": (
+            "SELECT n.n_name, count(*) AS n_suppliers FROM supplier s "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name ORDER BY n.n_name"),
+        "lineitem_revenue": (
+            "SELECT l_returnflag, CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c4, count(*) AS n_rows FROM lineitem "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"),
         "lang_stats": (
             "SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"),

@@ -120,14 +120,26 @@ class LangId:
 
 
 def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Rolling-hash document fingerprint (crc32 over normalized words,
-    chained) — stable across processes, cheap, order-sensitive."""
+    """Document fingerprints:
+
+    - ``fingerprint``: md5 hex of the whitespace-normalized lowercase text
+      — SQL-oracle-checkable (DuckDB:
+      ``md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))``);
+    - ``fingerprint_rolling``: chained crc32 over normalized words — the
+      order-sensitive streaming variant (cheap incremental update)."""
+    import hashlib
+
     texts = batch.column(column).to_pylist()
-    fps = []
+    fps, rolls = [], []
     for t in texts:
+        words = (t or "").lower().split()
+        fps.append(hashlib.md5(" ".join(words).encode()).hexdigest())
         h = 0
-        for w in (t or "").lower().split():
+        for w in words:
             h = zlib.crc32(w.encode(), h)
-        fps.append(h)
+        rolls.append(h)
+    batch = batch.append_column(
+        "fingerprint", pa.array(fps, pa.string()))
     return batch.append_column(
-        "fingerprint", pa.array(np.array(fps, dtype=np.int64), pa.int64()))
+        "fingerprint_rolling",
+        pa.array(np.array(rolls, dtype=np.int64), pa.int64()))
