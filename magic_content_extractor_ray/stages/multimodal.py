@@ -52,21 +52,36 @@ def fetch_media_stub(batch: pa.Table) -> pa.Table:
 
 
 class ImageDecoder:
-    """Actor-pool decode stage. Real decode requires PIL/turbojpeg, absent
-    offline: ``fake=True`` produces a deterministic pseudo-decode so the
-    plumbing (actor pool, batch shapes, output schema) runs end-to-end;
-    ``fake=False`` raises NotImplementedError at the exact point a decode
-    library call belongs."""
+    """Actor-pool decode stage with an INJECTABLE codec.
 
-    def __init__(self, fake: bool = True, thumb: int = 8):
+    ``decoder`` is any callable ``bytes -> HxWx3 uint8 array`` (PIL's
+    ``np.asarray(Image.open(...))``, turbojpeg, or a test codec); the
+    decoded image is nearest-resized to a fixed thumbnail so the output
+    schema is constant. Only the codec itself is environment-gated:
+    without one, ``fake=True`` produces a deterministic pseudo-decode so
+    the plumbing (actor pool, batch shapes, output schema) still runs
+    end-to-end, and ``fake=False`` raises NotImplementedError at the exact
+    point the library call belongs."""
+
+    def __init__(self, fake: bool = True, thumb: int = 8, decoder=None):
         self.fake = fake
         self.thumb = thumb
+        self.decoder = decoder
+
+    def _thumbnail(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        yi = np.linspace(0, h - 1, self.thumb).astype(int)
+        xi = np.linspace(0, w - 1, self.thumb).astype(int)
+        return img[yi][:, xi]
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.decoder is not None:
+            return self._thumbnail(
+                np.asarray(self.decoder(payload), dtype=np.uint8))
         if not self.fake:
             raise NotImplementedError(
                 "image decode requires an image library (PIL/libjpeg); "
-                "not available in this offline container")
+                "not available in this offline container — pass decoder=")
         rng = np.random.RandomState(
             int.from_bytes(hashlib.md5(payload[:16]).digest()[:4], "big"))
         return rng.randint(0, 256, size=(self.thumb, self.thumb, 3),

@@ -336,3 +336,78 @@ def test_minhash_hot_bucket_no_truncation(ray_session):
                             max_distinct_sigs=4).to_pandas()
     lab = out.set_index("doc_id")["cluster_id"].to_dict()
     assert all(lab.get(i) == 0 for i in range(60))
+
+
+def test_image_decode_injection(ray_session):
+    """The decode stage must work with a REAL injected codec, not only the
+    fake path: PNG bytes round-trip through the actor-pool stage and the
+    decoded pixel means match the source images. The codec helpers are
+    defined inside the test so cloudpickle ships them by value (workers
+    cannot import the test module)."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.multimodal import ImageDecoder
+
+    def _png_encode(img):
+        # minimal PNG writer (8-bit RGB, filter 0)
+        import struct
+        import zlib as _z
+
+        def chunk(tag, data):
+            c = tag + data
+            return struct.pack(">I", len(data)) + c + struct.pack(
+                ">I", _z.crc32(c) & 0xFFFFFFFF)
+
+        h, w = img.shape[:2]
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", _z.compress(raw))
+                + chunk(b"IEND", b""))
+
+    def _png_decode(payload):
+        # minimal pure-python PNG reader (8-bit RGB, filter 0 only) — the
+        # injected 'real' codec standing in for PIL
+        import struct
+        import zlib as _z
+        import numpy as _np
+
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, idat, w, h = 8, b"", 0, 0
+        while pos < len(payload):
+            (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+            tag = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + ln]
+            if tag == b"IHDR":
+                w, h = struct.unpack(">II", data[:8])
+            elif tag == b"IDAT":
+                idat += data
+            pos += 12 + ln
+        raw = _z.decompress(idat)
+        stride = 1 + w * 3
+        rows = []
+        for y in range(h):
+            line = raw[y * stride:(y + 1) * stride]
+            assert line[0] == 0
+            rows.append(_np.frombuffer(line[1:], dtype=_np.uint8).reshape(w, 3))
+        return _np.stack(rows)
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 256, size=(12, 9, 3), dtype=np.uint8)
+            for _ in range(6)]
+    rows = [{"media_ref": f"m{i}", "kind": "image",
+             "payload": _png_encode(img), "width": 9, "height": 12,
+             "duration_ms": 0}
+            for i, img in enumerate(imgs)]
+    ds = rd.from_items(rows)
+    out = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=2,
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"decoder": _png_decode, "thumb": 4},
+    ).to_pandas().sort_values("media_ref").reset_index(drop=True)
+    assert len(out) == 6
+    assert all(len(f) == 4 * 4 * 3 for f in out["feature"])
+    for i, img in enumerate(imgs):
+        # thumbnail of a decoded image == thumbnail of the source
+        dec = ImageDecoder(decoder=_png_decode, thumb=4)
+        thumb = dec._thumbnail(img)
+        assert abs(out.loc[i, "pixel_mean"] - thumb.mean()) < 1e-9
