@@ -271,19 +271,27 @@ def q_supplier_nation(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
+    import numpy as np
+
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
-                        columns=["n_nationkey", "n_name"])
-    lookup_ref = ray.put(dict(zip(nat.column("n_nationkey").to_pylist(),
-                                  nat.column("n_name").to_pylist())))
+                        columns=["n_nationkey", "n_name"]).sort_by(
+        "n_nationkey")
+    lookup_ref = ray.put({
+        "keys": np.asarray(nat.column("n_nationkey").to_numpy()),
+        "vals": np.asarray(nat.column("n_name").to_pylist(), dtype=object),
+    })
 
     class NationJoin:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            lk = ray.get(lookup_ref)
+            self.keys, self.vals = lk["keys"], lk["vals"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("s_nationkey").to_pylist()
-            names = [self.lookup.get(k, "UNKNOWN") for k in keys]
-            t = pa.table({"n_name": pa.array(names, pa.string())})
+            ks = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, ks), 0,
+                          len(self.keys) - 1)
+            names = np.where(self.keys[pos] == ks, self.vals[pos], "UNKNOWN")
+            t = pa.table({"n_name": pa.array(names.tolist(), pa.string())})
             g = t.group_by("n_name").aggregate([("n_name", "count")])
             return pa.table({
                 "n_name": g.column("n_name"),
@@ -500,26 +508,37 @@ def q_events_by_segment(sf_dir: str):
     from ray.data.aggregate import Sum
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
-                                  cust.column("c_mktsegment").to_pylist())))
+                         columns=["c_custkey", "c_mktsegment"]).sort_by(
+        "c_custkey")
+    # broadcast the dim as SORTED parallel arrays: the per-batch lookup is
+    # one vectorized np.searchsorted, not a Python dict.get per row
+    lookup_ref = ray.put({
+        "keys": np.asarray(cust.column("c_custkey").to_numpy()),
+        "vals": np.asarray(cust.column("c_mktsegment").to_pylist(),
+                           dtype=object),
+    })
 
     class SegmentJoin:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            lk = ray.get(lookup_ref)
+            self.keys, self.vals = lk["keys"], lk["vals"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            users = batch.column("user_id").to_pylist()
-            segs = [self.lookup.get(u, "UNKNOWN") for u in users]
-            batch = batch.append_column(
-                "c_mktsegment", pa.array(segs, pa.string()))
-            g = batch.select(["c_mktsegment", "user_id"]).group_by(
-                "c_mktsegment").aggregate([("user_id", "count")])
+            users = batch.column("user_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, users)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos] == users
+            segs = np.where(hit, self.vals[pos], "UNKNOWN")
+            t = pa.table({"c_mktsegment": pa.array(segs.tolist(),
+                                                   pa.string())})
+            g = t.group_by("c_mktsegment").aggregate(
+                [("c_mktsegment", "count")])
             return pa.table({
                 "c_mktsegment": g.column("c_mktsegment"),
-                "n_events": pc.cast(g.column("user_id_count"), pa.int64()),
+                "n_events": pc.cast(g.column("c_mktsegment_count"),
+                                    pa.int64()),
             })
 
     ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])

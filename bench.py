@@ -51,7 +51,9 @@ def replicated_docs(sf_dir: str, replicas: int):
 
     # one parquet file = one block by default: split so the generate and
     # extract stages parallelize across every core
-    return rd.read_parquet(
+    from magic_content_extractor_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         override_num_blocks=NUM_CPUS * 4,
     ).map_batches(replicate, batch_format="pyarrow").map_batches(
@@ -82,8 +84,10 @@ def bench_extract(sf_dir: str) -> tuple[float, int]:
     out_dir = "/tmp/mce_bench_out"
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
-    docs = rd.read_parquet(corpus_dir, columns=["doc_id", "spans", "url"],
-                           override_num_blocks=NUM_CPUS * 8)
+    from magic_content_extractor_ray.sources.io import read_parquet_clean
+
+    docs = read_parquet_clean(corpus_dir, columns=["doc_id", "spans", "url"],
+                              override_num_blocks=NUM_CPUS * 8)
     # warm the page cache so we measure compute + shuffle, not cold reads
     # (count() only touches parquet footers; stream the actual data once)
     for _ in docs.iter_batches(batch_size=8192):

@@ -26,6 +26,37 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _driver_union_find(pairs, left, right, node_col, label_col, id_type):
+    """Small-graph fast path: classic union-find over a BOUNDED pair list
+    (caller enforces the bound via an exact count first)."""
+    import ray.data as rd
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for batch in pairs.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"):
+        for a, b in zip(batch.column(left).to_pylist(),
+                        batch.column(right).to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+    nodes = sorted(parent)
+    return rd.from_arrow(pa.table({
+        node_col: pa.array(nodes, id_type),
+        label_col: pa.array([find(x) for x in nodes], id_type)}))
+
+
 def _concat(col_a, col_b):
     a = col_a.combine_chunks() if isinstance(col_a, pa.ChunkedArray) else col_a
     b = col_b.combine_chunks() if isinstance(col_b, pa.ChunkedArray) else col_b
@@ -36,10 +67,18 @@ def connected_components(pairs, *, left: str = "left_id",
                          right: str = "right_id",
                          node_col: str = "doc_id",
                          label_col: str = "cluster_id",
-                         max_rounds: int = 25):
+                         max_rounds: int = 25,
+                         driver_threshold: int = 1_000_000):
     """Pairs Dataset (left, right) → Dataset (node_col, label_col) where
-    label = min node id of the connected component. Fully distributed;
-    returns a (small: one row per clustered node) Dataset."""
+    label = min node id of the connected component.
+
+    Hybrid execution: a pair set that provably fits on the driver
+    (count ≤ ``driver_threshold`` — checked AFTER counting, so the bound
+    is enforced, never assumed) runs plain union-find locally; each
+    distributed label-propagation round costs 2 shuffles + 2 executions,
+    so at small pair counts the fixed overhead (~10 s) dwarfs the work.
+    Above the threshold, min-label propagation runs as Ray Data rounds —
+    nothing unbounded ever lands on the driver."""
     import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Min
@@ -54,10 +93,14 @@ def connected_components(pairs, *, left: str = "left_id",
             lambda t: t, batch_format="pyarrow").materialize()
         base = pairs.schema().base_schema
     id_type = base.field(left).type
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return rd.from_arrow(pa.table({
             node_col: pa.array([], id_type),
             label_col: pa.array([], id_type)}))
+    if n_pairs <= driver_threshold:
+        return _driver_union_find(pairs, left, right, node_col, label_col,
+                                  id_type)
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a, b = batch.column(left), batch.column(right)

@@ -38,15 +38,16 @@ import pyarrow.compute as pc
 
 
 def _stable_bucket(ids, num_partitions: int):
-    """Vectorized stable hash bucket of a string array (FNV-1a over bytes,
-    computed with numpy on the offsets/values buffers)."""
+    """Stable hash bucket of a string id array: per-row zlib.crc32 (C
+    speed, process-stable). Used only by the LEGACY zero-arg-factory
+    resume path (full scan + filter); the fragment-partitioned path
+    (``parquet_fragment_plan``) never hashes ids."""
     import numpy as np
     import pyarrow as pa
 
     arr = ids.combine_chunks() if hasattr(ids, "combine_chunks") else ids
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    # fall back to per-row zlib.crc32 (C speed, stable across processes)
     import zlib
     return np.fromiter(
         (zlib.crc32(v.encode()) % num_partitions for v in arr.to_pylist()),

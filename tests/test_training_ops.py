@@ -295,16 +295,20 @@ def test_connected_components_chain(ray_session):
     import ray.data as rd
     from magic_content_extractor_ray.stages.graph import connected_components
 
-    pairs = rd.from_items([
+    pairs_rows = [
         {"left_id": "b", "right_id": "c"},
         {"left_id": "a", "right_id": "b"},
         {"left_id": "c", "right_id": "d"},
         {"left_id": "x", "right_id": "y"},
-    ])
-    out = connected_components(pairs).to_pandas()
-    lab = out.set_index("doc_id")["cluster_id"].to_dict()
-    assert lab == {"a": "a", "b": "a", "c": "a", "d": "a",
-                   "x": "x", "y": "x"}
+    ]
+    expect = {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+    # driver fast path (default) AND the distributed label-propagation
+    # rounds (driver_threshold=0 forces them) must agree
+    for thresh in (1_000_000, 0):
+        out = connected_components(
+            rd.from_items(pairs_rows), driver_threshold=thresh).to_pandas()
+        lab = out.set_index("doc_id")["cluster_id"].to_dict()
+        assert lab == expect, f"threshold={thresh}"
 
 
 def test_connected_components_empty(ray_session):
