@@ -337,6 +337,135 @@ def q_lineitem_revenue(sf_dir: str):
         Sum("n_rows", alias_name="n_rows")).sort("l_returnflag")
 
 
+def q_sliding_events(sf_dir: str):
+    """SLIDING-window aggregate (3-hour window, 1-hour slide): per
+    (event_type, hour), the event count summed over the current and two
+    preceding hours. The sliding pass runs on the ALREADY-AGGREGATED
+    hourly table (bounded: types × hours), so the per-key map_groups holds
+    kilobytes even at 100 TB of raw events."""
+    import pandas as pd
+
+    hourly = q_events_hourly(sf_dir)
+
+    def slide(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("hour_bucket").reset_index(drop=True)
+        # sum over hour buckets in [h-2, h] — buckets may be sparse, so a
+        # positional rolling(3) would be wrong; index by bucket value
+        s = g.set_index("hour_bucket")["n_events"]
+        out = [int(s.loc[(s.index >= h - 2) & (s.index <= h)].sum())
+               for h in g["hour_bucket"]]
+        return pd.DataFrame({"event_type": g["event_type"],
+                             "hour_bucket": g["hour_bucket"],
+                             "sliding_events": out})
+
+    return hourly.groupby("event_type").map_groups(
+        slide, batch_format="pandas")
+
+
+def q_lang_median_chars(sf_dir: str):
+    """Exact per-group MEDIAN via a distributed value histogram: n_chars
+    is small-domain integer, so per-batch (lang, n_chars) counts →
+    grouped sum → per-lang median from cumulative counts. No group ever
+    holds raw rows — the scale-safe exact-median shape for bounded-domain
+    values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate(
+            [("n_chars", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "n_chars": g.column("n_chars"),
+            "cnt": pc.cast(g.column("n_chars_count"), pa.int64()),
+        })
+
+    hist = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        ["lang", "n_chars"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def median_of(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("n_chars").reset_index(drop=True)
+        total = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum()
+        if total % 2 == 1:
+            m = float(g.loc[cum >= (total + 1) // 2, "n_chars"].iloc[0])
+        else:
+            lo = float(g.loc[cum >= total // 2, "n_chars"].iloc[0])
+            hi = float(g.loc[cum >= total // 2 + 1, "n_chars"].iloc[0])
+            m = (lo + hi) / 2.0
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "median_chars": [m]})
+
+    return hist.groupby("lang").map_groups(
+        median_of, batch_format="pandas").sort("lang")
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (rank() ≤ 3 analog): the 3 longest docs per lang.
+    Per-batch partial top-k per lang keeps the grouped stage tiny."""
+    import pandas as pd
+    import pyarrow as pa
+
+    K = 3
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n_chars", "doc_id"],
+                           ascending=[False, True]).groupby(
+                "lang", sort=False).head(K),
+            preserve_index=False)
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(K)
+        g = g.reset_index(drop=True)
+        g["rnk"] = range(1, len(g) + 1)
+        return g[["lang", "rnk", "doc_id", "n_chars"]]
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["lang", "doc_id", "n_chars"])
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "lang").map_groups(final, batch_format="pandas").sort(
+        ["lang", "rnk"])
+
+
+def q_customers_no_purchases(sf_dir: str):
+    """ANTI join: customers who never fired a 'purchase' event — distinct
+    purchaser ids (pre-aggregated, so the join's right side is one row per
+    purchaser), LEFT OUTER hash join, keep the null side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    purchasers = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
+    ).filter(expr="event_type == 'purchase'").groupby("user_id").aggregate(
+        Count(alias_name="n")).map_batches(
+        lambda t: pa.table({"c_custkey": t.column("user_id"),
+                            "n": t.column("n")}),
+        batch_format="pyarrow")
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey"]).map_batches(
+        lambda t: t.append_column("one", pa.array([1] * len(t), pa.int64())),
+        batch_format="pyarrow")
+
+    joined = hash_join(cust, purchasers, key="c_custkey",
+                       left_cols=["one"], right_cols=["n"], how="left")
+
+    def keep_antis(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch.filter(
+            pc.is_null(batch.column("n"))).column("c_custkey")})
+
+    return joined.map_batches(keep_antis, batch_format="pyarrow").sort(
+        "c_custkey")
+
+
 def q_lang_stats(sf_dir: str):
     """Grouped aggregate with partial pre-aggregation inside map_batches
     (the combiner pattern — the shuffle moves one row per lang per batch)."""
@@ -786,6 +915,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "token_histogram": q_token_histogram,
+        "sliding_events": q_sliding_events,
+        "lang_median_chars": q_lang_median_chars,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "customers_no_purchases": q_customers_no_purchases,
         "customer_order_counts": q_customer_order_counts,
         "last_event_per_user": q_last_event_per_user,
         "supplier_nation": q_supplier_nation,
@@ -836,6 +969,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT len(regexp_extract_all(text, '\\S+')) // 10 "
             "AS token_bucket, count(*) AS n_docs FROM documents "
             "GROUP BY 1 ORDER BY 1"),
+        "sliding_events": (
+            "WITH h AS (SELECT event_type, "
+            "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS "
+            "hour_bucket, count(*) AS n_events FROM events GROUP BY 1, 2) "
+            "SELECT a.event_type, a.hour_bucket, CAST(sum(b.n_events) "
+            "AS BIGINT) AS sliding_events FROM h a JOIN h b "
+            "ON a.event_type = b.event_type AND b.hour_bucket "
+            "BETWEEN a.hour_bucket - 2 AND a.hour_bucket "
+            "GROUP BY a.event_type, a.hour_bucket"),
+        "lang_median_chars": (
+            "SELECT lang, median(n_chars) AS median_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"),
+        "top_docs_per_lang": (
+            "SELECT lang, rnk, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk "
+            "FROM documents) WHERE rnk <= 3 ORDER BY lang, rnk"),
+        "customers_no_purchases": (
+            "SELECT c.c_custkey FROM customer c WHERE NOT EXISTS ("
+            "SELECT 1 FROM events e WHERE e.user_id = c.c_custkey "
+            "AND e.event_type = 'purchase') ORDER BY c.c_custkey"),
         "customer_order_counts": (
             "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) "
             "AS n_orders FROM customer c LEFT JOIN orders o "

@@ -89,6 +89,78 @@ class HllSketch:
         return s
 
 
+class BloomFilter:
+    """Mergeable Bloom filter (double hashing, Kirsch–Mitzenmacher): the
+    broadcast-side primitive for semi-join pushdown — build over the small
+    side's keys, ``ray.put`` once, drop non-members inside ``map_batches``
+    on the big side before any shuffle. Per-batch filters OR-merge exactly
+    like the HLL registers."""
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 5):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+
+    def _indices(self, values) -> np.ndarray:
+        h1 = HllSketch._hash64(values)
+        h2 = HllSketch._hash64(np.asarray(
+            h1 ^ np.uint64(0xA076_1D64_78BD_642F), dtype=np.uint64))
+        h2 = h2 | np.uint64(1)  # odd step → full-cycle double hashing
+        ks = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + ks * h2[None, :])
+                % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add_many(self, values) -> None:
+        if not len(values):
+            return
+        idx = self._indices(values).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3,
+                         np.uint8(1) << (idx & 7).astype(np.uint8))
+
+    def contains_many(self, values) -> np.ndarray:
+        if not len(values):
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(values)
+        hit = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        out = BloomFilter(self.n_bits, self.k)
+        out.bits = self.bits | other.bits
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_bits: int = 1 << 20,
+                   k: int = 5) -> "BloomFilter":
+        s = cls(n_bits, k)
+        s.bits = np.frombuffer(data, dtype=np.uint8).copy()
+        return s
+
+
+def build_bloom(ds, column: str, *, n_bits: int = 1 << 20,
+                k: int = 5) -> BloomFilter:
+    """Distributed build: one Bloom filter per batch, OR-merged on the
+    driver (n_bits/8 bytes per batch on the wire — never the values)."""
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        s = BloomFilter(n_bits, k)
+        col = batch.column(column)
+        try:
+            vals = col.to_numpy(zero_copy_only=False)
+        except Exception:
+            vals = col.to_pylist()
+        s.add_many(vals)
+        return pa.table({"bloom": pa.array([s.to_bytes()], pa.binary())})
+
+    merged = BloomFilter(n_bits, k)
+    for r in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
+        merged = merged.merge(BloomFilter.from_bytes(r["bloom"], n_bits, k))
+    return merged
+
+
 def approx_distinct(ds, column: str, *, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT column): per-batch sketches → driver-side
     register-max merge of the tiny sketch rows."""

@@ -415,3 +415,36 @@ def test_image_decode_injection(ray_session):
         dec = ImageDecoder(decoder=_png_decode, thumb=4)
         thumb = dec._thumbnail(img)
         assert abs(out.loc[i, "pixel_mean"] - thumb.mean()) < 1e-9
+
+
+def test_bloom_filter(ray_session):
+    """No false negatives; FPR near theory; distributed build merges; and
+    the semi-join pushdown use (drop non-members before a shuffle) works."""
+    import ray
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sketch import (
+        BloomFilter, build_bloom)
+
+    keys = np.arange(0, 5000, dtype=np.int64)
+    ds = rd.from_items([{"k": int(v)} for v in keys])
+    bloom = build_bloom(ds, "k", n_bits=1 << 16, k=5)
+    # no false negatives, ever
+    assert bloom.contains_many(keys).all()
+    # false-positive rate near (1 - e^{-kn/m})^k ≈ 0.9% for these params
+    fresh = np.arange(1_000_000, 1_050_000, dtype=np.int64)
+    fpr = bloom.contains_many(fresh).mean()
+    assert fpr < 0.05
+    # pushdown: big side filtered by the broadcast bloom inside map_batches
+    bloom_ref = ray.put(bloom.to_bytes())
+
+    def prefilter(batch):
+        import pyarrow as pa
+
+        b = BloomFilter.from_bytes(ray.get(bloom_ref), 1 << 16, 5)
+        vals = batch.column("k").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(b.contains_many(vals)))
+
+    big = rd.from_items([{"k": int(v)} for v in range(4000, 6000)])
+    kept = big.map_batches(prefilter, batch_format="pyarrow").count()
+    # all 1000 true members kept; few false positives slip through
+    assert 1000 <= kept <= 1100
