@@ -14,9 +14,12 @@ multiply-xor-shift for integer keys (crc32 fallback otherwise), and the
 per-bucket join runs as a pyarrow (acero) table join — no Python row loop
 anywhere on the path.
 
-Hot keys: choose B ≫ cluster cores and salt known-hot keys into
-sub-buckets (append a salt to the bucket hash and replicate the other
-side's hot rows per salt) — the per-bucket join is unchanged.
+Hot keys: pass ``hot_keys`` (known-skewed key values — from a pre-count
+or domain knowledge) and each hot key is SALTED across ``num_salts``
+sub-buckets: left rows with a hot key spread round-robin over the salts,
+right rows with that key replicate into every salt, so no single task
+ever holds a hot key's full row set. The per-bucket join is unchanged and
+results are exactly equal to the unsalted join.
 """
 
 from __future__ import annotations
@@ -46,7 +49,8 @@ def _bucket_array(keys, num_buckets: int) -> pa.Array:
 
 def _pack_side(batch: pa.Table, *, key: str, side: str, cols: list[str],
                left_type: pa.DataType, right_type: pa.DataType,
-               num_buckets: int) -> pa.Table:
+               num_buckets: int, hot_index: dict | None = None,
+               num_salts: int = 8) -> pa.Table:
     n = len(batch)
     keys = batch.column(key)
     if isinstance(keys, pa.ChunkedArray):
@@ -60,11 +64,48 @@ def _pack_side(batch: pa.Table, *, key: str, side: str, cols: list[str],
             for c in cols]
         return pa.StructArray.from_arrays(children, fields=list(t))
 
+    if hot_index and side == "R":
+        # replicate right-side hot rows into every salt sub-bucket
+        hot_mask = np.array([k in hot_index for k in keys.to_pylist()])
+        if hot_mask.any():
+            idx = np.nonzero(hot_mask)[0]
+            rep = np.concatenate(
+                [np.arange(n)[~hot_mask]] + [idx] * num_salts)
+            salts = np.concatenate(
+                [np.full((~hot_mask).sum(), -1, dtype=np.int64)]
+                + [np.full(len(idx), s, dtype=np.int64)
+                   for s in range(num_salts)])
+            batch = batch.take(pa.array(rep))
+            keys = batch.column(key)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            n = len(batch)
+            salt = salts
+        else:
+            salt = np.full(n, -1, dtype=np.int64)
+    elif hot_index:
+        # spread left-side hot rows round-robin over the salts
+        hot_mask = np.array([k in hot_index for k in keys.to_pylist()])
+        salt = np.full(n, -1, dtype=np.int64)
+        salt[hot_mask] = np.arange(int(hot_mask.sum())) % num_salts
+    else:
+        salt = None
+
+    buckets = _bucket_array(keys, num_buckets)
+    if salt is not None and (salt >= 0).any():
+        b = buckets.to_numpy(zero_copy_only=False).copy()
+        hot_ids = np.array([hot_index.get(k, -1)
+                            for k in keys.to_pylist()], dtype=np.int64)
+        m = salt >= 0
+        # hot keys own a dedicated bucket range past the normal space
+        b[m] = num_buckets + hot_ids[m] * num_salts + salt[m]
+        buckets = pa.array(b)
+
     mine = struct_of(left_type if side == "L" else right_type)
     return pa.Table.from_arrays(
         [
             keys,
-            _bucket_array(keys, num_buckets),
+            buckets,
             pa.array([side] * n, pa.string()),
             mine if side == "L" else pa.nulls(n, left_type),
             mine if side == "R" else pa.nulls(n, right_type),
@@ -74,12 +115,16 @@ def _pack_side(batch: pa.Table, *, key: str, side: str, cols: list[str],
 
 def hash_join(left, right, *, key: str, left_cols: list[str],
               right_cols: list[str], num_buckets: int = 64,
-              how: str = "inner"):
+              how: str = "inner", hot_keys=None, num_salts: int = 8):
     """Join two Datasets on ``key``; returns a Dataset with columns
     [key, *left_cols, *right_cols]. One shuffle total (the bucket groupby);
     each bucket joins with a pyarrow table join inside ``map_groups``.
-    ``how`` ∈ {'inner', 'left'} (left = left outer)."""
+    ``how`` ∈ {'inner', 'left'} (left = left outer). ``hot_keys`` salts the
+    named skewed keys across ``num_salts`` sub-buckets (left spreads,
+    right replicates) — identical results, bounded per-task key volume."""
     join_type = {"inner": "inner", "left": "left outer"}[how]
+    hot_index = ({k: i for i, k in enumerate(hot_keys)}
+                 if hot_keys else None)
 
     # infer payload struct types from the datasets' schemas
     lschema = left.schema()
@@ -92,11 +137,13 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     packed_l = left.select_columns([key, *left_cols]).map_batches(
         _pack_side, batch_format="pyarrow",
         fn_kwargs=dict(key=key, side="L", cols=left_cols, left_type=ltype,
-                       right_type=rtype, num_buckets=num_buckets))
+                       right_type=rtype, num_buckets=num_buckets,
+                       hot_index=hot_index, num_salts=num_salts))
     packed_r = right.select_columns([key, *right_cols]).map_batches(
         _pack_side, batch_format="pyarrow",
         fn_kwargs=dict(key=key, side="R", cols=right_cols, left_type=ltype,
-                       right_type=rtype, num_buckets=num_buckets))
+                       right_type=rtype, num_buckets=num_buckets,
+                       hot_index=hot_index, num_salts=num_salts))
 
     empty_schema = pa.schema(
         [(key, lschema.base_schema.field(key).type)]

@@ -448,3 +448,35 @@ def test_bloom_filter(ray_session):
     kept = big.map_batches(prefilter, batch_format="pyarrow").count()
     # all 1000 true members kept; few false positives slip through
     assert 1000 <= kept <= 1100
+
+
+def test_hash_join_hot_key_salting(ray_session):
+    """A salted join must return EXACTLY the unsalted result while
+    spreading the hot key over multiple sub-buckets (left rows spread,
+    right rows replicate)."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    # key 1 is pathologically hot on the left; right has one row per key
+    left_rows = ([{"k": 1, "l": f"L{i}"} for i in range(500)]
+                 + [{"k": i, "l": f"L{i}"} for i in range(2, 30)])
+    right_rows = [{"k": i, "r": f"R{i}"} for i in range(0, 30)]
+    left = rd.from_items(left_rows)
+    right = rd.from_items(right_rows)
+
+    plain = hash_join(left, right, key="k", left_cols=["l"],
+                      right_cols=["r"]).to_pandas()
+    salted = hash_join(left, right, key="k", left_cols=["l"],
+                       right_cols=["r"], hot_keys=[1],
+                       num_salts=4).to_pandas()
+    key_fn = lambda df: sorted(map(tuple, df[["k", "l", "r"]].to_numpy()))
+    assert key_fn(plain) == key_fn(salted)
+    assert len(salted) == 500 + 28  # every hot row joined exactly once
+
+    # left-outer flavor with salting: unmatched left rows survive
+    left2 = rd.from_items(left_rows + [{"k": 99, "l": "L99"}])
+    l_out = hash_join(left2, right, key="k", left_cols=["l"],
+                      right_cols=["r"], how="left", hot_keys=[1],
+                      num_salts=4).to_pandas()
+    assert len(l_out) == 500 + 28 + 1
+    assert l_out.loc[l_out["k"] == 99, "r"].isna().all()
