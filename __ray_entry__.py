@@ -820,6 +820,24 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(ds, queries, k=_ANN_K, n_tables=12, n_bits=6)
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Distributed k-means over the embeddings table (stages/cluster.py):
+    fit 8 spherical centroids (mergeable partial sums — the shuffle never
+    carries vectors), assign every vector, return per-cluster sizes.
+    Not SQL-expressible (iterative algorithm) — rows-only check; the
+    pytest blob-recovery + determinism tests pin correctness."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from magic_content_extractor_ray.stages.cluster import (
+        kmeans_fit, assign_clusters)
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=4)
+    return assign_clusters(ds, centroids).groupby("cluster").aggregate(
+        Count(alias_name="n_vectors")).sort("cluster")
+
+
 def q_extract_metrics(sf_dir: str):
     """Per-platform pipeline metrics (the lineage/metrics aggregate over
     the extraction output): doc/span counts, total text, error count —
@@ -939,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "embedding_clusters": q_embedding_clusters,
         "extract_metrics": q_extract_metrics,
         "extract_readability": q_extract_readability,
         "media_features": q_media_features,

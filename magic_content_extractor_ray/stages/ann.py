@@ -190,16 +190,24 @@ class _IvfAssigner:
 
 def ivf_topk(ds, queries: dict, *, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, column: str = "embedding",
-             id_column: str = "vec_id"):
+             id_column: str = "vec_id", train: str = "first"):
     """IVF-style ANN: vectors are inverted-listed by nearest centroid; a
     query scans only its ``nprobe`` closest lists. Same output schema as
-    ``brute_force_topk``; recall grows with nprobe/n_centroids."""
+    ``brute_force_topk``; recall grows with nprobe/n_centroids.
+    ``train='kmeans'`` fits real centroids with distributed Lloyd
+    iterations (stages/cluster.py) instead of the lowest-id seed set."""
     import ray
     import pandas as pd
 
     qmat = _normalize(np.asarray(queries["matrix"], dtype=np.float32))
-    centroids = sample_centroids(ds, n_centroids, column=column,
-                                 id_column=id_column)
+    if train == "kmeans":
+        from .cluster import kmeans_fit
+
+        centroids = kmeans_fit(ds, k=n_centroids, iters=4, column=column,
+                               id_column=id_column)
+    else:
+        centroids = sample_centroids(ds, n_centroids, column=column,
+                                     id_column=id_column)
     centroids_ref = ray.put(centroids)
 
     assigned = ds.select_columns([id_column, column]).map_batches(

@@ -480,3 +480,49 @@ def test_hash_join_hot_key_salting(ray_session):
                       num_salts=4).to_pandas()
     assert len(l_out) == 500 + 28 + 1
     assert l_out.loc[l_out["k"] == 99, "r"].isna().all()
+
+
+def test_kmeans_clustering(ray_session):
+    """Distributed Lloyd iterations recover planted blob structure: points
+    from the same blob land in the same cluster, different blobs differ."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.cluster import (
+        kmeans_fit, assign_clusters)
+
+    rng = np.random.RandomState(5)
+    blobs = rng.randn(4, 16) * 4  # well-separated blob centers
+    rows = []
+    for i in range(200):
+        b = i % 4
+        rows.append({"vec_id": i,
+                     "embedding": (blobs[b]
+                                   + 0.1 * rng.randn(16)).tolist()})
+    ds = rd.from_items(rows)
+    centroids = kmeans_fit(ds, k=4, iters=5)
+    assert centroids.shape == (4, 16)
+    out = assign_clusters(ds, centroids).to_pandas()
+    lab = out.set_index("vec_id")["cluster"].to_dict()
+    for b in range(4):
+        members = {lab[i] for i in range(b, 200, 4)}
+        assert len(members) == 1, f"blob {b} split across {members}"
+    assert len({lab[b] for b in range(4)}) == 4  # blobs not merged
+    # determinism: refit → identical centroids
+    again = kmeans_fit(ds, k=4, iters=5)
+    assert np.allclose(centroids, again)
+
+
+def test_ivf_kmeans_training(emb_ds):
+    from magic_content_extractor_ray.stages.ann import (
+        brute_force_topk, ivf_topk)
+
+    ds, mat = emb_ds
+    queries = {"ids": [0, 1, 2, 3], "matrix": mat[:4]}
+    exact = brute_force_topk(ds, queries, k=5)
+    approx = ivf_topk(ds, queries, k=5, n_centroids=8, nprobe=4,
+                      train="kmeans").to_pandas()
+    hits = 0
+    for q in [0, 1, 2, 3]:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+    assert hits / 20 >= 0.6
