@@ -8,11 +8,17 @@ memory, so components are computed as **Ray Data rounds** — no
 
   1. edges are exploded in both directions: (node, nbr),
   2. labels start as ``min(node, neighbors)`` (one groupby),
-  3. each round, every node broadcasts its current label to its neighbors
-     (a tagged-union groupby — the distributed equivalent of an
-     edges⋈labels join) and adopts the minimum it hears,
+  3. each round, every node's label flows to its neighbors via a
+     vectorized ``hash_join(edges, labels)`` (acero per-bucket join, no
+     per-group Python) and each node adopts the minimum candidate,
   4. rounds stop when no label changed (labels decrease monotonically, so
-     the changed-count is an exact fixpoint test).
+     the changed-count — computed by joining old labels onto new — is an
+     exact fixpoint test).
+
+A pair set that provably fits on the driver (exact count ≤
+``driver_threshold``) short-circuits to plain union-find: each
+distributed round costs ~3 shuffles of fixed overhead, which dwarfs the
+work below ~1M pairs.
 
 Round count is the cluster diameter; near-dup clusters from LSH buckets
 are dense (star/clique-like), so 2–4 rounds is typical. Shuffle budget per
@@ -79,7 +85,6 @@ def connected_components(pairs, *, left: str = "left_id",
     so at small pair counts the fixed overhead (~10 s) dwarfs the work.
     Above the threshold, min-label propagation runs as Ray Data rounds —
     nothing unbounded ever lands on the driver."""
-    import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Min
 
@@ -121,60 +126,42 @@ def connected_components(pairs, *, left: str = "left_id",
         init_partial, batch_format="pyarrow").groupby("node").aggregate(
         Min("label", alias_name="label")).materialize()
 
-    def tag_labels(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table({
-            "key": batch.column("node"),
-            "nbr": pa.nulls(n, id_type),
-            "label": batch.column("label"),
-        })
+    from .join import hash_join
 
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table({
-            "key": batch.column("node"),
-            "nbr": batch.column("nbr"),
-            "label": pa.nulls(n, id_type),
-        })
+    def nbr_cands(batch: pa.Table) -> pa.Table:
+        # each node's label becomes a candidate for every neighbor
+        return pa.table({"node": batch.column("nbr"),
+                         "cand": batch.column("label")})
 
-    def broadcast_label(g: "pd.DataFrame") -> "pd.DataFrame":
-        lab = g["label"].dropna()
-        cur = lab.min()  # exactly one label row per key
-        nbrs = g["nbr"].dropna().tolist()
-        nodes = nbrs + [g["key"].iloc[0]]
-        old = [None] * len(nbrs) + [cur]
-        return pd.DataFrame({"node": nodes, "cand": [cur] * len(nodes),
-                             "old": old})
+    def self_cands(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("node"),
+                         "cand": batch.column("label")})
 
     def count_changed(batch: pa.Table) -> pa.Table:
-        ne = pc.not_equal(batch.column("label"), batch.column("old_label"))
+        ne = pc.not_equal(batch.column("cand"), batch.column("label"))
         c = pc.sum(pc.cast(ne, pa.int64())).as_py() or 0
         return pa.table({"n_changed": pa.array([c], pa.int64())})
 
     for _ in range(max_rounds):
-        msgs = labels.map_batches(tag_labels, batch_format="pyarrow").union(
-            edges.map_batches(tag_edges, batch_format="pyarrow"))
-        grouped = msgs.groupby("key").map_groups(
-            broadcast_label, batch_format="pandas")
-
-        def to_arrow(df: "pd.DataFrame") -> pa.Table:
-            # arrow blocks with REAL nulls: pandas object columns mixing
-            # str and NaN break pandas-side min reductions downstream
-            return pa.table({
-                "node": pa.array(df["node"], id_type),
-                "cand": pa.array(df["cand"], id_type),
-                "old": pa.array(df["old"].where(df["old"].notna(), None),
-                                id_type),
-            })
-
-        grouped = grouped.map_batches(to_arrow, batch_format="pandas")
-        new_labels = grouped.groupby("node").aggregate(
-            Min("cand", alias_name="label"),
-            Min("old", alias_name="old_label"),
-        ).materialize()
-        changed = new_labels.map_batches(
+        # edges ⋈ labels on node (vectorized acero bucket join) — the
+        # label of each node flows to its neighbors as a candidate
+        msgs = hash_join(edges, labels, key="node",
+                         left_cols=["nbr"], right_cols=["label"])
+        cands = msgs.map_batches(nbr_cands, batch_format="pyarrow").union(
+            labels.map_batches(self_cands, batch_format="pyarrow"))
+        new_labels = cands.groupby("node").aggregate(
+            Min("cand", alias_name="label")).materialize()
+        # exact fixpoint test: join old labels (renamed 'cand' to avoid
+        # the shared column name) onto new, count differences
+        old_rn = labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "cand": t.column("label")}),
+            batch_format="pyarrow")
+        joined = hash_join(new_labels, old_rn, key="node",
+                           left_cols=["label"], right_cols=["cand"])
+        changed = joined.map_batches(
             count_changed, batch_format="pyarrow").sum("n_changed")
-        labels = new_labels.drop_columns(["old_label"]).materialize()
+        labels = new_labels
         if not changed:
             break
 
