@@ -820,6 +820,36 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(ds, queries, k=_ANN_K, n_tables=12, n_bits=6)
 
 
+def q_views_before_click(sf_dir: str):
+    """RANGE join (interval join): for each click, the number of the same
+    user's views in the preceding 24 hours. Co-partition by user_id (the
+    groupby shuffle), then a per-group vectorized searchsorted over the
+    user's sorted view timestamps — the bucketed range-join pattern; no
+    per-row Python, no cross-user data movement."""
+    import numpy as np
+    import pandas as pd
+
+    W_US = 24 * 3600 * 1_000_000
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_view = (g["event_type"] == "view").to_numpy()
+        is_click = (g["event_type"] == "click").to_numpy()
+        views = np.sort(ts[is_view])
+        ct = ts[is_click]
+        ids = g["event_id"].to_numpy()[is_click]
+        n = (np.searchsorted(views, ct, side="left")
+             - np.searchsorted(views, ct - W_US, side="left"))
+        keep = n > 0  # inner-join semantics: clicks with ≥1 prior view
+        return pd.DataFrame({"click_id": ids[keep].astype(np.int64),
+                             "n_prior_views": n[keep].astype(np.int64)})
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "ts", "event_id"])
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").sort("click_id")
+
+
 def q_embedding_clusters(sf_dir: str):
     """Distributed k-means over the embeddings table (stages/cluster.py):
     fit 8 spherical centroids (mergeable partial sums — the shuffle never
@@ -957,6 +987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "views_before_click": q_views_before_click,
         "embedding_clusters": q_embedding_clusters,
         "extract_metrics": q_extract_metrics,
         "extract_readability": q_extract_readability,
@@ -1078,6 +1109,14 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type ORDER BY event_type"),
+        "views_before_click": (
+            "SELECT a.event_id AS click_id, "
+            "CAST(count(b.event_id) AS BIGINT) AS n_prior_views "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND b.event_type = 'view' "
+            "AND b.ts >= a.ts - INTERVAL 24 HOUR AND b.ts < a.ts "
+            "WHERE a.event_type = 'click' GROUP BY a.event_id "
+            "ORDER BY click_id"),
         "asof_join": (
             "WITH a AS (SELECT user_id, ts, event_id FROM events "
             "WHERE event_type = 'click'), "
