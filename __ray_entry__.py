@@ -574,9 +574,10 @@ def q_lineitem_pricing(sf_dir: str):
 
 
 def q_event_props(sf_dir: str):
-    """JSON scalar extraction (§2.9 analog): parse the props JSON column,
-    bucket its 'k' field, grouped counts."""
-    import json
+    """JSON scalar extraction (§2.9 analog): pull the props JSON column's
+    'k' field with a vectorized arrow regex (no per-row json.loads — the
+    field is scalar-typed, so the regex is exact), bucket, grouped
+    counts."""
     import pyarrow as pa
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -584,9 +585,13 @@ def q_event_props(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        ks = [json.loads(p)["k"] // 10 for p in
-              batch.column("props").to_pylist()]
-        t = pa.table({"k_bucket": pa.array(ks, pa.int64())})
+        col = batch.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k")
+        t = pa.table({"k_bucket": pc.divide(
+            pc.cast(ks, pa.int64()), 10)})
         g = t.group_by("k_bucket").aggregate([("k_bucket", "count")])
         return pa.table({
             "k_bucket": g.column("k_bucket"),

@@ -135,18 +135,19 @@ def media_pipeline(docs_extracted_ds, *, fake: bool = True,
         import pyarrow.compute as pc
 
         spans = batch.column("spans")
-        refs, kinds = [], []
-        for chunk in (spans.chunks if spans.num_chunks else []):
-            flat = pc.list_flatten(chunk)
-            k = pc.struct_field(flat, "kind").to_pylist()
-            r = pc.struct_field(flat, "media_ref").to_pylist()
-            for kk, rr in zip(k, r):
-                if kk != "text" and rr:
-                    refs.append(rr)
-                    kinds.append("image" if kk == "image" else "video")
-        return pa.Table.from_arrays(
-            [pa.array(refs, pa.string()), pa.array(kinds, pa.string())],
-            names=["media_ref", "kind"])
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        kind = pc.struct_field(flat, "kind")
+        ref = pc.struct_field(flat, "media_ref")
+        keep = pc.and_(pc.not_equal(kind, "text"), pc.not_equal(ref, ""))
+        kind = kind.filter(keep)
+        ref = ref.filter(keep)
+        return pa.table({
+            "media_ref": ref,
+            "kind": pc.if_else(pc.equal(kind, "image"),
+                               pa.scalar("image"), pa.scalar("video")),
+        })
 
     media = docs_extracted_ds.select_columns(["spans"]).map_batches(
         flatten_media, batch_format="pyarrow")

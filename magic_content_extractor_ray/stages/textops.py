@@ -52,25 +52,33 @@ def quality_counts(batch: pa.Table, column: str = "text") -> pa.Table:
 
 def quality_score_batch(batch: pa.Table, column: str = "text",
                         min_len: int = 50) -> pa.Table:
-    """Composite 0-100 quality score (float, for filtering not oracles)."""
-    texts = batch.column(column).to_pylist()
-    scores = []
-    for t in texts:
-        t = t or ""
-        n = len(t)
-        if n == 0:
-            scores.append(0.0)
-            continue
-        words = t.split()
-        alpha = sum(c.isalpha() for c in t) / n
-        stop = (sum(1 for w in words if w.lower() in _STOPWORDS)
-                / max(1, len(words)))
-        punct = sum(c in ".,;:!?" for c in t) / n
-        length_score = min(1.0, n / 500)
-        score = 100 * (0.4 * length_score + 0.3 * alpha
-                       + 0.2 * min(stop * 4, 1.0) + 0.1 * min(punct * 25, 1.0))
-        scores.append(round(score, 4))
-    return batch.append_column("quality", pa.array(scores, pa.float64()))
+    """Composite 0-100 quality score (float, for filtering not oracles).
+    Fully vectorized from arrow count kernels (alpha is [A-Za-z] — ASCII
+    letters, consistent with quality_counts' n_alpha feature)."""
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(float)
+    alpha_n = pc.count_substring_regex(texts, r"[A-Za-z]").to_numpy(
+        zero_copy_only=False).astype(float)
+    punct_n = pc.count_substring_regex(texts, r"[.,;:!?]").to_numpy(
+        zero_copy_only=False).astype(float)
+    words_n = pc.count_substring_regex(texts, r"\S+").to_numpy(
+        zero_copy_only=False).astype(float)
+    stop_n = pc.count_substring_regex(
+        texts, r"(?i)\b(" + "|".join(sorted(_STOPWORDS)) + r")\b"
+    ).to_numpy(zero_copy_only=False).astype(float)
+
+    safe_n = np.maximum(n, 1.0)
+    alpha = alpha_n / safe_n
+    punct = punct_n / safe_n
+    stop = stop_n / np.maximum(words_n, 1.0)
+    length_score = np.minimum(1.0, n / 500.0)
+    score = 100.0 * (0.4 * length_score + 0.3 * alpha
+                     + 0.2 * np.minimum(stop * 4, 1.0)
+                     + 0.1 * np.minimum(punct * 25, 1.0))
+    score = np.where(n == 0, 0.0, np.round(score, 4))
+    return batch.append_column("quality", pa.array(score, pa.float64()))
 
 
 # --- language id (n-gram heuristic) ---------------------------------------
