@@ -120,25 +120,29 @@ def _band_explode(batch: pa.Table, *, bands: int, id_column: str) -> pa.Table:
     Cost: num_perm×8 B × bands per doc on the shuffle; verification
     locality is worth it (the alternative re-reads signatures per
     candidate on the driver, which is unbounded on a dup-heavy corpus)."""
-    ids = batch.column(id_column).to_pylist()
+    ids = batch.column(id_column)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    n = len(ids)
     sigs = np.asarray(batch.column("minhash").combine_chunks()
                       .flatten().to_numpy(zero_copy_only=False)).reshape(
-        len(ids), -1)
-    num_perm = sigs.shape[1] if len(ids) else 0
+        n, -1).astype(np.uint64)
+    num_perm = sigs.shape[1] if n else 0
     r = num_perm // bands if bands else 0
-    out_ids, out_keys, out_sigs = [], [], []
-    for i, did in enumerate(ids):
-        row_bytes = sigs[i].tobytes()
-        for b in range(bands):
-            chunk = sigs[i, b * r:(b + 1) * r]
-            key = hashlib.md5(
-                b"%d:" % b + chunk.tobytes()).hexdigest()[:16]
-            out_ids.append(did)
-            out_keys.append(key)
-            out_sigs.append(row_bytes)
+    # vectorized band keys: FNV-1a fold of each band's r signature values
+    # + a band-index salt, over all (doc, band) cells at once
+    view = sigs[:, :bands * r].reshape(n, bands, r)
+    h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    for j in range(r):
+        h = (h ^ view[:, :, j]) * np.uint64(0x100000001B3)
+    h = h ^ (np.arange(bands, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15))[None, :]
+    out_ids = ids.take(pa.array(np.repeat(np.arange(n), bands)))
+    sig_bytes = np.array([sigs[i].tobytes() for i in range(n)],
+                         dtype=object)
     return pa.Table.from_arrays(
-        [pa.array(out_keys, pa.string()), pa.array(out_ids),
-         pa.array(out_sigs, pa.binary())],
+        [pa.array(h.ravel().astype(np.int64), pa.int64()), out_ids,
+         pa.array(np.repeat(sig_bytes, bands), pa.binary())],
         names=["band_key", id_column, "sig"])
 
 
@@ -222,8 +226,11 @@ def minhash_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
 
     pairs = banded.groupby("band_key").map_groups(
         _bucket_verified_pairs, batch_format="pandas",
-        fn_kwargs=dict(id_column=id_column, threshold=threshold,
-                       max_distinct_sigs=max_distinct_sigs))
+    fn_kwargs=dict(id_column=id_column, threshold=threshold,
+                   max_distinct_sigs=max_distinct_sigs)).map_batches(
+        # arrow blocks without the pandas-conversion metadata (keeps
+        # Ray's schema dedup working; see sources/io.py)
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
 
     # a pair found in k bands appears k times — distributed dedup
     return pairs.groupby(["left_id", "right_id"]).aggregate(

@@ -94,8 +94,11 @@ def connected_components(pairs, *, left: str = "left_id",
     pairs = pairs.materialize()
     base = pairs.schema().base_schema
     if not hasattr(base, "field"):  # pandas-block upstream → arrow blocks
+        # strip the 'pandas' metadata the conversion attaches (it makes
+        # pa.Schema unhashable on pyarrow 16.1 — see sources/io.py)
         pairs = pairs.map_batches(
-            lambda t: t, batch_format="pyarrow").materialize()
+            lambda t: t.replace_schema_metadata(None),
+            batch_format="pyarrow").materialize()
         base = pairs.schema().base_schema
     id_type = base.field(left).type
     n_pairs = pairs.count()
