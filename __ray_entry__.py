@@ -418,7 +418,7 @@ def q_top_docs_per_lang(sf_dir: str):
             df.sort_values(["n_chars", "doc_id"],
                            ascending=[False, True]).groupby(
                 "lang", sort=False).head(K),
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     def final(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["n_chars", "doc_id"],

@@ -79,6 +79,8 @@ def _dedup_and_topk(cands, k: int):
     import pandas as pd
     from ray.data.aggregate import Max
 
+    cands = cands.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
     deduped = cands.groupby(["query_id", "neighbor_id"]).aggregate(
         Max("score", alias_name="score"))
 

@@ -343,7 +343,9 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
                              "hamming": out_d})
 
     pairs = hashed.map_batches(explode, batch_format="pyarrow").groupby(
-        "band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+        "band_key").map_groups(
+        pairs_in_bucket, batch_format="pandas").map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
     return pairs.groupby(["left_id", "right_id"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
@@ -409,7 +411,8 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
                              "cosine": out_c})
 
     pairs = bucketed.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas")
+        pairs_in_bucket, batch_format="pandas").map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
     return pairs.groupby(["left_id", "right_id"]).aggregate(
         Max("cosine", alias_name="cosine"))
 
