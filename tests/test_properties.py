@@ -85,3 +85,48 @@ def test_rebatcher_respects_row_cap():
     out = list(make_size_rebatcher(max_bytes=10 ** 9, max_rows=64)(batch))
     assert all(len(t) <= 64 for t in out)
     assert sum(len(t) for t in out) == 300
+
+
+def test_connected_components_random_graphs(ray_session):
+    """Property: on random graphs, connected_components (driver fast path
+    AND distributed rounds) equals a reference transitive closure."""
+    import numpy as np
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.graph import connected_components
+
+    rng = np.random.RandomState(17)
+    for trial in range(3):
+        n_nodes = int(rng.randint(5, 40))
+        n_edges = int(rng.randint(1, 60))
+        edges = [(int(rng.randint(n_nodes)), int(rng.randint(n_nodes)))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        # reference: naive label propagation to fixpoint
+        ref = {x: x for e in edges for x in e}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edges:
+                m = min(ref[a], ref[b])
+                if ref[a] != m or ref[b] != m:
+                    ref[a] = ref[b] = m
+                    changed = True
+        # propagate chains fully
+        for _ in range(n_nodes):
+            for x in list(ref):
+                if ref[ref[x]] < ref[x]:
+                    ref[x] = ref[ref[x]]
+
+        pairs = rd.from_items(
+            [{"left_id": a, "right_id": b} for a, b in edges])
+        thresholds = (10**6, 0) if trial == 0 else (10**6,)
+        for thresh in thresholds:  # distributed path once (it's slow)
+            out = connected_components(
+                rd.from_items(
+                    [{"left_id": a, "right_id": b} for a, b in edges]),
+                driver_threshold=thresh).to_pandas()
+            got = out.set_index("doc_id")["cluster_id"].to_dict()
+            assert got == ref, f"trial={trial} thresh={thresh}"
