@@ -144,7 +144,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "dedup_embedding", "token_count", "quality_counts", "lang_id",
              "fingerprint", "lang_stats", "top_docs", "ann_topk", "ann_lsh",
              "ann_ivf", "asof_join", "orders_by_segment", "user_sessions",
-             "pack_sequences", "media_features"]
+             "pack_sequences", "media_features",
+             # round-2 operator families
+             "customer_order_counts", "views_before_click",
+             "sliding_events", "lang_median_chars", "embedding_clusters"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
