@@ -68,7 +68,12 @@ def parquet_fragment_plan(paths, num_partitions: int) -> list[list[dict]]:
     row group). A row group fully inside one partition's range is read
     whole; only boundary row groups are sliced (and re-read by the
     adjacent partition) — so a full checkpointed run reads each byte
-    once, plus ≤ num_partitions-1 boundary row groups twice."""
+    once, plus ≤ num_partitions-1 boundary row groups twice. The
+    re-read bound is per ROW GROUP (≤ P × max_row_group_bytes total),
+    independent of corpus size — the degenerate case is a corpus smaller
+    than one row group, where P partitions each read that single group;
+    at production scale row groups ≪ partition size and the plan is
+    effectively one read per byte."""
     import pyarrow.parquet as pq
 
     if isinstance(paths, str):
