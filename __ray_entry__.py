@@ -25,6 +25,12 @@ def _read_pq(path: str, *, columns=None, **kwargs):
     return read_parquet_clean(path, columns=columns, **kwargs)
 
 
+def _pool():
+    from magic_content_extractor_ray.util import actor_pool
+
+    return actor_pool()
+
+
 def _docs(sf_dir: str):
     from magic_content_extractor_ray.corpus import docs_dataset
 
@@ -175,7 +181,7 @@ def q_lang_id(sf_dir: str):
     return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"],
     ).map_batches(LangId, batch_format="pyarrow",
-                  concurrency=(1, 4)).select_columns(
+                  concurrency=_pool()).select_columns(
         ["doc_id", "lang", "lang_pred"])
 
 
@@ -300,7 +306,7 @@ def q_supplier_nation(sf_dir: str):
 
     ds = _read_pq(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
     return ds.map_batches(NationJoin, batch_format="pyarrow",
-                          concurrency=(1, 4)).groupby("n_name").aggregate(
+                          concurrency=_pool()).groupby("n_name").aggregate(
         Sum("n_suppliers", alias_name="n_suppliers")).sort("n_name")
 
 
@@ -677,7 +683,7 @@ def q_events_by_segment(sf_dir: str):
 
     ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
     return ds.map_batches(SegmentJoin, batch_format="pyarrow",
-                          concurrency=(1, 4)).groupby(
+                          concurrency=_pool()).groupby(
         "c_mktsegment").aggregate(
         Sum("n_events", alias_name="n_events")).sort("c_mktsegment")
 

@@ -133,9 +133,11 @@ def brute_force_topk(ds, queries: dict, *, k: int = 10,
     import ray
 
     qref = ray.put(queries)
+    from ..util import actor_pool
+
     partials = ds.select_columns([id_column, column]).map_batches(
         _PartialTopK, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, 8),
+        concurrency=actor_pool(),
         fn_constructor_kwargs=dict(queries_ref=qref, k=k, column=column,
                                    id_column=id_column, dtype_name=dtype))
     return _merge_topk(partials.take_all(), k)
@@ -212,9 +214,11 @@ def ivf_topk(ds, queries: dict, *, k: int = 10, n_centroids: int = 16,
                                      id_column=id_column)
     centroids_ref = ray.put(centroids)
 
+    from ..util import actor_pool
+
     assigned = ds.select_columns([id_column, column]).map_batches(
         _IvfAssigner, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, 8),
+        concurrency=actor_pool(),
         fn_constructor_kwargs=dict(centroids_ref=centroids_ref,
                                    column=column, id_column=id_column))
 
@@ -307,9 +311,11 @@ def lsh_topk(ds, queries: dict, *, k: int = 10, n_tables: int = 8,
     planes = make_planes(dim, n_tables, n_bits, seed)
     planes_ref = ray.put(planes)
 
+    from ..util import actor_pool
+
     bucketed = ds.select_columns([id_column, column]).map_batches(
         _LshBucketer, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, 8),
+        concurrency=actor_pool(),
         fn_constructor_kwargs=dict(planes_ref=planes_ref, column=column,
                                    id_column=id_column))
 

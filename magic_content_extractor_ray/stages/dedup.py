@@ -214,8 +214,10 @@ def minhash_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
     est_jaccard), deduplicated across bands by a composite-key groupby."""
     from ray.data.aggregate import Max
 
+    from ..util import actor_pool
+
     sigs = ds.select_columns([id_column, column]).map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=(1, 8),
+        MinHasher, batch_format="pyarrow", concurrency=actor_pool(),
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    seed=seed, column=column),
     ).drop_columns([column])
@@ -298,8 +300,10 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
     from ray.data.aggregate import Min
 
     n_bands = max_hamming + 1
+    from ..util import actor_pool
+
     hashed = ds.select_columns([id_column, column]).map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=(1, 8),
+        SimHasher, batch_format="pyarrow", concurrency=actor_pool(),
         fn_constructor_kwargs={"column": column}).drop_columns([column])
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -383,9 +387,11 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
     dim = len(first[0][column])
     planes_ref = ray.put(make_planes(dim, n_tables, n_bits, seed))
 
+    from ..util import actor_pool
+
     bucketed = ds.select_columns([id_column, column]).map_batches(
         _LshBucketer, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, 8),
+        concurrency=actor_pool(),
         fn_constructor_kwargs=dict(planes_ref=planes_ref, column=column,
                                    id_column=id_column))
 

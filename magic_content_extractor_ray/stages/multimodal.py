@@ -149,6 +149,8 @@ def media_pipeline(docs_extracted_ds, *, fake: bool = True,
                                pa.scalar("image"), pa.scalar("video")),
         })
 
+    from ..util import actor_pool as _pool
+
     media = docs_extracted_ds.select_columns(["spans"]).map_batches(
         flatten_media, batch_format="pyarrow")
     fetched = media.map_batches(fetch_media_stub, batch_format="pyarrow",
@@ -156,5 +158,5 @@ def media_pipeline(docs_extracted_ds, *, fake: bool = True,
     images = fetched.filter(expr="kind == 'image'")
     decoded = images.map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 4), fn_constructor_kwargs={"fake": fake})
+        concurrency=_pool(), fn_constructor_kwargs={"fake": fake})
     return decoded
