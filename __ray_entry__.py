@@ -412,7 +412,10 @@ def q_lang_median_chars(sf_dir: str):
 
 def q_top_docs_per_lang(sf_dir: str):
     """Per-group top-k (rank() ≤ 3 analog): the 3 longest docs per lang.
-    Per-batch partial top-k per lang keeps the grouped stage tiny."""
+    TREE reduction: per-batch partial top-k (K rows/lang/batch), then a
+    second wide-batch partial pass so the final per-lang group is bounded
+    by K × (candidates/8192) — without it the final group grows linearly
+    with batch count (K rows per input batch per lang)."""
     import pandas as pd
     import pyarrow as pa
 
@@ -435,9 +438,11 @@ def q_top_docs_per_lang(sf_dir: str):
 
     ds = _read_pq(f"{sf_dir}/documents.parquet",
                   columns=["lang", "doc_id", "n_chars"])
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "lang").map_groups(final, batch_format="pandas").sort(
-        ["lang", "rnk"])
+    cands = ds.map_batches(partial, batch_format="pyarrow")
+    cands = cands.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)  # tree-reduce the stream
+    return cands.groupby("lang").map_groups(
+        final, batch_format="pandas").sort(["lang", "rnk"])
 
 
 def q_customers_no_purchases(sf_dir: str):
