@@ -866,6 +866,21 @@ def q_views_before_click(sf_dir: str):
         per_user, batch_format="pandas").sort("click_id")
 
 
+def q_training_pipeline(sf_dir: str):
+    """The COMPOSED training-data preprocessing job (quality gate → exact
+    dedup semi-join → MinHash near-dup pruning → sequence packing) as one
+    streaming pipeline — pipelines/training_pipeline.py. Rows-only check
+    (FFD packing is not SQL-expressible); each constituent operator has
+    its own oracle/test elsewhere."""
+    from magic_content_extractor_ray.pipelines.training_pipeline import (
+        run_training_pipeline)
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+    packs, _ = run_training_pipeline(ds, budget=1024, collect_funnel=False)
+    return packs.drop_columns(["doc_ids"]).sort("pack_key")
+
+
 def q_embedding_clusters(sf_dir: str):
     """Distributed k-means over the embeddings table (stages/cluster.py):
     fit 8 spherical centroids (mergeable partial sums — the shuffle never
@@ -1004,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "views_before_click": q_views_before_click,
+        "training_pipeline": q_training_pipeline,
         "embedding_clusters": q_embedding_clusters,
         "extract_metrics": q_extract_metrics,
         "extract_readability": q_extract_readability,

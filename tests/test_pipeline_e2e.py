@@ -143,3 +143,40 @@ def test_checkpoint_resume(ray_session, tmp_path, oracle_rows):
                 (s["kind"], s["text"], s["media_ref"], s["offset"])
                 for s in r["spans"]]
     assert got == {k: _span_key(v) for k, v in oracle_rows.items()}
+
+
+def test_training_pipeline_composition(ray_session):
+    """The composed preprocessing job: quality gate, exact-dedup semi-join,
+    near-dup pruning and packing chain correctly — planted exact and near
+    duplicates are pruned, every surviving doc is packed exactly once."""
+    import ray.data as rd
+    from magic_content_extractor_ray.pipelines.training_pipeline import (
+        run_training_pipeline)
+
+    import random
+
+    vocab = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu "
+             "merge filter window vector stream batch table row").split()
+    base = []
+    for i in range(30):  # genuinely distinct word sequences per doc
+        rng = random.Random(i)
+        base.append(" ".join(rng.choice(vocab) for _ in range(120)))
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows.append({"doc_id": 100, "text": base[0]})           # exact dup
+    words1 = base[1].split()
+    words1[5] = "speciaal"                                   # near dup
+    rows.append({"doc_id": 101, "text": " ".join(words1)})
+    rows.append({"doc_id": 102, "text": "too short"})        # gated out
+    ds = rd.from_items(rows)
+
+    packs, funnel = run_training_pipeline(
+        ds, budget=512, min_tokens=10, minhash_threshold=0.5)
+    assert funnel["gated"] == 32            # short doc dropped
+    assert funnel["exact_kept"] == 31       # exact dup of doc 0 dropped
+    assert funnel["after_neardup"] == 30    # near dup of doc 1 dropped
+
+    df = packs.to_pandas()
+    packed = sorted(int(d) for row in df["doc_ids"] for d in row)
+    assert packed == list(range(30))
