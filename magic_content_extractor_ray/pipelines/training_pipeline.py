@@ -34,7 +34,13 @@ def run_training_pipeline(ds, *, budget: int = 2048,
 
     Note: the alpha-ratio gate counts ASCII letters — for CJK-heavy
     corpora pass ``min_alpha_ratio=0`` (or gate on a langid column
-    upstream) or the gate drops those documents by design."""
+    upstream) or the gate drops those documents by design.
+
+    The two ``materialize()`` calls pin stages that are consumed by more
+    than one downstream branch (dedup keep-list + join probe side) in the
+    object store — spillable, distributed, never the driver. At very
+    large scale swap them for ``write_parquet`` intermediates so a
+    restart resumes from the last stage boundary instead of recomputing."""
     from ..stages.dedup import exact_dedup, minhash_lsh_dedup
     from ..stages.join import hash_join
     from ..stages.packing import pack_batch
