@@ -195,6 +195,17 @@ def q_fingerprint(sf_dir: str):
         ["doc_id", "fingerprint"])
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition/shape features per doc (the standard
+    public pretraining quality-filter inputs), integer-exact vs SQL."""
+    from magic_content_extractor_ray.stages.textops import repetition_counts
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(repetition_counts, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_words", "n_distinct_words", "n_nonspace_chars"])
+
+
 def q_token_histogram(sf_dir: str):
     """Histogram of document token counts (textops chain → bucket →
     partial-agg combiner)."""
@@ -993,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "repetition_stats": q_repetition_stats,
         "token_histogram": q_token_histogram,
         "sliding_events": q_sliding_events,
         "lang_median_chars": q_lang_median_chars,
@@ -1047,6 +1059,13 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g'))) AS fingerprint FROM documents"),
+        "repetition_stats": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_words, "
+            "len(list_distinct(regexp_extract_all(lower(text), '\\S+'))) "
+            "AS n_distinct_words, "
+            "length(regexp_replace(text, '\\s', '', 'g')) "
+            "AS n_nonspace_chars FROM documents"),
         "token_histogram": (
             "SELECT len(regexp_extract_all(text, '\\S+')) // 10 "
             "AS token_bucket, count(*) AS n_docs FROM documents "

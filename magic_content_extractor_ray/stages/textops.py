@@ -127,6 +127,28 @@ class LangId:
                                   pa.string()))
 
 
+def repetition_counts(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Gopher-style repetition/shape features (public pretraining-filter
+    rules): word count, DISTINCT word count (repetition signal:
+    1 - distinct/total), and non-space char count (mean word length =
+    chars/words). All integers so a SQL oracle compares exactly; the
+    per-doc distinct count uses np.unique over the split words (C sort),
+    the rest is arrow kernels."""
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_words = pc.cast(pc.count_substring_regex(texts, r"\S+"), pa.int64())
+    n_nonspace = pc.cast(
+        pc.utf8_length(pc.replace_substring_regex(texts, r"\s", "")),
+        pa.int64())
+    distinct = [
+        len(np.unique((t or "").lower().split())) for t in texts.to_pylist()]
+    batch = batch.append_column("n_words", n_words)
+    batch = batch.append_column(
+        "n_distinct_words", pa.array(distinct, pa.int64()))
+    return batch.append_column("n_nonspace_chars", n_nonspace)
+
+
 def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Document fingerprints:
 

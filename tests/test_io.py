@@ -14,3 +14,57 @@ def test_roundtrip_parquet(ray_session, tmp_path):
     back = read_docs(out, columns=["doc_id"])
     assert back.count() == 20
     assert back.schema().names == ["doc_id"]
+
+
+def test_archive_sources(ray_session, tmp_path):
+    """tar (offset-seek path) and zip archives of HTML files read into
+    (doc_id, text) Datasets and flow into the extract pipeline."""
+    import tarfile
+    import zipfile
+    from magic_content_extractor_ray.sources.archive import (
+        read_archive_docs, list_archive_members)
+    from magic_content_extractor_ray.sources.html_table import (
+        html_docs_to_spans)
+    from magic_content_extractor_ray.pipelines.extract_pipeline import (
+        run_extract_pipeline)
+
+    htmls = {
+        f"site/page{i}.html":
+            (f"<html><head><title>Page {i}</title></head><body>"
+             f"<article><p>Real content number {i} with enough words to "
+             f"pass the extractor thresholds and then some more text "
+             f"about data pipelines.</p></article>"
+             f"<footer>noise footer</footer></body></html>").encode()
+        for i in range(8)
+    }
+    tar_path = str(tmp_path / "docs.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        import io as _io
+
+        for name, data in htmls.items():
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, _io.BytesIO(data))
+    zip_path = str(tmp_path / "docs.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for name, data in htmls.items():
+            zf.writestr(name, data)
+
+    members = list_archive_members(tar_path)
+    assert len(members) == 8 and all(m["offset"] > 0 for m in members)
+
+    for path in (tar_path, zip_path):
+        ds = read_archive_docs(path, batch_size=3)
+        rows = {r["doc_id"]: r["text"] for r in ds.take_all()}
+        assert set(rows) == set(htmls)
+        assert "Real content number 3" in rows["site/page3.html"]
+        # flows into the extract pipeline end-to-end
+        out = run_extract_pipeline(
+            html_docs_to_spans(ds, html_column="text"),
+            batch_size=4).take_all()
+        assert len(out) == 8
+        got = {r["doc_id"]: r for r in out}
+        assert all(r["error"] == "" for r in out)
+        text3 = " ".join(s["text"] for s in got["site/page3.html"]["spans"])
+        assert "Real content number 3" in text3
+        assert "noise footer" not in text3
