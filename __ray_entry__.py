@@ -195,6 +195,19 @@ def q_fingerprint(sf_dir: str):
         ["doc_id", "fingerprint"])
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language stratified sample (the data-mixing
+    primitive): a pure md5-hash predicate — shuffle-free, resume-safe,
+    identical at any parallelism, and bit-for-bit SQL-checkable."""
+    from magic_content_extractor_ray.stages.sample import stratified_sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "lang"])
+    return stratified_sample(
+        ds, key_column="lang", pcts={"en": 50, "de": 30}, default_pct=10,
+    ).sort("doc_id")
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition/shape features per doc (the standard
     public pretraining quality-filter inputs), integer-exact vs SQL."""
@@ -1004,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "token_histogram": q_token_histogram,
         "sliding_events": q_sliding_events,
@@ -1059,6 +1073,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g'))) AS fingerprint FROM documents"),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+            "% 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 "
+            "ELSE 10 END) ORDER BY doc_id"),
         "repetition_stats": (
             "SELECT doc_id, "
             "len(regexp_extract_all(text, '\\S+')) AS n_words, "

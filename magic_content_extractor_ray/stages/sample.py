@@ -1,0 +1,58 @@
+"""Deterministic sampling operators (data-mixing primitives).
+
+Training-data pipelines sample per-source/per-language at different rates
+to hit a target mixture. Sampling here is a pure HASH PREDICATE on the
+row id — `int(md5(salt + id)[:8], 16) % 100 < pct` — so it is:
+
+- shuffle-free (a vectorized filter inside ``map_batches``),
+- deterministic across runs, workers and parallelism levels,
+- resume-safe (re-processing a shard re-selects the same rows),
+- SQL-checkable (DuckDB: ``CAST(concat('0x', substr(md5(...),1,8)) AS
+  UBIGINT) % 100 < pct`` matches bit-for-bit).
+
+``stratified_sample`` applies a per-key rate table (broadcast dict; keys
+absent from the table fall back to ``default_pct``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash_pct(ids, salt: str) -> np.ndarray:
+    """Per-row bucket in [0, 100) from the md5 prefix (C-speed hashing)."""
+    pre = salt.encode()
+    return np.fromiter(
+        (int(hashlib.md5(pre + str(v).encode()).hexdigest()[:8], 16) % 100
+         for v in ids),
+        dtype=np.int64, count=len(ids))
+
+
+def hash_sample(ds, *, pct: int, id_column: str = "doc_id",
+                salt: str = ""):
+    """Keep ~pct% of rows, deterministically by id hash."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        buckets = _hash_pct(batch.column(id_column).to_pylist(), salt)
+        return batch.filter(pa.array(buckets < pct))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, *, key_column: str, pcts: dict[str, int],
+                      default_pct: int = 0, id_column: str = "doc_id",
+                      salt: str = ""):
+    """Per-key sampling rates (e.g. per-language mixture weights)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        buckets = _hash_pct(batch.column(id_column).to_pylist(), salt)
+        keys = batch.column(key_column).to_pylist()
+        limits = np.fromiter(
+            (pcts.get(k, default_pct) for k in keys),
+            dtype=np.int64, count=len(keys))
+        return batch.filter(pa.array(buckets < limits))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

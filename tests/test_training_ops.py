@@ -526,3 +526,30 @@ def test_ivf_kmeans_training(emb_ds):
         a = set(approx[approx["query_id"] == q]["neighbor_id"])
         hits += len(e & a)
     assert hits / 20 >= 0.6
+
+
+def test_stratified_sample_determinism(ray_session):
+    """Hash sampling is deterministic across parallelism levels and
+    respects per-key rates within statistical tolerance."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sample import (
+        hash_sample, stratified_sample)
+
+    rows = [{"doc_id": i, "lang": "en" if i % 2 else "de"}
+            for i in range(4000)]
+    a = set(hash_sample(rd.from_items(rows), pct=20).to_pandas()["doc_id"])
+    b = set(hash_sample(
+        rd.from_items(rows, override_num_blocks=13),
+        pct=20).to_pandas()["doc_id"])
+    assert a == b                       # block layout can't change the set
+    assert 0.15 < len(a) / 4000 < 0.25  # ≈20%
+    # higher pct strictly supersets lower pct (nested samples)
+    c = set(hash_sample(rd.from_items(rows), pct=50).to_pandas()["doc_id"])
+    assert a <= c
+
+    s = stratified_sample(rd.from_items(rows), key_column="lang",
+                          pcts={"en": 60}, default_pct=5).to_pandas()
+    en = (s["lang"] == "en").sum()
+    de = (s["lang"] == "de").sum()
+    assert 0.5 < en / 2000 < 0.7
+    assert de / 2000 < 0.12
