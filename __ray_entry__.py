@@ -208,6 +208,57 @@ def q_stratified_sample(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_top_terms(sf_dir: str):
+    """Global top-100 most frequent words (vocabulary building): fully
+    vectorized per-batch word counting (arrow split + flatten + group_by),
+    a (word → count) combiner groupby, then tree-reduced partial top-k so
+    no task ever holds the whole vocabulary."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    K = 100
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.utf8_lower(texts)))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"term": words}).group_by("term").aggregate(
+            [("term", "count")])
+        return pa.table({
+            "term": g.column("term"),
+            "n": pc.cast(g.column("term_count"), pa.int64()),
+        })
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "term"], ascending=[False, True]).head(K)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    counts = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["text"],
+    ).map_batches(partial_counts, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("n", alias_name="n"))
+    cands = counts.map_batches(partial_topk, batch_format="pyarrow",
+                               batch_size=8192)
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["n", "term"],
+                            ascending=[False, True]).head(K)
+        df = df.reset_index(drop=True)
+        df["rnk"] = range(1, len(df) + 1)
+        return df[["rnk", "term", "n"]]
+
+    # the candidate stream is ≤ K rows per 8192-candidate batch — a
+    # single bounded final reduction
+    return final(cands.to_pandas())
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition/shape features per doc (the standard
     public pretraining quality-filter inputs), integer-exact vs SQL."""
@@ -1017,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "token_histogram": q_token_histogram,
@@ -1073,6 +1125,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g'))) AS fingerprint FROM documents"),
+        "top_terms": (
+            "SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, word) "
+            "AS BIGINT) AS rnk, word AS term, count(*) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word "
+            "FROM documents) GROUP BY word "
+            "ORDER BY n DESC, term LIMIT 100"),
         "stratified_sample": (
             "SELECT doc_id, lang FROM documents WHERE "
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
