@@ -208,6 +208,66 @@ def q_stratified_sample(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_source_chars_quantiles(sf_dir: str):
+    """Exact per-source p50/p95 of document length via the distributed
+    value-histogram quantile operator (stages/stats.grouped_quantiles) —
+    per-key state is O(distinct values), never raw rows."""
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.stats import grouped_quantiles
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["source", "n_chars"])
+    out = grouped_quantiles(ds, key_column="source",
+                            value_column="n_chars",
+                            quantiles=(0.5, 0.95))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "p50_chars": batch.column("q_0_5"),
+            "p95_chars": batch.column("q_0_95"),
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("source")
+
+
+def q_orders_rollup(sf_dir: str):
+    """ROLLUP-style aggregate: order counts by (status, priority), by
+    status, and the grand total in one result — three pre-aggregated
+    groupbys unioned (each shuffle moves only combiner rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderstatus", "o_orderpriority"])
+
+    both = ds.groupby(["o_orderstatus", "o_orderpriority"]).aggregate(
+        Count(alias_name="n")).map_batches(
+        lambda t: pa.table({"status": t.column("o_orderstatus"),
+                            "priority": t.column("o_orderpriority"),
+                            "n": t.column("n")}),
+        batch_format="pyarrow")
+    by_status = ds.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n")).map_batches(
+        lambda t: pa.table({"status": t.column("o_orderstatus"),
+                            "priority": pa.array(["ALL"] * len(t)),
+                            "n": t.column("n")}),
+        batch_format="pyarrow")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_part": pa.array([len(batch)], pa.int64())})
+
+    total = int(ds.map_batches(
+        count_partial, batch_format="pyarrow").sum("n_part") or 0)
+    import ray.data as rd
+
+    grand = rd.from_arrow(pa.table({
+        "status": pa.array(["ALL"]), "priority": pa.array(["ALL"]),
+        "n": pa.array([total], pa.int64())}))
+    return both.union(by_status).union(grand).sort(["status", "priority"])
+
+
 def q_top_terms(sf_dir: str):
     """Global top-100 most frequent words (vocabulary building): fully
     vectorized per-batch word counting (arrow split + flatten + group_by),
@@ -1068,6 +1128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "source_chars_quantiles": q_source_chars_quantiles,
+        "orders_rollup": q_orders_rollup,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
@@ -1125,6 +1187,16 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g'))) AS fingerprint FROM documents"),
+        "source_chars_quantiles": (
+            "SELECT source, quantile_cont(n_chars, 0.5) AS p50_chars, "
+            "quantile_cont(n_chars, 0.95) AS p95_chars "
+            "FROM documents GROUP BY source ORDER BY source"),
+        "orders_rollup": (
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS status, "
+            "COALESCE(o_orderpriority, 'ALL') AS priority, "
+            "count(*) AS n FROM orders "
+            "GROUP BY ROLLUP(o_orderstatus, o_orderpriority) "
+            "ORDER BY status, priority"),
         "top_terms": (
             "SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, word) "
             "AS BIGINT) AS rnk, word AS term, count(*) AS n FROM ("

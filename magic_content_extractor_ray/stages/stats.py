@@ -1,0 +1,64 @@
+"""Distributed descriptive statistics.
+
+``grouped_quantiles``: EXACT per-group quantiles for bounded-domain
+integer values via a distributed value histogram — per-batch
+(key, value) counts, a grouped sum, then per-key interpolation over the
+cumulative counts. No group ever holds raw rows (state is
+O(distinct values per key)), so a 100 TB table with a few thousand
+distinct values per key reduces to kilobytes per key. Interpolation is
+the public quantile_cont definition (linear between closest ranks:
+position = (n-1)·q), matching DuckDB/NumPy, so results are SQL-checkable
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def grouped_quantiles(ds, *, key_column: str, value_column: str,
+                      quantiles: tuple[float, ...] = (0.5,)):
+    """Dataset → Dataset (key, q_<q> columns, float64)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_column, value_column]).group_by(
+            [key_column, value_column]).aggregate([(value_column, "count")])
+        return pa.table({
+            key_column: g.column(key_column),
+            value_column: g.column(value_column),
+            "cnt": pc.cast(g.column(f"{value_column}_count"), pa.int64()),
+        })
+
+    hist = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        [key_column, value_column]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    qcols = [f"q_{str(q).replace('.', '_')}" for q in quantiles]
+
+    def per_key(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(value_column).reset_index(drop=True)
+        vals = g[value_column].to_numpy(dtype="float64")
+        cnts = g["cnt"].to_numpy()
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+
+        def value_at(rank: int) -> float:  # 0-based rank in sorted order
+            import numpy as np
+
+            idx = int(np.searchsorted(cum, rank + 1, side="left"))
+            return float(vals[idx])
+
+        row = {key_column: [g[key_column].iloc[0]]}
+        for q, col in zip(quantiles, qcols):
+            pos = (n - 1) * q
+            lo, frac = int(pos // 1), pos % 1
+            v = value_at(lo)
+            if frac:
+                v += frac * (value_at(lo + 1) - v)
+            row[col] = [v]
+        return pd.DataFrame(row)
+
+    return hist.groupby(key_column).map_groups(
+        per_key, batch_format="pandas")

@@ -553,3 +553,25 @@ def test_stratified_sample_determinism(ray_session):
     de = (s["lang"] == "de").sum()
     assert 0.5 < en / 2000 < 0.7
     assert de / 2000 < 0.12
+
+
+def test_grouped_quantiles_matches_numpy(ray_session):
+    """The histogram-based exact quantiles equal np.quantile (linear
+    interpolation) per key — including interpolated even-count cases."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.stats import grouped_quantiles
+
+    rng = np.random.RandomState(2)
+    rows = []
+    expect = {}
+    for key in ("a", "b", "c"):
+        vals = rng.randint(0, 50, size=rng.randint(5, 40)).tolist()
+        rows += [{"k": key, "v": int(v)} for v in vals]
+        expect[key] = (float(np.quantile(vals, 0.5)),
+                       float(np.quantile(vals, 0.9)))
+    out = grouped_quantiles(
+        rd.from_items(rows), key_column="k", value_column="v",
+        quantiles=(0.5, 0.9)).to_pandas().set_index("k")
+    for key, (p50, p90) in expect.items():
+        assert abs(out.loc[key, "q_0_5"] - p50) < 1e-12
+        assert abs(out.loc[key, "q_0_9"] - p90) < 1e-12
