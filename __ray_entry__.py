@@ -319,6 +319,49 @@ def q_top_terms(sf_dir: str):
     return final(cands.to_pandas())
 
 
+def q_doc_frequency(sf_dir: str):
+    """Top-50 terms by DOCUMENT frequency (the IDF denominator): per-doc
+    distinct words (np.unique per doc — C sort), per-batch partial doc
+    counts per term, grouped sum, tree-reduced top-k."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    K = 50
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for t in batch.column("text").to_pylist():
+            terms.extend(np.unique((t or "").lower().split()).tolist())
+        tb = pa.table({"term": pa.array(terms, pa.string())})
+        g = tb.group_by("term").aggregate([("term", "count")])
+        return pa.table({
+            "term": g.column("term"),
+            "df": pc.cast(g.column("term_count"), pa.int64()),
+        })
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["df", "term"], ascending=[False, True]).head(K)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    counts = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["text"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("df", alias_name="df"))
+    cands = counts.map_batches(partial_topk, batch_format="pyarrow",
+                               batch_size=8192)
+
+    out = cands.to_pandas().sort_values(
+        ["df", "term"], ascending=[False, True]).head(K).reset_index(
+        drop=True)
+    out["rnk"] = range(1, len(out) + 1)
+    return out[["rnk", "term", "df"]]
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition/shape features per doc (the standard
     public pretraining quality-filter inputs), integer-exact vs SQL."""
@@ -1133,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
+        "doc_frequency": q_doc_frequency,
         "token_histogram": q_token_histogram,
         "sliding_events": q_sliding_events,
         "lang_median_chars": q_lang_median_chars,
@@ -1208,6 +1252,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
             "% 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 "
             "ELSE 10 END) ORDER BY doc_id"),
+        "doc_frequency": (
+            "SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, word) "
+            "AS BIGINT) AS rnk, word AS term, count(*) AS df FROM ("
+            "SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '\\S+')) AS word "
+            "FROM documents) GROUP BY word ORDER BY df DESC, term "
+            "LIMIT 50"),
         "repetition_stats": (
             "SELECT doc_id, "
             "len(regexp_extract_all(text, '\\S+')) AS n_words, "
