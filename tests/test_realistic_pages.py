@@ -209,3 +209,66 @@ def test_weixin_article():
     assert "![流水线示意图](https://mmbiz.example/pipeline-diagram)" in c
     assert "喜欢作者" not in c
     assert "扫码关注" not in c
+
+
+def test_base_href_resolution():
+    """A <base href> overrides the request URL in the result (the
+    reference's ArticleExtractor base-resolution path)."""
+    from magic_content_extractor_ray.extractors.registry import (
+        build_strategies)
+
+    html = ("<html><head><base href='https://cdn.example.org/articles/'>"
+            "<title>Based</title></head><body><article><p>"
+            + "Plenty of real article content here to pass thresholds. " * 8
+            + "</p></article></body></html>")
+    res = build_strategies()["article"].extract(html, "https://short.ly/x")
+    assert res.url == "https://cdn.example.org/articles/"
+    # non-http base is ignored → request URL stays effective
+    html2 = html.replace("https://cdn.example.org/articles/", "/relative/")
+    res2 = build_strategies()["article"].extract(html2, "https://short.ly/x")
+    assert res2.url == "https://short.ly/x"
+
+
+def test_forum_count_parsing_with_separators():
+    """Reply/view counts parse through thousand separators and CJK labels
+    (parseInt(text.replace(/[^0-9]/g,'')) semantics)."""
+    from magic_content_extractor_ray.extractors.registry import (
+        build_strategies)
+
+    posts = "".join(
+        f"<div class='post'><div class='post-content'><p>"
+        f"Forum reply number {i} with a good amount of distinct text "
+        f"so the thread clears the forum thresholds easily.</p></div></div>"
+        for i in range(4))
+    html = (
+        "<html><head><title>T</title></head><body><div class='forum'>"
+        "<span class='reply-count'>回复 1,234</span>"
+        "<span class='view-count'>浏览 56,789 次</span>"
+        f"{posts}</div></body></html>")
+    res = build_strategies()["forum"].extract(
+        html, "https://bbs.example.com/thread/9")
+    assert res.reply_count == 1234
+    assert res.view_count == 56789
+
+
+def test_math_mixed_markdown_output():
+    """Inline and display math lifted from text nodes survive into the
+    markdown output via data-tex passthrough."""
+    from magic_content_extractor_ray.extractors.registry import (
+        build_strategies, extract_document)
+
+    body = ("<article><p>Consider the identity $e^{i\\pi}+1=0$ inside a "
+            "paragraph with plenty of additional words to clear every "
+            "threshold of the extractor cascade and then some.</p>"
+            "<p>$$\\int_0^1 x^2 dx = 1/3$$</p>"
+            "<p>More trailing prose so scoring favors this article body "
+            "over any other candidate in the document tree.</p></article>")
+    html = f"<html><head><title>M</title></head><body>{body}</body></html>"
+    spans = [{"kind": "text", "text": html, "media_ref": "", "offset": 0}]
+    row = extract_document("m1", spans, "https://e.com/math",
+                           build_strategies(), None, ("markdown",))
+    assert row["error"] == ""
+    joined = " ".join(s["text"] for s in row["spans"])
+    assert "math-inline" in joined and "math-display" in joined
+    assert "e^{i\\pi}+1=0" in row["markdown"]
+    assert "\\int_0^1 x^2 dx" in row["markdown"]
