@@ -532,15 +532,20 @@ def q_sliding_events(sf_dir: str):
     hourly = q_events_hourly(sf_dir)
 
     def slide(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
         g = g.sort_values("hour_bucket").reset_index(drop=True)
         # sum over hour buckets in [h-2, h] — buckets may be sparse, so a
-        # positional rolling(3) would be wrong; index by bucket value
-        s = g.set_index("hour_bucket")["n_events"]
-        out = [int(s.loc[(s.index >= h - 2) & (s.index <= h)].sum())
-               for h in g["hour_bucket"]]
+        # positional rolling(3) would be wrong; vectorized value-window
+        # via searchsorted over the cumulative counts (O(H log H))
+        hours = g["hour_bucket"].to_numpy()
+        cs = np.concatenate([[0], g["n_events"].to_numpy().cumsum()])
+        lo = np.searchsorted(hours, hours - 2, side="left")
+        hi = np.searchsorted(hours, hours, side="right")
+        out = cs[hi] - cs[lo]
         return pd.DataFrame({"event_type": g["event_type"],
                              "hour_bucket": g["hour_bucket"],
-                             "sliding_events": out})
+                             "sliding_events": out.astype("int64")})
 
     return hourly.groupby("event_type").map_groups(
         slide, batch_format="pandas")
