@@ -70,8 +70,15 @@ def main() -> int:
                   strategy_override=args.strategy)
 
     if args.checkpoint:
+        # parquet docs input: fragment-partitioned resume (each byte read
+        # once per run); other sources use the legacy filter path
+        source = load
+        if args.input_format == "docs" and args.input.endswith(".parquet"):
+            from .state.checkpoint import make_fragment_table_factory
+
+            source = make_fragment_table_factory(args.input)
         recs = run_checkpointed(
-            load, args.output,
+            source, args.output,
             num_partitions=args.partitions, pipeline_kwargs=kwargs)
         print(json.dumps({"partitions_completed": len(recs),
                           "lineage": recs}))

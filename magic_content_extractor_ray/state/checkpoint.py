@@ -123,6 +123,26 @@ def read_fragment_partition(frags: list[dict], columns: list[str]):
         load, batch_format="pyarrow", batch_size=1)
 
 
+def make_fragment_table_factory(path: str, columns: list[str] | None = None,
+                                transform=None):
+    """Generic fragment-partitioned factory over one parquet file: reads
+    only partition ``p``'s row-group fragments (all columns unless
+    pruned), optionally applying ``transform(ds)``."""
+    import pyarrow.parquet as pq
+
+    if columns is None:
+        columns = pq.read_schema(path).names
+    plans: dict[int, list[list[dict]]] = {}
+
+    def factory(p: int, num_partitions: int):
+        if num_partitions not in plans:
+            plans[num_partitions] = parquet_fragment_plan(path, num_partitions)
+        ds = read_fragment_partition(plans[num_partitions][p], columns)
+        return transform(ds) if transform else ds
+
+    return factory
+
+
 def make_fragment_docs_factory(sf_dir: str):
     """Partition factory for ``run_checkpointed``: reads ONLY partition
     ``p``'s row-group fragments of documents.parquet, then expands them to
