@@ -147,7 +147,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "pack_sequences", "media_features",
              # round-2 operator families
              "customer_order_counts", "views_before_click",
-             "sliding_events", "lang_median_chars", "embedding_clusters"]
+             "sliding_events", "lang_median_chars", "embedding_clusters",
+             "top_terms", "stratified_sample", "source_chars_quantiles",
+             "training_pipeline"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
