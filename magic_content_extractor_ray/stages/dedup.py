@@ -206,14 +206,11 @@ def _bucket_verified_pairs(group, *, id_column: str, threshold: float,
                          "est_jaccard": out_e})
 
 
-def minhash_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
-                  num_perm: int = 64, bands: int = 16,
-                  threshold: float = 0.7, shingle_k: int = 5,
-                  max_distinct_sigs: int = 1000, seed: int = 42):
-    """Verified near-dup pairs as a Dataset (left_id, right_id,
-    est_jaccard), deduplicated across bands by a composite-key groupby."""
-    from ray.data.aggregate import Max
-
+def _minhash_raw_pairs(ds, *, column, id_column, num_perm, bands,
+                       threshold, shingle_k, max_distinct_sigs, seed):
+    """Verified pairs, possibly repeated across bands (cheap to produce;
+    consumers that tolerate duplicate edges — union-find, label
+    propagation — skip a whole dedup shuffle by using this directly)."""
     from ..util import actor_pool
 
     sigs = ds.select_columns([id_column, column]).map_batches(
@@ -226,14 +223,27 @@ def minhash_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
         _band_explode, batch_format="pyarrow",
         fn_kwargs=dict(bands=bands, id_column=id_column))
 
-    pairs = banded.groupby("band_key").map_groups(
+    return banded.groupby("band_key").map_groups(
         _bucket_verified_pairs, batch_format="pandas",
-    fn_kwargs=dict(id_column=id_column, threshold=threshold,
-                   max_distinct_sigs=max_distinct_sigs)).map_batches(
+        fn_kwargs=dict(id_column=id_column, threshold=threshold,
+                       max_distinct_sigs=max_distinct_sigs)).map_batches(
         # arrow blocks without the pandas-conversion metadata (keeps
         # Ray's schema dedup working; see sources/io.py)
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
 
+
+def minhash_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
+                  num_perm: int = 64, bands: int = 16,
+                  threshold: float = 0.7, shingle_k: int = 5,
+                  max_distinct_sigs: int = 1000, seed: int = 42):
+    """Verified near-dup pairs as a Dataset (left_id, right_id,
+    est_jaccard), deduplicated across bands by a composite-key groupby."""
+    from ray.data.aggregate import Max
+
+    pairs = _minhash_raw_pairs(
+        ds, column=column, id_column=id_column, num_perm=num_perm,
+        bands=bands, threshold=threshold, shingle_k=shingle_k,
+        max_distinct_sigs=max_distinct_sigs, seed=seed)
     # a pair found in k bands appears k times — distributed dedup
     return pairs.groupby(["left_id", "right_id"]).aggregate(
         Max("est_jaccard", alias_name="est_jaccard"))
@@ -244,12 +254,14 @@ def minhash_lsh_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
                       threshold: float = 0.7, shingle_k: int = 5,
                       max_distinct_sigs: int = 1000, seed: int = 42):
     """Returns a Dataset (doc_id, cluster_id) for every doc in a near-dup
-    cluster; cluster_id = min doc_id of the connected component, computed
-    as distributed min-label-propagation rounds (stages/graph.py) — no
-    driver-side pair materialization anywhere on the path."""
+    cluster; cluster_id = min doc_id of the connected component
+    (stages/graph.py — driver union-find under an exactly-counted bound,
+    label-propagation rounds above it). Clustering consumes the RAW
+    verified pairs: duplicate cross-band edges are harmless to both CC
+    paths, which saves the pair-dedup shuffle entirely."""
     from .graph import connected_components
 
-    pairs = minhash_pairs(
+    pairs = _minhash_raw_pairs(
         ds, column=column, id_column=id_column, num_perm=num_perm,
         bands=bands, threshold=threshold, shingle_k=shingle_k,
         max_distinct_sigs=max_distinct_sigs, seed=seed)
