@@ -450,3 +450,51 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
         return 1.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter)
+
+
+# ---------------------------------------------------------------------------
+# cluster / apply helpers (API symmetry across the dedup family)
+# ---------------------------------------------------------------------------
+
+def simhash_clusters(ds, *, column: str = "text", id_column: str = "doc_id",
+                     max_hamming: int = 3):
+    """SimHash pairs → (doc_id, cluster_id) via connected components."""
+    from .graph import connected_components
+
+    pairs = simhash_dedup(ds, column=column, id_column=id_column,
+                          max_hamming=max_hamming)
+    return connected_components(pairs, node_col=id_column,
+                                label_col="cluster_id")
+
+
+def embedding_dedup_clusters(ds, *, threshold: float = 0.95,
+                             column: str = "embedding",
+                             id_column: str = "vec_id", **kwargs):
+    """Embedding-cosine pairs → (vec_id, cluster_id) via connected
+    components."""
+    from .graph import connected_components
+
+    pairs = embedding_dedup(ds, threshold=threshold, column=column,
+                            id_column=id_column, **kwargs)
+    return connected_components(pairs, node_col=id_column,
+                                label_col="cluster_id")
+
+
+def drop_exact_duplicates(ds, *, column: str = "text",
+                          id_column: str = "doc_id",
+                          extra_columns: tuple[str, ...] = ()):
+    """Keep one representative (min id) per distinct content: the
+    exact-dedup keep-list semi-joined back onto the stream (one bucket
+    shuffle; the payload rides the join, the keep list is one row per
+    distinct content)."""
+    from .join import hash_join
+
+    reps = exact_dedup(ds, column=column, id_column=id_column
+                       ).select_columns([id_column]).map_batches(
+        lambda t: t.append_column(
+            "keep_e", pa.array([1] * len(t), pa.int64())),
+        batch_format="pyarrow")
+    return hash_join(
+        ds, reps, key=id_column,
+        left_cols=[column, *extra_columns], right_cols=["keep_e"],
+    ).drop_columns(["keep_e"])

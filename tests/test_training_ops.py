@@ -575,3 +575,16 @@ def test_grouped_quantiles_matches_numpy(ray_session):
     for key, (p50, p90) in expect.items():
         assert abs(out.loc[key, "q_0_5"] - p50) < 1e-12
         assert abs(out.loc[key, "q_0_9"] - p90) < 1e-12
+
+
+def test_dedup_cluster_and_drop_helpers(docs_ds):
+    from magic_content_extractor_ray.stages.dedup import (
+        simhash_clusters, drop_exact_duplicates)
+
+    lab = simhash_clusters(docs_ds).to_pandas().set_index(
+        "doc_id")["cluster_id"].to_dict()
+    assert lab.get(0) == lab.get(10) == 0   # exact dups share a cluster
+    assert lab.get(1) == lab.get(12) == 1
+
+    kept = drop_exact_duplicates(docs_ds).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 11]  # min-id reps only
