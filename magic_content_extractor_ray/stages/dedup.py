@@ -275,19 +275,31 @@ def minhash_lsh_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit simhash over word features (stateful: seeds fixed per actor)."""
+    """64-bit simhash over word features. Stateful: the per-actor
+    word→hash cache exploits natural-language vocabulary reuse (bounded;
+    cleared past ``cache_limit`` entries so a pathological vocabulary
+    can't grow actor memory)."""
 
-    def __init__(self, column: str = "text"):
+    def __init__(self, column: str = "text", cache_limit: int = 1 << 20):
         self.column = column
+        self.cache: dict[str, int] = {}
+        self.cache_limit = cache_limit
 
     @staticmethod
-    def simhash64(text: str) -> int:
+    def _word_hash(w: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+
+    def simhash64(self, text: str) -> int:
         words = (text or "").lower().split()
         if not words:
             return 0
+        if len(self.cache) > self.cache_limit:
+            self.cache.clear()
+        cache = self.cache
         hs = np.array(
-            [int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                            "big") for w in words],
+            [cache.get(w) or cache.setdefault(w, self._word_hash(w))
+             for w in words],
             dtype=np.uint64)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
             np.int64)

@@ -59,8 +59,8 @@ def test_simhash_dedup(docs_ds):
     got = {(r.left_id, r.right_id) for r in pairs.to_pandas().itertuples()}
     assert (0, 10) in got
     assert (1, 12) in got
-    h1 = SimHasher.simhash64("the quick brown fox")
-    h2 = SimHasher.simhash64("the quick brown fox")
+    h1 = SimHasher().simhash64("the quick brown fox")
+    h2 = SimHasher().simhash64("the quick brown fox")
     assert h1 == h2
 
 
