@@ -331,21 +331,25 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
         fn_constructor_kwargs={"column": column}).drop_columns([column])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).to_pylist()
+        ids = batch.column(id_column)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = len(ids)
         hs = batch.column("simhash").to_numpy(zero_copy_only=False).astype(
             np.uint64)
         width = 64 // n_bands
-        out_ids, out_keys, out_h = [], [], []
-        for i, did in enumerate(ids):
-            for b in range(n_bands):
-                seg = (hs[i] >> np.uint64(b * width)) & np.uint64(
-                    (1 << width) - 1)
-                out_ids.append(did)
-                out_keys.append(f"{b}:{int(seg)}")
-                out_h.append(int(hs[i]))
+        # vectorized (doc × band) segment keys: band index in the high
+        # bits keeps bands disjoint without string formatting
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))
+        segs = (hs[:, None] >> shifts[None, :]) & np.uint64(
+            (1 << width) - 1)
+        keys = segs | (np.arange(n_bands, dtype=np.uint64)
+                       << np.uint64(56))[None, :]
+        rep = pa.array(np.repeat(np.arange(n), n_bands))
         return pa.Table.from_arrays(
-            [pa.array(out_keys), pa.array(out_ids),
-             pa.array(np.array(out_h, dtype=np.uint64).astype(np.int64))],
+            [pa.array(keys.ravel().astype(np.int64), pa.int64()),
+             ids.take(rep),
+             pa.array(np.repeat(hs, n_bands).astype(np.int64), pa.int64())],
             names=["band_key", id_column, "simhash"])
 
     def pairs_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
@@ -357,7 +361,10 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
         out_l, out_r, out_d = [], [], []
         for i in range(n):
             x = hs[i] ^ hs[i + 1:]
-            d = np.array([bin(int(v)).count("1") for v in x])
+            # vectorized popcount via unpackbits on the byte view
+            d = np.unpackbits(
+                np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8),
+                axis=1).sum(axis=1) if len(x) else np.zeros(0, dtype=int)
             for off in np.nonzero(d <= max_hamming)[0]:
                 a, b = ids[i], ids[i + 1 + off]
                 if a == b:
