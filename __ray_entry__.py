@@ -552,45 +552,22 @@ def q_sliding_events(sf_dir: str):
 
 
 def q_lang_median_chars(sf_dir: str):
-    """Exact per-group MEDIAN via a distributed value histogram: n_chars
-    is small-domain integer, so per-batch (lang, n_chars) counts →
-    grouped sum → per-lang median from cumulative counts. No group ever
-    holds raw rows — the scale-safe exact-median shape for bounded-domain
-    values."""
-    import pandas as pd
+    """Exact per-group MEDIAN via the distributed value-histogram quantile
+    operator (stages/stats.grouped_quantiles, q=0.5 — quantile_cont
+    interpolation == SQL median). No group ever holds raw rows."""
     import pyarrow as pa
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+    from magic_content_extractor_ray.stages.stats import grouped_quantiles
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["lang", "n_chars"]).aggregate(
-            [("n_chars", "count")])
-        return pa.table({
-            "lang": g.column("lang"),
-            "n_chars": g.column("n_chars"),
-            "cnt": pc.cast(g.column("n_chars_count"), pa.int64()),
-        })
+    out = grouped_quantiles(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["lang", "n_chars"]),
+        key_column="lang", value_column="n_chars", quantiles=(0.5,))
 
-    hist = _read_pq(
-        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"],
-    ).map_batches(partial, batch_format="pyarrow").groupby(
-        ["lang", "n_chars"]).aggregate(Sum("cnt", alias_name="cnt"))
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch.column("lang"),
+                         "median_chars": batch.column("q_0_5")})
 
-    def median_of(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values("n_chars").reset_index(drop=True)
-        total = int(g["cnt"].sum())
-        cum = g["cnt"].cumsum()
-        if total % 2 == 1:
-            m = float(g.loc[cum >= (total + 1) // 2, "n_chars"].iloc[0])
-        else:
-            lo = float(g.loc[cum >= total // 2, "n_chars"].iloc[0])
-            hi = float(g.loc[cum >= total // 2 + 1, "n_chars"].iloc[0])
-            m = (lo + hi) / 2.0
-        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
-                             "median_chars": [m]})
-
-    return hist.groupby("lang").map_groups(
-        median_of, batch_format="pandas").sort("lang")
+    return out.map_batches(rename, batch_format="pyarrow").sort("lang")
 
 
 def q_top_docs_per_lang(sf_dir: str):

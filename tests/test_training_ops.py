@@ -588,3 +588,28 @@ def test_dedup_cluster_and_drop_helpers(docs_ds):
 
     kept = drop_exact_duplicates(docs_ds).to_pandas()
     assert sorted(kept["doc_id"]) == [0, 1, 2, 11]  # min-id reps only
+
+
+def test_minhash_pairs_and_embedding_clusters(docs_ds):
+    """Public pair API returns unique verified pairs; embedding cluster
+    variant assigns components."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        minhash_pairs, embedding_dedup_clusters)
+
+    df = minhash_pairs(docs_ds, threshold=0.5, shingle_k=4).to_pandas()
+    assert not df.duplicated(subset=["left_id", "right_id"]).any()
+    got = {(r.left_id, r.right_id) for r in df.itertuples()}
+    assert (0, 10) in got  # exact dup pair survives with est 1.0
+    assert df.set_index(["left_id", "right_id"]).loc[(0, 10),
+                                                     "est_jaccard"] == 1.0
+
+    rng = np.random.RandomState(4)
+    base = rng.randn(30, 8).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(30)]
+    rows.append({"vec_id": 50, "embedding": base[0].tolist()})
+    rows.append({"vec_id": 51, "embedding": base[0].tolist()})
+    lab = embedding_dedup_clusters(
+        rd.from_items(rows), threshold=0.99).to_pandas().set_index(
+        "vec_id")["cluster_id"].to_dict()
+    assert lab.get(0) == lab.get(50) == lab.get(51) == 0
