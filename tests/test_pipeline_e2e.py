@@ -180,3 +180,45 @@ def test_training_pipeline_composition(ray_session):
     df = packs.to_pandas()
     packed = sorted(int(d) for row in df["doc_ids"] for d in row)
     assert packed == list(range(30))
+
+
+def test_incremental_ingest(ray_session, tmp_path):
+    """New files landing between runs are processed exactly once;
+    completed files are skipped on re-run."""
+    import pyarrow.parquet as pq
+    from magic_content_extractor_ray.corpus import attach_spans_batch
+    from magic_content_extractor_ray.state.checkpoint import run_incremental
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    in_dir = tmp_path / "landing"
+    in_dir.mkdir()
+    pq.write_table(t.slice(0, 30), str(in_dir / "batch_a.parquet"))
+    pq.write_table(t.slice(30, 30), str(in_dir / "batch_b.parquet"))
+
+    out_dir = str(tmp_path / "out")
+
+    def tf(ds):
+        return ds.map_batches(attach_spans_batch, batch_format="pyarrow")
+
+    recs = run_incremental(str(in_dir), out_dir, transform=tf,
+                           pipeline_kwargs=dict(batch_size=16))
+    assert sorted(r["num_docs"] for r in recs) == [30, 30]
+
+    # a third file lands; only it is processed on the next run
+    pq.write_table(t.slice(60, 20), str(in_dir / "batch_c.parquet"))
+    recs2 = run_incremental(str(in_dir), out_dir, transform=tf,
+                            pipeline_kwargs=dict(batch_size=16))
+    assert [os.path.basename(r["input_path"]) for r in recs2] == \
+        ["batch_c.parquet"]
+    assert recs2[0]["num_docs"] == 20
+
+    # idempotent: nothing left to do
+    assert run_incremental(str(in_dir), out_dir, transform=tf) == []
+
+    total = 0
+    for d in os.listdir(out_dir):
+        if d.startswith("file="):
+            total += pq.read_table(os.path.join(out_dir, d),
+                                   columns=["doc_id"]).num_rows
+    assert total == 80
