@@ -29,6 +29,9 @@ def main() -> int:
                     choices=["parquet", "jsonl"])
     ap.add_argument("--checkpoint", action="store_true",
                     help="resumable partitioned run with lineage manifest")
+    ap.add_argument("--incremental", action="store_true",
+                    help="per-FILE resumable ingest: process parquet files "
+                         "not yet in the output manifest (docs input only)")
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--formats", default="",
                     help="comma list: text,markdown")
@@ -69,6 +72,14 @@ def main() -> int:
     kwargs = dict(batch_size=args.batch_size, formats=formats,
                   strategy_override=args.strategy)
 
+    if args.incremental:
+        from .state.checkpoint import run_incremental
+
+        recs = run_incremental(args.input, args.output,
+                               pipeline_kwargs=kwargs)
+        print(json.dumps({"files_completed": len(recs), "lineage": recs}))
+        ray.shutdown()
+        return 0
     if args.checkpoint:
         # parquet docs input: fragment-partitioned resume (each byte read
         # once per run); other sources use the legacy filter path
