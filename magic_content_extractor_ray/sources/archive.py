@@ -14,7 +14,6 @@ Feed the result into ``html_table.attach_spans_from_html`` /
 
 from __future__ import annotations
 
-import os
 import tarfile
 import zipfile
 
