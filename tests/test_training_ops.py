@@ -613,3 +613,22 @@ def test_minhash_pairs_and_embedding_clusters(docs_ds):
         rd.from_items(rows), threshold=0.99).to_pandas().set_index(
         "vec_id")["cluster_id"].to_dict()
     assert lab.get(0) == lab.get(50) == lab.get(51) == 0
+
+
+def test_grouped_hll(ray_session):
+    """Per-group HLL estimates land within the p=12 error band of the
+    exact per-group distinct counts."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sketch import (
+        approx_distinct_by_group)
+
+    rows = []
+    exact = {"a": 1200, "b": 300, "c": 40}
+    for key, n in exact.items():
+        for i in range(n * 3):  # every value repeated 3x
+            rows.append({"k": key, "v": f"{key}-{i % n}"})
+    out = approx_distinct_by_group(
+        rd.from_items(rows), "k", "v").to_pandas().set_index(
+        "k")["approx_distinct"].to_dict()
+    for key, n in exact.items():
+        assert abs(out[key] - n) / n < 0.08, (key, out[key], n)
