@@ -399,6 +399,407 @@ def q_token_histogram(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("token_bucket")
 
 
+def q_user_paths(sf_dir: str):
+    """Ordered per-key sequence reconstruction (string_agg … ORDER BY
+    analog): each user's full event-type path in (ts, event_id) order.
+    The same groupby-key → sort-within-group → concatenate shape the
+    flagship pipeline uses to reassemble spans in offset order."""
+    import pandas as pd
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "path": [">".join(g["event_type"].tolist())],
+        })
+
+    return _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).groupby("user_id").map_groups(
+        per_user, batch_format="pandas").sort("user_id")
+
+
+def q_event_gaps(sf_dir: str):
+    """LAG window (time since previous event per user), aggregated to
+    per-user gap statistics in exact integer microseconds."""
+    import pandas as pd
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        if len(g) < 2:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "total_gap_us": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64"),
+            })
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64")
+        gaps = us.diff().dropna().astype("int64")
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_gaps": [int(len(gaps))],
+            "total_gap_us": [int(gaps.sum())],
+            "max_gap_us": [int(gaps.max())],
+        })
+
+    return _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"],
+    ).groupby("user_id").map_groups(
+        per_user, batch_format="pandas").sort("user_id")
+
+
+def q_running_order_total(sf_dir: str):
+    """CUMULATIVE window (sum() OVER … ROWS UNBOUNDED PRECEDING): each
+    customer's running order total in exact integer cents, ordered by
+    (o_orderdate, o_orderkey)."""
+    import pandas as pd
+
+    def per_cust(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(
+            drop=True)
+        cents = (g["o_totalprice"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"],
+            "o_orderkey": g["o_orderkey"],
+            "running_total_c": cents.cumsum(),
+        })
+
+    return _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    ).groupby("o_custkey").map_groups(
+        per_cust, batch_format="pandas").sort(["o_custkey", "o_orderkey"])
+
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT via conditional aggregates: one row per user with per-type
+    event counts as columns. Fully vectorized indicator columns + the
+    per-batch combiner pattern (the shuffle moves one row per user per
+    batch, never raw events); columns selected by NAME, never position."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            **{f"n_{et}": pc.cast(
+                pc.equal(batch.column("event_type"), et), pa.int64())
+               for et in _EVENT_TYPES},
+        })
+        g = t.group_by("user_id").aggregate(
+            [(f"n_{et}", "sum") for et in _EVENT_TYPES])
+        return pa.table({
+            "user_id": g.column("user_id"),
+            **{f"n_{et}": g.column(f"n_{et}_sum") for et in _EVENT_TYPES},
+        })
+
+    return _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(
+        *[Sum(f"n_{et}", alias_name=f"n_{et}") for et in _EVENT_TYPES],
+    ).sort("user_id")
+
+
+def q_users_intersect(sf_dir: str):
+    """SQL INTERSECT (distinct): users who both viewed and purchased —
+    tagged-union set op, one shuffle, per-batch pre-dedup
+    (stages/setops.py)."""
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.setops import set_op
+
+    def side(event_type: str):
+        return _read_pq(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+            filter=(pc.field("event_type") == event_type),
+        ).select_columns(["user_id"])
+
+    return set_op(side("view"), side("purchase"),
+                  key_columns="user_id", op="intersect").sort("user_id")
+
+
+def q_purchase_days_clean(sf_dir: str):
+    """SQL EXCEPT (distinct) on a COMPOSITE key: (user, day) pairs with a
+    purchase but no error that day — multi-column tagged-union set op
+    (stages/setops.py), day bucket computed vectorized at the scan edge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.setops import set_op
+
+    def side(event_type: str):
+        def day(batch: pa.Table) -> pa.Table:
+            us = pc.cast(batch.column("ts"), pa.int64())
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "day_bucket": pc.divide(us, 86400000000),
+            })
+
+        return _read_pq(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+            filter=(pc.field("event_type") == event_type),
+        ).map_batches(day, batch_format="pyarrow")
+
+    return set_op(side("purchase"), side("error"),
+                  key_columns=["user_id", "day_bucket"],
+                  op="except").sort(["user_id", "day_bucket"])
+
+
+def q_suppliers_by_region(sf_dir: str):
+    """Multi-way STAR join: supplier ⋈ nation ⋈ region, both dims
+    composed into ONE broadcast lookup (nationkey → region name) put in
+    the object store once — zero shuffles regardless of fact size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]).sort_by(
+        "r_regionkey")
+    rkeys = np.asarray(reg.column("r_regionkey").to_numpy())
+    rnames = np.asarray(reg.column("r_name").to_pylist(), dtype=object)
+    nat_sorted = nat.sort_by("n_nationkey")
+    npos = np.clip(np.searchsorted(
+        rkeys, np.asarray(nat_sorted.column("n_regionkey").to_numpy())),
+        0, len(rkeys) - 1)
+    lookup_ref = ray.put({
+        "keys": np.asarray(nat_sorted.column("n_nationkey").to_numpy()),
+        "vals": rnames[npos],
+    })
+
+    class RegionJoin:
+        def __init__(self):
+            lk = ray.get(lookup_ref)
+            self.keys, self.vals = lk["keys"], lk["vals"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ks = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, ks), 0,
+                          len(self.keys) - 1)
+            names = np.where(self.keys[pos] == ks, self.vals[pos], "UNKNOWN")
+            t = pa.table({"r_name": pa.array(names.tolist(), pa.string())})
+            g = t.group_by("r_name").aggregate([("r_name", "count")])
+            return pa.table({
+                "r_name": g.column("r_name"),
+                "n_suppliers": pc.cast(g.column("r_name_count"), pa.int64()),
+            })
+
+    return _read_pq(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey"],
+    ).map_batches(RegionJoin, batch_format="pyarrow",
+                  concurrency=_pool()).groupby("r_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers")).sort("r_name")
+
+
+def q_orders_monthly(sf_dir: str):
+    """Date-part bucketing (date_trunc('month') analog): orders and
+    exact-cent revenue per (status, month), vectorized pc.year/pc.month
+    + the combiner pattern."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate")
+        bucket = pc.add(pc.multiply(pc.cast(pc.year(od), pa.int64()), 12),
+                        pc.subtract(pc.cast(pc.month(od), pa.int64()), 1))
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100)), pa.int64())
+        t = pa.table({
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "month_bucket": bucket,
+            "total_c": cents,
+        })
+        g = t.group_by(["o_orderstatus", "month_bucket"]).aggregate(
+            [("total_c", "sum"), ("total_c", "count")])
+        return pa.table({
+            "o_orderstatus": g.column("o_orderstatus"),
+            "month_bucket": g.column("month_bucket"),
+            "total_c": g.column("total_c_sum"),
+            "n_orders": pc.cast(g.column("total_c_count"), pa.int64()),
+        })
+
+    return _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderdate", "o_totalprice"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        ["o_orderstatus", "month_bucket"]).aggregate(
+        Sum("total_c", alias_name="total_c"),
+        Sum("n_orders", alias_name="n_orders"),
+    ).sort(["o_orderstatus", "month_bucket"])
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Distributed Pearson CORRELATION via mergeable integer sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy): per-batch exact int64 partials,
+    one tiny global sum, final formula on the driver. x = quantity
+    (integral in this corpus), y = round(extendedprice) whole units —
+    whole units keep Σy² ≈ 6.6e16 at sf1, inside int64. The SQL oracle
+    computes the identical formula from the identical integers."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch.column("l_quantity"), pa.int64())
+        p = pc.cast(pc.round(batch.column("l_extendedprice")), pa.int64())
+        return pa.table({
+            "n": pa.array([len(batch)], pa.int64()),
+            "sx": pa.array([pc.sum(q).as_py() or 0], pa.int64()),
+            "sy": pa.array([pc.sum(p).as_py() or 0], pa.int64()),
+            "sxx": pa.array([pc.sum(pc.multiply(q, q)).as_py() or 0],
+                            pa.int64()),
+            "syy": pa.array([pc.sum(pc.multiply(p, p)).as_py() or 0],
+                            pa.int64()),
+            "sxy": pa.array([pc.sum(pc.multiply(q, p)).as_py() or 0],
+                            pa.int64()),
+        })
+
+    stats = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in
+          ("n", "sx", "sy", "sxx", "syy", "sxy")])
+
+    n, sx, sy = stats["n"], stats["sx"], stats["sy"]
+    sxx, syy, sxy = stats["sxx"], stats["syy"], stats["sxy"]
+    # mirror the oracle's double-arithmetic shape exactly:
+    # (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = math.sqrt((float(n) * float(sxx) - float(sx) * float(sx)) *
+                    (float(n) * float(syy) - float(sy) * float(sy)))
+    return pd.DataFrame({"n": [int(n)],
+                         "corr_qp": [round(num / den, 6)]})
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding CENTROID sufficient statistics in exact integer
+    micro-units: vectorized list flatten + positional index (no Python
+    row loop), per-batch (label, dim) partial sums, one bounded shuffle
+    (labels × dims rows). Values are scaled ×1e6 and rounded half-away
+    (DuckDB round semantics) so the distributed sum is order-independent
+    and hash-matches SQL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lengths = pc.list_value_length(emb).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(lengths) - lengths
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            starts, lengths) + 1
+        labels = np.repeat(batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64), lengths)
+        v = flat * 1e6
+        micro = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        t = pa.table({
+            "label": pa.array(labels, pa.int64()),
+            "dim": pa.array(pos, pa.int64()),
+            "sum_micro": pa.array(micro, pa.int64()),
+        })
+        g = t.group_by(["label", "dim"]).aggregate(
+            [("sum_micro", "sum"), ("sum_micro", "count")])
+        return pa.table({
+            "label": g.column("label"),
+            "dim": g.column("dim"),
+            "sum_micro": g.column("sum_micro_sum"),
+            "n_vals": pc.cast(g.column("sum_micro_count"), pa.int64()),
+        })
+
+    return _read_pq(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        ["label", "dim"]).aggregate(
+        Sum("sum_micro", alias_name="sum_micro"),
+        Sum("n_vals", alias_name="n_vals")).sort(["label", "dim"])
+
+
+def q_tfidf_terms(sf_dir: str):
+    """TF-IDF vocabulary scoring: ONE tokenization pass emits both term
+    frequency and document frequency partials (docs never split across
+    batches, so per-batch distinct (doc, term) pairs sum to exact global
+    df), a single (term → Σtf, Σdf) shuffle, vectorized score
+    tf·ln(N/df) rounded to 6 dp, then tree-reduced top-50."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    K = 50
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    n_docs = docs.count()  # parquet metadata count — no scan
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep)
+        parent = pc.list_parent_indices(lists).filter(keep)
+        tf = pa.table({"term": words}).group_by("term").aggregate(
+            [("term", "count")])
+        pairs = pa.table({"p": parent, "term": words}).group_by(
+            ["p", "term"]).aggregate([])
+        df = pairs.group_by("term").aggregate([("term", "count")])
+        merged = tf.rename_columns(["term", "tf"]).join(
+            df.rename_columns(["term", "df"]), keys="term")
+        return pa.table({
+            "term": merged.column("term"),
+            "tf": pc.cast(merged.column("tf"), pa.int64()),
+            "df": pc.cast(merged.column("df"), pa.int64()),
+        })
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "term").aggregate(Sum("tf", alias_name="tf"),
+                          Sum("df", alias_name="df"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        df = batch.column("df").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s = np.round(tf * np.log(float(n_docs) / df), 6)
+        return batch.append_column("score", pa.array(s, pa.float64()))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        d = batch.to_pandas().sort_values(
+            ["score", "term"], ascending=[False, True]).head(K)
+        return pa.Table.from_pandas(
+            d, preserve_index=False).replace_schema_metadata(None)
+
+    cands = agg.map_batches(score, batch_format="pyarrow").map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=8192)
+    out = cands.to_pandas().sort_values(
+        ["score", "term"], ascending=[False, True]).head(K).reset_index(
+        drop=True)
+    out["rnk"] = range(1, len(out) + 1)
+    return out[["rnk", "term", "tf", "df", "score"]]
+
+
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER partitioned hash join: every customer with their order
     count, zero-order customers included (pre-aggregated right side, so
@@ -1165,6 +1566,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "customers_no_purchases": q_customers_no_purchases,
         "customer_order_counts": q_customer_order_counts,
+        "user_paths": q_user_paths,
+        "event_gaps": q_event_gaps,
+        "running_order_total": q_running_order_total,
+        "events_pivot": q_events_pivot,
+        "users_intersect": q_users_intersect,
+        "purchase_days_clean": q_purchase_days_clean,
+        "suppliers_by_region": q_suppliers_by_region,
+        "orders_monthly": q_orders_monthly,
+        "lineitem_corr": q_lineitem_corr,
+        "label_centroids": q_label_centroids,
+        "tfidf_terms": q_tfidf_terms,
         "last_event_per_user": q_last_event_per_user,
         "supplier_nation": q_supplier_nation,
         "lineitem_revenue": q_lineitem_revenue,
@@ -1273,6 +1685,90 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.c_custkey FROM customer c WHERE NOT EXISTS ("
             "SELECT 1 FROM events e WHERE e.user_id = c.c_custkey "
             "AND e.event_type = 'purchase') ORDER BY c.c_custkey"),
+        "user_paths": (
+            "SELECT user_id, string_agg(event_type, '>' "
+            "ORDER BY ts, event_id) AS path FROM events "
+            "GROUP BY user_id ORDER BY user_id"),
+        "event_gaps": (
+            "WITH g AS (SELECT user_id, epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS gap FROM events) "
+            "SELECT user_id, count(gap) AS n_gaps, "
+            "CAST(sum(gap) AS BIGINT) AS total_gap_us, "
+            "CAST(max(gap) AS BIGINT) AS max_gap_us FROM g "
+            "WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id"),
+        "running_order_total": (
+            "SELECT o_custkey, o_orderkey, CAST(sum(total_c) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_total_c "
+            "FROM (SELECT o_custkey, o_orderkey, o_orderdate, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_c "
+            "FROM orders) ORDER BY o_custkey, o_orderkey"),
+        "events_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 "
+                f"END) AS BIGINT) AS n_{et}" for et in _EVENT_TYPES)
+            + " FROM events GROUP BY user_id ORDER BY user_id"),
+        "users_intersect": (
+            "SELECT user_id FROM ("
+            "SELECT user_id FROM events WHERE event_type = 'view' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'purchase'"
+            ") ORDER BY user_id"),
+        "purchase_days_clean": (
+            "SELECT user_id, day_bucket FROM ("
+            "SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) "
+            "AS BIGINT) AS day_bucket FROM events "
+            "WHERE event_type = 'purchase' "
+            "EXCEPT "
+            "SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) "
+            "AS BIGINT) AS day_bucket FROM events "
+            "WHERE event_type = 'error'"
+            ") ORDER BY user_id, day_bucket"),
+        "suppliers_by_region": (
+            "SELECT r.r_name, count(*) AS n_suppliers FROM supplier s "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name ORDER BY r.r_name"),
+        "orders_monthly": (
+            "SELECT o_orderstatus, "
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 "
+            "AS BIGINT) AS month_bucket, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS total_c, count(*) AS n_orders FROM orders "
+            "GROUP BY o_orderstatus, month_bucket "
+            "ORDER BY o_orderstatus, month_bucket"),
+        "lineitem_corr": (
+            "WITH s AS (SELECT count(*) AS n, sum(q) AS sx, sum(p) AS sy, "
+            "sum(q * q) AS sxx, sum(p * p) AS syy, sum(q * p) AS sxy "
+            "FROM (SELECT CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice) AS BIGINT) AS p FROM lineitem)) "
+            "SELECT n, round((CAST(n AS DOUBLE) * sxy - "
+            "CAST(sx AS DOUBLE) * sy) / sqrt((CAST(n AS DOUBLE) * sxx - "
+            "CAST(sx AS DOUBLE) * sx) * (CAST(n AS DOUBLE) * syy - "
+            "CAST(sy AS DOUBLE) * sy)), 6) AS corr_qp FROM s"),
+        "label_centroids": (
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(pos AS BIGINT) AS dim, "
+            "CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000) "
+            "AS BIGINT)) AS BIGINT) AS sum_micro, count(*) AS n_vals "
+            "FROM (SELECT label, unnest(embedding) AS val, "
+            "unnest(range(1, len(embedding) + 1)) AS pos FROM embeddings) "
+            "GROUP BY label, pos ORDER BY label, dim"),
+        "tfidf_terms": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '\\S+')) AS word "
+            "FROM documents), "
+            "agg AS (SELECT word AS term, CAST(count(*) AS BIGINT) AS tf, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM words "
+            "WHERE word != '' GROUP BY word), "
+            "n AS (SELECT count(*) AS n_docs FROM documents) "
+            "SELECT CAST(row_number() OVER (ORDER BY score DESC, term) "
+            "AS BIGINT) AS rnk, term, tf, df, score FROM ("
+            "SELECT term, tf, df, round(CAST(tf AS DOUBLE) * "
+            "ln(CAST(n.n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) "
+            "AS score FROM agg, n) ORDER BY rnk LIMIT 50"),
         "customer_order_counts": (
             "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) "
             "AS n_orders FROM customer c LEFT JOIN orders o "

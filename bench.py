@@ -149,7 +149,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "customer_order_counts", "views_before_click",
              "sliding_events", "lang_median_chars", "embedding_clusters",
              "top_terms", "stratified_sample", "source_chars_quantiles",
-             "training_pipeline"]
+             "training_pipeline",
+             # window / set-op / star-join / vector-stats families
+             "user_paths", "events_pivot", "purchase_days_clean",
+             "suppliers_by_region", "lineitem_corr", "label_centroids",
+             "tfidf_terms"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -1,0 +1,77 @@
+"""Distributed SQL set operations: UNION / INTERSECT / EXCEPT (distinct).
+
+The classic implementation is a tagged union: each side contributes
+``(key…, in_left, in_right)`` rows, a single hash shuffle groups by key,
+and per-key max-flags decide membership:
+
+- ``union``:     in_left OR  in_right
+- ``intersect``: in_left AND in_right
+- ``except``:    in_left AND NOT in_right
+
+Scale properties (the reason this shape is used instead of a join):
+
+- each side is pre-deduplicated *per batch* before the shuffle, so the
+  exchange moves at most one row per distinct key per input block —
+  heavily duplicated inputs (e.g. an events log keyed by user) shrink
+  before they move;
+- one shuffle total, on the same key for both sides;
+- the per-key group is bounded (≤ 2 rows after the second-stage partial
+  combine), so no skewed key can blow up a task.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Max
+
+_OPS = ("union", "intersect", "except")
+
+
+def _tag(flag_l: int, flag_r: int, key_columns: list[str]):
+    """Per-batch distinct + membership flags (vectorized group_by)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch.select(key_columns)
+        distinct = keys.group_by(key_columns).aggregate([])
+        n = len(distinct)
+        return distinct.append_column(
+            "in_l", pa.array([flag_l] * n, pa.int8())).append_column(
+            "in_r", pa.array([flag_r] * n, pa.int8()))
+
+    return tag
+
+
+def set_op(left, right, *, key_columns: list[str] | str, op: str):
+    """DISTINCT set operation between two Datasets on ``key_columns``.
+
+    Returns a Dataset with exactly the key columns, one row per
+    qualifying distinct key.
+    """
+    if isinstance(key_columns, str):
+        key_columns = [key_columns]
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {_OPS}, got {op!r}")
+
+    tagged = left.map_batches(
+        _tag(1, 0, key_columns), batch_format="pyarrow").union(
+        right.map_batches(_tag(0, 1, key_columns), batch_format="pyarrow"))
+
+    flags = tagged.groupby(key_columns).aggregate(
+        Max("in_l", alias_name="in_l"), Max("in_r", alias_name="in_r"))
+
+    if op == "union":
+        pred = None  # every grouped key qualifies
+    elif op == "intersect":
+        pred = lambda t: pc.and_(pc.equal(t.column("in_l"), 1),
+                                 pc.equal(t.column("in_r"), 1))
+    else:  # except
+        pred = lambda t: pc.and_(pc.equal(t.column("in_l"), 1),
+                                 pc.equal(t.column("in_r"), 0))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if pred is not None:
+            batch = batch.filter(pred(batch))
+        return batch.select(key_columns)
+
+    return flags.map_batches(finish, batch_format="pyarrow")

@@ -10,7 +10,11 @@ SF_DIR = "/root/testdata/sf0.001"
 FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "top_docs", "long_docs", "source_stats", "events_by_type",
         "lineitem_pricing", "event_props", "events_by_segment",
-        "user_sessions", "asof_join", "orders_by_segment", "ann_topk"]
+        "user_sessions", "asof_join", "orders_by_segment", "ann_topk",
+        "user_paths", "event_gaps", "running_order_total", "events_pivot",
+        "users_intersect", "purchase_days_clean", "suppliers_by_region",
+        "orders_monthly", "lineitem_corr", "label_centroids",
+        "tfidf_terms"]
 
 
 @pytest.fixture(scope="module")

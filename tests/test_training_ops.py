@@ -632,3 +632,33 @@ def test_grouped_hll(ray_session):
         "k")["approx_distinct"].to_dict()
     for key, n in exact.items():
         assert abs(out[key] - n) / n < 0.08, (key, out[key], n)
+
+
+def test_set_ops(ray_session):
+    """UNION / INTERSECT / EXCEPT (distinct) on single and composite
+    keys, including duplicate-heavy inputs (pre-dedup path)."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.setops import set_op
+
+    left = rd.from_items(
+        [{"k": v, "g": v % 2} for v in [1, 1, 1, 2, 3, 4, 4]])
+    right = rd.from_items(
+        [{"k": v, "g": v % 2} for v in [3, 3, 4, 5, 6]])
+
+    def keys(ds):
+        return sorted(ds.to_pandas()["k"].tolist())
+
+    assert keys(set_op(left, right, key_columns="k", op="union")) == \
+        [1, 2, 3, 4, 5, 6]
+    assert keys(set_op(left, right, key_columns="k", op="intersect")) == \
+        [3, 4]
+    assert keys(set_op(left, right, key_columns="k", op="except")) == \
+        [1, 2]
+    # composite key: (k, g) pairs behave identically here (g = k % 2)
+    out = set_op(left, right, key_columns=["k", "g"],
+                 op="except").to_pandas()
+    assert sorted(map(tuple, out[["k", "g"]].to_numpy().tolist())) == \
+        [(1, 1), (2, 0)]
+    # unknown op rejected
+    with pytest.raises(ValueError):
+        set_op(left, right, key_columns="k", op="minus")
