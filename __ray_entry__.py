@@ -1509,7 +1509,8 @@ def q_extract_readability(sf_dir: str):
 def q_media_features(sf_dir: str):
     from magic_content_extractor_ray.stages.multimodal import media_pipeline
 
-    out = media_pipeline(_extracted(sf_dir), fake=True)
+    # fake=False: every image payload is a real PNG → real stdlib decode
+    out = media_pipeline(_extracted(sf_dir), fake=False)
     return out.select_columns(
         ["media_ref", "kind", "width", "height", "pixel_mean"]).sort(
         "media_ref")

@@ -2,10 +2,16 @@
 
 Images / audio / video ride through the pipeline as ``binary`` columns with
 typed metadata columns; decode / resize / feature-extract are actor-pool
-``map_batches`` stages. The decode libraries (PIL/ffmpeg/etc.) are NOT in
-this container, so decoding is a clearly-marked stub with a deterministic
-fake behind a flag — the Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) is real and tested.
+``map_batches`` stages.
+
+Decode is REAL where the stdlib allows it: PNG images decode through the
+pure-zlib codec in ``functions/png.py`` and 16-bit PCM WAV audio through
+``functions/audio.py`` — actual bytes→pixels/samples, no image/audio
+library needed. Formats that genuinely need native libraries (JPEG, mp4,
+mp3…) raise ``NotImplementedError`` at the exact point the library call
+belongs, with an injection seam (``decoder=``) so PIL/ffmpeg drop in
+where available; a deterministic ``fake=True`` pseudo-decode keeps the
+plumbing runnable for such payloads offline.
 
 Batch-size guidance: binary payloads are fat — keep ``batch_size`` small
 (e.g. 16) and let block splitting handle the rest; metadata-only stages can
@@ -19,6 +25,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from ..functions.png import png_encode, png_decode, is_png
+from ..functions.audio import wav_decode, is_wav, frame_rms
+
 MEDIA_SCHEMA = pa.schema([
     ("media_ref", pa.string()),
     ("kind", pa.string()),          # image | audio | video
@@ -29,21 +38,57 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def fetch_media_stub(batch: pa.Table) -> pa.Table:
-    """Deterministic fake 'fetch': payload = seeded bytes from media_ref.
+def _synth_image(seed: bytes, w: int, h: int) -> np.ndarray:
+    """Deterministic compressible test image (gradient + per-channel
+    phase) — vectorized, stands in for a stored original."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        img[:, :, c] = ((xx * (1 + seed[3 + c] % 5)
+                         + yy * (1 + seed[6 + c] % 7)
+                         + seed[9 + c]) % 256).astype(np.uint8)
+    return img
 
-    Stands in for an object-store read at the same pipeline position.
+
+def fetch_media_stub(batch: pa.Table) -> pa.Table:
+    """Deterministic 'fetch': stands in for an object-store read at the
+    same pipeline position. Image payloads are REAL PNG bytes (encoded
+    with the stdlib codec, dims seeded from the ref) so the downstream
+    decode stage exercises an actual decode; audio payloads are real
+    16-bit PCM WAV; video payloads stay opaque seeded bytes (no
+    pure-stdlib video codec exists — that decode is the honest stub).
     """
+    from ..functions.audio import wav_encode
+
     refs = batch.column("media_ref").to_pylist()
     kinds = batch.column("kind").to_pylist() if "kind" in batch.column_names \
         else ["image"] * len(refs)
     payloads, widths, heights, durs = [], [], [], []
     for ref, kind in zip(refs, kinds):
         seed = hashlib.md5((ref or "").encode()).digest()
-        payloads.append(seed * 64)  # 1 KiB deterministic fake payload
-        widths.append(64 + seed[0] % 192 if kind == "image" else 0)
-        heights.append(64 + seed[1] % 192 if kind == "image" else 0)
-        durs.append(1000 + seed[2] * 37 if kind != "image" else 0)
+        if kind == "image":
+            w, h = 64 + seed[0] % 192, 64 + seed[1] % 192
+            payloads.append(png_encode(_synth_image(seed, w, h)))
+            widths.append(w)
+            heights.append(h)
+            durs.append(0)
+        elif kind == "audio":
+            dur_ms = 200 + seed[2] * 7
+            rate = 8000
+            n = int(rate * dur_ms / 1000)
+            t = np.arange(n, dtype=np.float64)
+            freq = 100.0 + seed[4] * 8
+            samples = (np.sin(2 * np.pi * freq * t / rate)
+                       * (8000 + seed[5] * 30)).astype(np.int16)
+            payloads.append(wav_encode(samples, rate))
+            widths.append(0)
+            heights.append(0)
+            durs.append(dur_ms)
+        else:  # video: opaque bytes — no stdlib codec
+            payloads.append(seed * 64)
+            widths.append(0)
+            heights.append(0)
+            durs.append(1000 + seed[2] * 37)
     return pa.Table.from_arrays(
         [pa.array(refs), pa.array(kinds), pa.array(payloads, pa.binary()),
          pa.array(widths, pa.int32()), pa.array(heights, pa.int32()),
@@ -52,16 +97,18 @@ def fetch_media_stub(batch: pa.Table) -> pa.Table:
 
 
 class ImageDecoder:
-    """Actor-pool decode stage with an INJECTABLE codec.
+    """Actor-pool decode stage: REAL PNG decode by default, with an
+    INJECTABLE codec for other formats.
 
-    ``decoder`` is any callable ``bytes -> HxWx3 uint8 array`` (PIL's
-    ``np.asarray(Image.open(...))``, turbojpeg, or a test codec); the
-    decoded image is nearest-resized to a fixed thumbnail so the output
-    schema is constant. Only the codec itself is environment-gated:
-    without one, ``fake=True`` produces a deterministic pseudo-decode so
-    the plumbing (actor pool, batch shapes, output schema) still runs
-    end-to-end, and ``fake=False`` raises NotImplementedError at the exact
-    point the library call belongs."""
+    Decode order per payload: an injected ``decoder`` (any callable
+    ``bytes -> HxWx[C] uint8 array`` — PIL's ``np.asarray(Image.open)``,
+    turbojpeg, a test codec) wins if given; else PNG payloads decode
+    through the stdlib codec (functions/png.py); else ``fake=True``
+    produces a deterministic pseudo-decode (keeps the plumbing runnable
+    for JPEG-etc. payloads offline) and ``fake=False`` raises
+    NotImplementedError at the exact point the library call belongs.
+    The decoded image is nearest-resized to a fixed thumbnail so the
+    output schema is constant."""
 
     def __init__(self, fake: bool = True, thumb: int = 8, decoder=None):
         self.fake = fake
@@ -74,14 +121,23 @@ class ImageDecoder:
         xi = np.linspace(0, w - 1, self.thumb).astype(int)
         return img[yi][:, xi]
 
+    @staticmethod
+    def _to_rgb(img: np.ndarray) -> np.ndarray:
+        if img.ndim == 2:
+            return np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3]
+
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if self.decoder is not None:
-            return self._thumbnail(
-                np.asarray(self.decoder(payload), dtype=np.uint8))
+            return self._thumbnail(self._to_rgb(
+                np.asarray(self.decoder(payload), dtype=np.uint8)))
+        if is_png(payload):
+            return self._thumbnail(self._to_rgb(png_decode(payload)))
         if not self.fake:
             raise NotImplementedError(
-                "image decode requires an image library (PIL/libjpeg); "
-                "not available in this offline container — pass decoder=")
+                "non-PNG image decode requires an image library "
+                "(PIL/libjpeg); not available in this offline container — "
+                "pass decoder=")
         rng = np.random.RandomState(
             int.from_bytes(hashlib.md5(payload[:16]).digest()[:4], "big"))
         return rng.randint(0, 256, size=(self.thumb, self.thumb, 3),
@@ -105,8 +161,56 @@ class ImageDecoder:
         return out.append_column("pixel_mean", pa.array(means, pa.float64()))
 
 
+class AudioFeatures:
+    """Actor-pool audio feature stage: REAL WAV/PCM decode (stdlib
+    ``wave``) → per-frame RMS energy features. Mirrors ImageDecoder's
+    seam: an injected ``decoder`` (``bytes -> (samples, rate)``) handles
+    compressed codecs; without one, non-WAV payloads raise
+    NotImplementedError (``fake=False``) or produce a deterministic
+    pseudo-feature (``fake=True``)."""
+
+    def __init__(self, fake: bool = False, frame_ms: int = 25,
+                 decoder=None):
+        self.fake = fake
+        self.frame_ms = frame_ms
+        self.decoder = decoder
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        if self.decoder is not None:
+            samples, rate = self.decoder(payload)
+            return frame_rms(np.asarray(samples), rate, self.frame_ms)
+        if is_wav(payload):
+            samples, rate = wav_decode(payload)
+            return frame_rms(samples, rate, self.frame_ms)
+        if not self.fake:
+            raise NotImplementedError(
+                "compressed audio decode requires ffmpeg/libsndfile; not "
+                "available in this offline container — pass decoder=")
+        rng = np.random.RandomState(
+            int.from_bytes(hashlib.md5(payload[:16]).digest()[:4], "big"))
+        return rng.rand(8).astype(np.float32) * 1000
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rms_all, means, peaks, counts = [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            rms = self._features(p or b"")
+            rms_all.append(rms)
+            means.append(float(rms.mean()) if len(rms) else 0.0)
+            peaks.append(float(rms.max()) if len(rms) else 0.0)
+            counts.append(len(rms))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column(
+            "frame_rms", pa.array([r.tolist() for r in rms_all],
+                                  pa.list_(pa.float32())))
+        out = out.append_column("rms_mean", pa.array(means, pa.float64()))
+        out = out.append_column("rms_peak", pa.array(peaks, pa.float64()))
+        return out.append_column("n_frames",
+                                 pa.array(counts, pa.int32()))
+
+
 class AudioFrameSampler:
-    """Frame-sample stub for audio/video payloads (same actor-pool shape)."""
+    """Frame-sample stub for VIDEO payloads (same actor-pool shape; no
+    pure-stdlib video codec exists, so this one stays a declared stub)."""
 
     def __init__(self, fake: bool = True, n_frames: int = 4):
         self.fake = fake
@@ -128,8 +232,9 @@ def media_pipeline(docs_extracted_ds, *, fake: bool = True,
                    batch_size: int = 16):
     """Extracted docs → media table → fetch → decode/features.
 
-    Flatten media spans to one row per media_ref, then run the stub decode
-    stages; demonstrates the image/audio actor-pool layout end-to-end.
+    Flatten media spans to one row per media_ref, then fetch + decode:
+    image payloads are real PNGs and go through the REAL stdlib decode
+    (``fake`` only governs payload formats with no stdlib codec).
     """
     def flatten_media(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
