@@ -765,8 +765,13 @@ def q_tfidf_terms(sf_dir: str):
         pairs = pa.table({"p": parent, "term": words}).group_by(
             ["p", "term"]).aggregate([])
         df = pairs.group_by("term").aggregate([("term", "count")])
-        merged = tf.rename_columns(["term", "tf"]).join(
-            df.rename_columns(["term", "df"]), keys="term")
+        # select generated columns by NAME (their position has differed
+        # across pyarrow versions)
+        merged = pa.table({
+            "term": tf.column("term"), "tf": tf.column("term_count"),
+        }).join(pa.table({
+            "term": df.column("term"), "df": df.column("term_count"),
+        }), keys="term")
         return pa.table({
             "term": merged.column("term"),
             "tf": pc.cast(merged.column("tf"), pa.int64()),
@@ -800,6 +805,104 @@ def q_tfidf_terms(sf_dir: str):
     return out[["rnk", "term", "tf", "df", "score"]]
 
 
+def q_active_days(sf_dir: str):
+    """SQL UNION (distinct) through the tagged-union set op: all (user,
+    day) pairs with click OR purchase activity (stages/setops.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.setops import set_op
+
+    def side(event_type: str):
+        def day(batch: pa.Table) -> pa.Table:
+            us = pc.cast(batch.column("ts"), pa.int64())
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "day_bucket": pc.divide(us, 86400000000),
+            })
+
+        return _read_pq(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+            filter=(pc.field("event_type") == event_type),
+        ).map_batches(day, batch_format="pyarrow")
+
+    return set_op(side("click"), side("purchase"),
+                  key_columns=["user_id", "day_bucket"],
+                  op="union").sort(["user_id", "day_bucket"])
+
+
+def q_chars_quartiles(sf_dir: str):
+    """NTILE-style quantile bucketing: exact global quartile cutpoints
+    from the distributed value-histogram quantile operator (tiny result —
+    n_chars cardinality, not rows), broadcast into a vectorized bucketing
+    pass + combiner aggregate. Two passes over one column, no row-level
+    shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from magic_content_extractor_ray.stages.stats import grouped_quantiles
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    cuts_tbl = grouped_quantiles(
+        docs.map_batches(
+            lambda t: t.append_column(
+                "g", pa.array([1] * len(t), pa.int64())),
+            batch_format="pyarrow"),
+        key_column="g", value_column="n_chars",
+        quantiles=(0.25, 0.5, 0.75)).to_pandas()
+    p25 = float(cuts_tbl["q_0_25"].iloc[0])
+    p50 = float(cuts_tbl["q_0_5"].iloc[0])
+    p75 = float(cuts_tbl["q_0_75"].iloc[0])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_chars")
+        q = pc.if_else(
+            pc.less_equal(n, p25), pa.scalar(1, pa.int64()),
+            pc.if_else(pc.less_equal(n, p50), pa.scalar(2, pa.int64()),
+                       pc.if_else(pc.less_equal(n, p75),
+                                  pa.scalar(3, pa.int64()),
+                                  pa.scalar(4, pa.int64()))))
+        t = pa.table({"quartile": q, "n_chars": n})
+        g = t.group_by("quartile").aggregate(
+            [("n_chars", "sum"), ("n_chars", "count")])
+        return pa.table({
+            "quartile": g.column("quartile"),
+            "total_chars": g.column("n_chars_sum"),
+            "n_docs": pc.cast(g.column("n_chars_count"), pa.int64()),
+        })
+
+    return docs.map_batches(bucket, batch_format="pyarrow").groupby(
+        "quartile").aggregate(
+        Sum("total_chars", alias_name="total_chars"),
+        Sum("n_docs", alias_name="n_docs")).sort("quartile")
+
+
+def q_heavy_terms(sf_dir: str):
+    """Top-20 terms via the Misra-Gries heavy-hitters path (sketch →
+    exact recount): the UNBOUNDED-cardinality alternative to top_terms'
+    full-vocabulary groupby — the shuffle carries ≤ capacity-row
+    summaries per batch instead of the whole vocabulary. Exact (and
+    oracle-checked) because the 20th term count far exceeds N/capacity
+    on Zipf-like text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.sketch import heavy_hitters
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.list_flatten(
+            pc.utf8_split_whitespace(pc.utf8_lower(texts)))
+        return pa.table({"term": words.filter(pc.not_equal(words, ""))})
+
+    words = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["text"],
+    ).map_batches(tokens, batch_format="pyarrow")
+    out = heavy_hitters(words, "term", k=20)
+    return out.rename(columns={"value": "term"})
+
+
 def q_customer_order_counts(sf_dir: str):
     """LEFT OUTER partitioned hash join: every customer with their order
     count, zero-order customers included (pre-aggregated right side, so
@@ -812,7 +915,8 @@ def q_customer_order_counts(sf_dir: str):
     counts = _read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_custkey"],
     ).groupby("o_custkey").aggregate(Count(alias_name="cnt")).map_batches(
-        lambda t: t.rename_columns(["c_custkey", "cnt"]),
+        lambda t: pa.table({"c_custkey": t.column("o_custkey"),
+                            "cnt": t.column("cnt")}),
         batch_format="pyarrow")
     cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
@@ -1286,7 +1390,8 @@ def q_orders_by_segment(sf_dir: str):
                              columns=["o_orderkey", "o_custkey"])
     cust = _read_pq(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"]).map_batches(
-        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        lambda t: pa.table({"o_custkey": t.column("c_custkey"),
+                            "c_mktsegment": t.column("c_mktsegment")}),
         batch_format="pyarrow")
     joined = hash_join(orders, cust, key="o_custkey",
                        left_cols=["o_orderkey"],
@@ -1573,6 +1678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "users_intersect": q_users_intersect,
         "purchase_days_clean": q_purchase_days_clean,
+        "active_days": q_active_days,
+        "chars_quartiles": q_chars_quartiles,
+        "heavy_terms": q_heavy_terms,
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
         "lineitem_corr": q_lineitem_corr,
@@ -1727,6 +1835,32 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS day_bucket FROM events "
             "WHERE event_type = 'error'"
             ") ORDER BY user_id, day_bucket"),
+        "heavy_terms": (
+            "SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, word) "
+            "AS BIGINT) AS rnk, word AS term, count(*) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word "
+            "FROM documents) GROUP BY word "
+            "ORDER BY n DESC, term LIMIT 20"),
+        "active_days": (
+            "SELECT user_id, day_bucket FROM ("
+            "SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) "
+            "AS BIGINT) AS day_bucket FROM events "
+            "WHERE event_type = 'click' "
+            "UNION "
+            "SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) "
+            "AS BIGINT) AS day_bucket FROM events "
+            "WHERE event_type = 'purchase'"
+            ") ORDER BY user_id, day_bucket"),
+        "chars_quartiles": (
+            "WITH t AS (SELECT quantile_cont(n_chars, 0.25) AS p25, "
+            "quantile_cont(n_chars, 0.5) AS p50, "
+            "quantile_cont(n_chars, 0.75) AS p75 FROM documents) "
+            "SELECT CASE WHEN n_chars <= p25 THEN 1 "
+            "WHEN n_chars <= p50 THEN 2 WHEN n_chars <= p75 THEN 3 "
+            "ELSE 4 END AS quartile, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "count(*) AS n_docs FROM documents, t "
+            "GROUP BY quartile ORDER BY quartile"),
         "suppliers_by_region": (
             "SELECT r.r_name, count(*) AS n_suppliers FROM supplier s "
             "JOIN nation n ON s.s_nationkey = n.n_nationkey "

@@ -153,7 +153,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # window / set-op / star-join / vector-stats families
              "user_paths", "events_pivot", "purchase_days_clean",
              "suppliers_by_region", "lineitem_corr", "label_centroids",
-             "tfidf_terms"]
+             "tfidf_terms", "chars_quartiles", "heavy_terms"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -217,3 +217,133 @@ def approx_distinct(ds, column: str, *, p: int = 12) -> float:
     for r in rows:
         merged = merged.merge(HllSketch.from_bytes(r["sketch"], p))
     return merged.estimate()
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def _mg_summary(values, counts, capacity: int) -> dict:
+    """Misra-Gries compression of (value → count) down to ``capacity``
+    entries. Classic guarantee: any value with true total count
+    > N/capacity survives (public Misra & Gries 1982 / MG-merge from
+    Agarwal et al. 2012)."""
+    summary: dict = {}
+    for v, c in zip(values, counts):
+        c = int(c)
+        if v in summary:
+            summary[v] += c
+        elif len(summary) < capacity:
+            summary[v] = c
+        else:
+            # decrement-all by the min once the table is full
+            dec = min(min(summary.values()), c)
+            summary = {k: n - dec for k, n in summary.items() if n > dec}
+            if c > dec:
+                summary[v] = c - dec
+    return summary
+
+
+def heavy_hitters(ds, column: str, *, k: int = 100,
+                  capacity: int | None = None):
+    """EXACT top-k frequent values at unbounded cardinality: a two-pass
+    sketch-then-recount.
+
+    Pass 1: each batch emits a Misra-Gries summary (≤ ``capacity`` rows —
+    the shuffle carries summaries, never the full value distribution);
+    summaries merge by grouped sum (MG merge = add + re-compress, and
+    re-compression is safe to skip: the union only over-keeps). Any value
+    with true count > N/capacity is guaranteed present.
+
+    Pass 2: the surviving candidate set (≤ capacity × n_batches rows,
+    re-compressed to ``capacity`` on the driver) is broadcast and counted
+    EXACTLY in one vectorized filter+count pass, so reported counts are
+    true counts, not MG lower bounds.
+
+    Returns a pandas DataFrame (rnk, value, n) — exact top-k whenever the
+    k-th count exceeds N/capacity (guaranteed for Zipf-like text with the
+    default capacity = 50·k); the MG threshold N/capacity is also
+    returned so callers can verify the guarantee held.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    capacity = capacity or 50 * k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        """Vectorized MG-equivalent prune of the batch's exact counts:
+        keep the top ``capacity`` values and subtract the waterline (the
+        (capacity+1)-th count). Per-batch deficit per value ≤
+        N_batch/(capacity+1), so summed deficits stay < N/capacity — the
+        same survival guarantee as sequential MG, in C-speed sorts."""
+        import numpy as np
+
+        col = batch.column(column)
+        g = pa.table({column: col}).group_by(column).aggregate(
+            [(column, "count")])
+        cnts = g.column(f"{column}_count").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(cnts) > capacity:
+            order = np.argsort(-cnts, kind="stable")[:capacity + 1]
+            waterline = cnts[order[-1]]
+            keep_idx = order[:-1]
+            kept = cnts[keep_idx] - waterline
+            pos = kept > 0
+            keep_idx, kept = keep_idx[pos], kept[pos]
+            vals_arr = pc.take(g.column(column),
+                               pa.array(keep_idx, pa.int64()))
+        else:
+            kept = cnts
+            vals_arr = g.column(column)
+        if len(kept) == 0:
+            return pa.table({
+                column: pa.array([None], g.column(column).type),
+                "mg_count": pa.array([0], pa.int64()),
+                "batch_n": pa.array([len(batch)], pa.int64())})
+        batch_n = np.zeros(len(kept), dtype=np.int64)
+        batch_n[0] = len(batch)
+        return pa.table({column: vals_arr,
+                         "mg_count": pa.array(kept, pa.int64()),
+                         "batch_n": pa.array(batch_n, pa.int64())})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        column).aggregate(Sum("mg_count", alias_name="mg_count"),
+                          Sum("batch_n", alias_name="batch_n")).to_pandas()
+    total_n = int(merged["batch_n"].sum())
+    merged = merged[merged[column].notna()]
+    cand = _mg_summary(merged[column].tolist(),
+                       merged["mg_count"].tolist(), capacity)
+    cand_ref = ray.put(set(cand))
+
+    class Recount:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+            self.cand_arr = pa.array(list(self.cand))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch.column(column)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            keep = pc.is_in(col, value_set=self.cand_arr)
+            kept = col.filter(keep)
+            g = pa.table({column: kept}).group_by(column).aggregate(
+                [(column, "count")])
+            return pa.table({
+                column: g.column(column),
+                "n": pc.cast(g.column(f"{column}_count"), pa.int64()),
+            })
+
+    from ..util import actor_pool
+
+    exact = ds.map_batches(
+        Recount, batch_format="pyarrow", concurrency=actor_pool(),
+    ).groupby(column).aggregate(Sum("n", alias_name="n")).to_pandas()
+    out = exact.sort_values(["n", column],
+                            ascending=[False, True]).head(k).reset_index(
+        drop=True)
+    out["rnk"] = range(1, len(out) + 1)
+    out = out.rename(columns={column: "value"})
+    out.attrs["mg_threshold"] = total_n / capacity if capacity else 0.0
+    return out[["rnk", "value", "n"]]

@@ -791,3 +791,41 @@ def test_fetch_media_stub_audio_payloads():
         assert is_wav(p)
         samples, rate = wav_decode(p)
         assert abs(len(samples) / rate * 1000 - d) < 2
+
+
+def test_heavy_hitters_exact_topk(ray_session):
+    """Misra-Gries sketch + exact recount returns TRUE top-k counts on a
+    skewed distribution, with a small sketch capacity and many distinct
+    tail values (the tail never survives the shuffle)."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sketch import (
+        heavy_hitters, _mg_summary)
+
+    rows = []
+    # heavy head: value h<i> appears (200 - 10i) times
+    expected = {}
+    for i in range(10):
+        n = 200 - 10 * i
+        expected[f"h{i}"] = n
+        rows += [{"w": f"h{i}"}] * n
+    # long tail: 2000 singletons
+    rows += [{"w": f"tail-{j}"} for j in range(2000)]
+    rng = np.random.RandomState(0)
+    rng.shuffle(rows)
+    ds = rd.from_items(rows).repartition(8)
+
+    out = heavy_hitters(ds, "w", k=10, capacity=60)
+    got = dict(zip(out["value"], out["n"]))
+    assert got == expected
+    assert out["rnk"].tolist() == list(range(1, 11))
+    # guarantee precondition held: 10th count (110) > N/capacity
+    n_total = len(rows)
+    assert 110 > n_total / 60
+
+    # MG compression property: any value with count > N/capacity survives
+    vals = [f"v{i}" for i in range(500)]
+    cnts = [1] * 500
+    vals.append("big")
+    cnts.append(100)
+    summ = _mg_summary(vals, cnts, capacity=10)
+    assert "big" in summ  # 100 > 600/10
