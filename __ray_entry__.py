@@ -877,6 +877,36 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_token_offsets(sf_dir: str):
+    """Distributed ordered PREFIX-SUM (scan): every document's global
+    token start offset in doc_id order, and the concat-and-chunk pack it
+    starts in (offset // budget) — the allow_split packing layout. Uses
+    the two-phase range-bucketed scan in stages/scan.py (bounded driver
+    state: one partial sum per key bucket)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+    from magic_content_extractor_ray.stages.textops import token_counts
+
+    BUDGET = 2048
+
+    counted = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(token_counts, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"])
+    out = keyed_prefix_sum(counted, key_column="doc_id",
+                           value_column="n_tokens",
+                           bucket_width=10_000,
+                           out_column="token_offset")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pack_id", pc.divide(batch.column("token_offset"),
+                                 pa.scalar(BUDGET, pa.int64())))
+
+    return out.map_batches(pack, batch_format="pyarrow").sort("doc_id")
+
+
 def q_heavy_terms(sf_dir: str):
     """Top-20 terms via the Misra-Gries heavy-hitters path (sketch →
     exact recount): the UNBOUNDED-cardinality alternative to top_terms'
@@ -1681,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_days": q_active_days,
         "chars_quartiles": q_chars_quartiles,
         "heavy_terms": q_heavy_terms,
+        "token_offsets": q_token_offsets,
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
         "lineitem_corr": q_lineitem_corr,
@@ -1835,6 +1866,14 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS day_bucket FROM events "
             "WHERE event_type = 'error'"
             ") ORDER BY user_id, day_bucket"),
+        "token_offsets": (
+            "SELECT doc_id, n_tokens, token_offset, "
+            "token_offset // 2048 AS pack_id FROM ("
+            "SELECT doc_id, n_tokens, COALESCE(CAST(sum(n_tokens) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) AS BIGINT), 0) AS token_offset FROM ("
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) "
+            "AS n_tokens FROM documents)) ORDER BY doc_id"),
         "heavy_terms": (
             "SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, word) "
             "AS BIGINT) AS rnk, word AS term, count(*) AS n FROM ("

@@ -14,7 +14,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "user_paths", "event_gaps", "running_order_total", "events_pivot",
         "users_intersect", "purchase_days_clean", "suppliers_by_region",
         "orders_monthly", "lineitem_corr", "label_centroids",
-        "tfidf_terms", "active_days", "chars_quartiles", "heavy_terms"]
+        "tfidf_terms", "active_days", "chars_quartiles", "heavy_terms",
+        "token_offsets"]
 
 
 @pytest.fixture(scope="module")

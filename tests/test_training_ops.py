@@ -829,3 +829,31 @@ def test_heavy_hitters_exact_topk(ray_session):
     cnts.append(100)
     summ = _mg_summary(vals, cnts, capacity=10)
     assert "big" in summ  # 100 > 600/10
+
+
+def test_keyed_prefix_sum(ray_session):
+    """Distributed scan == sequential exclusive cumsum, across bucket
+    boundaries, with sparse keys and duplicate keys (tie column)."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+
+    rng = np.random.RandomState(5)
+    keys = sorted(rng.choice(10_000, size=300, replace=False).tolist())
+    vals = rng.randint(1, 50, size=300).tolist()
+    rows = [{"k": k, "v": v, "t": 0} for k, v in zip(keys, vals)]
+    # duplicate keys: two extra rows sharing a key, tie-broken by t
+    rows.append({"k": keys[10], "v": 7, "t": 1})
+    rows.append({"k": keys[10], "v": 9, "t": 2})
+    rng.shuffle(rows)
+    ds = rd.from_items(rows).repartition(7)
+
+    out = keyed_prefix_sum(ds, key_column="k", value_column="v",
+                           bucket_width=500, out_column="off",
+                           tie_column="t").to_pandas().sort_values(
+        ["k", "t"]).reset_index(drop=True)
+    expected = sorted(rows, key=lambda r: (r["k"], r["t"]))
+    run = 0
+    for i, r in enumerate(expected):
+        assert out.loc[i, "k"] == r["k"] and out.loc[i, "off"] == run, \
+            (i, r, out.loc[i].to_dict())
+        run += r["v"]
