@@ -250,16 +250,46 @@ class _TreeBuilder(HTMLParser):
         self.stack[-1].append(Node(COMMENT, data=data))
 
 
+def parse_stdlib(html: str) -> Node:
+    """Reference builder on stdlib html.parser (the slow path; kept as
+    the equivalence oracle for the fast tokenizer and as the
+    ``MCE_SLOW_PARSE=1`` fallback)."""
+    tb = _TreeBuilder()
+    tb.feed(html)
+    tb.close()
+    return tb.root
+
+
+def _pick_parse():
+    import os
+
+    if os.environ.get("MCE_SLOW_PARSE"):
+        return parse_stdlib
+    from .fastparse import build_tree
+
+    def fast(html: str) -> Node:
+        return build_tree(html, Node, TAG, TEXT, COMMENT, VOID_TAGS,
+                          _P_CLOSERS)
+
+    return fast
+
+
+_parse_impl = None
+
+
 def parse(html: str) -> Node:
     """Parse an HTML string into a DOM rooted at a synthetic ``#root``.
 
     If the input has no ``<html>``/``<body>`` structure the fragment's nodes
     hang directly off the root; ``body_of`` finds the effective body.
+    Uses the fast tokenizer (htmlib/fastparse.py) unless
+    ``MCE_SLOW_PARSE=1``; both produce equivalent trees (pinned by
+    tests/test_fastparse.py).
     """
-    tb = _TreeBuilder()
-    tb.feed(html)
-    tb.close()
-    return tb.root
+    global _parse_impl
+    if _parse_impl is None:
+        _parse_impl = _pick_parse()
+    return _parse_impl(html)
 
 
 def body_of(root: Node) -> Node:
