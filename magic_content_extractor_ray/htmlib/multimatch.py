@@ -59,48 +59,91 @@ class SelectorIndex:
                 self.linear.append((sel, seq))
 
     def _node_candidates(self, n: Node):
-        """Yield (sel, seq) pairs that MIGHT match node n (hash prefilter)."""
-        tag_hits = self.by_tag.get(n.tag)
-        if tag_hits:
-            yield from tag_hits
+        """(sel, seq) pairs that MIGHT match node n (hash prefilter).
+        Returns a LIST — generator frames showed up in the extract
+        profile at ~140k calls/batch. The common case (no hit on any
+        bucket, no linear selectors) returns a shared empty list."""
+        hits = self.by_tag.get(n.tag)
+        out = list(hits) if hits else []
         attrs = n.attrs
         if attrs:
             if self.by_id:
                 idv = attrs.get("id")
                 if idv is not None:
-                    id_hits = self.by_id.get(idv)
-                    if id_hits:
-                        yield from id_hits
+                    hits = self.by_id.get(idv)
+                    if hits:
+                        out.extend(hits)
             if self.by_class:
                 cls = attrs.get("class")
                 if cls:
                     for c in cls.split():
-                        cls_hits = self.by_class.get(c)
-                        if cls_hits:
-                            yield from cls_hits
+                        hits = self.by_class.get(c)
+                        if hits:
+                            out.extend(hits)
             if self.by_attr:
                 for a in attrs:
-                    attr_hits = self.by_attr.get(a)
-                    if attr_hits:
-                        yield from attr_hits
+                    hits = self.by_attr.get(a)
+                    if hits:
+                        out.extend(hits)
         if self.linear:
-            yield from self.linear
+            out.extend(self.linear)
+        return out
 
     def find_all(self, root: Node) -> dict[str, list[Node]]:
         """One walk → {selector: [matching nodes in document order]}."""
         out: dict[str, list[Node]] = {sel: [] for sel in self.selectors}
-        stack = list(reversed(root.children))
+        by_tag_get = self.by_tag.get
+        by_id, by_class, by_attr = self.by_id, self.by_class, self.by_attr
+        linear = self.linear
+        stack = root.children[::-1]
         while stack:
             n = stack.pop()
-            if n.children:
-                stack.extend(reversed(n.children))
+            c = n.children
+            if c:
+                stack.extend(c[::-1])
             if n.type != TAG:
                 continue
-            for sel, seq in self._node_candidates(n):
+            # inlined _node_candidates (hot: once per element)
+            cands = by_tag_get(n.tag)
+            attrs = n.attrs
+            if not attrs and not linear:
+                if not cands:
+                    continue
+                extra = None
+            else:
+                extra = []
+                if attrs:
+                    if by_id:
+                        idv = attrs.get("id")
+                        if idv is not None:
+                            hits = by_id.get(idv)
+                            if hits:
+                                extra.extend(hits)
+                    if by_class:
+                        cls = attrs.get("class")
+                        if cls:
+                            for cname in cls.split():
+                                hits = by_class.get(cname)
+                                if hits:
+                                    extra.extend(hits)
+                    if by_attr:
+                        for a in attrs:
+                            hits = by_attr.get(a)
+                            if hits:
+                                extra.extend(hits)
+                if linear:
+                    extra.extend(linear)
+            for sel, seq in (cands or ()):
                 if _matches_seq(n, seq):
                     lst = out[sel]
                     if not lst or lst[-1] is not n:
                         lst.append(n)
+            if extra:
+                for sel, seq in extra:
+                    if _matches_seq(n, seq):
+                        lst = out[sel]
+                        if not lst or lst[-1] is not n:
+                            lst.append(n)
         return out
 
     def find_all_with_tags(self, root: Node, tags=(), comments=False):

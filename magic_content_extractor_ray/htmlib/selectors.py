@@ -183,36 +183,89 @@ def matches(n: Node, selector: str) -> bool:
 
 def find(scope: Node, selector: str) -> list[Node]:
     """All descendant elements of ``scope`` matching ``selector``, in
-    document order (scope itself excluded, like cheerio ``.find``)."""
+    document order (scope itself excluded, like cheerio ``.find``).
+
+    Hot path: traversal is inlined (no ``descendants()`` generator
+    frames) and the two dominant selector shapes — bare tag and single
+    class — skip the ``match`` call entirely (text/comment nodes have
+    ``tag is None`` so the tag compare doubles as the element check)."""
     alts = compile_selector(selector)
     out = []
-    if len(alts) == 1:  # fast path: no per-node genexpr
+    append = out.append
+    stack = scope.children[::-1]
+    if len(alts) == 1:
         seq = alts[0]
         if len(seq) == 1:
-            m = seq[0].match
-            for n in scope.descendants():
+            s = seq[0]
+            conds = getattr(s, "conds", None)
+            if conds is not None and not conds and s.tag is not None:
+                t = s.tag  # bare-tag selector
+                while stack:
+                    n = stack.pop()
+                    if n.tag == t:
+                        append(n)
+                    c = n.children
+                    if c:
+                        stack.extend(c[::-1])
+                return out
+            if conds is not None and s.tag is None and len(conds) == 1 \
+                    and conds[0][0] == "class":
+                cls = conds[0][1]  # single-class selector
+                while stack:
+                    n = stack.pop()
+                    if n.tag is not None:
+                        cv = n.attrs.get("class")
+                        if cv and cls in cv.split():
+                            append(n)
+                    c = n.children
+                    if c:
+                        stack.extend(c[::-1])
+                return out
+            m = s.match
+            while stack:
+                n = stack.pop()
                 if n.type == TAG and m(n):
-                    out.append(n)
+                    append(n)
+                c = n.children
+                if c:
+                    stack.extend(c[::-1])
             return out
-        for n in scope.descendants():
+        while stack:
+            n = stack.pop()
             if n.type == TAG and _matches_seq(n, seq):
-                out.append(n)
+                append(n)
+            c = n.children
+            if c:
+                stack.extend(c[::-1])
         return out
-    for n in scope.descendants():
+    while stack:
+        n = stack.pop()
         if n.type == TAG and any(_matches_seq(n, seq) for seq in alts):
-            out.append(n)
+            append(n)
+        c = n.children
+        if c:
+            stack.extend(c[::-1])
     return out
 
 
 def find_first(scope: Node, selector: str) -> Node | None:
     alts = compile_selector(selector)
+    stack = scope.children[::-1]
     if len(alts) == 1:
         seq = alts[0]
-        for n in scope.descendants():
+        while stack:
+            n = stack.pop()
             if n.type == TAG and _matches_seq(n, seq):
                 return n
+            c = n.children
+            if c:
+                stack.extend(c[::-1])
         return None
-    for n in scope.descendants():
+    while stack:
+        n = stack.pop()
         if n.type == TAG and any(_matches_seq(n, seq) for seq in alts):
             return n
+        c = n.children
+        if c:
+            stack.extend(c[::-1])
     return None
