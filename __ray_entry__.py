@@ -877,6 +877,18 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_sample_fixed(sf_dir: str):
+    """Deterministic fixed-SIZE uniform sample (reservoir-sampling
+    analog): the 50 docs with the smallest md5(doc_id) — tree of
+    per-batch bottom-k's, stable across runs/parallelism
+    (stages/sample.fixed_k_sample)."""
+    from magic_content_extractor_ray.stages.sample import fixed_k_sample
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "lang"])
+    return fixed_k_sample(docs, k=50, id_column="doc_id")
+
+
 def q_token_offsets(sf_dir: str):
     """Distributed ordered PREFIX-SUM (scan): every document's global
     token start offset in doc_id order, and the concat-and-chunk pack it
@@ -1712,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quartiles": q_chars_quartiles,
         "heavy_terms": q_heavy_terms,
         "token_offsets": q_token_offsets,
+        "sample_fixed": q_sample_fixed,
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
         "lineitem_corr": q_lineitem_corr,
@@ -1866,6 +1879,10 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS day_bucket FROM events "
             "WHERE event_type = 'error'"
             ") ORDER BY user_id, day_bucket"),
+        "sample_fixed": (
+            "SELECT doc_id, lang FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+            "LIMIT 50"),
         "token_offsets": (
             "SELECT doc_id, n_tokens, token_offset, "
             "token_offset // 2048 AS pack_id FROM ("

@@ -56,3 +56,42 @@ def stratified_sample(ds, *, key_column: str, pcts: dict[str, int],
         return batch.filter(pa.array(buckets < limits))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def fixed_k_sample(ds, *, k: int, id_column: str = "doc_id",
+                   salt: str = "", columns: list[str] | None = None):
+    """Deterministic fixed-SIZE uniform sample: the k rows with the
+    smallest ``md5(salt + id)`` — the order statistic analog of
+    ``hash_sample``'s fixed-RATE predicate (and the deterministic
+    replacement for reservoir sampling at scale).
+
+    Distributed as a tree of partial bottom-k's: each batch keeps its k
+    smallest hashes, so the driver merge sees ≤ k rows per batch, never
+    the corpus. Same-id rows hash identically across runs, workers and
+    parallelism levels, so the sample is stable and resume-safe.
+    Returns a pandas DataFrame sorted by ``id_column``.
+    """
+    import hashlib as _h
+
+    import pandas as pd
+    import pyarrow as pa
+
+    pre = salt.encode()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        hs = [_h.md5(pre + str(v).encode()).hexdigest() for v in ids]
+        df = batch.to_pandas()
+        df["_h"] = hs
+        df = df.sort_values(["_h", id_column], kind="stable").head(k)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    src = ds if columns is None else ds.select_columns(
+        list({*columns, id_column}))
+    cands = src.map_batches(partial, batch_format="pyarrow",
+                            batch_size=8192)
+    out = cands.to_pandas().sort_values(
+        ["_h", id_column], kind="stable").head(k)
+    return out.drop(columns=["_h"]).sort_values(id_column).reset_index(
+        drop=True)

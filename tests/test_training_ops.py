@@ -857,3 +857,22 @@ def test_keyed_prefix_sum(ray_session):
         assert out.loc[i, "k"] == r["k"] and out.loc[i, "off"] == run, \
             (i, r, out.loc[i].to_dict())
         run += r["v"]
+
+
+def test_fixed_k_sample(ray_session):
+    """Fixed-size hash sample: stable across runs and parallelism, and
+    equal to the sequential bottom-k oracle."""
+    import hashlib
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sample import fixed_k_sample
+
+    rows = [{"doc_id": i, "v": i * 2} for i in range(500)]
+    expected = sorted(
+        range(500),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:20]
+    for parts in (2, 9):
+        out = fixed_k_sample(rd.from_items(rows).repartition(parts), k=20)
+        assert sorted(out["doc_id"].tolist()) == sorted(expected)
+    # salt changes the sample
+    out2 = fixed_k_sample(rd.from_items(rows), k=20, salt="s1")
+    assert sorted(out2["doc_id"].tolist()) != sorted(expected)
