@@ -268,6 +268,45 @@ def q_orders_rollup(sf_dir: str):
     return both.union(by_status).union(grand).sort(["status", "priority"])
 
 
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(status, priority): the base (status, priority)
+    cells come from ONE distributed combiner aggregate; the three
+    margins and the grand total are derived from the tiny base-cell
+    table on the driver — the standard scale shape for grouping sets
+    (never re-scan the fact table per grouping set)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_orderstatus", "count")])
+        return pa.table({
+            "status": g.column("o_orderstatus"),
+            "priority": g.column("o_orderpriority"),
+            "n": pc.cast(g.column("o_orderstatus_count"), pa.int64()),
+        })
+
+    cells = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        ["status", "priority"]).aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+
+    by_status = cells.groupby("status", as_index=False)["n"].sum()
+    by_status["priority"] = "ALL"
+    by_prio = cells.groupby("priority", as_index=False)["n"].sum()
+    by_prio["status"] = "ALL"
+    total = pd.DataFrame({"status": ["ALL"], "priority": ["ALL"],
+                          "n": [cells["n"].sum()]})
+    out = pd.concat([cells, by_status, by_prio, total],
+                    ignore_index=True)[["status", "priority", "n"]]
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["status", "priority"]).reset_index(drop=True)
+
+
 def q_top_terms(sf_dir: str):
     """Global top-100 most frequent words (vocabulary building): fully
     vectorized per-batch word counting (arrow split + flatten + group_by),
@@ -1725,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_terms": q_heavy_terms,
         "token_offsets": q_token_offsets,
         "sample_fixed": q_sample_fixed,
+        "orders_cube": q_orders_cube,
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
         "lineitem_corr": q_lineitem_corr,
@@ -1879,6 +1919,12 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS day_bucket FROM events "
             "WHERE event_type = 'error'"
             ") ORDER BY user_id, day_bucket"),
+        "orders_cube": (
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS status, "
+            "COALESCE(o_orderpriority, 'ALL') AS priority, "
+            "count(*) AS n FROM orders "
+            "GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+            "ORDER BY status, priority"),
         "sample_fixed": (
             "SELECT doc_id, lang FROM documents "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
