@@ -928,6 +928,17 @@ def q_sample_fixed(sf_dir: str):
     return fixed_k_sample(docs, k=50, id_column="doc_id")
 
 
+def q_sample_per_lang(sf_dir: str):
+    """Deterministic k-per-group sample: exactly 10 docs per language by
+    hash order (stages/sample.fixed_k_per_group, tree-reduced)."""
+    from magic_content_extractor_ray.stages.sample import fixed_k_per_group
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "lang"])
+    return fixed_k_per_group(docs, k=10, group_column="lang",
+                             id_column="doc_id").sort(["lang", "doc_id"])
+
+
 def q_token_offsets(sf_dir: str):
     """Distributed ordered PREFIX-SUM (scan): every document's global
     token start offset in doc_id order, and the concat-and-chunk pack it
@@ -1765,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_offsets": q_token_offsets,
         "sample_fixed": q_sample_fixed,
         "orders_cube": q_orders_cube,
+        "sample_per_lang": q_sample_per_lang,
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
         "lineitem_corr": q_lineitem_corr,
@@ -1919,6 +1931,12 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS day_bucket FROM events "
             "WHERE event_type = 'error'"
             ") ORDER BY user_id, day_bucket"),
+        "sample_per_lang": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10 ORDER BY lang, doc_id"),
         "orders_cube": (
             "SELECT COALESCE(o_orderstatus, 'ALL') AS status, "
             "COALESCE(o_orderpriority, 'ALL') AS priority, "

@@ -95,3 +95,42 @@ def fixed_k_sample(ds, *, k: int, id_column: str = "doc_id",
         ["_h", id_column], kind="stable").head(k)
     return out.drop(columns=["_h"]).sort_values(id_column).reset_index(
         drop=True)
+
+
+def fixed_k_per_group(ds, *, k: int, group_column: str,
+                      id_column: str = "doc_id", salt: str = ""):
+    """Deterministic fixed-size sample PER GROUP: each group's k rows
+    with the smallest salted id hash (per-group reservoir analog — the
+    data-mixing primitive for "exactly k docs per language/source").
+
+    Tree-reduced like the per-group top-k operator: per-batch bottom-k
+    per group, then a bounded per-group map_groups final — no group
+    ever holds more than k × (candidate batches) rows.
+    """
+    import hashlib as _h
+
+    import pandas as pd
+    import pyarrow as pa
+
+    pre = salt.encode()
+
+    def add_hash(df: "pd.DataFrame") -> "pd.DataFrame":
+        df["_h"] = [_h.md5(pre + str(v).encode()).hexdigest()
+                    for v in df[id_column]]
+        return df
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = add_hash(batch.to_pandas())
+        df = df.sort_values(["_h", id_column], kind="stable").groupby(
+            group_column, sort=False).head(k)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["_h", id_column], kind="stable").head(k)
+        return g.drop(columns=["_h"])
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+    return cands.groupby(group_column).map_groups(
+        final, batch_format="pandas")

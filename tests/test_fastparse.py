@@ -123,3 +123,45 @@ def test_fast_is_default():
     root = dom.parse("<p>x</p>")
     assert root.children[0].tag == "p"
     assert dom._parse_impl.__name__ == "fast"
+
+
+def test_property_random_html_equivalence():
+    """Property test: on randomly composed HTML (tags, attrs, entities,
+    comments, rawtext, malformed fragments), the fast tokenizer's tree
+    equals the stdlib builder's."""
+    from hypothesis import given, settings, strategies as st
+
+    tag = st.sampled_from(["div", "p", "span", "a", "ul", "li", "img",
+                           "br", "script", "style", "h1", "table"])
+    attr = st.sampled_from(["", " class='x y'", ' id="k"',
+                            " href=plain", ' data-a="1 &amp; 2"',
+                            " hidden", " title='q&quot;z'"])
+    text = st.sampled_from(["plain", "a &amp; b", "x &lt; y", "&#65;bc",
+                            "loose & amp", "with < bracket", "中文",
+                            "tail  space ", "&unknown; ref"])
+
+    @st.composite
+    def fragment(draw, depth=0):
+        kind = draw(st.integers(0, 6 if depth < 3 else 2))
+        if kind <= 1:
+            return draw(text)
+        if kind == 2:
+            return f"<!-- {draw(text)} -->"
+        if kind == 3:
+            t = draw(tag)
+            return f"<{t}{draw(attr)}>"          # unclosed / void
+        if kind == 4:
+            return f"</{draw(tag)}>"             # stray close
+        t = draw(tag)
+        if t in ("script", "style"):
+            return f"<{t}>{draw(text)}</{t}>"
+        inner = "".join(draw(st.lists(fragment(depth=depth + 1),
+                                      max_size=3)))
+        return f"<{t}{draw(attr)}>{inner}</{t}>"
+
+    @given(st.lists(fragment(), max_size=8).map("".join))
+    @settings(max_examples=150, deadline=None)
+    def check(html):
+        assert canon(parse_stdlib(html)) == canon(fast_parse(html)), html
+
+    check()
