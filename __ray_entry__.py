@@ -916,6 +916,164 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_lang_chars_var(sf_dir: str):
+    """Per-group VARIANCE (sample) from mergeable exact-integer
+    sufficient statistics (n, Σx, Σx²): one combiner aggregate, final
+    formula vectorized over the tiny per-group table — the same shape
+    DuckDB's var_samp streams, but shuffle-free until the bounded
+    group table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars")
+        t = pa.table({
+            "lang": batch.column("lang"),
+            "sx": x,
+            "sxx": pc.multiply(x, x),
+        })
+        g = t.group_by("lang").aggregate(
+            [("sx", "sum"), ("sxx", "sum"), ("sx", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "sx": g.column("sx_sum"),
+            "sxx": g.column("sxx_sum"),
+            "n": pc.cast(g.column("sx_count"), pa.int64()),
+        })
+
+    stats = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        "lang").aggregate(
+        Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx"),
+        Sum("n", alias_name="n")).to_pandas()
+
+    n = stats["n"].to_numpy().astype(np.float64)
+    sx = stats["sx"].to_numpy().astype(np.float64)
+    sxx = stats["sxx"].to_numpy().astype(np.float64)
+    # mirror the oracle's double shape: (sxx - sx*sx/n) / (n-1)
+    var = np.round((sxx - sx * sx / n) / (n - 1), 6)
+    return pd.DataFrame({"lang": stats["lang"], "n": stats["n"],
+                         "var_chars": var}).sort_values(
+        "lang").reset_index(drop=True)
+
+
+def q_customers_with_purchases(sf_dir: str):
+    """SEMI join with Bloom pushdown: the purchase-user Bloom filter is
+    built distributed (one filter per batch, OR-merged), broadcast via
+    ray.put, and drops non-member customers INSIDE map_batches before
+    the exact semi join — the shuffle sees only Bloom survivors
+    (false-positive rate, not the full table). Exactness comes from the
+    hash-join against the true distinct-user set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.sketch import (
+        BloomFilter, build_bloom)
+    import pyarrow.compute as pc
+
+    purchasers = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+        filter=(pc.field("event_type") == "purchase"),
+    ).select_columns(["user_id"]).map_batches(
+        lambda t: t.group_by("user_id").aggregate([]),
+        batch_format="pyarrow")
+
+    bloom = build_bloom(purchasers, "user_id", n_bits=1 << 16)
+    bloom_ref = ray.put(bloom.to_bytes())
+    n_bits, k = bloom.n_bits, bloom.k
+
+    class BloomPrefilter:
+        def __init__(self):
+            self.bloom = BloomFilter.from_bytes(
+                ray.get(bloom_ref), n_bits, k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("c_custkey").to_numpy(
+                zero_copy_only=False)
+            return batch.filter(pa.array(self.bloom.contains_many(keys)))
+
+    survivors = _read_pq(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+    ).map_batches(BloomPrefilter, batch_format="pyarrow",
+                  concurrency=_pool())
+
+    distinct_p = purchasers.groupby("user_id").map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow").map_batches(
+        lambda t: pa.table({
+            "c_custkey": t.column("user_id"),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        }), batch_format="pyarrow")
+
+    joined = hash_join(
+        survivors.map_batches(
+            lambda t: t.append_column(
+                "z", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow"),
+        distinct_p, key="c_custkey", left_cols=["z"],
+        right_cols=["one"], how="inner")
+    return joined.select_columns(["c_custkey"]).sort("c_custkey")
+
+
+def q_daily_view_purchase(sf_dir: str):
+    """FULL OUTER partitioned hash join: per-(user, day) view counts vs
+    purchase counts — unmatched rows survive from BOTH sides (days with
+    views but no purchases and vice versa). Composite key packed into
+    one int64 (user_id·10^6 + day) so the join shuffles a single key
+    column; both sides are pre-aggregated before the exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    DAY_US = 86400000000
+
+    def side(event_type: str, out_col: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            us = pc.cast(batch.column("ts"), pa.int64())
+            ukey = pc.add(
+                pc.multiply(batch.column("user_id"),
+                            pa.scalar(1_000_000, pa.int64())),
+                pc.divide(us, DAY_US))
+            t = pa.table({"ukey": ukey})
+            g = t.group_by("ukey").aggregate([("ukey", "count")])
+            return pa.table({
+                "ukey": g.column("ukey"),
+                out_col: pc.cast(g.column("ukey_count"), pa.int64()),
+            })
+
+        return _read_pq(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+            filter=(pc.field("event_type") == event_type),
+        ).map_batches(partial, batch_format="pyarrow").groupby(
+            "ukey").aggregate(Sum(out_col, alias_name=out_col))
+
+    joined = hash_join(side("view", "n_views"),
+                       side("purchase", "n_purchases"),
+                       key="ukey", left_cols=["n_views"],
+                       right_cols=["n_purchases"], how="full")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ukey = batch.column("ukey")
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "user_id": pc.divide(ukey, 1_000_000),
+            "day_bucket": pc.subtract(
+                ukey, pc.multiply(pc.divide(ukey, 1_000_000),
+                                  pa.scalar(1_000_000, pa.int64()))),
+            "n_views": pc.coalesce(batch.column("n_views"), zero),
+            "n_purchases": pc.coalesce(batch.column("n_purchases"), zero),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort(
+        ["user_id", "day_bucket"])
+
+
 def q_sample_fixed(sf_dir: str):
     """Deterministic fixed-SIZE uniform sample (reservoir-sampling
     analog): the 50 docs with the smallest md5(doc_id) — tree of
@@ -1777,6 +1935,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fixed": q_sample_fixed,
         "orders_cube": q_orders_cube,
         "sample_per_lang": q_sample_per_lang,
+        "daily_view_purchase": q_daily_view_purchase,
+        "lang_chars_var": q_lang_chars_var,
+        "customers_with_purchases": q_customers_with_purchases,
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
         "lineitem_corr": q_lineitem_corr,
@@ -1931,6 +2092,33 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS day_bucket FROM events "
             "WHERE event_type = 'error'"
             ") ORDER BY user_id, day_bucket"),
+        "lang_chars_var": (
+            "WITH s AS (SELECT lang, count(*) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS sx, "
+            "CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx "
+            "FROM documents GROUP BY lang) "
+            "SELECT lang, n, round((CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * sx / n) / (n - 1), 6) AS var_chars "
+            "FROM s ORDER BY lang"),
+        "customers_with_purchases": (
+            "SELECT c.c_custkey FROM customer c WHERE EXISTS ("
+            "SELECT 1 FROM events e WHERE e.user_id = c.c_custkey "
+            "AND e.event_type = 'purchase') ORDER BY c.c_custkey"),
+        "daily_view_purchase": (
+            "WITH v AS (SELECT user_id, CAST(floor(epoch_us(ts) / "
+            "86400000000) AS BIGINT) AS day_bucket, count(*) AS n_views "
+            "FROM events WHERE event_type = 'view' GROUP BY 1, 2), "
+            "p AS (SELECT user_id, CAST(floor(epoch_us(ts) / "
+            "86400000000) AS BIGINT) AS day_bucket, "
+            "count(*) AS n_purchases FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT COALESCE(v.user_id, p.user_id) AS user_id, "
+            "COALESCE(v.day_bucket, p.day_bucket) AS day_bucket, "
+            "COALESCE(v.n_views, 0) AS n_views, "
+            "COALESCE(p.n_purchases, 0) AS n_purchases "
+            "FROM v FULL OUTER JOIN p ON v.user_id = p.user_id "
+            "AND v.day_bucket = p.day_bucket "
+            "ORDER BY user_id, day_bucket"),
         "sample_per_lang": (
             "SELECT doc_id, lang FROM ("
             "SELECT doc_id, lang, row_number() OVER ("

@@ -122,7 +122,12 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     ``how`` ∈ {'inner', 'left'} (left = left outer). ``hot_keys`` salts the
     named skewed keys across ``num_salts`` sub-buckets (left spreads,
     right replicates) — identical results, bounded per-task key volume."""
-    join_type = {"inner": "inner", "left": "left outer"}[how]
+    join_type = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
+    if how == "full" and hot_keys:
+        # salting replicates the right side across sub-buckets, which
+        # would emit one unmatched-right row PER SALT under full outer
+        raise ValueError("hot_keys salting is not valid with how='full'")
     hot_index = ({k: i for i, k in enumerate(hot_keys)}
                  if hot_keys else None)
 
@@ -154,7 +159,11 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
         mask_l = pc.equal(g.column("side"), "L")
         lrows = g.filter(mask_l)
         rrows = g.filter(pc.invert(mask_l))
-        if len(lrows) == 0 or (len(rrows) == 0 and join_type == "inner"):
+        if join_type == "full outer":
+            if len(lrows) == 0 and len(rrows) == 0:
+                return empty_schema.empty_table()
+        elif len(lrows) == 0 or (len(rrows) == 0 and
+                                 join_type == "inner"):
             return empty_schema.empty_table()
         lpay = lrows.column("left_payload").combine_chunks()
         ltab = pa.table(

@@ -15,7 +15,9 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "users_intersect", "purchase_days_clean", "suppliers_by_region",
         "orders_monthly", "lineitem_corr", "label_centroids",
         "tfidf_terms", "active_days", "chars_quartiles", "heavy_terms",
-        "token_offsets", "sample_fixed", "orders_cube", "sample_per_lang"]
+        "token_offsets", "sample_fixed", "orders_cube", "sample_per_lang",
+        "daily_view_purchase", "lang_chars_var",
+        "customers_with_purchases"]
 
 
 @pytest.fixture(scope="module")

@@ -876,3 +876,24 @@ def test_fixed_k_sample(ray_session):
     # salt changes the sample
     out2 = fixed_k_sample(rd.from_items(rows), k=20, salt="s1")
     assert sorted(out2["doc_id"].tolist()) != sorted(expected)
+
+
+def test_hash_join_full_outer(ray_session):
+    """FULL OUTER hash join: unmatched rows survive from both sides with
+    nulls; salting is rejected (right-side replication would duplicate
+    unmatched rows)."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    left = rd.from_items([{"k": k, "lv": k * 10} for k in [1, 2, 3]])
+    right = rd.from_items([{"k": k, "rv": k * 100} for k in [2, 3, 4]])
+    out = hash_join(left, right, key="k", left_cols=["lv"],
+                    right_cols=["rv"], how="full").to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out.loc[0, "lv"] == 10 and pd.isna(out.loc[0, "rv"])
+    assert out.loc[3, "rv"] == 400 and pd.isna(out.loc[3, "lv"])
+    assert out.loc[1, "lv"] == 20 and out.loc[1, "rv"] == 200
+    with pytest.raises(ValueError):
+        hash_join(left, right, key="k", left_cols=["lv"],
+                  right_cols=["rv"], how="full", hot_keys=[2])
