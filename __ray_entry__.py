@@ -916,6 +916,41 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_embedding_norms(sf_dir: str):
+    """Vector ops over the embedding column: per-vector squared L2 norm
+    in exact integer micro²-units (values scaled ×1e6, half-away
+    rounded — same convention as label_centroids, so the reduction is
+    order-independent and SQL-matchable). Fully vectorized: list
+    flatten + segment sums via parent run-lengths; no Python row loop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def norms(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lengths = pc.list_value_length(emb).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = flat * 1e6
+        micro = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        sq = micro * micro
+        ends = np.cumsum(lengths)
+        sums = np.add.reduceat(sq, np.concatenate([[0], ends[:-1]])) \
+            if len(sq) else np.zeros(0, np.int64)
+        sums = np.where(lengths == 0, 0, sums)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "norm_sq_micro": pa.array(sums, pa.int64()),
+        })
+
+    return _read_pq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+    ).map_batches(norms, batch_format="pyarrow").sort("vec_id")
+
+
 def q_lang_chars_var(sf_dir: str):
     """Per-group VARIANCE (sample) from mergeable exact-integer
     sufficient statistics (n, Σx, Σx²): one combiner aggregate, final
@@ -1937,6 +1972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": q_sample_per_lang,
         "daily_view_purchase": q_daily_view_purchase,
         "lang_chars_var": q_lang_chars_var,
+        "embedding_norms": q_embedding_norms,
         "customers_with_purchases": q_customers_with_purchases,
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
@@ -2092,6 +2128,11 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS day_bucket FROM events "
             "WHERE event_type = 'error'"
             ") ORDER BY user_id, day_bucket"),
+        "embedding_norms": (
+            "SELECT vec_id, CAST(sum(m * m) AS BIGINT) AS norm_sq_micro "
+            "FROM (SELECT vec_id, CAST(round(CAST(unnest(embedding) "
+            "AS DOUBLE) * 1000000) AS BIGINT) AS m FROM embeddings) "
+            "GROUP BY vec_id ORDER BY vec_id"),
         "lang_chars_var": (
             "WITH s AS (SELECT lang, count(*) AS n, "
             "CAST(sum(n_chars) AS BIGINT) AS sx, "

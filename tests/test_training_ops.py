@@ -897,3 +897,21 @@ def test_hash_join_full_outer(ray_session):
     with pytest.raises(ValueError):
         hash_join(left, right, key="k", left_cols=["lv"],
                   right_cols=["rv"], how="full", hot_keys=[2])
+
+
+def test_approx_quantiles_continuous(ray_session):
+    """Mergeable anchor-summary quantiles land within ~1% rank error of
+    exact quantiles on a heavy-tailed continuous distribution."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.stats import approx_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = np.exp(rng.randn(60_000) * 1.5)  # lognormal, heavy tail
+    ds = rd.from_items([{"v": float(x)} for x in vals]).repartition(12)
+    got = approx_quantiles(ds, value_column="v",
+                           quantiles=(0.1, 0.5, 0.9, 0.99))
+    svals = np.sort(vals)
+    for q, g in got.items():
+        # rank error: where does the approx value land in the true CDF?
+        rank = np.searchsorted(svals, g) / len(svals)
+        assert abs(rank - q) < 0.015, (q, g, rank)
