@@ -916,6 +916,34 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_doc_char_rank(sf_dir: str):
+    """Global ROW_NUMBER over a total order (n_chars, doc_id) — the
+    second consumer of the distributed ordered prefix-sum: rank =
+    exclusive count of preceding rows + 1, computed without any global
+    sort of the full table (per-bucket counts + bounded driver prefix)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"]).map_batches(
+        lambda t: t.append_column(
+            "one", pa.array([1] * len(t), pa.int64())),
+        batch_format="pyarrow")
+    out = keyed_prefix_sum(docs, key_column="n_chars",
+                           value_column="one", bucket_width=100,
+                           out_column="rn0", tie_column="doc_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "rn": pc.add(batch.column("rn0"), pa.scalar(1, pa.int64())),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("rn")
+
+
 def q_embedding_norms(sf_dir: str):
     """Vector ops over the embedding column: per-vector squared L2 norm
     in exact integer micro²-units (values scaled ×1e6, half-away
@@ -1973,6 +2001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_view_purchase": q_daily_view_purchase,
         "lang_chars_var": q_lang_chars_var,
         "embedding_norms": q_embedding_norms,
+        "doc_char_rank": q_doc_char_rank,
         "customers_with_purchases": q_customers_with_purchases,
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
@@ -2128,6 +2157,10 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS day_bucket FROM events "
             "WHERE event_type = 'error'"
             ") ORDER BY user_id, day_bucket"),
+        "doc_char_rank": (
+            "SELECT doc_id, n_chars, CAST(row_number() OVER ("
+            "ORDER BY n_chars, doc_id) AS BIGINT) AS rn "
+            "FROM documents ORDER BY rn"),
         "embedding_norms": (
             "SELECT vec_id, CAST(sum(m * m) AS BIGINT) AS norm_sq_micro "
             "FROM (SELECT vec_id, CAST(round(CAST(unnest(embedding) "
