@@ -1934,6 +1934,36 @@ def q_media_features(sf_dir: str):
         "media_ref")
 
 
+def q_audio_features(sf_dir: str):
+    """Audio path end-to-end through the driver surface: synthesize one
+    audio ref per document (deterministic), fetch REAL WAV payloads
+    (stdlib codec), decode + per-frame RMS features in the actor pool.
+    Rows-only check (signal features aren't SQL-expressible); the
+    codec/feature math is pinned by test_wav_codec_and_audio_features."""
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.multimodal import (
+        fetch_media_stub, AudioFeatures)
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        refs = [f"https://media.example/{i}/audio-0.wav"
+                for i in ids.to_pylist()]
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "kind": pa.array(["audio"] * len(batch), pa.string()),
+        })
+
+    out = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+    ).map_batches(to_refs, batch_format="pyarrow").map_batches(
+        fetch_media_stub, batch_format="pyarrow", batch_size=64,
+    ).map_batches(AudioFeatures, batch_format="pyarrow", batch_size=64,
+                  concurrency=_pool())
+    return out.select_columns(
+        ["media_ref", "duration_ms", "rms_mean", "rms_peak",
+         "n_frames"]).sort("media_ref")
+
+
 def q_checkpoint_lineage(sf_dir: str):
     """Run the checkpointed pipeline into /tmp (2 partitions) and surface
     the per-partition lineage records."""
@@ -2033,6 +2063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_metrics": q_extract_metrics,
         "extract_readability": q_extract_readability,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
         "checkpoint_lineage": q_checkpoint_lineage,
     }
 

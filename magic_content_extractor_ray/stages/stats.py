@@ -80,7 +80,6 @@ def approx_quantiles(ds, *, value_column: str,
     heavy-tailed data is well under 1%. Deterministic: no sampling.
     """
     import numpy as np
-    from ray.data.aggregate import Sum  # noqa: F401  (parity w/ siblings)
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch.column(value_column).to_numpy(
