@@ -61,3 +61,23 @@ def write_docs(ds, uri: str, **kwargs) -> None:
         ds.write_lance(uri, **kwargs)
         return
     ds.write_parquet(uri, **kwargs)
+
+
+def write_partitioned(ds, path: str, *, partition_cols: list[str],
+                      **kwargs) -> None:
+    """Hive-partitioned parquet sink (``path/col=value/…``): one
+    directory per key value, so downstream reads prune whole partitions
+    at the listing level and a failed run can re-do only missing keys.
+    Thin wrapper over ``write_parquet(partition_cols=…)`` kept here so
+    the partitioned-output layout has one named entry point."""
+    ds.write_parquet(path, partition_cols=partition_cols, **kwargs)
+
+
+def read_partition(path: str, *, column: str, value,
+                   columns: list[str] | None = None):
+    """Read ONE Hive partition directory (written by
+    ``write_partitioned``) — storage-level pruning: only that
+    partition's files are listed or opened."""
+    import ray.data as rd
+
+    return rd.read_parquet(f"{path}/{column}={value}", columns=columns)

@@ -61,20 +61,24 @@ def keyed_prefix_sum(ds, *, key_column: str, value_column: str,
     totals = bucketed.map_batches(
         partial, batch_format="pyarrow").groupby("_bucket").aggregate(
         Sum("bsum", alias_name="bsum")).to_pandas()
-    # exclusive prefix over bucket order — bounded by the bucket count,
-    # a few KB even at 10^12 rows with a sane bucket_width
+    # exclusive prefix over bucket order — bounded by the bucket count.
+    # Broadcast as two sorted numpy arrays (ids + prefix), not a Python
+    # dict: at 10^12 keys / bucket_width=1e6 that's ~10^6 int64 pairs =
+    # 16 MB in the object store vs GBs of dict overhead.
     totals = totals.sort_values("_bucket").reset_index(drop=True)
-    prefix = {int(b): int(p) for b, p in zip(
-        totals["_bucket"],
-        np.concatenate([[0], totals["bsum"].to_numpy().cumsum()[:-1]]))}
-    prefix_ref = ray.put(prefix)
+    bucket_ids = totals["_bucket"].to_numpy().astype(np.int64)
+    bucket_prefix = np.concatenate(
+        [[0], totals["bsum"].to_numpy().cumsum()[:-1]]).astype(np.int64)
+    prefix_ref = ray.put({"ids": bucket_ids, "prefix": bucket_prefix})
 
     sort_cols = [key_column] + ([tie_column] if tie_column else [])
 
     def per_bucket(g, *, _ref=prefix_ref):
         g = g.sort_values(sort_cols).reset_index(drop=True)
         vals = g[value_column].to_numpy(dtype="int64")
-        base = ray.get(_ref)[int(g["_bucket"].iloc[0])]
+        lk = ray.get(_ref)
+        pos = int(np.searchsorted(lk["ids"], int(g["_bucket"].iloc[0])))
+        base = int(lk["prefix"][pos])
         excl = np.concatenate([[0], vals.cumsum()[:-1]]) + base
         g[out_column] = excl
         return g.drop(columns=["_bucket"])

@@ -68,3 +68,22 @@ def test_archive_sources(ray_session, tmp_path):
         text3 = " ".join(s["text"] for s in got["site/page3.html"]["spans"])
         assert "Real content number 3" in text3
         assert "noise footer" not in text3
+
+
+def test_partitioned_write_and_pruned_read(ray_session, tmp_path):
+    """Hive-partitioned sink: per-key directories on disk, single-
+    partition reads touch only their directory."""
+    import os
+
+    import ray.data as rd
+    from magic_content_extractor_ray.sources.io import (
+        write_partitioned, read_partition)
+
+    rows = [{"lang": l, "doc_id": i, "n": i * 10}
+            for i, l in enumerate(["en", "de", "en", "fr", "de", "en"])]
+    out = str(tmp_path / "part_out")
+    write_partitioned(rd.from_items(rows), out, partition_cols=["lang"])
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == \
+        ["lang=de", "lang=en", "lang=fr"]
+    de = read_partition(out, column="lang", value="de").to_pandas()
+    assert sorted(de["doc_id"].tolist()) == [1, 4]
