@@ -916,6 +916,49 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic EPOCH SHUFFLE (training-data global reordering):
+    every document's position in the md5(epoch_salt + id) order —
+    a reproducible, resumable stand-in for random_shuffle (same rank
+    for the same id/epoch on any cluster shape), computed as a
+    distributed prefix-count over the 60-bit hash key instead of a full
+    sort. Changing the salt re-shuffles for the next epoch."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+
+    SALT = "epoch-0:"
+
+    def hash_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = [int(hashlib.md5((SALT + str(i)).encode()).hexdigest()[:15],
+                  16) for i in ids]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h": pa.array(hs, pa.int64()),
+            "one": pa.array([1] * len(batch), pa.int64()),
+        })
+
+    ranked = keyed_prefix_sum(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["doc_id"]).map_batches(
+            hash_key, batch_format="pyarrow"),
+        key_column="h", value_column="one", bucket_width=1 << 44,
+        out_column="rk", tie_column="doc_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "shuffle_pos": pc.add(batch.column("rk"),
+                                  pa.scalar(1, pa.int64())),
+        })
+
+    return ranked.map_batches(finish, batch_format="pyarrow").sort(
+        "shuffle_pos")
+
+
 def q_doc_char_rank(sf_dir: str):
     """Global ROW_NUMBER over a total order (n_chars, doc_id) — the
     second consumer of the distributed ordered prefix-sum: rank =
@@ -2032,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_chars_var": q_lang_chars_var,
         "embedding_norms": q_embedding_norms,
         "doc_char_rank": q_doc_char_rank,
+        "epoch_shuffle": q_epoch_shuffle,
         "customers_with_purchases": q_customers_with_purchases,
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
@@ -2188,6 +2232,12 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS day_bucket FROM events "
             "WHERE event_type = 'error'"
             ") ORDER BY user_id, day_bucket"),
+        "epoch_shuffle": (
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+            "CAST(concat('0x', substr(md5(concat('epoch-0:', "
+            "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id) "
+            "AS BIGINT) AS shuffle_pos FROM documents "
+            "ORDER BY shuffle_pos"),
         "doc_char_rank": (
             "SELECT doc_id, n_chars, CAST(row_number() OVER ("
             "ORDER BY n_chars, doc_id) AS BIGINT) AS rn "

@@ -17,7 +17,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "tfidf_terms", "active_days", "chars_quartiles", "heavy_terms",
         "token_offsets", "sample_fixed", "orders_cube", "sample_per_lang",
         "daily_view_purchase", "lang_chars_var",
-        "customers_with_purchases", "embedding_norms", "doc_char_rank"]
+        "customers_with_purchases", "embedding_norms", "doc_char_rank",
+        "epoch_shuffle"]
 
 
 @pytest.fixture(scope="module")
