@@ -29,6 +29,7 @@ def run_training_pipeline(ds, *, budget: int = 2048,
                           minhash_threshold: float = 0.7,
                           id_column: str = "doc_id",
                           text_column: str = "text",
+                          shuffle_salt: str | None = None,
                           collect_funnel: bool = True):
     """documents Dataset (id, text) → (packs Dataset, funnel dict).
 
@@ -101,6 +102,23 @@ def run_training_pipeline(ds, *, budget: int = 2048,
 
     deduped = joined.map_batches(
         keep_non_dups, batch_format="pyarrow").materialize()
+
+    if shuffle_salt is not None:
+        # deterministic epoch shuffle before packing: packs then mix
+        # documents from across the corpus instead of source order.
+        # Same salt → same order on any cluster shape; bump the salt per
+        # epoch. One distributed range sort on the 60-bit hash.
+        import hashlib
+
+        def add_shuffle_key(batch: pa.Table) -> pa.Table:
+            hs = [int(hashlib.md5(
+                (shuffle_salt + str(v)).encode()).hexdigest()[:15], 16)
+                for v in batch.column(id_column).to_pylist()]
+            return batch.append_column("_shuf", pa.array(hs, pa.int64()))
+
+        deduped = deduped.map_batches(
+            add_shuffle_key, batch_format="pyarrow").sort(
+            "_shuf").drop_columns(["_shuf"])
 
     packs = deduped.map_batches(
         pack_batch, batch_format="pyarrow", batch_size=2048,

@@ -181,6 +181,22 @@ def test_training_pipeline_composition(ray_session):
     packed = sorted(int(d) for row in df["doc_ids"] for d in row)
     assert packed == list(range(30))
 
+    # epoch shuffle: same salt → identical packing on re-run; shuffled
+    # packing still covers every surviving doc exactly once
+    packs_s1, _ = run_training_pipeline(
+        ds, budget=512, min_tokens=10, minhash_threshold=0.5,
+        shuffle_salt="epoch-0:", collect_funnel=False)
+    packs_s2, _ = run_training_pipeline(
+        ds, budget=512, min_tokens=10, minhash_threshold=0.5,
+        shuffle_salt="epoch-0:", collect_funnel=False)
+    d1 = packs_s1.to_pandas()
+    d2 = packs_s2.to_pandas()
+    order1 = [int(d) for row in d1["doc_ids"] for d in row]
+    order2 = [int(d) for row in d2["doc_ids"] for d in row]
+    assert order1 == order2                       # deterministic
+    assert sorted(order1) == list(range(30))      # complete coverage
+    assert order1 != sorted(order1)               # actually shuffled
+
 
 def test_incremental_ingest(ray_session, tmp_path):
     """New files landing between runs are processed exactly once;
