@@ -89,7 +89,27 @@ def read_warc(paths):
         rows = []
         for path, data in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
+            if data[:2] == b"\x1f\x8b":  # .warc.gz: concatenated members
+                data = _gunzip_members(data)
             rows.extend(_parse_warc_bytes(data, path))
         return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
 
     return files.map_batches(parse_batch, batch_format="pyarrow")
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decode a concatenated-gzip-member stream (the standard .warc.gz
+    layout: one member per record, so range readers can split files
+    without decoding) into the raw WARC byte stream."""
+    import zlib
+
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(data[pos:]))
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+    return b"".join(out)

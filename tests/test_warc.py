@@ -63,3 +63,36 @@ def test_jsonl_html_source(ray_session, tmp_path):
     assert len(out) == 5
     assert {r["title"] for r in out} == {f"J{i}" for i in range(5)}
     assert all(r["error"] == "" for r in out)
+
+
+def test_warc_gz_members(ray_session, tmp_path):
+    """.warc.gz with one gzip member per record (the standard layout)
+    parses identically to the plain file."""
+    import gzip
+
+    from magic_content_extractor_ray.sources.warc import (
+        write_warc, read_warc, _RECORD_SEP)
+
+    LONG = "Body paragraph long enough to matter for parsing checks. "
+    records = [
+        {"uri": f"https://gz.example/{i}",
+         "body": f"<html><body><p>{LONG * 2}{i}</p></body></html>"}
+        for i in range(3)]
+    plain = str(tmp_path / "x.warc")
+    write_warc(plain, records)
+    raw = open(plain, "rb").read()
+    # re-wrap each record as its own gzip member
+    chunks = [c for c in raw.split(_RECORD_SEP) if c.strip()]
+    gz_path = str(tmp_path / "x.warc.gz")
+    with open(gz_path, "wb") as f:
+        for c in chunks:
+            f.write(gzip.compress(_RECORD_SEP + c))
+
+    a = read_warc(plain).to_pandas().sort_values("url").reset_index(
+        drop=True)
+    b = read_warc(gz_path).to_pandas().sort_values("url").reset_index(
+        drop=True)
+    assert len(b) == 3
+    assert a["url"].tolist() == b["url"].tolist()
+    assert [s[0]["text"] for s in a["spans"]] == \
+        [s[0]["text"] for s in b["spans"]]
