@@ -1977,6 +1977,21 @@ def q_media_features(sf_dir: str):
         "media_ref")
 
 
+def q_distinct_users_approx(sf_dir: str):
+    """Approximate per-group distinct count via mergeable HyperLogLog
+    sketches (2^12 registers per batch on the wire, never the values) —
+    the unbounded-cardinality twin of the exact `distinct_users` oracle
+    query. Rows-only: the estimate is within the ±~1.6% HLL band of the
+    exact counts (asserted by test_grouped_hll)."""
+    from magic_content_extractor_ray.stages.sketch import (
+        approx_distinct_by_group)
+
+    return approx_distinct_by_group(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["event_type", "user_id"]),
+        "event_type", "user_id").sort("event_type")
+
+
 def q_audio_features(sf_dir: str):
     """Audio path end-to-end through the driver surface: synthesize one
     audio ref per document (deterministic), fetch REAL WAV payloads
@@ -2108,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_readability": q_extract_readability,
         "media_features": q_media_features,
         "audio_features": q_audio_features,
+        "distinct_users_approx": q_distinct_users_approx,
         "checkpoint_lineage": q_checkpoint_lineage,
     }
 
