@@ -178,7 +178,10 @@ def _matches_seq(n: Node, seq: tuple) -> bool:
 
 
 def matches(n: Node, selector: str) -> bool:
-    return any(_matches_seq(n, seq) for seq in compile_selector(selector))
+    for seq in compile_selector(selector):
+        if _matches_seq(n, seq):
+            return True
+    return False
 
 
 def find(scope: Node, selector: str) -> list[Node]:
@@ -240,8 +243,13 @@ def find(scope: Node, selector: str) -> list[Node]:
         return out
     while stack:
         n = stack.pop()
-        if n.type == TAG and any(_matches_seq(n, seq) for seq in alts):
-            append(n)
+        if n.type == TAG:
+            # explicit loop, not any(genexpr): one generator frame per
+            # node dominated the multi-alternative profile
+            for seq in alts:
+                if _matches_seq(n, seq):
+                    append(n)
+                    break
         c = n.children
         if c:
             stack.extend(c[::-1])
@@ -263,8 +271,10 @@ def find_first(scope: Node, selector: str) -> Node | None:
         return None
     while stack:
         n = stack.pop()
-        if n.type == TAG and any(_matches_seq(n, seq) for seq in alts):
-            return n
+        if n.type == TAG:
+            for seq in alts:
+                if _matches_seq(n, seq):
+                    return n
         c = n.children
         if c:
             stack.extend(c[::-1])
