@@ -153,7 +153,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # window / set-op / star-join / vector-stats families
              "user_paths", "events_pivot", "purchase_days_clean",
              "suppliers_by_region", "lineitem_corr", "label_centroids",
-             "tfidf_terms", "chars_quartiles", "heavy_terms"]
+             "tfidf_terms", "chars_quartiles", "heavy_terms",
+             # scan / full-outer / multimodal-real-decode families
+             "token_offsets", "daily_view_purchase", "epoch_shuffle",
+             "audio_features"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
