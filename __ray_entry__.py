@@ -678,6 +678,64 @@ def q_orders_monthly(sf_dir: str):
     ).sort(["o_orderstatus", "month_bucket"])
 
 
+def q_brand_revenue(sf_dir: str):
+    """Broadcast dim join #3 (completes table coverage: part): exact-cent
+    discounted revenue per part brand — part's (partkey → brand) lookup
+    is put once, lineitem streams through a vectorized searchsorted map
+    + per-batch partial aggregation; no shuffle of fact rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).sort_by(
+        "p_partkey")
+    lookup_ref = ray.put({
+        "keys": np.asarray(part.column("p_partkey").to_numpy()),
+        "vals": np.asarray(part.column("p_brand").to_pylist(),
+                           dtype=object),
+    })
+
+    class BrandJoin:
+        def __init__(self):
+            lk = ray.get(lookup_ref)
+            self.keys, self.vals = lk["keys"], lk["vals"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ks = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, ks), 0,
+                          len(self.keys) - 1)
+            brands = np.where(self.keys[pos] == ks, self.vals[pos],
+                              "UNKNOWN")
+            price_c = pc.cast(pc.round(pc.multiply(
+                batch.column("l_extendedprice"), 100)), pa.int64())
+            disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+                pa.scalar(1.0), batch.column("l_discount")), 100)),
+                pa.int64())
+            t = pa.table({
+                "p_brand": pa.array(brands.tolist(), pa.string()),
+                "rev": pc.multiply(price_c, disc_pct),
+            })
+            g = t.group_by("p_brand").aggregate(
+                [("rev", "sum"), ("rev", "count")])
+            return pa.table({
+                "p_brand": g.column("p_brand"),
+                "revenue_c4": g.column("rev_sum"),
+                "n_items": pc.cast(g.column("rev_count"), pa.int64()),
+            })
+
+    return _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(BrandJoin, batch_format="pyarrow",
+                  concurrency=_pool()).groupby("p_brand").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"),
+        Sum("n_items", alias_name="n_items")).sort("p_brand")
+
+
 def q_lineitem_corr(sf_dir: str):
     """Distributed Pearson CORRELATION via mergeable integer sufficient
     statistics (n, Σx, Σy, Σx², Σy², Σxy): per-batch exact int64 partials,
@@ -2095,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_by_region": q_suppliers_by_region,
         "orders_monthly": q_orders_monthly,
         "lineitem_corr": q_lineitem_corr,
+        "brand_revenue": q_brand_revenue,
         "label_centroids": q_label_centroids,
         "tfidf_terms": q_tfidf_terms,
         "last_event_per_user": q_last_event_per_user,
@@ -2353,6 +2412,13 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS total_c, count(*) AS n_orders FROM orders "
             "GROUP BY o_orderstatus, month_bucket "
             "ORDER BY o_orderstatus, month_bucket"),
+        "brand_revenue": (
+            "SELECT p.p_brand, CAST(sum("
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c4, count(*) AS n_items "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY p.p_brand ORDER BY p.p_brand"),
         "lineitem_corr": (
             "WITH s AS (SELECT count(*) AS n, sum(q) AS sx, sum(p) AS sy, "
             "sum(q * q) AS sxx, sum(p * p) AS syy, sum(q * p) AS sxy "

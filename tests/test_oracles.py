@@ -18,7 +18,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "token_offsets", "sample_fixed", "orders_cube", "sample_per_lang",
         "daily_view_purchase", "lang_chars_var",
         "customers_with_purchases", "embedding_norms", "doc_char_rank",
-        "epoch_shuffle"]
+        "epoch_shuffle", "brand_revenue"]
 
 
 @pytest.fixture(scope="module")
