@@ -678,6 +678,49 @@ def q_orders_monthly(sf_dir: str):
     ).sort(["o_orderstatus", "month_bucket"])
 
 
+def q_event_value_totals(sf_dir: str):
+    """Per-type totals of the event value column in exact integer cents
+    (order-independent distributed sum; combiner pattern)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("value"), 100)), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "value_c": cents})
+        g = t.group_by("event_type").aggregate(
+            [("value_c", "sum"), ("value_c", "count")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "total_value_c": g.column("value_c_sum"),
+            "n_events": pc.cast(g.column("value_c_count"), pa.int64()),
+        })
+
+    return _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
+        Sum("total_value_c", alias_name="total_value_c"),
+        Sum("n_events", alias_name="n_events")).sort("event_type")
+
+
+def q_recent_orders(sf_dir: str):
+    """TIMESTAMP predicate pushdown at the scan: only row groups whose
+    o_orderdate stats overlap the cutoff leave storage."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    cutoff = datetime.datetime(2001, 1, 1)
+    return _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= cutoff),
+    ).sort("o_orderkey")
+
+
 def q_brand_revenue(sf_dir: str):
     """Broadcast dim join #3 (completes table coverage: part): exact-cent
     discounted revenue per part brand — part's (partkey → brand) lookup
@@ -2154,6 +2197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly": q_orders_monthly,
         "lineitem_corr": q_lineitem_corr,
         "brand_revenue": q_brand_revenue,
+        "event_value_totals": q_event_value_totals,
+        "recent_orders": q_recent_orders,
         "label_centroids": q_label_centroids,
         "tfidf_terms": q_tfidf_terms,
         "last_event_per_user": q_last_event_per_user,
@@ -2412,6 +2457,15 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS total_c, count(*) AS n_orders FROM orders "
             "GROUP BY o_orderstatus, month_bucket "
             "ORDER BY o_orderstatus, month_bucket"),
+        "event_value_totals": (
+            "SELECT event_type, CAST(sum(CAST(round(value * 100) "
+            "AS BIGINT)) AS BIGINT) AS total_value_c, "
+            "count(*) AS n_events FROM events "
+            "GROUP BY event_type ORDER BY event_type"),
+        "recent_orders": (
+            "SELECT o_orderkey, o_custkey, o_orderdate FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2001-01-01' "
+            "ORDER BY o_orderkey"),
         "brand_revenue": (
             "SELECT p.p_brand, CAST(sum("
             "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "

@@ -121,3 +121,59 @@ def approx_quantiles(ds, *, value_column: str,
         pos = np.searchsorted(cum, q * total, side="left")
         out[q] = float(a[min(pos, len(a) - 1)])
     return out
+
+
+def grouped_approx_quantiles(ds, *, key_column: str, value_column: str,
+                             quantiles: tuple[float, ...] = (0.5,),
+                             m: int = 256):
+    """Per-GROUP approximate quantiles for continuous values: the
+    grouped form of ``approx_quantiles``. Each batch emits one
+    (key, anchors, n) summary row per key it contains (anchors = m+1
+    equi-spaced order statistics of that key's values in the batch);
+    one shuffle co-locates each key's summaries and a bounded
+    ``map_groups`` merges the weighted anchors. Per-key state is
+    O(m × batches-containing-key), never the raw rows — use where
+    ``grouped_quantiles``'s exact value histogram (O(distinct values))
+    would not scale. Returns a Dataset (key, q_<q>… float64)."""
+    import numpy as np
+    import pandas as pd
+
+    qcols = [f"q_{str(q).replace('.', '_')}" for q in quantiles]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_column, value_column]).to_pandas()
+        df = df.dropna(subset=[value_column])
+        keys, anchors, ns = [], [], []
+        for key, g in df.groupby(key_column, sort=False):
+            vals = np.sort(g[value_column].to_numpy(dtype=np.float64))
+            n = len(vals)
+            idx = np.clip(np.round(
+                np.linspace(0, n - 1, m + 1)).astype(np.int64), 0, n - 1)
+            keys.append(key)
+            anchors.append(vals[idx].tolist())
+            ns.append(n)
+        return pa.table({
+            key_column: pa.array(keys),
+            "anchors": pa.array(anchors, pa.list_(pa.float64())),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        a = np.concatenate([np.asarray(x, dtype=np.float64)
+                            for x in g["anchors"]])
+        w = np.concatenate([np.full(len(x), n / len(x))
+                            for x, n in zip(g["anchors"], g["n"])])
+        total = float(g["n"].sum())
+        order = np.argsort(a, kind="stable")
+        a, w = a[order], w[order]
+        cum = np.cumsum(w)
+        row = {key_column: [g[key_column].iloc[0]]}
+        for q, col in zip(quantiles, qcols):
+            pos = int(np.searchsorted(cum, q * total, side="left"))
+            row[col] = [float(a[min(pos, len(a) - 1)])]
+        return pd.DataFrame(row)
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        key_column).map_groups(merge, batch_format="pandas")

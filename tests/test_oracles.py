@@ -18,7 +18,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "token_offsets", "sample_fixed", "orders_cube", "sample_per_lang",
         "daily_view_purchase", "lang_chars_var",
         "customers_with_purchases", "embedding_norms", "doc_char_rank",
-        "epoch_shuffle", "brand_revenue"]
+        "epoch_shuffle", "brand_revenue", "event_value_totals",
+        "recent_orders"]
 
 
 @pytest.fixture(scope="module")

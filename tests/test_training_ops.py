@@ -915,3 +915,29 @@ def test_approx_quantiles_continuous(ray_session):
         # rank error: where does the approx value land in the true CDF?
         rank = np.searchsorted(svals, g) / len(svals)
         assert abs(rank - q) < 0.015, (q, g, rank)
+
+
+def test_grouped_approx_quantiles(ray_session):
+    """Per-group anchor-summary quantiles stay within ~2% rank error of
+    exact per-group quantiles on skewed continuous data."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.stats import (
+        grouped_approx_quantiles)
+
+    rng = np.random.RandomState(23)
+    rows = []
+    data = {}
+    for key, scale in [("a", 1.0), ("b", 2.0), ("c", 0.5)]:
+        vals = np.exp(rng.randn(15_000) * scale)
+        data[key] = np.sort(vals)
+        rows += [{"k": key, "v": float(x)} for x in vals]
+    rng.shuffle(rows)
+    ds = rd.from_items(rows).repartition(9)
+    out = grouped_approx_quantiles(
+        ds, key_column="k", value_column="v",
+        quantiles=(0.25, 0.5, 0.95)).to_pandas().set_index("k")
+    for key, svals in data.items():
+        for q, col in [(0.25, "q_0_25"), (0.5, "q_0_5"),
+                       (0.95, "q_0_95")]:
+            rank = np.searchsorted(svals, out.loc[key, col]) / len(svals)
+            assert abs(rank - q) < 0.02, (key, q, rank)
