@@ -401,6 +401,61 @@ def q_doc_frequency(sf_dir: str):
     return out[["rnk", "term", "df"]]
 
 
+def q_top_terms_per_lang(sf_dir: str):
+    """Per-GROUP frequent items: the 5 most frequent words per language
+    (per-language vocabulary heads). Vectorized per-batch (lang, term)
+    counting, one grouped-sum shuffle, then the tree-reduced per-group
+    top-k pattern (partial top-k per wide batch keeps the final
+    per-lang group bounded)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    K = 5
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep)
+        langs = pc.take(batch.column("lang"),
+                        pc.list_parent_indices(lists).filter(keep))
+        g = pa.table({"lang": langs, "term": words}).group_by(
+            ["lang", "term"]).aggregate([("term", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "term": g.column("term"),
+            "n": pc.cast(g.column("term_count"), pa.int64()),
+        })
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "term"], ascending=[False, True]).groupby(
+            "lang", sort=False).head(K)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["n", "term"],
+                          ascending=[False, True]).head(K)
+        g = g.reset_index(drop=True)
+        g["rnk"] = range(1, len(g) + 1)
+        return g[["lang", "rnk", "term", "n"]]
+
+    counts = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"],
+    ).map_batches(partial_counts, batch_format="pyarrow").groupby(
+        ["lang", "term"]).aggregate(Sum("n", alias_name="n"))
+    cands = counts.map_batches(partial_topk, batch_format="pyarrow",
+                               batch_size=8192)
+    return cands.groupby("lang").map_groups(
+        final, batch_format="pandas").sort(["lang", "rnk"])
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition/shape features per doc (the standard
     public pretraining quality-filter inputs), integer-exact vs SQL."""
@@ -2199,6 +2254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": q_brand_revenue,
         "event_value_totals": q_event_value_totals,
         "recent_orders": q_recent_orders,
+        "top_terms_per_lang": q_top_terms_per_lang,
         "label_centroids": q_label_centroids,
         "tfidf_terms": q_tfidf_terms,
         "last_event_per_user": q_last_event_per_user,
@@ -2457,6 +2513,14 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS total_c, count(*) AS n_orders FROM orders "
             "GROUP BY o_orderstatus, month_bucket "
             "ORDER BY o_orderstatus, month_bucket"),
+        "top_terms_per_lang": (
+            "SELECT lang, rnk, term, n FROM ("
+            "SELECT lang, word AS term, count(*) AS n, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY count(*) DESC, word) AS BIGINT) AS rnk FROM ("
+            "SELECT lang, unnest(regexp_extract_all(lower(text), "
+            "'\\S+')) AS word FROM documents) GROUP BY lang, word) "
+            "WHERE rnk <= 5 ORDER BY lang, rnk"),
         "event_value_totals": (
             "SELECT event_type, CAST(sum(CAST(round(value * 100) "
             "AS BIGINT)) AS BIGINT) AS total_value_c, "
