@@ -493,6 +493,38 @@ def q_token_histogram(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("token_bucket")
 
 
+def q_session_durations(sf_dir: str):
+    """Sessionized AGGREGATE: one row per (user, session) with event
+    count and duration — sessionization (30-min gap) composed with
+    per-session stats inside the same per-key pass, exact integer
+    microseconds."""
+    import numpy as np
+    import pandas as pd
+
+    GAP_US = 1800 * 1_000_000
+
+    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()
+        brk = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (np.diff(us) > GAP_US).astype(np.int64)
+        sid = brk.cumsum() + 1
+        df = pd.DataFrame({"sid": sid, "us": us})
+        agg = df.groupby("sid")["us"].agg(["count", "min", "max"])
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[0],
+            "session_id": agg.index.astype("int64"),
+            "n_events": agg["count"].astype("int64"),
+            "duration_us": (agg["max"] - agg["min"]).astype("int64"),
+        })
+
+    return _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"],
+    ).groupby("user_id").map_groups(
+        per_user, batch_format="pandas").sort(["user_id", "session_id"])
+
+
 def q_user_paths(sf_dir: str):
     """Ordered per-key sequence reconstruction (string_agg … ORDER BY
     analog): each user's full event-type path in (ts, event_id) order.
@@ -2255,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_totals": q_event_value_totals,
         "recent_orders": q_recent_orders,
         "top_terms_per_lang": q_top_terms_per_lang,
+        "session_durations": q_session_durations,
         "label_centroids": q_label_centroids,
         "tfidf_terms": q_tfidf_terms,
         "last_event_per_user": q_last_event_per_user,
@@ -2513,6 +2546,18 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS total_c, count(*) AS n_orders FROM orders "
             "GROUP BY o_orderstatus, month_bucket "
             "ORDER BY o_orderstatus, month_bucket"),
+        "session_durations": (
+            "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END "
+            "AS brk FROM events), "
+            "s AS (SELECT user_id, ts, CAST(1 + sum(brk) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) "
+            "AS duration_us FROM s GROUP BY user_id, session_id "
+            "ORDER BY user_id, session_id"),
         "top_terms_per_lang": (
             "SELECT lang, rnk, term, n FROM ("
             "SELECT lang, word AS term, count(*) AS n, "

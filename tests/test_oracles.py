@@ -19,7 +19,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "daily_view_purchase", "lang_chars_var",
         "customers_with_purchases", "embedding_norms", "doc_char_rank",
         "epoch_shuffle", "brand_revenue", "event_value_totals",
-        "recent_orders", "top_terms_per_lang"]
+        "recent_orders", "top_terms_per_lang", "session_durations"]
 
 
 @pytest.fixture(scope="module")
