@@ -1391,6 +1391,50 @@ def q_sample_per_lang(sf_dir: str):
                              id_column="doc_id").sort(["lang", "doc_id"])
 
 
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window CHUNKING (RAG / long-context training prep): split
+    each document into 128-token chunks with stride 96 (32-token
+    overlap), one output row per chunk with its exact token span and
+    single-space-rejoined text. Pure map-side flat expansion — no
+    shuffle; chunk identity is (doc_id, chunk_id) so output is
+    deterministic and resumable."""
+    import pyarrow as pa
+
+    CHUNK, STRIDE = 128, 96
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, starts, lens, texts = [], [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = (text or "").split()
+            n = len(toks)
+            pos = 0
+            cid = 1
+            while pos < n:
+                take = min(CHUNK, n - pos)
+                doc_ids.append(did)
+                chunk_ids.append(cid)
+                starts.append(pos)
+                lens.append(take)
+                texts.append(" ".join(toks[pos:pos + take]))
+                if pos + take >= n:
+                    break
+                pos += STRIDE
+                cid += 1
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "chunk_id": pa.array(chunk_ids, pa.int64()),
+            "start_token": pa.array(starts, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+        })
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(chunk, batch_format="pyarrow").sort(
+        ["doc_id", "chunk_id"])
+
+
 def q_token_offsets(sf_dir: str):
     """Distributed ordered PREFIX-SUM (scan): every document's global
     token start offset in doc_id order, and the concat-and-chunk pack it
@@ -2288,6 +2332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recent_orders": q_recent_orders,
         "top_terms_per_lang": q_top_terms_per_lang,
         "session_durations": q_session_durations,
+        "doc_chunks": q_doc_chunks,
         "label_centroids": q_label_centroids,
         "tfidf_terms": q_tfidf_terms,
         "last_event_per_user": q_last_event_per_user,
@@ -2546,6 +2591,21 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS total_c, count(*) AS n_orders FROM orders "
             "GROUP BY o_orderstatus, month_bucket "
             "ORDER BY o_orderstatus, month_bucket"),
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS toks, "
+            "len(regexp_extract_all(text, '\\S+')) AS n FROM documents), "
+            "c AS (SELECT doc_id, toks, n, CAST(CASE WHEN n <= 128 THEN 1 "
+            "ELSE 1 + CAST(ceil((n - 128) / 96.0) AS BIGINT) END "
+            "AS BIGINT) AS n_chunks FROM t WHERE n > 0), "
+            "e AS (SELECT doc_id, toks, n, "
+            "unnest(generate_series(1, n_chunks)) AS g FROM c) "
+            "SELECT doc_id, CAST(g AS BIGINT) AS chunk_id, "
+            "CAST((g - 1) * 96 AS BIGINT) AS start_token, "
+            "CAST(least(128, n - (g - 1) * 96) AS BIGINT) AS n_tokens, "
+            "array_to_string(list_slice(toks, (g - 1) * 96 + 1, "
+            "(g - 1) * 96 + least(128, n - (g - 1) * 96)), ' ') "
+            "AS chunk_text FROM e ORDER BY doc_id, chunk_id"),
         "session_durations": (
             "WITH o AS (SELECT user_id, ts, event_id, CASE WHEN "
             "epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id "

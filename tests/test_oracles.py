@@ -19,7 +19,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "daily_view_purchase", "lang_chars_var",
         "customers_with_purchases", "embedding_norms", "doc_char_rank",
         "epoch_shuffle", "brand_revenue", "event_value_totals",
-        "recent_orders", "top_terms_per_lang", "session_durations"]
+        "recent_orders", "top_terms_per_lang", "session_durations",
+        "doc_chunks"]
 
 
 @pytest.fixture(scope="module")
