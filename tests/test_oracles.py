@@ -54,3 +54,35 @@ def test_oracle_equality(name, duck, ray_session):
     assert len(g) == len(e)
     pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                   check_exact=False, rtol=1e-9)
+
+
+def test_doc_chunks_multichunk(duck, ray_session, tmp_path):
+    """The multi-chunk path (absent from the short-doc corpus) matches
+    DuckDB token-list slicing on synthetic long documents."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(0)
+    rows = [{"doc_id": i,
+             "text": " ".join(f"w{rng.randrange(100)}"
+                              for _ in range(rng.randrange(1, 500))),
+             "lang": "en", "source": "s", "n_chars": 1}
+            for i in range(60)]
+    rows.append({"doc_id": 999, "text": "", "lang": "en", "source": "s",
+                 "n_chars": 0})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = entrymod.queries()["doc_chunks"](sf).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    exp = con.sql(entrymod.oracle_sql()["doc_chunks"]).df()
+    g = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    e = exp.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert g.groupby("doc_id").size().max() > 1  # multi-chunk exercised
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
