@@ -1435,6 +1435,66 @@ def q_doc_chunks(sf_dir: str):
         ["doc_id", "chunk_id"])
 
 
+def q_chunk_dedup(sf_dir: str):
+    """CHUNK-level exact dedup (paragraph-granularity dedup, the
+    FineWeb-style refinement of doc-level dedup): the chunking stage
+    feeds the md5-groupby dedup operator directly — chunks shared
+    across documents collapse to one representative."""
+    from magic_content_extractor_ray.stages.dedup import exact_dedup
+
+    chunks = q_doc_chunks(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "chunk_id", "chunk_text"]),
+        batch_format="pyarrow")
+
+    # id = doc_id * 1e6 + chunk_id so min-id keeps the earliest doc's copy
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pack_id(batch: pa.Table) -> pa.Table:
+        cid = pc.add(pc.multiply(batch.column("doc_id"),
+                                 pa.scalar(1_000_000, pa.int64())),
+                     batch.column("chunk_id"))
+        return pa.table({"chunk_key": cid,
+                         "chunk_text": batch.column("chunk_text")})
+
+    return exact_dedup(
+        chunks.map_batches(pack_id, batch_format="pyarrow"),
+        column="chunk_text", id_column="chunk_key").sort("chunk_key")
+
+
+def q_docs_decontaminated(sf_dir: str):
+    """DECONTAMINATION: drop every document containing any benchmark
+    phrase (the standard eval-leak filter). The phrase blocklist (here:
+    an 8-token phrase from each of the first 5 docs, derived
+    deterministically from the corpus itself) is broadcast once;
+    membership is a vectorized substring scan per phrase — map-side
+    only, no shuffle, scales to any corpus size with a bounded
+    blocklist."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    seed = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).sort_by("doc_id")
+    phrases = []
+    for i in range(5):
+        toks = seed.column("text")[i].as_py().split()
+        phrases.append(" ".join(toks[10:18]))
+    phrases = [p for p in phrases if p]
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        hit = None
+        for p in phrases:
+            m = pc.match_substring(text, p)
+            hit = m if hit is None else pc.or_(hit, m)
+        return batch.filter(pc.invert(hit)).select(["doc_id"])
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(keep_clean, batch_format="pyarrow").sort("doc_id")
+
+
 def q_token_offsets(sf_dir: str):
     """Distributed ordered PREFIX-SUM (scan): every document's global
     token start offset in doc_id order, and the concat-and-chunk pack it
@@ -2333,6 +2393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": q_top_terms_per_lang,
         "session_durations": q_session_durations,
         "doc_chunks": q_doc_chunks,
+        "chunk_dedup": q_chunk_dedup,
+        "docs_decontaminated": q_docs_decontaminated,
         "label_centroids": q_label_centroids,
         "tfidf_terms": q_tfidf_terms,
         "last_event_per_user": q_last_event_per_user,
@@ -2591,6 +2653,30 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS total_c, count(*) AS n_orders FROM orders "
             "GROUP BY o_orderstatus, month_bucket "
             "ORDER BY o_orderstatus, month_bucket"),
+        "chunk_dedup": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS toks, "
+            "len(regexp_extract_all(text, '\\S+')) AS n FROM documents), "
+            "c AS (SELECT doc_id, toks, n, CAST(CASE WHEN n <= 128 THEN 1 "
+            "ELSE 1 + CAST(ceil((n - 128) / 96.0) AS BIGINT) END "
+            "AS BIGINT) AS n_chunks FROM t WHERE n > 0), "
+            "e AS (SELECT doc_id, toks, n, "
+            "unnest(generate_series(1, n_chunks)) AS g FROM c), "
+            "k AS (SELECT doc_id * 1000000 + CAST(g AS BIGINT) "
+            "AS chunk_key, array_to_string(list_slice(toks, "
+            "(g - 1) * 96 + 1, (g - 1) * 96 + least(128, "
+            "n - (g - 1) * 96)), ' ') AS chunk_text FROM e) "
+            "SELECT md5(chunk_text) AS text_hash, "
+            "min(chunk_key) AS chunk_key, count(*) AS n_dups "
+            "FROM k GROUP BY md5(chunk_text) ORDER BY chunk_key"),
+        "docs_decontaminated": (
+            "WITH b AS (SELECT array_to_string(list_slice("
+            "regexp_extract_all(text, '\\S+'), 11, 18), ' ') AS phrase "
+            "FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 5)), "
+            "bb AS (SELECT phrase FROM b WHERE phrase != '') "
+            "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM bb WHERE contains(d.text, bb.phrase)) "
+            "ORDER BY d.doc_id"),
         "doc_chunks": (
             "WITH t AS (SELECT doc_id, "
             "regexp_extract_all(text, '\\S+') AS toks, "
