@@ -77,11 +77,11 @@ def test_doc_chunks_multichunk(duck, ray_session, tmp_path):
     sf = str(tmp_path)
     pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
 
-    got = entrymod.queries()["doc_chunks", "chunk_dedup", "docs_decontaminated"](sf).to_pandas()
+    got = entrymod.queries()["doc_chunks"](sf).to_pandas()
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{sf}/documents.parquet')")
-    exp = con.sql(entrymod.oracle_sql()["doc_chunks", "chunk_dedup", "docs_decontaminated"]).df()
+    exp = con.sql(entrymod.oracle_sql()["doc_chunks"]).df()
     g = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     e = exp.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     assert g.groupby("doc_id").size().max() > 1  # multi-chunk exercised
