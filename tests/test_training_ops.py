@@ -941,3 +941,39 @@ def test_grouped_approx_quantiles(ray_session):
                        (0.95, "q_0_95")]:
             rank = np.searchsorted(svals, out.loc[key, col]) / len(svals)
             assert abs(rank - q) < 0.02, (key, q, rank)
+
+
+def test_decontaminate_bloom(ray_session):
+    """Bloom n-gram decontamination drops exactly the planted docs:
+    equal to exact phrase-containment on a corpus with planted
+    benchmark phrases (verify_exact resolves Bloom false positives)."""
+    import random
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.decontam import (
+        decontaminate_bloom, ngram_hashes)
+
+    rng = random.Random(4)
+    vocab = [f"tok{i}" for i in range(200)]
+    bench = [" ".join(rng.choice(vocab) for _ in range(13))
+             for _ in range(20)]
+    rows = []
+    dirty = set()
+    for i in range(120):
+        words = [rng.choice(vocab) for _ in range(60)]
+        if i % 7 == 0:   # plant a benchmark phrase mid-document
+            phrase = rng.choice(bench)
+            pos = rng.randrange(0, 40)
+            words[pos:pos] = phrase.split()
+            dirty.add(i)
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # collision check: random docs can embed a benchmark 13-gram only by
+    # construction above, so expected survivors = all - dirty
+    ds = rd.from_items(rows).repartition(6)
+    out = decontaminate_bloom(ds, bench, n=13).to_pandas()
+    kept = set(out["doc_id"].tolist())
+    assert kept == set(range(120)) - dirty
+
+    # rolling hash sanity: same tokens → same hashes, shifted window
+    h1 = ngram_hashes("a b c d e".split(), 3)
+    h2 = ngram_hashes("x a b c d e".split(), 3)
+    assert h1[0] == h2[1] and len(h1) == 3 and len(h2) == 4
