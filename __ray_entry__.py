@@ -808,6 +808,110 @@ def q_recent_orders(sf_dir: str):
     ).sort("o_orderkey")
 
 
+def q_split_assignments(sf_dir: str):
+    """Deterministic TRAIN/VAL/TEST split (90/5/5) by id hash — the
+    dataset-splitting primitive: stable across runs and cluster shapes,
+    shuffle-free (vectorized hash predicate per batch), and SQL-checked
+    bit-for-bit via the same md5 bucket arithmetic."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+             for v in ids), dtype=np.int64, count=len(ids))
+        split = np.where(buckets < 90, "train",
+                         np.where(buckets < 95, "val", "test"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+    ).map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+def q_supplier_ship_volumes(sf_dir: str):
+    """TPC-H-Q9-style star aggregate: lineitem ⋈ supplier ⋈ nation via a
+    COMPOSED broadcast lookup (suppkey → nation name, put once), shipped
+    quantity and tax-adjusted revenue per (nation, ship year) in exact
+    integer arithmetic (price_c × disc_pct × tax_pct — fits int64
+    through sf1; at larger scale switch the partial to float128/decimal
+    or split the multiplier)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).sort_by(
+        "s_suppkey")
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).sort_by(
+        "n_nationkey")
+    nkeys = np.asarray(nat.column("n_nationkey").to_numpy())
+    nnames = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    spos = np.clip(np.searchsorted(
+        nkeys, np.asarray(sup.column("s_nationkey").to_numpy())),
+        0, len(nkeys) - 1)
+    lookup_ref = ray.put({
+        "keys": np.asarray(sup.column("s_suppkey").to_numpy()),
+        "vals": nnames[spos],
+    })
+
+    class ShipJoin:
+        def __init__(self):
+            lk = ray.get(lookup_ref)
+            self.keys, self.vals = lk["keys"], lk["vals"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ks = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, ks), 0,
+                          len(self.keys) - 1)
+            names = np.where(self.keys[pos] == ks, self.vals[pos],
+                             "UNKNOWN")
+            year = pc.cast(pc.year(batch.column("l_shipdate")), pa.int64())
+            price_c = pc.cast(pc.round(pc.multiply(
+                batch.column("l_extendedprice"), 100)), pa.int64())
+            disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+                pa.scalar(1.0), batch.column("l_discount")), 100)),
+                pa.int64())
+            tax_pct = pc.cast(pc.round(pc.multiply(pc.add(
+                pa.scalar(1.0), batch.column("l_tax")), 100)), pa.int64())
+            t = pa.table({
+                "n_name": pa.array(names.tolist(), pa.string()),
+                "ship_year": year,
+                "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+                "rev": pc.multiply(pc.multiply(price_c, disc_pct),
+                                   tax_pct),
+            })
+            g = t.group_by(["n_name", "ship_year"]).aggregate(
+                [("qty", "sum"), ("rev", "sum")])
+            return pa.table({
+                "n_name": g.column("n_name"),
+                "ship_year": g.column("ship_year"),
+                "sum_qty": g.column("qty_sum"),
+                "revenue_c6": g.column("rev_sum"),
+            })
+
+    return _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    ).map_batches(ShipJoin, batch_format="pyarrow",
+                  concurrency=_pool()).groupby(
+        ["n_name", "ship_year"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("revenue_c6", alias_name="revenue_c6"),
+    ).sort(["n_name", "ship_year"])
+
+
 def q_brand_revenue(sf_dir: str):
     """Broadcast dim join #3 (completes table coverage: part): exact-cent
     discounted revenue per part brand — part's (partkey → brand) lookup
@@ -2389,6 +2493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": q_lineitem_corr,
         "brand_revenue": q_brand_revenue,
         "event_value_totals": q_event_value_totals,
+        "split_assignments": q_split_assignments,
+        "supplier_ship_volumes": q_supplier_ship_volumes,
         "recent_orders": q_recent_orders,
         "top_terms_per_lang": q_top_terms_per_lang,
         "session_durations": q_session_durations,
@@ -2712,6 +2818,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, unnest(regexp_extract_all(lower(text), "
             "'\\S+')) AS word FROM documents) GROUP BY lang, word) "
             "WHERE rnk <= 5 ORDER BY lang, rnk"),
+        "split_assignments": (
+            "SELECT doc_id, CASE WHEN b < 90 THEN 'train' "
+            "WHEN b < 95 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT doc_id, CAST(concat('0x', substr(md5("
+            "CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS b "
+            "FROM documents) ORDER BY doc_id"),
+        "supplier_ship_volumes": (
+            "SELECT n.n_name, CAST(year(l.l_shipdate) AS BIGINT) "
+            "AS ship_year, CAST(sum(CAST(l.l_quantity AS BIGINT)) "
+            "AS BIGINT) AS sum_qty, CAST(sum("
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l.l_discount) * 100) AS BIGINT) * "
+            "CAST(round((1 + l.l_tax) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c6 FROM lineitem l "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name, ship_year ORDER BY n.n_name, ship_year"),
         "event_value_totals": (
             "SELECT event_type, CAST(sum(CAST(round(value * 100) "
             "AS BIGINT)) AS BIGINT) AS total_value_c, "

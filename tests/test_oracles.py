@@ -20,7 +20,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "customers_with_purchases", "embedding_norms", "doc_char_rank",
         "epoch_shuffle", "brand_revenue", "event_value_totals",
         "recent_orders", "top_terms_per_lang", "session_durations",
-        "doc_chunks", "chunk_dedup", "docs_decontaminated"]
+        "doc_chunks", "chunk_dedup", "docs_decontaminated",
+        "split_assignments", "supplier_ship_volumes"]
 
 
 @pytest.fixture(scope="module")
