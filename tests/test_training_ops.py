@@ -977,3 +977,54 @@ def test_decontaminate_bloom(ray_session):
     h1 = ngram_hashes("a b c d e".split(), 3)
     h2 = ngram_hashes("x a b c d e".split(), 3)
     assert h1[0] == h2[1] and len(h1) == 3 and len(h2) == 4
+
+
+def test_per_key_windows_hot_user(ray_session):
+    """Per-key window ops complete correctly with one pathologically hot
+    key (a 'bot' user holding 50k of 53k events): the group is processed
+    in a single task (the documented partitioning assumption) and the
+    vectorized per-group kernels keep it cheap."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    n_hot, n_users = 50_000, 30
+    base = pd.Timestamp("2026-01-01").value // 1000  # us
+    rows_hot = pa.table({
+        "user_id": pa.array([7] * n_hot, pa.int64()),
+        "ts": pa.array(base + np.arange(n_hot, dtype=np.int64) * 1_000_000,
+                       pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n_hot, dtype=np.int64)),
+    })
+    cold = []
+    for u in range(n_users):
+        if u == 7:
+            continue
+        for j in range(100):
+            cold.append({"user_id": u,
+                         "ts": base + j * 60_000_000,
+                         "event_id": 100_000 + u * 1000 + j})
+    cold_t = pa.table({
+        "user_id": pa.array([r["user_id"] for r in cold], pa.int64()),
+        "ts": pa.array([r["ts"] for r in cold], pa.timestamp("us")),
+        "event_id": pa.array([r["event_id"] for r in cold], pa.int64()),
+    })
+    ds = rd.from_arrow([rows_hot, cold_t]).repartition(8)
+
+    import __ray_entry__  # noqa: F401 - reuse its per-key kernels via groupby
+
+    # gap stats: hot user has 49,999 exact 1-second gaps
+    def per_user_gaps(g):
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64")
+        gaps = us.diff().dropna().astype("int64")
+        return pd.DataFrame({"user_id": [int(g["user_id"].iloc[0])],
+                             "n_gaps": [int(len(gaps))],
+                             "max_gap_us": [int(gaps.max())]})
+
+    out = ds.groupby("user_id").map_groups(
+        per_user_gaps, batch_format="pandas").to_pandas().set_index(
+        "user_id")
+    assert out.loc[7, "n_gaps"] == n_hot - 1
+    assert out.loc[7, "max_gap_us"] == 1_000_000
+    assert len(out) == n_users
