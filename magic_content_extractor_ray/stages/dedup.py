@@ -517,3 +517,68 @@ def drop_exact_duplicates(ds, *, column: str = "text",
         ds, reps, key=id_column,
         left_cols=[column, *extra_columns], right_cols=["keep_e"],
     ).drop_columns(["keep_e"])
+
+
+# ---------------------------------------------------------------------------
+# Cross-run incremental dedup (persisted hash index)
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(ds, index_dir: str, *, column: str = "text",
+                            id_column: str = "doc_id"):
+    """Dedup NEW data against a PERSISTED content-hash index from all
+    previous runs, then extend the index — the cross-run form of
+    ``exact_dedup`` for continuously-ingested corpora.
+
+    Shape: the new batch is first self-deduped (min-id per hash), then
+    anti-joined against the stored index on ``text_hash`` (a big-big
+    hash join when the index is large — one shuffle of hash+id only,
+    payloads never move), and the surviving hashes are APPENDED to the
+    index as a new ``run-*/`` parquet subdirectory (distributed write,
+    nothing on the driver). The index is an append-only set of hash
+    runs: duplicate hashes across runs are harmless because membership
+    is what matters, and a periodic compaction can re-unique it.
+
+    Returns (kept Dataset of (id, text_hash) survivors, n_new_hashes).
+    """
+    import os
+    import uuid
+
+    import ray.data as rd
+    from .join import hash_join
+
+    os.makedirs(index_dir, exist_ok=True)
+    run_dirs = [os.path.join(index_dir, d) for d in os.listdir(index_dir)
+                if d.startswith("run-")]
+
+    self_deduped = exact_dedup(ds, column=column, id_column=id_column
+                               ).select_columns(["text_hash", id_column])
+
+    if run_dirs:
+        def mark_seen(t: pa.Table) -> pa.Table:
+            distinct = t.group_by("text_hash").aggregate([])
+            return distinct.append_column(
+                "seen", pa.array([1] * len(distinct), pa.int64()))
+
+        run_files = [os.path.join(d, f) for d in run_dirs
+                     for f in os.listdir(d) if f.endswith(".parquet")]
+        seen = rd.read_parquet(run_files, columns=["text_hash"]
+                               ).map_batches(mark_seen,
+                                             batch_format="pyarrow")
+        joined = hash_join(self_deduped, seen, key="text_hash",
+                           left_cols=[id_column], right_cols=["seen"],
+                           how="left")
+
+        def unseen_only(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return t.filter(_pc.is_null(t.column("seen"))).select(
+                ["text_hash", id_column])
+
+        kept = joined.map_batches(unseen_only, batch_format="pyarrow")
+    else:
+        kept = self_deduped
+    kept = kept.materialize()
+
+    out_dir = os.path.join(index_dir, f"run-{uuid.uuid4().hex}")
+    kept.select_columns(["text_hash"]).write_parquet(out_dir)
+    return kept, kept.count()

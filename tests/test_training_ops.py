@@ -1028,3 +1028,36 @@ def test_per_key_windows_hot_user(ray_session):
     assert out.loc[7, "n_gaps"] == n_hot - 1
     assert out.loc[7, "max_gap_us"] == 1_000_000
     assert len(out) == n_users
+
+
+def test_incremental_exact_dedup(ray_session, tmp_path):
+    """Cross-run dedup against the persisted hash index: run 2 drops
+    everything run 1 already indexed, the index grows append-only, and
+    an empty run is a no-op."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        incremental_exact_dedup)
+
+    idx = str(tmp_path / "hash_index")
+    run1 = rd.from_items([
+        {"doc_id": 1, "text": "alpha bravo"},
+        {"doc_id": 2, "text": "charlie delta"},
+        {"doc_id": 3, "text": "alpha bravo"},        # in-run dup
+    ])
+    kept1, n1 = incremental_exact_dedup(run1, idx)
+    assert n1 == 2
+    assert sorted(kept1.to_pandas()["doc_id"]) == [1, 2]
+
+    run2 = rd.from_items([
+        {"doc_id": 10, "text": "alpha bravo"},       # cross-run dup
+        {"doc_id": 11, "text": "echo foxtrot"},      # new
+        {"doc_id": 12, "text": "charlie delta"},     # cross-run dup
+    ])
+    kept2, n2 = incremental_exact_dedup(run2, idx)
+    assert n2 == 1
+    assert sorted(kept2.to_pandas()["doc_id"]) == [11]
+
+    # a third run with only known content keeps nothing
+    run3 = rd.from_items([{"doc_id": 20, "text": "echo foxtrot"}])
+    kept3, n3 = incremental_exact_dedup(run3, idx)
+    assert n3 == 0 and kept3.count() == 0
