@@ -2234,6 +2234,24 @@ def q_ann_topk(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_ann_filtered(sf_dir: str):
+    """FILTERED vector search (the standard metadata-constrained RAG
+    query): exact cosine top-k restricted to label < 5, with the label
+    predicate PUSHED TO THE SCAN — the ANN stage only ever sees the
+    qualifying rows, so filter selectivity directly cuts compute."""
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.ann import (
+        brute_force_topk, load_queries)
+
+    queries = load_queries(sf_dir, _ANN_NQ)
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding", "label"],
+                  filter=(pc.field("label") < 5)).select_columns(
+        ["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, k=_ANN_K, dtype="float64")
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
 def q_ann_ivf(sf_dir: str):
     import ray.data as rd
     from magic_content_extractor_ray.stages.ann import ivf_topk, load_queries
@@ -2520,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "orders_by_segment": q_orders_by_segment,
         "ann_topk": q_ann_topk,
+        "ann_filtered": q_ann_filtered,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "views_before_click": q_views_before_click,
@@ -2966,6 +2985,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.event_id AS click_id, b.event_id AS view_id "
             "FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts "
             "ORDER BY click_id"),
+        "ann_filtered": (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            f"FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.qe, e.embedding) AS score "
+            "FROM q CROSS JOIN embeddings e WHERE e.label < 5), "
+            "ranked AS (SELECT query_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY score DESC, neighbor_id) "
+            f"AS rank FROM scored) SELECT query_id, neighbor_id, rank "
+            f"FROM ranked WHERE rank <= {_ANN_K}"),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             f"FROM embeddings ORDER BY vec_id LIMIT {_ANN_NQ}), "

@@ -21,7 +21,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "epoch_shuffle", "brand_revenue", "event_value_totals",
         "recent_orders", "top_terms_per_lang", "session_durations",
         "doc_chunks", "chunk_dedup", "docs_decontaminated",
-        "split_assignments", "supplier_ship_volumes"]
+        "split_assignments", "supplier_ship_volumes", "ann_filtered"]
 
 
 @pytest.fixture(scope="module")
