@@ -10,11 +10,31 @@ both sides). Ray is initialised by the driver — nothing here calls
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Callable
 from typing import Any
 
 _STOPWORD_ALT = ("a|an|and|are|as|at|be|been|by|for|from|in|is|it|of|on|or|"
                  "that|the|this|to|was|were|with")
+
+# ONE whitespace definition across every tokenizing query and its oracle:
+# the DuckDB oracles tokenize with RE2's \S+ (ASCII whitespace only), so
+# the Python side must too — str.split() would also split on U+00A0,
+# U+2028 etc. and silently break bit-for-bit oracle equality.
+_ASCII_WORD_RE = _re.compile(r"\S+", _re.ASCII)
+
+
+def _ascii_words(text: str | None) -> list[str]:
+    return _ASCII_WORD_RE.findall(text or "")
+
+
+def _ws_split_lists(texts):
+    """Arrow list<string> of tokens split on RE2 \\s+ (ASCII whitespace,
+    matching the oracles' regexp_extract_all(text, '\\S+')). Leading /
+    trailing whitespace yields '' entries — callers filter those."""
+    import pyarrow.compute as pc
+
+    return pc.split_pattern_regex(texts, pattern=r"\s+")
 
 
 def _read_pq(path: str, *, columns=None, **kwargs):
@@ -324,7 +344,7 @@ def q_top_terms(sf_dir: str):
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         words = pc.list_flatten(
-            pc.utf8_split_whitespace(pc.utf8_lower(texts)))
+            _ws_split_lists(pc.utf8_lower(texts)))
         words = words.filter(pc.not_equal(words, ""))
         g = pa.table({"term": words}).group_by("term").aggregate(
             [("term", "count")])
@@ -373,7 +393,7 @@ def q_doc_frequency(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         terms: list[str] = []
         for t in batch.column("text").to_pylist():
-            terms.extend(np.unique((t or "").lower().split()).tolist())
+            terms.extend(np.unique(_ascii_words((t or "").lower())).tolist())
         tb = pa.table({"term": pa.array(terms, pa.string())})
         g = tb.group_by("term").aggregate([("term", "count")])
         return pa.table({
@@ -418,7 +438,7 @@ def q_top_terms_per_lang(sf_dir: str):
         texts = batch.column("text")
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        lists = _ws_split_lists(pc.utf8_lower(texts))
         flat = pc.list_flatten(lists)
         keep = pc.not_equal(flat, "")
         words = flat.filter(keep)
@@ -1086,7 +1106,7 @@ def q_tfidf_terms(sf_dir: str):
         texts = batch.column("text")
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        lists = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        lists = _ws_split_lists(pc.utf8_lower(texts))
         flat = pc.list_flatten(lists)
         keep = pc.not_equal(flat, "")
         words = flat.filter(keep)
@@ -1510,7 +1530,7 @@ def q_doc_chunks(sf_dir: str):
         doc_ids, chunk_ids, starts, lens, texts = [], [], [], [], []
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
-            toks = (text or "").split()
+            toks = _ascii_words(text)
             n = len(toks)
             pos = 0
             cid = 1
@@ -1582,7 +1602,7 @@ def q_docs_decontaminated(sf_dir: str):
                          columns=["doc_id", "text"]).sort_by("doc_id")
     phrases = []
     for i in range(5):
-        toks = seed.column("text")[i].as_py().split()
+        toks = _ascii_words(seed.column("text")[i].as_py())
         phrases.append(" ".join(toks[10:18]))
     phrases = [p for p in phrases if p]
 
@@ -1645,7 +1665,7 @@ def q_heavy_terms(sf_dir: str):
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         words = pc.list_flatten(
-            pc.utf8_split_whitespace(pc.utf8_lower(texts)))
+            _ws_split_lists(pc.utf8_lower(texts)))
         return pa.table({"term": words.filter(pc.not_equal(words, ""))})
 
     words = _read_pq(

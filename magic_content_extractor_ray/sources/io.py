@@ -77,7 +77,7 @@ def read_partition(path: str, *, column: str, value,
                    columns: list[str] | None = None):
     """Read ONE Hive partition directory (written by
     ``write_partitioned``) — storage-level pruning: only that
-    partition's files are listed or opened."""
-    import ray.data as rd
-
-    return rd.read_parquet(f"{path}/{column}={value}", columns=columns)
+    partition's files are listed or opened. Routed through
+    ``read_parquet_clean`` so pandas-metadata-bearing partitions don't
+    reintroduce the unhashable-schema block-dedup failure."""
+    return read_parquet_clean(f"{path}/{column}={value}", columns=columns)

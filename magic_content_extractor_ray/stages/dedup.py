@@ -315,11 +315,18 @@ class SimHasher:
 
 
 def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, max_distinct: int = 1000):
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via pigeonhole
     banding (d+1 bands: any pair within distance d matches on ≥1 band).
     Returns a Dataset (left_id, right_id, hamming); cross-band duplicate
-    pairs are deduplicated by a composite-key groupby, not on the driver."""
+    pairs are deduplicated by a composite-key groupby, not on the driver.
+
+    Hot buckets use the same policy as minhash (module docstring): bucket
+    members are first grouped by IDENTICAL simhash — an identity group of
+    m docs (boilerplate corpus) emits m-1 star pairs to its min-id
+    representative, never m²/2 — and cross-hash comparison runs only
+    between distinct-hash representatives, vectorized-popcount in chunks,
+    capped at ``max_distinct`` representatives per bucket."""
     import pandas as pd
     from ray.data.aggregate import Min
 
@@ -356,24 +363,45 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
         n = len(g)
         if n < 2:
             return pd.DataFrame({"left_id": [], "right_id": [], "hamming": []})
-        ids = g[id_column].tolist()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
+        ids = g[id_column].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        hs = g["simhash"].to_numpy()[order].astype(np.uint64)
+
+        uniq, inverse = np.unique(hs, return_inverse=True)
         out_l, out_r, out_d = [], [], []
-        for i in range(n):
-            x = hs[i] ^ hs[i + 1:]
-            # vectorized popcount via unpackbits on the byte view
+        # identity pairs: member → min-id representative (hamming 0) —
+        # n identical docs cost n-1 pairs, never n²/2
+        rep_of = {}
+        for gi in range(len(uniq)):
+            members = np.nonzero(inverse == gi)[0]
+            rep = members[0]  # ids sorted → first member has the min id
+            rep_of[gi] = rep
+            for m in members[1:]:
+                out_l.append(ids[rep])
+                out_r.append(ids[m])
+                out_d.append(0)
+        # cross-hash pairs between representatives only, chunked popcount
+        r_count = min(len(uniq), max_distinct)
+        reps = uniq[:r_count]
+        step = 512
+        for i0 in range(0, r_count, step):
+            a = reps[i0:i0 + step]
+            x = np.ascontiguousarray(a[:, None] ^ reps[None, :])
             d = np.unpackbits(
-                np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8),
-                axis=1).sum(axis=1) if len(x) else np.zeros(0, dtype=int)
-            for off in np.nonzero(d <= max_hamming)[0]:
-                a, b = ids[i], ids[i + 1 + off]
-                if a == b:
+                x.view(np.uint8).reshape(len(a), r_count, 8),
+                axis=2).sum(axis=2)
+            ii, jj = np.nonzero((d <= max_hamming) & (d > 0))
+            for i, j in zip(ii, jj):
+                gi, gj = i0 + i, j
+                if gi >= gj:
                     continue
-                if b < a:
-                    a, b = b, a
-                out_l.append(a)
-                out_r.append(b)
-                out_d.append(int(d[off]))
+                la, lb = ids[rep_of[gi]], ids[rep_of[gj]]
+                if lb < la:
+                    la, lb = lb, la
+                out_l.append(la)
+                out_r.append(lb)
+                out_d.append(int(d[i, j]))
         return pd.DataFrame({"left_id": out_l, "right_id": out_r,
                              "hamming": out_d})
 
@@ -391,7 +419,8 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
 
 def embedding_dedup(ds, *, threshold: float = 0.95,
                     column: str = "embedding", id_column: str = "vec_id",
-                    n_tables: int = 12, n_bits: int = 6, seed: int = 11):
+                    n_tables: int = 12, n_bits: int = 6, seed: int = 11,
+                    max_distinct: int = 4096, tile: int = 256):
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
     Scale path: random-hyperplane LSH buckets (reusing the ANN bucketer) so
@@ -400,6 +429,14 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
     exact cosine inside each bucket. High thresholds (≥0.9) have near-1
     bucket-collision probability with this table count. Returns a Dataset
     (left_id, right_id, cosine), deduplicated across tables distributively.
+
+    Hot buckets (template-expanded corpora put thousands of near-identical
+    embeddings in ONE bucket) use the minhash policy: byte-identical
+    vectors collapse to identity groups first — m copies emit m-1 star
+    pairs (cosine 1.0) to the min-id representative, never m²/2 — then
+    cross-vector cosine runs only between distinct representatives, in
+    ``tile``-row matmul tiles (memory O(tile × bucket), never O(bucket²))
+    and capped at ``max_distinct`` representatives per bucket.
     """
     import pandas as pd
     import ray
@@ -431,19 +468,40 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
         if n < 2:
             return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
         ids = g[id_column].to_numpy()
-        mat = np.stack(g["vec"].to_numpy())  # already L2-normalized
-        sims = mat @ mat.T
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack(g["vec"].to_numpy()[order])  # already L2-normalized
+
+        # identity groups: byte-identical vectors → star pairs to min id
+        uniq, inverse = np.unique(mat, axis=0, return_inverse=True)
+        inverse = inverse.ravel()
         out_l, out_r, out_c = [], [], []
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        for i, j in zip(ii, jj):
-            a, b = int(ids[i]), int(ids[j])
-            if a == b:
-                continue
-            if b < a:
-                a, b = b, a
-            out_l.append(a)
-            out_r.append(b)
-            out_c.append(round(float(sims[i, j]), 6))
+        rep_of = {}
+        for gi in range(len(uniq)):
+            members = np.nonzero(inverse == gi)[0]
+            rep = members[0]  # ids sorted → first member has the min id
+            rep_of[gi] = rep
+            for m in members[1:]:
+                out_l.append(int(ids[rep]))
+                out_r.append(int(ids[m]))
+                out_c.append(1.0)
+        # cross pairs between distinct representatives only, tiled matmul
+        r_count = min(len(uniq), max_distinct)
+        reps = uniq[:r_count]
+        for i0 in range(0, r_count, tile):
+            a = reps[i0:i0 + tile]
+            sims = a @ reps.T  # (tile, r_count) — bounded memory
+            ii, jj = np.nonzero(sims >= threshold)
+            for i, j in zip(ii, jj):
+                gi, gj = i0 + i, int(j)
+                if gi >= gj:
+                    continue
+                la, lb = int(ids[rep_of[gi]]), int(ids[rep_of[gj]])
+                if lb < la:
+                    la, lb = lb, la
+                out_l.append(la)
+                out_r.append(lb)
+                out_c.append(round(float(sims[i, j]), 6))
         return pd.DataFrame({"left_id": out_l, "right_id": out_r,
                              "cosine": out_c})
 

@@ -20,10 +20,15 @@ A pair set that provably fits on the driver (exact count ≤
 distributed round costs ~3 shuffles of fixed overhead, which dwarfs the
 work below ~1M pairs.
 
-Round count is the cluster diameter; near-dup clusters from LSH buckets
-are dense (star/clique-like), so 2–4 rounds is typical. Shuffle budget per
-round: 2 shuffles over (edges + labels) rows. The public hash-to-min
-formulation (Rastogi et al. 2013) has the same structure.
+Each round is a neighbor-propagation step FOLLOWED by a pointer-jumping
+step (every node adopts its label's label — path lengths square), so
+convergence is O(log diameter) rounds, not O(diameter): a 1000-link chain
+of near-dup docs converges in ~10 rounds. If ``max_rounds`` is exhausted
+while labels are still changing, the function RAISES rather than silently
+returning split components. Shuffle budget per round: 2 joins + 2 groupbys
+over (edges + labels) rows. The public hash-to-min formulation (Rastogi
+et al. 2013) plus pointer jumping (Shiloach–Vishkin style) has the same
+structure.
 """
 
 from __future__ import annotations
@@ -128,45 +133,85 @@ def connected_components(pairs, *, left: str = "left_id",
     labels = edges.map_batches(
         init_partial, batch_format="pyarrow").groupby("node").aggregate(
         Min("label", alias_name="label")).materialize()
+    # the label set is re-shuffled every round; without re-coalescing, the
+    # per-round groupby/map_groups/union multiply the BLOCK count and the
+    # shuffle's per-block metadata cost grows quadratically round over
+    # round. Bound labels to ~500k rows per block (≥8 blocks), scaled to
+    # the actual node count — one cheap split/coalesce pass per round.
+    n_nodes = labels.count()
+    nb = max(8, min(4096, n_nodes // 500_000 + 8))
+    labels = labels.repartition(nb).materialize()
 
     from .join import hash_join
 
     def nbr_cands(batch: pa.Table) -> pa.Table:
-        # each node's label becomes a candidate for every neighbor
+        # each node's label becomes a candidate for every neighbor; no
+        # 'old' on neighbor rows (null — ignored by the Min aggregate)
+        n = len(batch)
         return pa.table({"node": batch.column("nbr"),
-                         "cand": batch.column("label")})
+                         "cand": batch.column("label"),
+                         "old": pa.nulls(n, id_type)})
 
     def self_cands(batch: pa.Table) -> pa.Table:
+        # self rows carry the node's previous label twice: once as a
+        # candidate, once as 'old' so the change count falls out of the
+        # SAME groupby — no extra fixpoint join
         return pa.table({"node": batch.column("node"),
-                         "cand": batch.column("label")})
+                         "cand": batch.column("label"),
+                         "old": batch.column("label")})
 
-    def count_changed(batch: pa.Table) -> pa.Table:
-        ne = pc.not_equal(batch.column("cand"), batch.column("label"))
+    def count_ne(batch: pa.Table, a: str, b: str) -> pa.Table:
+        ne = pc.not_equal(batch.column(a), batch.column(b))
         c = pc.sum(pc.cast(ne, pa.int64())).as_py() or 0
         return pa.table({"n_changed": pa.array([c], pa.int64())})
 
+    def jump_table(batch: pa.Table) -> pa.Table:
+        # lookup side for pointer jumping: label value → its own label
+        return pa.table({"label": batch.column("node"),
+                         "label2": batch.column("label")})
+
+    import functools
+
+    converged = False
     for _ in range(max_rounds):
-        # edges ⋈ labels on node (vectorized acero bucket join) — the
-        # label of each node flows to its neighbors as a candidate
+        # (a) neighbor propagation: edges ⋈ labels on node (vectorized
+        # acero bucket join) — each node's label flows to its neighbors
         msgs = hash_join(edges, labels, key="node",
                          left_cols=["nbr"], right_cols=["label"])
         cands = msgs.map_batches(nbr_cands, batch_format="pyarrow").union(
             labels.map_batches(self_cands, batch_format="pyarrow"))
-        new_labels = cands.groupby("node").aggregate(
-            Min("cand", alias_name="label")).materialize()
-        # exact fixpoint test: join old labels (renamed 'cand' to avoid
-        # the shared column name) onto new, count differences
-        old_rn = labels.map_batches(
+        stepped = cands.groupby("node").aggregate(
+            Min("cand", alias_name="label"),
+            Min("old", alias_name="old")).repartition(nb).materialize()
+        changed_a = stepped.map_batches(
+            functools.partial(count_ne, a="label", b="old"),
+            batch_format="pyarrow").sum("n_changed")
+        # (b) pointer jumping: node adopts label[label[node]] (every label
+        # value is itself a node with a label row, and label[x] ≤ x, so
+        # the inner join is total and label2 ≤ label — path lengths
+        # square each round → O(log diameter) convergence). The (b)
+        # change count compares label vs label2 inside the same pass.
+        lookup = stepped.map_batches(jump_table, batch_format="pyarrow")
+        jumped = hash_join(stepped, lookup, key="label",
+                           left_cols=["node"], right_cols=["label2"]
+                           ).repartition(nb).materialize()
+        changed_b = jumped.map_batches(
+            functools.partial(count_ne, a="label", b="label2"),
+            batch_format="pyarrow").sum("n_changed")
+        labels = jumped.map_batches(
             lambda t: pa.table({"node": t.column("node"),
-                                "cand": t.column("label")}),
+                                "label": t.column("label2")}),
             batch_format="pyarrow")
-        joined = hash_join(new_labels, old_rn, key="node",
-                           left_cols=["label"], right_cols=["cand"])
-        changed = joined.map_batches(
-            count_changed, batch_format="pyarrow").sum("n_changed")
-        labels = new_labels
-        if not changed:
+        if not changed_a and not changed_b:
+            converged = True
             break
+    if not converged:
+        # silent exit would return split components (wrong cluster_ids);
+        # with pointer jumping max_rounds=25 covers diameter ~2^25, so
+        # hitting this indicates a bug, not a big graph
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds; labels were still changing")
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({node_col: batch.column("node"),

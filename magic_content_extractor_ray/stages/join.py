@@ -10,9 +10,11 @@ and the shuffle moves each row exactly once.
 
 Vectorization: payload structs are built zero-copy from the original
 columns (``pa.StructArray.from_arrays``), bucket hashes are a numpy
-multiply-xor-shift for integer keys (crc32 fallback otherwise), and the
-per-bucket join runs as a pyarrow (acero) table join — no Python row loop
-anywhere on the path.
+multiply-xor-shift for integer keys and a polars vectorized hash for
+string/binary keys (crc32 row loop only as a last-resort fallback), and
+the per-bucket join runs as a pyarrow (acero) table join — no Python row
+loop anywhere on the path. Hot-key membership/indexing uses arrow
+``is_in``/``index_in`` kernels, never ``to_pylist`` scans.
 
 Hot keys: pass ``hot_keys`` (known-skewed key values — from a pre-count
 or domain knowledge) and each hot key is SALTED across ``num_salts``
@@ -31,16 +33,35 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(31))
+    return x
+
+
 def _bucket_array(keys, num_buckets: int) -> pa.Array:
-    """Deterministic bucket per key. Integer keys: vectorized
-    multiply-xor-shift (splitmix-style); other types: crc32 of str."""
+    """Per-key bucket, consistent across both join sides within a job.
+    Integer keys: vectorized multiply-xor-shift (splitmix-style).
+    String/binary keys: polars' vectorized xxhash over the arrow buffers
+    (stable within a polars version — buckets are transient shuffle keys,
+    never persisted). Last resort: a crc32 row loop."""
     arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
     if pa.types.is_integer(arr.type):
         x = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
-        x = (x + np.uint64(0x9E3779B97F4A7C15))
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = x ^ (x >> np.uint64(31))
-        return pa.array((x % np.uint64(num_buckets)).astype(np.int64))
+        return pa.array((_splitmix(x) % np.uint64(num_buckets)).astype(
+            np.int64))
+    if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+            or pa.types.is_binary(arr.type)):
+        try:
+            import polars as pl
+
+            h = pl.from_arrow(arr).hash(seed=7).to_numpy().astype(np.uint64)
+            # splitmix finalizer decorrelates polars' bucket-local bits
+            return pa.array((_splitmix(h) % np.uint64(num_buckets)).astype(
+                np.int64))
+        except ImportError:
+            pass
     vals = np.fromiter(
         (zlib.crc32(str(v).encode()) % num_buckets for v in arr.to_pylist()),
         dtype=np.int64, count=len(arr))
@@ -64,9 +85,16 @@ def _pack_side(batch: pa.Table, *, key: str, side: str, cols: list[str],
             for c in cols]
         return pa.StructArray.from_arrays(children, fields=list(t))
 
+    hot_arr = (pa.array(list(hot_index), type=keys.type)
+               if hot_index else None)
+
+    def _hot_mask(k):
+        return pc.fill_null(pc.is_in(k, value_set=hot_arr), False
+                            ).to_numpy(zero_copy_only=False)
+
     if hot_index and side == "R":
         # replicate right-side hot rows into every salt sub-bucket
-        hot_mask = np.array([k in hot_index for k in keys.to_pylist()])
+        hot_mask = _hot_mask(keys)
         if hot_mask.any():
             idx = np.nonzero(hot_mask)[0]
             rep = np.concatenate(
@@ -85,7 +113,7 @@ def _pack_side(batch: pa.Table, *, key: str, side: str, cols: list[str],
             salt = np.full(n, -1, dtype=np.int64)
     elif hot_index:
         # spread left-side hot rows round-robin over the salts
-        hot_mask = np.array([k in hot_index for k in keys.to_pylist()])
+        hot_mask = _hot_mask(keys)
         salt = np.full(n, -1, dtype=np.int64)
         salt[hot_mask] = np.arange(int(hot_mask.sum())) % num_salts
     else:
@@ -94,8 +122,10 @@ def _pack_side(batch: pa.Table, *, key: str, side: str, cols: list[str],
     buckets = _bucket_array(keys, num_buckets)
     if salt is not None and (salt >= 0).any():
         b = buckets.to_numpy(zero_copy_only=False).copy()
-        hot_ids = np.array([hot_index.get(k, -1)
-                            for k in keys.to_pylist()], dtype=np.int64)
+        # vectorized key → hot-key ordinal (null → -1 for non-hot keys)
+        hot_ids = pc.fill_null(
+            pc.cast(pc.index_in(keys, value_set=hot_arr), pa.int64()), -1,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         m = salt >= 0
         # hot keys own a dedicated bucket range past the normal space
         b[m] = num_buckets + hot_ids[m] * num_salts + salt[m]
@@ -113,6 +143,25 @@ def _pack_side(batch: pa.Table, *, key: str, side: str, cols: list[str],
         names=["join_key", "bucket", "side", "left_payload", "right_payload"])
 
 
+def detect_hot_keys(ds, key: str, *, num_buckets: int = 64,
+                    skew_factor: float = 2.0, k: int = 32) -> list:
+    """Skew pre-pass for ``hash_join``: exact heavy hitters over the key
+    column (Misra-Gries sketch + recount, stages/sketch.py), keeping keys
+    whose row count exceeds ``skew_factor × rows/num_buckets`` — the keys
+    that would dominate a single bucket task. The key column is
+    materialized once (narrow) so the sketch's two passes and the row
+    count don't re-execute the upstream pipeline."""
+    from .sketch import heavy_hitters
+
+    keys_ds = ds.select_columns([key]).materialize()
+    n = keys_ds.count()
+    if n == 0:
+        return []
+    hh = heavy_hitters(keys_ds, key, k=k)
+    threshold = skew_factor * n / num_buckets
+    return [v for v, c in zip(hh["value"], hh["n"]) if c > threshold]
+
+
 def hash_join(left, right, *, key: str, left_cols: list[str],
               right_cols: list[str], num_buckets: int = 64,
               how: str = "inner", hot_keys=None, num_salts: int = 8):
@@ -121,9 +170,15 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     each bucket joins with a pyarrow table join inside ``map_groups``.
     ``how`` ∈ {'inner', 'left'} (left = left outer). ``hot_keys`` salts the
     named skewed keys across ``num_salts`` sub-buckets (left spreads,
-    right replicates) — identical results, bounded per-task key volume."""
+    right replicates) — identical results, bounded per-task key volume.
+    ``hot_keys="auto"`` runs ``detect_hot_keys`` on the LEFT side first
+    (the skewed key you didn't know about is the one that kills the job) —
+    costs one extra scan of the left key column."""
     join_type = {"inner": "inner", "left": "left outer",
                  "full": "full outer"}[how]
+    if isinstance(hot_keys, str) and hot_keys == "auto":
+        hot_keys = detect_hot_keys(left, key, num_buckets=num_buckets) \
+            or None
     if how == "full" and hot_keys:
         # salting replicates the right side across sub-buckets, which
         # would emit one unmatched-right row PER SALT under full outer

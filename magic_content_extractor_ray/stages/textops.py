@@ -17,6 +17,12 @@ import pyarrow.compute as pc
 # (public GPT-2 pre-tokenizer shape, simplified to stdlib ``re``)
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 
+# ONE whitespace definition for every word tokenizer in this module: RE2's
+# \S+ is ASCII-only, and the DuckDB oracles tokenize with it — Python's
+# str.split() splits on Unicode whitespace (U+00A0, U+2028, …) and would
+# silently break bit-for-bit oracle equality on non-ASCII text.
+_ASCII_WORD_RE = re.compile(r"\S+", re.ASCII)
+
 _STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been on at by for with as "
     "it this that from".split())
@@ -133,7 +139,8 @@ def repetition_counts(batch: pa.Table, column: str = "text") -> pa.Table:
     1 - distinct/total), and non-space char count (mean word length =
     chars/words). All integers so a SQL oracle compares exactly; the
     per-doc distinct count uses np.unique over the split words (C sort),
-    the rest is arrow kernels."""
+    the rest is arrow kernels. Both counts tokenize with the SAME
+    ASCII-\\S+ definition (RE2 in arrow, re.ASCII in Python)."""
     texts = batch.column(column)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -142,7 +149,8 @@ def repetition_counts(batch: pa.Table, column: str = "text") -> pa.Table:
         pc.utf8_length(pc.replace_substring_regex(texts, r"\s", "")),
         pa.int64())
     distinct = [
-        len(np.unique((t or "").lower().split())) for t in texts.to_pylist()]
+        len(np.unique(_ASCII_WORD_RE.findall((t or "").lower())))
+        for t in texts.to_pylist()]
     batch = batch.append_column("n_words", n_words)
     batch = batch.append_column(
         "n_distinct_words", pa.array(distinct, pa.int64()))
@@ -162,7 +170,7 @@ def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     texts = batch.column(column).to_pylist()
     fps, rolls = [], []
     for t in texts:
-        words = (t or "").lower().split()
+        words = _ASCII_WORD_RE.findall((t or "").lower())
         fps.append(hashlib.md5(" ".join(words).encode()).hexdigest())
         h = 0
         for w in words:

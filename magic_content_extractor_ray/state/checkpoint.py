@@ -300,21 +300,39 @@ def run_incremental(
     os.makedirs(out_dir, exist_ok=True)
     done = {rec.get("input_path") for rec in load_manifest(out_dir).values()
             if rec.get("input_path")}
-    # manifest keyed by path hash so numeric partition ids stay unique
-    import zlib
+    # the done-set, partition id AND output-dir slug are all keyed by the
+    # FULL path: two inputs sharing a basename (list input from different
+    # directories) must not overwrite each other's file=<slug> directory,
+    # and a 32-bit hash collision must not shadow a completed file in
+    # load_manifest — sha1(path) makes both effectively impossible
+    import hashlib
+
+    def _path_key(p: str) -> str:
+        return hashlib.sha1(p.encode()).hexdigest()
+
+    slugs_seen: dict[str, str] = {}
+    for path in input_paths:
+        slug = (os.path.splitext(os.path.basename(path))[0]
+                + "-" + _path_key(path)[:8])
+        if slug in slugs_seen and slugs_seen[slug] != path:
+            raise ValueError(
+                f"duplicate output slug {slug!r} for {path!r} and "
+                f"{slugs_seen[slug]!r}")
+        slugs_seen[slug] = path
 
     records = []
     for path in input_paths:
         if path in done:
             continue
         t0 = time.time()
-        pid = zlib.crc32(path.encode())
+        pid = int(_path_key(path)[:15], 16)
         ds = read_parquet_clean(path)
         if transform:
             ds = transform(ds)
         out = run_extract_pipeline(ds, **(pipeline_kwargs or {}))
 
-        slug = os.path.splitext(os.path.basename(path))[0]
+        slug = (os.path.splitext(os.path.basename(path))[0]
+                + "-" + _path_key(path)[:8])
         tmp_dir = os.path.join(out_dir, f".tmp-file-{slug}")
         final_dir = os.path.join(out_dir, f"file={slug}")
         import shutil

@@ -325,6 +325,27 @@ def test_connected_components_chain(ray_session):
         assert lab == expect, f"threshold={thresh}"
 
 
+def test_connected_components_long_chain_pointer_jumping(ray_session):
+    """A 40-link chain has diameter 40: one-hop-per-round propagation
+    would need 40 rounds. Pointer jumping (label-of-label each round)
+    must converge within max_rounds=8 (~log diameter); and exhausting
+    max_rounds while labels still change must RAISE, not silently return
+    split components."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.graph import connected_components
+
+    pairs_rows = [{"left_id": i, "right_id": i + 1} for i in range(40)]
+    out = connected_components(
+        rd.from_items(pairs_rows), driver_threshold=0,
+        max_rounds=8).to_pandas()
+    assert set(out["cluster_id"]) == {0}
+    assert len(out) == 41
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(rd.from_items(pairs_rows),
+                             driver_threshold=0, max_rounds=1)
+
+
 def test_connected_components_empty(ray_session):
     import ray.data as rd
     import pyarrow as pa
@@ -354,6 +375,56 @@ def test_minhash_hot_bucket_no_truncation(ray_session):
                             max_distinct_sigs=4).to_pandas()
     lab = out.set_index("doc_id")["cluster_id"].to_dict()
     assert all(lab.get(i) == 0 for i in range(60))
+
+
+def test_simhash_hot_bucket_star_pairs(ray_session):
+    """60 identical docs collide in EVERY simhash band. Identity grouping
+    must emit exactly the 59 star pairs (0, i) — O(n), never n²/2 — and
+    the cap must not drop any identity member."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        simhash_dedup, simhash_clusters)
+
+    hot = [{"doc_id": i, "text": "the same boilerplate page " * 20}
+           for i in range(60)]
+    cold = [{"doc_id": 100 + i,
+             "text": f"wholly unrelated text {i} " * 10 + str(i) * 9}
+            for i in range(5)]
+    ds = rd.from_items(hot + cold)
+    pairs = simhash_dedup(ds, max_hamming=3, max_distinct=4).to_pandas()
+    hot_pairs = pairs[(pairs.left_id < 100) & (pairs.right_id < 100)]
+    assert len(hot_pairs) == 59  # star, not quadratic
+    assert set(hot_pairs.left_id) == {0}
+    assert set(hot_pairs.right_id) == set(range(1, 60))
+    assert (hot_pairs.hamming == 0).all()
+
+    lab = simhash_clusters(ds, max_hamming=3).to_pandas().set_index(
+        "doc_id")["cluster_id"].to_dict()
+    assert all(lab.get(i) == 0 for i in range(60))
+
+
+def test_embedding_hot_bucket_star_pairs(ray_session):
+    """60 byte-identical embeddings land in one LSH bucket in every table.
+    Identity grouping must emit the 59 star pairs at cosine 1.0 — O(n)
+    pairs and O(tile × bucket) memory, never O(n²) — under a tiny
+    representative cap and tile size."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    v = rng.randn(16).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i in range(60)]
+    rows += [{"vec_id": 100 + i,
+              "embedding": rng.randn(16).astype(np.float32).tolist()}
+             for i in range(5)]
+    ds = rd.from_items(rows)
+    pairs = embedding_dedup(ds, threshold=0.95, max_distinct=4,
+                            tile=2).to_pandas()
+    hot_pairs = pairs[(pairs.left_id < 100) & (pairs.right_id < 100)]
+    assert len(hot_pairs) == 59
+    assert set(hot_pairs.left_id) == {0}
+    assert set(hot_pairs.right_id) == set(range(1, 60))
+    assert (hot_pairs.cosine == 1.0).all()
 
 
 def test_image_decode_injection(ray_session):
@@ -494,6 +565,31 @@ def test_hash_join_hot_key_salting(ray_session):
                       num_salts=4).to_pandas()
     assert len(l_out) == 500 + 28 + 1
     assert l_out.loc[l_out["k"] == 99, "r"].isna().all()
+
+    # auto skew detection: the hot key is found by the Misra-Gries
+    # pre-pass (nothing caller-supplied) and the result is identical
+    from magic_content_extractor_ray.stages.join import detect_hot_keys
+
+    assert detect_hot_keys(left, "k") == [1]
+    auto = hash_join(left, right, key="k", left_cols=["l"],
+                     right_cols=["r"], hot_keys="auto",
+                     num_salts=4).to_pandas()
+    assert key_fn(plain) == key_fn(auto)
+
+    # string keys (the polars vectorized-hash path) behave identically
+    lefts = rd.from_items([{"k": f"key-{r['k']:03d}", "l": r["l"]}
+                           for r in left_rows])
+    rights = rd.from_items([{"k": f"key-{r['k']:03d}", "r": r["r"]}
+                            for r in right_rows])
+    assert detect_hot_keys(lefts, "k") == ["key-001"]
+    plain_s = hash_join(lefts, rights, key="k", left_cols=["l"],
+                        right_cols=["r"]).to_pandas()
+    auto_s = hash_join(lefts, rights, key="k", left_cols=["l"],
+                       right_cols=["r"], hot_keys="auto",
+                       num_salts=4).to_pandas()
+    key_fn_s = lambda df: sorted(map(tuple, df[["k", "l", "r"]].to_numpy()))
+    assert key_fn_s(plain_s) == key_fn_s(auto_s)
+    assert len(auto_s) == 500 + 28
 
 
 def test_kmeans_clustering(ray_session):
