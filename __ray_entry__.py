@@ -102,6 +102,45 @@ def q_extract_spans(sf_dir: str):
         explode, batch_format="pyarrow")
 
 
+def q_extract_goldens(sf_dir: str):
+    """REFERENCE-PARITY oracle row: run the real distributed extraction
+    pipeline over the 14 hand-pinned golden documents
+    (tests/fixtures/goldens_input.parquet — every (family, cascade-stage)
+    pair from tests/goldens.json) and explode the output spans. The
+    oracle reads the expected span sequence fixture, so the flagship
+    north-rule invariant — span-sequence equality (kind, text, media_ref,
+    order) per doc_id — is checked by the driver, not only by pytest.
+    ``sf_dir`` is ignored: the golden set is scale-independent."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.pipelines.extract_pipeline import (
+        run_extract_pipeline)
+
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "fixtures", "goldens_input.parquet")
+    docs = _read_pq(fix)
+    out = run_extract_pipeline(docs, batch_size=4)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        return pa.table({
+            "doc_id": pc.take(batch.column("doc_id"), parent),
+            "offset": pc.struct_field(flat, "offset"),
+            "kind": pc.struct_field(flat, "kind"),
+            "media_ref": pc.struct_field(flat, "media_ref"),
+            "span_text": pc.struct_field(flat, "text"),
+        })
+
+    return out.select_columns(["doc_id", "spans"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
 def q_extract_formats(sf_dir: str):
     """Formatter stage outputs (text & markdown) summary lengths."""
     import pyarrow as pa
@@ -2485,6 +2524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_pipeline": q_extract_pipeline,
         "extract_spans": q_extract_spans,
+        "extract_goldens": q_extract_goldens,
         "extract_formats": q_extract_formats,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -2573,8 +2613,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _fixture(name: str) -> str:
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", name)
+
+
 def oracle_sql() -> dict[str, str]:
+    # Two fixture-backed oracle kinds (generated by tools/make_fixtures.py,
+    # frozen in git):
+    # - extract_goldens reads the HAND-PINNED expected span sequences of
+    #   tests/goldens.json — independent reference parity, valid at any sf.
+    # - the sf0_01/ snapshots freeze the current output of queries whose
+    #   semantics SQL cannot express (extraction, LSH dedup, language id,
+    #   packing); they are regression oracles pinned to the driver's
+    #   correctness scale (sf0.01) and anchored by the pytest golden /
+    #   property suites.
     return {
+        "extract_goldens": (
+            'SELECT doc_id, "offset", kind, media_ref, span_text '
+            f"FROM read_parquet('{_fixture('goldens_expected.parquet')}')"),
+        "extract_spans": (
+            'SELECT doc_id, "offset", kind, media_ref, span_text '
+            f"FROM read_parquet('{_fixture('sf0_01/extract_spans.parquet')}')"),
+        "extract_pipeline": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/extract_pipeline.parquet')}')"),
+        "extract_formats": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/extract_formats.parquet')}')"),
+        "lang_id": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/lang_id.parquet')}')"),
+        "dedup_minhash": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/dedup_minhash.parquet')}')"),
+        "dedup_simhash": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/dedup_simhash.parquet')}')"),
+        "dedup_embedding": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/dedup_embedding.parquet')}')"),
+        "pack_sequences": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/pack_sequences.parquet')}')"),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, "
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"),

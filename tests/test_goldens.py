@@ -26,6 +26,32 @@ def strategies():
     return build_strategies()
 
 
+def test_goldens_fixture_in_sync():
+    """The driver-facing parquet fixtures (tests/fixtures/goldens_*.parquet,
+    read by the extract_goldens oracle) must stay bit-identical to
+    goldens.json — regenerate with tools/make_fixtures.py after any
+    deliberate re-pin."""
+    import pyarrow.parquet as pq
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    inp = pq.read_table(os.path.join(fixdir, "goldens_input.parquet"))
+    assert inp.num_rows == len(_GOLDENS)
+    got_in = {r["doc_id"]: r["spans"] for r in inp.to_pylist()}
+    for g in _GOLDENS:
+        assert got_in[g["doc_id"]] == g["input_spans"]
+
+    exp = pq.read_table(os.path.join(fixdir, "goldens_expected.parquet"))
+    got = {}
+    for r in exp.to_pylist():
+        got.setdefault(r["doc_id"], []).append(
+            (r["kind"], r["span_text"], r["media_ref"], r["offset"]))
+    for g in _GOLDENS:
+        want = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in g["expected"]["spans"]]
+        assert sorted(got[g["doc_id"]], key=lambda x: x[3]) == want, \
+            g["doc_id"]
+
+
 @pytest.mark.parametrize(
     "case", _GOLDENS,
     ids=[f"{g['family']}-{g['expected']['strategy_used']}" for g in _GOLDENS])
