@@ -2658,6 +2658,36 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/pack_sequences.parquet')}')"),
+        "extract_metrics": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/extract_metrics.parquet')}')"),
+        "extract_readability": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/extract_readability.parquet')}')"),
+        "media_features": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/media_features.parquet')}')"),
+        "audio_features": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/audio_features.parquet')}')"),
+        "training_pipeline": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/training_pipeline.parquet')}')"),
+        "distinct_users_approx": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/distinct_users_approx.parquet')}')"),
+        "checkpoint_lineage": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/checkpoint_lineage.parquet')}')"),
+        "embedding_clusters": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/embedding_clusters.parquet')}')"),
+        "ann_lsh": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/ann_lsh.parquet')}')"),
+        "ann_ivf": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/ann_ivf.parquet')}')"),
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, "
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"),

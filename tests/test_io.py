@@ -87,3 +87,52 @@ def test_partitioned_write_and_pruned_read(ray_session, tmp_path):
         ["lang=de", "lang=en", "lang=fr"]
     de = read_partition(out, column="lang", value="de").to_pandas()
     assert sorted(de["doc_id"].tolist()) == [1, 4]
+
+
+def test_lance_dispatch_contract(ray_session, tmp_path, monkeypatch):
+    """The advertised Lance path can't execute offline (no wheel), so pin
+    the CONTRACT instead: with a fake ``lance`` module importable,
+    ``read_docs``/``write_docs`` on a ``.lance`` URI must dispatch to
+    ``ray.data.read_lance`` / ``Dataset.write_lance`` with the URI,
+    column pruning, and dataset passed through unchanged."""
+    import sys
+    import types
+
+    import ray.data as rd
+    from magic_content_extractor_ray.sources import io as io_mod
+
+    # make `lance` importable: lance_available() flips to True
+    # (find_spec consults sys.modules[...].__spec__, which must be real)
+    import importlib.machinery
+
+    fake_lance = types.ModuleType("lance")
+    fake_lance.__spec__ = importlib.machinery.ModuleSpec("lance", loader=None)
+    monkeypatch.setitem(sys.modules, "lance", fake_lance)
+    assert io_mod.lance_available()
+
+    calls = {}
+    sentinel = rd.from_items([{"doc_id": "d0", "spans": []}])
+
+    def fake_read_lance(uri, columns=None, **kwargs):
+        calls["read"] = {"uri": uri, "columns": columns}
+        return sentinel
+
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+    out = io_mod.read_docs("/data/docs.lance", columns=["doc_id", "spans"])
+    assert out is sentinel
+    assert calls["read"] == {"uri": "/data/docs.lance",
+                             "columns": ["doc_id", "spans"]}
+
+    monkeypatch.setattr(
+        type(sentinel), "write_lance",
+        lambda self, uri, **kw: calls.setdefault(
+            "write", {"uri": uri, "ds": self}),
+        raising=False)
+    io_mod.write_docs(sentinel, "/data/out.lance")
+    assert calls["write"]["uri"] == "/data/out.lance"
+    assert calls["write"]["ds"] is sentinel
+
+    # non-.lance URIs keep the parquet fallback even with lance importable
+    pq_dir = str(tmp_path / "pq_out")
+    io_mod.write_docs(sentinel, pq_dir)
+    assert io_mod.read_docs(pq_dir).count() == 1
