@@ -555,33 +555,47 @@ def q_token_histogram(sf_dir: str):
 def q_session_durations(sf_dir: str):
     """Sessionized AGGREGATE: one row per (user, session) with event
     count and duration — sessionization (30-min gap) composed with
-    per-session stats inside the same per-key pass, exact integer
-    microseconds."""
+    per-session stats, exact integer microseconds. Arrow-native window
+    path (stages/window.py): one task per hash partition computes EVERY
+    user's sessions at once with numpy segment kernels — no per-key
+    Python callback, no pandas conversion."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, ts_us, col_np)
 
     GAP_US = 1800 * 1_000_000
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        us = g["ts"].astype("int64").to_numpy()
-        brk = np.zeros(len(g), dtype=np.int64)
-        if len(g) > 1:
-            brk[1:] = (np.diff(us) > GAP_US).astype(np.int64)
-        sid = brk.cumsum() + 1
-        df = pd.DataFrame({"sid": sid, "us": us})
-        agg = df.groupby("sid")["us"].agg(["count", "min", "max"])
-        return pd.DataFrame({
-            "user_id": g["user_id"].iloc[0],
-            "session_id": agg.index.astype("int64"),
-            "n_events": agg["count"].astype("int64"),
-            "duration_us": (agg["max"] - agg["min"]).astype("int64"),
+    def sessions(t: pa.Table) -> pa.Table:
+        n = len(t)
+        uid = col_np(t, "user_id")
+        us = ts_us(t.column("ts"))
+        ustarts = segment_starts(uid)
+        new_user = np.zeros(n, dtype=bool)
+        new_user[ustarts] = True
+        is_start = new_user.copy()
+        is_start[1:] |= (us[1:] - us[:-1]) > GAP_US
+        sstarts = np.nonzero(is_start)[0]
+        n_sess = len(sstarts)
+        # session_id = rank of the session within its user
+        sess_user = uid[sstarts]
+        su_starts = segment_starts(sess_user)
+        base = np.repeat(su_starts, np.diff(np.append(su_starts, n_sess)))
+        sid = np.arange(n_sess, dtype=np.int64) - base + 1
+        ends = np.append(sstarts[1:], n) - 1  # ts-sorted → last row = max
+        return pa.table({
+            "user_id": pa.array(sess_user),
+            "session_id": pa.array(sid, pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.append(sstarts, n)).astype(np.int64), pa.int64()),
+            "duration_us": pa.array(us[ends] - us[sstarts], pa.int64()),
         })
 
-    return _read_pq(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"],
-    ).groupby("user_id").map_groups(
-        per_user, batch_format="pandas").sort(["user_id", "session_id"])
+    return map_key_partitions(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "ts", "event_id"]),
+        "user_id", sessions, sort_cols=["ts", "event_id"],
+    ).sort(["user_id", "session_id"])
 
 
 def q_user_paths(sf_dir: str):
@@ -589,72 +603,112 @@ def q_user_paths(sf_dir: str):
     analog): each user's full event-type path in (ts, event_id) order.
     The same groupby-key → sort-within-group → concatenate shape the
     flagship pipeline uses to reassemble spans in offset order."""
-    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, col_np)
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["ts", "event_id"])
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "path": [">".join(g["event_type"].tolist())],
+    def paths(t: pa.Table) -> pa.Table:
+        uid = col_np(t, "user_id")
+        starts = segment_starts(uid)
+        types = t.column("event_type")
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        # one list per user (offsets at user boundaries, zero-copy over
+        # the sorted value buffer) → vectorized arrow join kernel
+        offsets = pa.array(np.append(starts, len(t)).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, types)
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "path": pc.binary_join(lists, ">"),
         })
 
-    return _read_pq(
-        f"{sf_dir}/events.parquet",
-        columns=["user_id", "ts", "event_id", "event_type"],
-    ).groupby("user_id").map_groups(
-        per_user, batch_format="pandas").sort("user_id")
+    return map_key_partitions(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "ts", "event_id", "event_type"]),
+        "user_id", paths, sort_cols=["ts", "event_id"],
+    ).sort("user_id")
 
 
 def q_event_gaps(sf_dir: str):
     """LAG window (time since previous event per user), aggregated to
     per-user gap statistics in exact integer microseconds."""
-    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, segment_lengths, ts_us, col_np)
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        if len(g) < 2:
-            return pd.DataFrame({
-                "user_id": pd.Series([], dtype="int64"),
-                "n_gaps": pd.Series([], dtype="int64"),
-                "total_gap_us": pd.Series([], dtype="int64"),
-                "max_gap_us": pd.Series([], dtype="int64"),
-            })
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64")
-        gaps = us.diff().dropna().astype("int64")
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_gaps": [int(len(gaps))],
-            "total_gap_us": [int(gaps.sum())],
-            "max_gap_us": [int(gaps.max())],
+    def gaps(t: pa.Table) -> pa.Table:
+        n = len(t)
+        uid = col_np(t, "user_id")
+        us = ts_us(t.column("ts"))
+        starts = segment_starts(uid)
+        lens = segment_lengths(starts, n)
+        d = np.diff(us)  # gap j = us[j+1]-us[j]
+        # boundary gaps (between users) are neutralized so reduceat over
+        # kept-user spans never mixes users: 0 for sums, -1 for maxes
+        # (real gaps are ≥0 and every kept user has ≥1 internal gap)
+        boundary = np.zeros(max(n - 1, 0), dtype=bool)
+        boundary[starts[1:] - 1] = True
+        d_sum = np.where(boundary, 0, d)
+        d_max = np.where(boundary, -1, d)
+        keep = lens >= 2  # users with <2 events emit nothing
+        ks = starts[keep]
+        if len(ks) == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "total_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": pa.array(uid[ks].astype(np.int64), pa.int64()),
+            "n_gaps": pa.array(lens[keep] - 1, pa.int64()),
+            "total_gap_us": pa.array(
+                np.add.reduceat(d_sum, ks), pa.int64()),
+            "max_gap_us": pa.array(
+                np.maximum.reduceat(d_max, ks), pa.int64()),
         })
 
-    return _read_pq(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"],
-    ).groupby("user_id").map_groups(
-        per_user, batch_format="pandas").sort("user_id")
+    return map_key_partitions(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "ts", "event_id"]),
+        "user_id", gaps, sort_cols=["ts", "event_id"],
+    ).sort("user_id")
 
 
 def q_running_order_total(sf_dir: str):
     """CUMULATIVE window (sum() OVER … ROWS UNBOUNDED PRECEDING): each
     customer's running order total in exact integer cents, ordered by
     (o_orderdate, o_orderkey)."""
-    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, col_np)
 
-    def per_cust(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(
-            drop=True)
-        cents = (g["o_totalprice"] * 100).round().astype("int64")
-        return pd.DataFrame({
-            "o_custkey": g["o_custkey"],
-            "o_orderkey": g["o_orderkey"],
-            "running_total_c": cents.cumsum(),
+    def running(t: pa.Table) -> pa.Table:
+        cust = col_np(t, "o_custkey")
+        cents = np.round(
+            col_np(t, "o_totalprice") * 100).astype(np.int64)
+        starts = segment_starts(cust)
+        cum = np.cumsum(cents)
+        # segmented cumsum: subtract each segment's pre-start prefix
+        base = np.zeros(len(starts), dtype=np.int64)
+        base[1:] = cum[starts[1:] - 1]
+        lens = np.diff(np.append(starts, len(t)))
+        return pa.table({
+            "o_custkey": t.column("o_custkey"),
+            "o_orderkey": t.column("o_orderkey"),
+            "running_total_c": pa.array(
+                cum - np.repeat(base, lens), pa.int64()),
         })
 
-    return _read_pq(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
-    ).groupby("o_custkey").map_groups(
-        per_cust, batch_format="pandas").sort(["o_custkey", "o_orderkey"])
+    return map_key_partitions(
+        _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderkey", "o_orderdate",
+                          "o_totalprice"]),
+        "o_custkey", running, sort_cols=["o_orderdate", "o_orderkey"],
+    ).sort(["o_custkey", "o_orderkey"])
 
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -1748,18 +1802,28 @@ def q_customer_order_counts(sf_dir: str):
 def q_last_event_per_user(sf_dir: str):
     """Per-key top-1 window (row_number() = 1 analog): each user's most
     recent event, ties broken by event_id."""
-    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, col_np)
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        top = g.sort_values(["ts", "event_id"],
-                            ascending=[False, False]).iloc[0]
-        return pd.DataFrame({"user_id": [top["user_id"]],
-                             "last_event": [int(top["event_id"])]})
+    def last_per_user(t: pa.Table) -> pa.Table:
+        uid = col_np(t, "user_id")
+        starts = segment_starts(uid)
+        # ascending (ts, event_id) within user → last row of each
+        # segment IS the (ts, event_id)-max row
+        ends = np.append(starts[1:], len(t)) - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "last_event": pa.array(
+                col_np(t, "event_id")[ends].astype(np.int64), pa.int64()),
+        })
 
-    ds = _read_pq(f"{sf_dir}/events.parquet",
-                  columns=["user_id", "ts", "event_id"])
-    return ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").sort("user_id")
+    return map_key_partitions(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "ts", "event_id"]),
+        "user_id", last_per_user, sort_cols=["ts", "event_id"],
+    ).sort("user_id")
 
 
 def q_supplier_nation(sf_dir: str):
@@ -2172,21 +2236,34 @@ def q_events_by_segment(sf_dir: str):
 def q_user_sessions(sf_dir: str):
     """Sessionization (30-min inactivity gap) per user: a per-key ordered
     window computed in groupby().map_groups over ts-sorted groups."""
-    import pandas as pd
-    import ray.data as rd
+    import numpy as np
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, ts_us, col_np)
 
-    GAP_S = 1800
+    GAP_US = 1800 * 1_000_000
 
-    def sessions(g: "pd.DataFrame") -> "pd.DataFrame":
-        ts = g["ts"].sort_values()
-        gaps = (ts.diff().dt.total_seconds() > GAP_S).sum()
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(gaps) + 1]})
+    def sessions(t: pa.Table) -> pa.Table:
+        n = len(t)
+        uid = col_np(t, "user_id")
+        us = ts_us(t.column("ts"))
+        starts = segment_starts(uid)
+        new_user = np.zeros(n, dtype=bool)
+        new_user[starts] = True
+        is_start = new_user.copy()
+        is_start[1:] |= (us[1:] - us[:-1]) > GAP_US
+        # sessions per user = count of session starts in the user segment
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "n_sessions": pa.array(
+                np.add.reduceat(is_start.astype(np.int64), starts),
+                pa.int64()),
+        })
 
-    ds = _read_pq(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(
-        sessions, batch_format="pandas").sort("user_id")
+    return map_key_partitions(
+        _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+        "user_id", sessions, sort_cols=["ts"],
+    ).sort("user_id")
 
 
 def q_orders_by_segment(sf_dir: str):

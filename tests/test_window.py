@@ -1,0 +1,67 @@
+"""Arrow-native per-key window stage (stages/window.py): the
+hash-partitioned segment-kernel path must agree exactly with a
+straightforward per-key pandas reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from magic_content_extractor_ray.stages.window import (
+    map_key_partitions, segment_starts, segment_lengths)
+
+
+def test_segment_kernels():
+    keys = np.array([3, 3, 3, 7, 9, 9])
+    starts = segment_starts(keys)
+    assert starts.tolist() == [0, 3, 4]
+    assert segment_lengths(starts, len(keys)).tolist() == [3, 1, 2]
+    assert segment_starts(np.array([])).tolist() == []
+
+
+def test_map_key_partitions_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    n, k = 5000, 400
+    df = pd.DataFrame({
+        "key": rng.randint(0, k, n).astype(np.int64),
+        "ts": rng.randint(0, 10**9, n).astype(np.int64),
+        "val": rng.randint(0, 100, n).astype(np.int64),
+    })
+
+    GAP = 10**7
+
+    def sessions_arrow(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        starts = segment_starts(key)
+        new_key = np.zeros(len(t), dtype=bool)
+        new_key[starts] = True
+        is_start = new_key.copy()
+        is_start[1:] |= (ts[1:] - ts[:-1]) > GAP
+        return pa.table({
+            "key": pa.array(key[starts]),
+            "n_sessions": pa.array(
+                np.add.reduceat(is_start.astype(np.int64), starts),
+                pa.int64()),
+            "n_rows": pa.array(
+                segment_lengths(starts, len(t)), pa.int64()),
+        })
+
+    got = map_key_partitions(
+        rd.from_pandas(df).repartition(7), "key", sessions_arrow,
+        sort_cols=["ts"], num_buckets=16,
+    ).to_pandas().sort_values("key").reset_index(drop=True)
+
+    # reference: plain per-key pandas
+    rows = []
+    for key, g in df.sort_values(["key", "ts"]).groupby("key"):
+        ts = g["ts"].to_numpy()
+        rows.append({"key": key,
+                     "n_sessions": int((np.diff(ts) > GAP).sum()) + 1,
+                     "n_rows": len(g)})
+    want = pd.DataFrame(rows).sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"key": np.int64}), want.astype({"key": np.int64}))
+    # every key appears exactly once → no key straddled two partitions
+    assert got["key"].is_unique
