@@ -254,6 +254,41 @@ def q_fingerprint(sf_dir: str):
         ["doc_id", "fingerprint"])
 
 
+def q_pii_redacted(sf_dir: str):
+    """PII scrubbing (email / IPv4 / phone → placeholder tokens), fully
+    vectorized RE2 replace chain (stages/textops.redact_pii_batch). The
+    synthetic corpus carries no PII, so each row is first augmented with
+    deterministic doc_id-derived PII — the DuckDB oracle performs the
+    IDENTICAL augmentation and redaction (same RE2 patterns), so the two
+    engines verify each other bit-for-bit on text that exercises every
+    pattern."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.textops import redact_pii_batch
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        s = pc.cast(ids, pa.string())
+        import numpy as np
+
+        idv = ids.to_numpy(zero_copy_only=False)
+        aug = pc.binary_join_element_wise(
+            batch.column("text"), " contact: user", s, "@example.com from 10.0.",
+            pa.array((idv % 256).astype(str), pa.string()), ".",
+            pa.array((idv % 100).astype(str), pa.string()), " call 555-",
+            pa.array((100 + idv % 900).astype(str), pa.string()), "-",
+            pa.array((1000 + idv % 9000).astype(str), pa.string()), "")
+        return batch.drop_columns(["text"]).append_column("text", aug)
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(augment, batch_format="pyarrow").map_batches(
+        redact_pii_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_email", "n_ip", "n_phone", "text_redacted"])
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-language stratified sample (the data-mixing
     primitive): a pure md5-hash predicate — shuffle-free, resume-safe,
@@ -2608,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "token_count": q_token_count,
+        "pii_redacted": q_pii_redacted,
         "pack_sequences": q_pack_sequences,
         "quality_counts": q_quality_counts,
         "lang_id": q_lang_id,
@@ -2772,6 +2808,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "len(regexp_extract_all(text, '\\S+')) AS n_tokens "
             "FROM documents"),
+        "pii_redacted": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                text || ' contact: user' || doc_id
+                     || '@example.com from 10.0.' || (doc_id % 256) || '.'
+                     || (doc_id % 100) || ' call 555-'
+                     || (100 + doc_id % 900) || '-'
+                     || (1000 + doc_id % 9000) AS t
+              FROM documents)
+            SELECT doc_id,
+              len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              len(regexp_extract_all(t,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+              len(regexp_extract_all(t,
+                '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g')
+                AS text_redacted
+            FROM aug""",
         "quality_counts": (
             "SELECT doc_id, length(text) AS n_chars_q, "
             "len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha, "

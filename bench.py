@@ -156,7 +156,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "tfidf_terms", "chars_quartiles", "heavy_terms",
              # scan / full-outer / multimodal-real-decode families
              "token_offsets", "daily_view_purchase", "epoch_shuffle",
-             "audio_features"]
+             "audio_features",
+             # round-3 arrow-native window family + PII scrub
+             "session_durations", "event_gaps", "running_order_total",
+             "pii_redacted"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -181,3 +181,39 @@ def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column(
         "fingerprint_rolling",
         pa.array(np.array(rolls, dtype=np.int64), pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, RE2 pattern, replacement) — applied in order. RE2-safe (no
+# lookaround) so pyarrow's replace_substring_regex and DuckDB's
+# regexp_replace execute the IDENTICAL pattern semantics, which is what
+# makes the pii_redacted query SQL-oracle-checkable bit-for-bit.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_batch(batch: pa.Table, column: str = "text",
+                     out_column: str = "text_redacted",
+                     with_counts: bool = True) -> pa.Table:
+    """Scrub emails / IPv4s / phone numbers from ``column`` — fully
+    vectorized ``pc.replace_substring_regex`` chain, no Python rows.
+    Match counts (``n_<kind>``) are taken on the ORIGINAL text before any
+    replacement; replacements then apply in ``PII_PATTERNS`` order."""
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if with_counts:
+        for name, pat, _ in PII_PATTERNS:
+            batch = batch.append_column(
+                f"n_{name}",
+                pc.cast(pc.count_substring_regex(texts, pat), pa.int64()))
+    red = texts
+    for _, pat, repl in PII_PATTERNS:
+        red = pc.replace_substring_regex(red, pat, repl)
+    return batch.append_column(out_column, red)

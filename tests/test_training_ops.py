@@ -1157,3 +1157,26 @@ def test_incremental_exact_dedup(ray_session, tmp_path):
     run3 = rd.from_items([{"doc_id": 20, "text": "echo foxtrot"}])
     kept3, n3 = incremental_exact_dedup(run3, idx)
     assert n3 == 0 and kept3.count() == 0
+
+
+def test_redact_pii_batch():
+    """PII scrub: planted email/IP/phone are replaced by placeholders,
+    counts are taken pre-replacement, clean text passes through."""
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.textops import redact_pii_batch
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail bob.smith+x@corp.example.org now",
+            "from 192.168.0.1 dial 555-123-4567 or 555 987 6543",
+            "no pii here at all",
+        ]})
+    out = redact_pii_batch(t)
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "from <IP> dial <PHONE> or <PHONE>"
+    assert red[2] == "no pii here at all"
+    assert out.column("n_email").to_pylist() == [1, 0, 0]
+    assert out.column("n_ip").to_pylist() == [0, 1, 0]
+    assert out.column("n_phone").to_pylist() == [0, 2, 0]
