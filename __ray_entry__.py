@@ -1548,8 +1548,12 @@ def q_customers_with_purchases(sf_dir: str):
     ).map_batches(BloomPrefilter, batch_format="pyarrow",
                   concurrency=_pool())
 
-    distinct_p = purchasers.groupby("user_id").map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow").map_batches(
+    # global distinct via hash aggregate (batch-level distinct above is
+    # the combiner) — no per-key Python callback
+    from ray.data.aggregate import Count
+
+    distinct_p = purchasers.groupby("user_id").aggregate(
+        Count(alias_name="_n")).map_batches(
         lambda t: pa.table({
             "c_custkey": t.column("user_id"),
             "one": pa.array(np.ones(len(t), np.int64)),
@@ -2361,29 +2365,52 @@ def q_distinct_users(sf_dir: str):
 
 def q_asof_join(sf_dir: str):
     """As-of join (custom operator the Dataset API lacks): each click event
-    matched to the user's most recent prior view — per-key sorted
-    ``pd.merge_asof`` inside ``groupby(user).map_groups`` (ray_guide's
-    bucketed as-of pattern; the partitioning assumption is user_id
-    co-location, provided by the groupby shuffle)."""
-    import pandas as pd
-    import ray.data as rd
+    matched to the user's most recent prior view (ties inclusive, like
+    ``merge_asof(direction='backward')``). Arrow-native partition path:
+    inside each hash partition, (user, ts) collapse into ONE user-major
+    composite rank key, and a single vectorized ``searchsorted`` of all
+    click keys into all view keys resolves every user's as-of match at
+    once — no per-key callback, no pandas. Partitioning assumption:
+    user_id co-location, provided by the bucket groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, ts_us, col_np)
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        clicks = g[g["event_type"] == "click"][["ts", "event_id"]].sort_values("ts")
-        views = g[g["event_type"] == "view"][["ts", "event_id"]].sort_values("ts")
-        if clicks.empty or views.empty:
-            return pd.DataFrame({"click_id": pd.Series(dtype="int64"),
-                                 "view_id": pd.Series(dtype="int64")})
-        m = pd.merge_asof(clicks, views, on="ts", direction="backward",
-                          suffixes=("_c", "_v"))
-        m = m.dropna(subset=["event_id_v"])
-        return pd.DataFrame({"click_id": m["event_id_c"].astype("int64"),
-                             "view_id": m["event_id_v"].astype("int64")})
+    def asof(t: pa.Table) -> pa.Table:
+        uid = col_np(t, "user_id")
+        us = ts_us(t.column("ts"))
+        eid = col_np(t, "event_id").astype(np.int64)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        is_c = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        is_v = pc.equal(et, "view").to_numpy(zero_copy_only=False)
+        # dense user ranks (rows are user-sorted) + dense ts ranks →
+        # user-major composite key: strictly ordered by (user, ts)
+        starts = segment_starts(uid)
+        urank = np.zeros(len(t), np.int64)
+        urank[starts] = 1
+        urank = np.cumsum(urank) - 1
+        uniq_ts = np.unique(us)
+        m = np.int64(len(uniq_ts) + 2)
+        comp = urank * m + np.searchsorted(uniq_ts, us)
+        v_comp, v_eid, v_urank = comp[is_v], eid[is_v], urank[is_v]
+        c_comp, c_eid, c_urank = comp[is_c], eid[is_c], urank[is_c]
+        # last view with comp <= click comp; valid only if it belongs to
+        # the same user's key band
+        pos = np.searchsorted(v_comp, c_comp, side="right") - 1
+        lo = np.searchsorted(v_urank, c_urank, side="left")
+        valid = pos >= lo
+        return pa.table({
+            "click_id": pa.array(c_eid[valid], pa.int64()),
+            "view_id": pa.array(v_eid[pos[valid]], pa.int64())})
 
-    ds = _read_pq(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "event_type", "ts", "event_id"])
-    return ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").sort("click_id")
+    return map_key_partitions(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "event_type", "ts", "event_id"]),
+        "user_id", asof, sort_cols=["ts", "event_id"]).sort("click_id")
 
 
 _ANN_NQ = 5
@@ -2445,32 +2472,52 @@ def q_ann_lsh(sf_dir: str):
 
 def q_views_before_click(sf_dir: str):
     """RANGE join (interval join): for each click, the number of the same
-    user's views in the preceding 24 hours. Co-partition by user_id (the
-    groupby shuffle), then a per-group vectorized searchsorted over the
-    user's sorted view timestamps — the bucketed range-join pattern; no
-    per-row Python, no cross-user data movement."""
+    user's views in the preceding 24 hours. Arrow-native partition path:
+    one user-major composite-rank key per row, then TWO vectorized
+    searchsorteds of all click window bounds into all view keys count
+    every user's window at once (the bucketed range-join pattern with no
+    per-key callback; cross-user bleed is impossible because each user
+    owns a disjoint composite band)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, ts_us, col_np)
 
     W_US = 24 * 3600 * 1_000_000
 
-    def per_user(g: "pd.DataFrame") -> "pd.DataFrame":
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        is_view = (g["event_type"] == "view").to_numpy()
-        is_click = (g["event_type"] == "click").to_numpy()
-        views = np.sort(ts[is_view])
-        ct = ts[is_click]
-        ids = g["event_id"].to_numpy()[is_click]
-        n = (np.searchsorted(views, ct, side="left")
-             - np.searchsorted(views, ct - W_US, side="left"))
+    def windows(t: pa.Table) -> pa.Table:
+        uid = col_np(t, "user_id")
+        us = ts_us(t.column("ts"))
+        eid = col_np(t, "event_id").astype(np.int64)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        is_c = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        is_v = pc.equal(et, "view").to_numpy(zero_copy_only=False)
+        starts = segment_starts(uid)
+        urank = np.zeros(len(t), np.int64)
+        urank[starts] = 1
+        urank = np.cumsum(urank) - 1
+        uniq_ts = np.unique(us)
+        m = np.int64(len(uniq_ts) + 2)
+        v_comp = (urank * m + np.searchsorted(uniq_ts, us))[is_v]
+        c_ts, c_urank, c_eid = us[is_c], urank[is_c], eid[is_c]
+        # rank-map the window bounds; 'left' preserves [ct-W, ct) exactly
+        hi = c_urank * m + np.searchsorted(uniq_ts, c_ts)
+        lo = c_urank * m + np.searchsorted(uniq_ts, c_ts - W_US)
+        n = (np.searchsorted(v_comp, hi, side="left")
+             - np.searchsorted(v_comp, lo, side="left"))
         keep = n > 0  # inner-join semantics: clicks with ≥1 prior view
-        return pd.DataFrame({"click_id": ids[keep].astype(np.int64),
-                             "n_prior_views": n[keep].astype(np.int64)})
+        return pa.table({
+            "click_id": pa.array(c_eid[keep], pa.int64()),
+            "n_prior_views": pa.array(n[keep].astype(np.int64),
+                                      pa.int64())})
 
-    ds = _read_pq(f"{sf_dir}/events.parquet",
-                  columns=["user_id", "event_type", "ts", "event_id"])
-    return ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").sort("click_id")
+    return map_key_partitions(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "event_type", "ts", "event_id"]),
+        "user_id", windows, sort_cols=["ts", "event_id"]).sort("click_id")
 
 
 def q_training_pipeline(sf_dir: str):

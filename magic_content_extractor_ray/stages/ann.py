@@ -46,7 +46,7 @@ class _PartialTopK:
 
         q = ray.get(queries_ref)
         self.dtype = np.dtype(dtype_name)
-        self.qids = q["ids"]
+        self.qids = np.asarray(q["ids"], dtype=np.int64)
         self.qmat = _normalize(np.asarray(q["matrix"], dtype=self.dtype))
         self.k = k
         self.column = column
@@ -59,12 +59,11 @@ class _PartialTopK:
         sims = self.qmat @ mat.T  # (nq, nb)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_n, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            for j in idx[qi]:
-                out_q.append(self.qids[qi])
-                out_n.append(ids[j])
-                out_s.append(float(sims[qi, j]))
+        nq = sims.shape[0]
+        out_q = np.repeat(self.qids, k)
+        out_n = ids[idx.ravel()].astype(np.int64)
+        out_s = sims[np.repeat(np.arange(nq), k), idx.ravel()].astype(
+            np.float64)
         return pa.Table.from_arrays(
             [pa.array(out_q, pa.int64()), pa.array(out_n, pa.int64()),
              pa.array(out_s, pa.float64())],

@@ -136,3 +136,46 @@ def test_lance_dispatch_contract(ray_session, tmp_path, monkeypatch):
     pq_dir = str(tmp_path / "pq_out")
     io_mod.write_docs(sentinel, pq_dir)
     assert io_mod.read_docs(pq_dir).count() == 1
+
+
+def test_read_urls_injected_fetcher(ray_session):
+    """URL source (reference route.ts:184-217 analog): injected fetcher
+    runs in the actor pool, failures degrade per row, and fetched pages
+    flow through the full extract pipeline."""
+    from magic_content_extractor_ray.sources.http import read_urls
+    from magic_content_extractor_ray.sources.html_table import (
+        html_docs_to_spans)
+    from magic_content_extractor_ray.pipelines.extract_pipeline import (
+        run_extract_pipeline)
+
+    def fake_fetch(url):
+        if "bad" in url:
+            raise ConnectionError("refused")
+        i = url.rstrip("/").rsplit("-", 1)[-1]
+        return (f"<html><head><title>Fetched {i}</title></head><body>"
+                f"<article><p>Fetched content number {i} long enough to "
+                f"clear extractor thresholds with words about streaming "
+                f"data pipelines and arrow batches.</p></article>"
+                f"<footer>footer noise</footer></body></html>")
+
+    urls = [f"https://site.example/page-{i}" for i in range(6)] + [
+        "https://site.example/bad-1"]
+    fetched = read_urls(urls, fetcher=fake_fetch, concurrency=2)
+    rows = {r["doc_id"]: r for r in fetched.take_all()}
+    assert len(rows) == 7
+    assert rows["https://site.example/bad-1"]["error"].startswith(
+        "ConnectionError")
+    assert rows["https://site.example/page-3"]["error"] == ""
+    assert "Fetched content number 3" in rows[
+        "https://site.example/page-3"]["text"]
+
+    ok = fetched.filter(lambda r: r["error"] == "")
+    out = run_extract_pipeline(
+        html_docs_to_spans(ok, html_column="text")).take_all()
+    assert len(out) == 6
+    by_id = {r["doc_id"]: r for r in out}
+    page0 = by_id["https://site.example/page-0"]
+    assert page0["title"] == "Fetched 0"
+    texts = [s["text"] for s in page0["spans"]]
+    assert any("Fetched content number 0" in t for t in texts)
+    assert not any("footer noise" in t for t in texts)

@@ -65,3 +65,33 @@ def test_map_key_partitions_matches_pandas_reference(ray_session):
         got.astype({"key": np.int64}), want.astype({"key": np.int64}))
     # every key appears exactly once → no key straddled two partitions
     assert got["key"].is_unique
+
+
+def test_map_key_partitions_string_keys(ray_session):
+    """String keys route through the polars vectorized hash bucket path;
+    key-completeness per partition must still hold."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "key": [f"user-{i}" for i in rng.randint(0, 120, 2000)],
+        "v": rng.randint(0, 1000, 2000).astype(np.int64),
+    })
+
+    def per_key_sum(t: pa.Table) -> pa.Table:
+        key = np.asarray(t.column("key").to_pylist())
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        starts = segment_starts(key)
+        return pa.table({
+            "key": pa.array(key[starts]),
+            "total": pa.array(np.add.reduceat(v, starts), pa.int64()),
+        })
+
+    got = map_key_partitions(
+        rd.from_pandas(df).repartition(5), "key", per_key_sum,
+        num_buckets=8,
+    ).to_pandas().sort_values("key").reset_index(drop=True)
+    want = df.groupby("key", as_index=False)["v"].sum().rename(
+        columns={"v": "total"}).sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["key"].is_unique
