@@ -2674,6 +2674,89 @@ def q_checkpoint_lineage(sf_dir: str):
          "total_text_len"]]
 
 
+def q_page_rank(sf_dir: str):
+    """Distributed PageRank (iterative graph algorithm — the web-scale
+    ranking primitive of the reference's domain) over the per-user event
+    transition graph: ``props.k`` values are nodes, and each user's
+    consecutive events in (ts, event_id) order contribute one src→dst
+    edge. 10 damped power iterations via ``stages/pagerank.py``
+    (broadcast mode: the edge list streams through map_batches partial
+    dst-sums, only the |V|-sized rank vector is broadcast per
+    iteration). Ranks are emitted as half-away-rounded 1e8-scaled
+    integers so the DuckDB oracle — the same recurrence unrolled as 10
+    chained CTEs — compares exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from magic_content_extractor_ray.stages.pagerank import pagerank
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, col_np)
+
+    def with_k(batch: pa.Table) -> pa.Table:
+        col = batch.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.cast(pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"),
+            pa.int64())
+        return pa.table({"user_id": batch.column("user_id"),
+                         "ts": batch.column("ts"),
+                         "event_id": batch.column("event_id"),
+                         "k": ks})
+
+    def edges(t: pa.Table) -> pa.Table:
+        uid = col_np(t, "user_id")
+        k = col_np(t, "k")
+        same = uid[1:] == uid[:-1]
+        return pa.table({
+            "src": pa.array(k[:-1][same], pa.int64()),
+            "dst": pa.array(k[1:][same], pa.int64())})
+
+    e = map_key_partitions(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "ts", "event_id", "props"]
+                 ).map_batches(with_k, batch_format="pyarrow"),
+        "user_id", edges, sort_cols=["ts", "event_id"])
+    pr = pagerank(e, damping=0.85, n_iter=10)
+    r = pr.column("rank").to_numpy()
+    return pa.table({
+        "node": pr.column("node"),
+        "pr_e8": pa.array(np.floor(r * 1e8 + 0.5).astype(np.int64),
+                          pa.int64())})
+
+
+def _page_rank_sql(damping: float = 0.85, n_iter: int = 10) -> str:
+    """The broadcast recurrence unrolled as chained CTEs — an
+    INDEPENDENT restatement DuckDB executes dense, term order matched
+    (r/ow*w) so FP drift stays far inside the 1e-8 rounding grain."""
+    sql = ("WITH seq AS (SELECT user_id, "
+           "CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+           "LEAD(CAST(json_extract(props, '$.k') AS BIGINT)) OVER "
+           "(PARTITION BY user_id ORDER BY ts, event_id) AS nk "
+           "FROM events), "
+           "edges AS (SELECT k AS src, nk AS dst, "
+           "CAST(count(*) AS DOUBLE) AS w FROM seq "
+           "WHERE nk IS NOT NULL GROUP BY 1, 2), "
+           "nodes AS (SELECT src AS node FROM edges "
+           "UNION SELECT dst FROM edges), "
+           "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+           "outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1), "
+           "r0 AS (SELECT node, 1.0/(SELECT n FROM nv) AS r FROM nodes)")
+    base_lit = repr(1.0 - damping)
+    d_lit = repr(damping)
+    for i in range(1, n_iter + 1):
+        sql += (f", r{i} AS (SELECT n.node, "
+                f"CAST({base_lit} AS DOUBLE)/(SELECT n FROM nv) + "
+                f"{d_lit}*coalesce(c.s, 0) AS r FROM nodes n "
+                f"LEFT JOIN (SELECT e.dst, sum(p.r / o.ow * e.w) AS s "
+                f"FROM edges e JOIN outw o ON o.src = e.src "
+                f"JOIN r{i-1} p ON p.node = e.src GROUP BY e.dst) c "
+                f"ON c.dst = n.node)")
+    sql += (f" SELECT node, CAST(floor(r * 1e8 + 0.5) AS BIGINT) "
+            f"AS pr_e8 FROM r{n_iter} ORDER BY node")
+    return sql
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -2751,6 +2834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q_events_by_type,
         "lineitem_pricing": q_lineitem_pricing,
         "event_props": q_event_props,
+        "page_rank": q_page_rank,
         "events_hourly": q_events_hourly,
         "events_by_segment": q_events_by_segment,
         "user_sessions": q_user_sessions,
@@ -3262,6 +3346,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 "
             "AS k_bucket, count(*) AS n_events FROM events "
             "GROUP BY 1 ORDER BY 1"),
+        "page_rank": _page_rank_sql(),
         "events_hourly": (
             "SELECT event_type, "
             "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "

@@ -157,9 +157,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # scan / full-outer / multimodal-real-decode families
              "token_offsets", "daily_view_purchase", "epoch_shuffle",
              "audio_features",
-             # round-3 arrow-native window family + PII scrub
+             # round-3 arrow-native window family + PII scrub + graph
              "session_durations", "event_gaps", "running_order_total",
-             "pii_redacted"]
+             "pii_redacted", "page_rank"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
