@@ -1559,13 +1559,16 @@ def q_customers_with_purchases(sf_dir: str):
             "one": pa.array(np.ones(len(t), np.int64)),
         }), batch_format="pyarrow")
 
+    _i64 = pa.int64()
     joined = hash_join(
         survivors.map_batches(
             lambda t: t.append_column(
                 "z", pa.array(np.zeros(len(t), np.int64))),
             batch_format="pyarrow"),
         distinct_p, key="c_custkey", left_cols=["z"],
-        right_cols=["one"], how="inner")
+        right_cols=["one"], how="inner",
+        left_types={"c_custkey": _i64, "z": _i64},
+        right_types={"c_custkey": _i64, "one": _i64})
     return joined.select_columns(["c_custkey"]).sort("c_custkey")
 
 
@@ -1603,10 +1606,13 @@ def q_daily_view_purchase(sf_dir: str):
         ).map_batches(partial, batch_format="pyarrow").groupby(
             "ukey").aggregate(Sum(out_col, alias_name=out_col))
 
+    _i64 = pa.int64()
     joined = hash_join(side("view", "n_views"),
                        side("purchase", "n_purchases"),
                        key="ukey", left_cols=["n_views"],
-                       right_cols=["n_purchases"], how="full")
+                       right_cols=["n_purchases"], how="full",
+                       left_types={"ukey": _i64, "n_views": _i64},
+                       right_types={"ukey": _i64, "n_purchases": _i64})
 
     def finish(batch: pa.Table) -> pa.Table:
         ukey = batch.column("ukey")
@@ -1824,10 +1830,13 @@ def q_customer_order_counts(sf_dir: str):
         batch_format="pyarrow")
     cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
 
+    _i64 = pa.int64()
     joined = hash_join(cust.map_batches(
         lambda t: t.append_column("one", pa.array([1] * len(t), pa.int64())),
         batch_format="pyarrow"), counts, key="c_custkey",
-        left_cols=["one"], right_cols=["cnt"], how="left")
+        left_cols=["one"], right_cols=["cnt"], how="left",
+        left_types={"c_custkey": _i64, "one": _i64},
+        right_types={"c_custkey": _i64, "cnt": _i64})
 
     def finish(batch: pa.Table) -> pa.Table:
         n = pc.coalesce(batch.column("cnt"), pa.scalar(0, pa.int64()))
@@ -2045,8 +2054,11 @@ def q_customers_no_purchases(sf_dir: str):
         lambda t: t.append_column("one", pa.array([1] * len(t), pa.int64())),
         batch_format="pyarrow")
 
+    _i64 = pa.int64()
     joined = hash_join(cust, purchasers, key="c_custkey",
-                       left_cols=["one"], right_cols=["n"], how="left")
+                       left_cols=["one"], right_cols=["n"], how="left",
+                       left_types={"c_custkey": _i64, "one": _i64},
+                       right_types={"c_custkey": _i64, "n": _i64})
 
     def keep_antis(batch: pa.Table) -> pa.Table:
         return pa.table({"c_custkey": batch.filter(
@@ -2322,7 +2334,9 @@ def q_orders_by_segment(sf_dir: str):
         batch_format="pyarrow")
     joined = hash_join(orders, cust, key="o_custkey",
                        left_cols=["o_orderkey"],
-                       right_cols=["c_mktsegment"])
+                       right_cols=["c_mktsegment"],
+                       right_types={"o_custkey": pa.int64(),
+                                    "c_mktsegment": pa.string()})
     return joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders")).sort("c_mktsegment")
 

@@ -76,6 +76,7 @@ def run_training_pipeline(ds, *, budget: int = 2048,
     exact_kept = hash_join(
         gated, reps, key=id_column,
         left_cols=[text_column, "n_tokens"], right_cols=["keep_e"],
+        right_types={"keep_e": pa.int64()},
     ).drop_columns(["keep_e"]).materialize()
 
     # near-dup pruning: cluster assignments are one row per CLUSTERED doc;
@@ -94,7 +95,7 @@ def run_training_pipeline(ds, *, budget: int = 2048,
     drop = clusters.map_batches(non_reps, batch_format="pyarrow")
     joined = hash_join(exact_kept, drop, key=id_column,
                        left_cols=["n_tokens"], right_cols=["is_dup"],
-                       how="left")
+                       how="left", right_types={"is_dup": pa.int64()})
 
     def keep_non_dups(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_null(batch.column("is_dup"))

@@ -574,6 +574,7 @@ def drop_exact_duplicates(ds, *, column: str = "text",
     return hash_join(
         ds, reps, key=id_column,
         left_cols=[column, *extra_columns], right_cols=["keep_e"],
+        right_types={"keep_e": pa.int64()},
     ).drop_columns(["keep_e"])
 
 
@@ -610,6 +611,9 @@ def incremental_exact_dedup(ds, index_dir: str, *, column: str = "text",
 
     self_deduped = exact_dedup(ds, column=column, id_column=id_column
                                ).select_columns(["text_hash", id_column])
+    in_schema = ds.schema(fetch_if_missing=False)
+    id_type = (in_schema.base_schema.field(id_column).type
+               if in_schema is not None else None)
 
     if run_dirs:
         def mark_seen(t: pa.Table) -> pa.Table:
@@ -624,7 +628,11 @@ def incremental_exact_dedup(ds, index_dir: str, *, column: str = "text",
                                              batch_format="pyarrow")
         joined = hash_join(self_deduped, seen, key="text_hash",
                            left_cols=[id_column], right_cols=["seen"],
-                           how="left")
+                           how="left",
+                           left_types={"text_hash": pa.string(),
+                                       **({id_column: id_type}
+                                          if id_type else {})},
+                           right_types={"seen": pa.int64()})
 
         def unseen_only(t: pa.Table) -> pa.Table:
             import pyarrow.compute as _pc

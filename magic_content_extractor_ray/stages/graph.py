@@ -193,7 +193,8 @@ def connected_components(pairs, *, left: str = "left_id",
         # change count compares label vs label2 inside the same pass.
         lookup = stepped.map_batches(jump_table, batch_format="pyarrow")
         jumped = hash_join(stepped, lookup, key="label",
-                           left_cols=["node"], right_cols=["label2"]
+                           left_cols=["node"], right_cols=["label2"],
+                           right_types={"label2": id_type}
                            ).repartition(nb).materialize()
         changed_b = jumped.map_batches(
             functools.partial(count_ne, a="label", b="label2"),

@@ -164,7 +164,8 @@ def detect_hot_keys(ds, key: str, *, num_buckets: int = 64,
 
 def hash_join(left, right, *, key: str, left_cols: list[str],
               right_cols: list[str], num_buckets: int = 64,
-              how: str = "inner", hot_keys=None, num_salts: int = 8):
+              how: str = "inner", hot_keys=None, num_salts: int = 8,
+              left_types=None, right_types=None):
     """Join two Datasets on ``key``; returns a Dataset with columns
     [key, *left_cols, *right_cols]. One shuffle total (the bucket groupby);
     each bucket joins with a pyarrow table join inside ``map_groups``.
@@ -173,7 +174,12 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     right replicates) — identical results, bounded per-task key volume.
     ``hot_keys="auto"`` runs ``detect_hot_keys`` on the LEFT side first
     (the skewed key you didn't know about is the one that kills the job) —
-    costs one extra scan of the left key column."""
+    costs one extra scan of the left key column.
+    ``left_types``/``right_types``: optional ``{column: pa.DataType}``
+    for key/payload columns whose dataset schema isn't statically known
+    — supplying them avoids a limit-1 schema probe that would otherwise
+    EXECUTE the side's whole lineage (expensive when the side ends in an
+    aggregate)."""
     join_type = {"inner": "inner", "left": "left outer",
                  "full": "full outer"}[how]
     if isinstance(hot_keys, str) and hot_keys == "auto":
@@ -186,13 +192,30 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     hot_index = ({k: i for i, k in enumerate(hot_keys)}
                  if hot_keys else None)
 
-    # infer payload struct types from the datasets' schemas
-    lschema = left.schema()
-    rschema = right.schema()
-    ltype = pa.struct([(c, lschema.base_schema.field(c).type)
-                       for c in left_cols])
-    rtype = pa.struct([(c, rschema.base_schema.field(c).type)
-                       for c in right_cols])
+    # payload struct types: prefer caller-supplied / statically-known —
+    # ``Dataset.schema()`` on an unmaterialized aggregate EXECUTES the
+    # whole upstream as a limit-1 probe (measured ~4 s extra per join at
+    # sf0.1), so the probe is strictly a last resort
+    def _side_types(ds, cols, supplied):
+        known = dict(supplied or {})
+        missing = [c for c in [key, *cols] if c not in known]
+        if missing:
+            schema = ds.schema(fetch_if_missing=False)
+            if schema is None:
+                schema = ds.schema()  # limit-1 probe, runs the lineage
+            base = schema.base_schema
+            for c in missing:
+                known[c] = base.field(c).type
+        return known
+
+    ltypes = _side_types(left, left_cols, left_types)
+    # the right key is the same type as the left key — propagating it
+    # means supplying just the right PAYLOAD types avoids the right probe
+    rtypes = _side_types(right, right_cols,
+                         {key: ltypes[key], **(right_types or {})})
+    ltype = pa.struct([(c, ltypes[c]) for c in left_cols])
+    rtype = pa.struct([(c, rtypes[c]) for c in right_cols])
+    key_type = ltypes[key]
 
     packed_l = left.select_columns([key, *left_cols]).map_batches(
         _pack_side, batch_format="pyarrow",
@@ -206,7 +229,7 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
                        hot_index=hot_index, num_salts=num_salts))
 
     empty_schema = pa.schema(
-        [(key, lschema.base_schema.field(key).type)]
+        [(key, key_type)]
         + [(c, ltype.field(c).type) for c in left_cols]
         + [(c, rtype.field(c).type) for c in right_cols])
 

@@ -206,7 +206,7 @@ def _pagerank_join(edges, src, dst, weight, damping, n_iter, num_buckets):
     ow = eagg.groupby("src").aggregate(Sum("w", alias_name="ow"))
     ewo = hash_join(eagg, ow, key="src", left_cols=["dst", "w"],
                     right_cols=["ow"], num_buckets=num_buckets,
-                    ).materialize()
+                    right_types={"ow": pa.float64()}).materialize()
 
     base = (1.0 - damping) / nv
     ranks = nodes.map_batches(
@@ -239,7 +239,8 @@ def _pagerank_join(edges, src, dst, weight, damping, n_iter, num_buckets):
             batch_format="pyarrow")
         joined = hash_join(nodes_p, sums, key="node", left_cols=["_one"],
                            right_cols=["s"], how="left",
-                           num_buckets=num_buckets)
+                           num_buckets=num_buckets,
+                           right_types={"s": pa.float64()})
         ranks = joined.map_batches(
             lambda t, base=base, damping=damping: pa.table({
                 "node": t.column("node"),
