@@ -2688,6 +2688,24 @@ def q_checkpoint_lineage(sf_dir: str):
          "total_text_len"]]
 
 
+def q_source_mixture(sf_dir: str):
+    """Data mixing WITH upsampling (the training-mixture op stratified
+    sampling can't express): per-source integer rates where 250 → 2.5×
+    (two copies of every row, a deterministic hash-selected half a
+    third), 60 → 0.6× down-sample, 0 → source dropped, default 100 →
+    identity. Shuffle-free md5 predicate, resume-safe, identical at any
+    parallelism; replica index emitted for downstream decorrelation."""
+    from magic_content_extractor_ray.stages.sample import upsample_mixture
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "source"])
+    return upsample_mixture(
+        ds, key_column="source",
+        rate_pcts={"src0": 250, "src1": 130, "src2": 60, "src3": 0},
+        default_pct=100,
+    ).sort(["doc_id", "copy"])
+
+
 def q_page_rank(sf_dir: str):
     """Distributed PageRank (iterative graph algorithm — the web-scale
     ranking primitive of the reference's domain) over the per-user event
@@ -2849,6 +2867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": q_lineitem_pricing,
         "event_props": q_event_props,
         "page_rank": q_page_rank,
+        "source_mixture": q_source_mixture,
         "events_hourly": q_events_hourly,
         "events_by_segment": q_events_by_segment,
         "user_sessions": q_user_sessions,
@@ -3361,6 +3380,19 @@ def oracle_sql() -> dict[str, str]:
             "AS k_bucket, count(*) AS n_events FROM events "
             "GROUP BY 1 ORDER BY 1"),
         "page_rank": _page_rank_sql(),
+        "source_mixture": (
+            "WITH d AS (SELECT doc_id, source, "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) % 100 AS b, "
+            "(CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 130 "
+            "WHEN 'src2' THEN 60 WHEN 'src3' THEN 0 ELSE 100 END) AS r "
+            "FROM documents), "
+            "n AS (SELECT doc_id, source, "
+            "r // 100 + CASE WHEN b < r % 100 THEN 1 ELSE 0 END AS copies "
+            "FROM d) "
+            "SELECT doc_id, source, CAST(unnest(generate_series(0, "
+            "CAST(copies AS BIGINT) - 1)) AS BIGINT) AS copy "
+            "FROM n WHERE copies > 0 ORDER BY doc_id, copy"),
         "events_hourly": (
             "SELECT event_type, "
             "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "

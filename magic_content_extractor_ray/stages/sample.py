@@ -134,3 +134,36 @@ def fixed_k_per_group(ds, *, k: int, group_column: str,
                            batch_size=8192)
     return cands.groupby(group_column).map_groups(
         final, batch_format="pandas")
+
+
+def upsample_mixture(ds, *, key_column: str, rate_pcts: dict[str, int],
+                     default_pct: int = 100, id_column: str = "doc_id",
+                     salt: str = "", copy_column: str = "copy"):
+    """Rate-controlled data mixing WITH upsampling: per-key rates in
+    integer percent, where 250 means 2.5× (every row twice, a
+    deterministic hash-selected half a third time), 60 means 0.6×
+    (hash-sampled down), 100 is identity and 0 drops the source.
+
+    Each row emits ``rate // 100`` copies plus one more when its md5
+    bucket falls under ``rate % 100`` — the same shuffle-free,
+    resume-safe, parallelism-independent predicate as ``hash_sample``,
+    so the mixture is reproducible and SQL-checkable. A ``copy`` index
+    column distinguishes replicas so a downstream epoch shuffle can
+    salt on (id, copy) and decorrelate them."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        buckets = _hash_pct(batch.column(id_column).to_pylist(), salt)
+        keys = batch.column(key_column).to_pylist()
+        rates = np.fromiter(
+            (rate_pcts.get(k, default_pct) for k in keys),
+            dtype=np.int64, count=len(keys))
+        copies = rates // 100 + (buckets < rates % 100)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), copies)
+        out = batch.take(pa.array(idx))
+        ends = np.cumsum(copies)
+        copy_idx = (np.arange(len(idx), dtype=np.int64)
+                    - np.repeat(ends - copies, copies))
+        return out.append_column(copy_column,
+                                 pa.array(copy_idx, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -1180,3 +1180,38 @@ def test_redact_pii_batch():
     assert out.column("n_email").to_pylist() == [1, 0, 0]
     assert out.column("n_ip").to_pylist() == [0, 1, 0]
     assert out.column("n_phone").to_pylist() == [0, 2, 0]
+
+
+def test_upsample_mixture(ray_session):
+    """Mixture rates: 250 -> every row 2-3x (mean ~2.5), 60 -> subset,
+    0 -> dropped, default identity; copy indexes dense from 0; identical
+    output at different parallelism."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sample import upsample_mixture
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "src": ["a", "b", "c", "d"] * 100,
+    })
+    rates = {"a": 250, "b": 60, "c": 0}
+
+    def run(nblocks):
+        return upsample_mixture(
+            rd.from_pandas(df).repartition(nblocks), key_column="src",
+            rate_pcts=rates, default_pct=100,
+        ).to_pandas().sort_values(["doc_id", "copy"]).reset_index(
+            drop=True)
+
+    out = run(4)
+    per = out.groupby("src")["doc_id"].agg(["count", "nunique"])
+    assert per.loc["a", "nunique"] == 100 and \
+        200 <= per.loc["a", "count"] <= 300
+    assert "c" not in per.index
+    assert per.loc["b", "count"] == per.loc["b", "nunique"] <= 100
+    assert per.loc["d", "count"] == per.loc["d", "nunique"] == 100
+    # copy indexes dense per doc
+    for doc, g in out[out["src"] == "a"].groupby("doc_id"):
+        assert list(g["copy"]) == list(range(len(g)))
+    pd.testing.assert_frame_equal(out, run(13))
