@@ -188,6 +188,20 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_dedup(docs, max_hamming=3)
 
 
+def q_dedup_ngram(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs (no sketch): inverted
+    shingle index with stop-shingle (df > 32) pruning; candidates from
+    surviving posting lists, triangular-decode pair emission, one int-key
+    groupby for |A∩B|. The precise counterpart of dedup_minhash's
+    estimated Jaccard — both sides (Ray + DuckDB oracle) share the same
+    tokenization, df cap and universe."""
+    from magic_content_extractor_ray.stages.dedup import ngram_jaccard_dedup
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(docs, threshold=0.4, max_df=32)
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs over the embeddings table."""
     import ray.data as rd
@@ -2803,6 +2817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
         "dedup_embedding": q_dedup_embedding,
         "token_count": q_token_count,
         "pii_redacted": q_pii_redacted,
@@ -2968,6 +2983,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, "
             "count(*) AS n_dups FROM documents GROUP BY md5(text)"),
+        "dedup_ngram": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            ngrams AS (
+              SELECT DISTINCT doc_id, ng FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))])
+                       AS ng
+                FROM toks)),
+            df AS (SELECT ng, count(*) AS c FROM ngrams GROUP BY ng),
+            surv AS (SELECT n.doc_id, n.ng FROM ngrams n
+                     JOIN df USING (ng) WHERE df.c <= 32),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM surv
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     count(*) AS n_common
+              FROM surv a JOIN surv b
+                ON a.ng = b.ng AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.left_id, i.right_id, i.n_common,
+                   round(i.n_common / (sa.sz + sb.sz - i.n_common), 6)
+                     AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.left_id
+                         JOIN sizes sb ON sb.doc_id = i.right_id
+            WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= 0.4""",
         "token_count": (
             "SELECT doc_id, "
             "len(regexp_extract_all(text, '\\S+')) AS n_tokens "

@@ -648,3 +648,179 @@ def incremental_exact_dedup(ds, index_dir: str, *, column: str = "text",
     out_dir = os.path.join(index_dir, f"run-{uuid.uuid4().hex}")
     kept.select_columns(["text_hash"]).write_parquet(out_dir)
     return kept, kept.count()
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (inverted shingle index, stop-gram pruned)
+# ---------------------------------------------------------------------------
+
+def _doc_ngrams_batch(batch: pa.Table, *, column: str, id_column: str,
+                      n: int) -> pa.Table:
+    """Distinct lower-cased word ``n``-grams per document, fully in Arrow:
+    RE2 \\s+ tokenize → n-gram strings via offset-sliced
+    ``binary_join_element_wise`` → per-(doc, ngram) distinct. Documents are
+    atomic rows, so per-batch distinct == global distinct."""
+    import pyarrow.compute as pc
+
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parent = parent.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if isinstance(parent, pa.ChunkedArray):
+        parent = parent.combine_chunks()
+    if len(flat) < n:
+        return pa.table({id_column: pa.array([], batch.column(id_column).type),
+                         "ng": pa.array([], pa.string())})
+    parts = [flat.slice(i, len(flat) - n + 1) for i in range(n)]
+    ngrams = pc.binary_join_element_wise(*parts, " ")
+    head = parent.slice(0, len(parent) - n + 1)
+    same_doc = pc.equal(head, parent.slice(n - 1, len(parent) - n + 1))
+    ngrams = ngrams.filter(same_doc)
+    ids = batch.column(id_column).take(head.filter(same_doc))
+    distinct = pa.table({id_column: ids, "ng": ngrams}).group_by(
+        [id_column, "ng"]).aggregate([])
+    return distinct.replace_schema_metadata(None)
+
+
+def _pairs_from_partition(t: pa.Table, *, id_column: str) -> pa.Table:
+    """All intra-group (left < right) doc pairs for every ngram group in a
+    hash partition, one vectorized emission: triangular-index decode
+    (scipy-squareform formulas) over numpy segment arrays — no per-ngram
+    Python. Group size is globally df-capped upstream, so the pair count
+    per group is <= max_df^2/2 by construction."""
+    import pyarrow.compute as pc
+
+    from .window import segment_lengths
+
+    col = t.column("ng").combine_chunks()
+    docs = t.column(id_column).combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if len(col) == 0:
+        return pa.table({"left_id": pa.array([], pa.int64()),
+                         "right_id": pa.array([], pa.int64())})
+    # run boundaries of the sorted string key, computed in Arrow (no
+    # per-row Python string compares)
+    new = pc.not_equal(col.slice(1), col.slice(0, len(col) - 1))
+    starts = np.nonzero(np.concatenate(
+        ([True], new.to_numpy(zero_copy_only=False))))[0].astype(np.int64)
+    lens = segment_lengths(starts, len(col))
+    sel = lens >= 2
+    starts, lens = starts[sel], lens[sel]
+    counts = lens * (lens - 1) // 2
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table({"left_id": pa.array([], pa.int64()),
+                         "right_id": pa.array([], pa.int64())})
+    seg = np.repeat(np.arange(len(lens)), counts)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    tloc = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+    length = lens[seg]
+    a = (length - 2 - np.floor(
+        (np.sqrt(-8.0 * tloc + 4.0 * length * (length - 1) - 7.0) - 1.0)
+        / 2.0)).astype(np.int64)
+    b = tloc + a + 1 - length * (length - 1) // 2 \
+        + (length - a) * (length - a - 1) // 2
+    base = starts[seg]
+    # rows are sorted by (ng, id), so a < b implies left < right
+    return pa.table({"left_id": pa.array(docs[base + a], pa.int64()),
+                     "right_id": pa.array(docs[base + b], pa.int64())})
+
+
+def ngram_jaccard_dedup(ds, *, column: str = "text",
+                        id_column: str = "doc_id", n: int = 3,
+                        threshold: float = 0.4, max_df: int = 32,
+                        num_buckets: int = 64):
+    """EXACT word-n-gram Jaccard near-dup pairs (no sketch approximation):
+
+    1. distinct (doc, ngram) rows, Arrow-vectorized per batch;
+    2. global document frequency per ngram; ngrams with df > ``max_df``
+       are stop shingles — boilerplate that carries no dedup signal —
+       and are dropped from the universe on BOTH the candidate and the
+       denominator side (the hot-group hazard is excluded by definition:
+       no inverted-index posting list ever exceeds ``max_df``);
+    3. candidate pairs from the surviving inverted index
+       (``map_key_partitions`` by ngram + vectorized triangular decode —
+       one callback per hash partition, not per ngram), then one int-key
+       ``groupby(left,right)`` count = exact |A ∩ B|;
+    4. jaccard = inter / (|A| + |B| - inter) with per-doc surviving-set
+       sizes broadcast once via ``ray.put`` as sorted arrays
+       (searchsorted lookup; O(#docs * 16 B) — beyond ~10^8 docs swap
+       the broadcast for two ``stages/join.hash_join`` passes).
+
+    Returns (left_id, right_id, n_common, jaccard) for jaccard >=
+    ``threshold``, jaccard rounded to 6 dp. Matches a DuckDB oracle that
+    mirrors the same tokenization (RE2 ``\\s+``), df cap and universe.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from .window import map_key_partitions
+
+    pairs = ds.map_batches(
+        _doc_ngrams_batch, batch_format="pyarrow",
+        fn_kwargs={"column": column, "id_column": id_column, "n": n},
+    ).materialize()  # consumed 3x (df, sizes, index) — tokenize once
+
+    dfc = pairs.groupby("ng").aggregate(Count(alias_name="df"))
+
+    def only_stop(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t.column("df"), max_df)).select(["ng"])
+
+    stop_batches = [b for b in dfc.map_batches(
+        only_stop, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow")]
+    stop_list = (pa.concat_tables(stop_batches).column("ng").combine_chunks()
+                 if stop_batches else pa.array([], pa.string()))
+    if isinstance(stop_list, pa.ChunkedArray):
+        stop_list = stop_list.combine_chunks()
+    stop_ref = ray.put(stop_list)
+
+    def drop_stop(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sl = ray.get(stop_ref)
+        if len(sl) == 0:
+            return t
+        return t.filter(pc.invert(pc.is_in(t.column("ng"),
+                                           value_set=sl)))
+
+    surv = pairs.map_batches(drop_stop, batch_format="pyarrow")
+
+    sizes = surv.groupby(id_column).aggregate(Count(alias_name="sz"))
+    sz_tbl = pa.concat_tables(
+        [b for b in sizes.iter_batches(batch_format="pyarrow")]
+    ).combine_chunks().sort_by(id_column)
+    sz_ids = ray.put(sz_tbl.column(id_column).to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    sz_vals = ray.put(sz_tbl.column("sz").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+
+    inter = map_key_partitions(
+        surv, "ng", lambda t: _pairs_from_partition(t, id_column=id_column),
+        num_buckets=num_buckets, sort_cols=[id_column],
+    ).groupby(["left_id", "right_id"]).aggregate(
+        Count(alias_name="n_common"))
+
+    def score(t: pa.Table) -> pa.Table:
+        ids_np = ray.get(sz_ids)
+        vals_np = ray.get(sz_vals)
+        li = t.column("left_id").to_numpy(zero_copy_only=False)
+        ri = t.column("right_id").to_numpy(zero_copy_only=False)
+        common = t.column("n_common").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sa = vals_np[np.searchsorted(ids_np, li)].astype(np.float64)
+        sb = vals_np[np.searchsorted(ids_np, ri)].astype(np.float64)
+        jac = np.round(common / (sa + sb - common), 6)
+        out = t.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pa.array(jac >= threshold))
+
+    return inter.map_batches(score, batch_format="pyarrow")

@@ -1215,3 +1215,51 @@ def test_upsample_mixture(ray_session):
     for doc, g in out[out["src"] == "a"].groupby("doc_id"):
         assert list(g["copy"]) == list(range(len(g)))
     pd.testing.assert_frame_equal(out, run(13))
+
+
+def test_ngram_jaccard_dedup_matches_exact_verifier(ray_session):
+    """On a corpus with no stop shingles (every df <= max_df) the
+    distributed operator must equal the pure-Python verifier
+    ``ngram_jaccard`` pair for pair."""
+    import itertools
+
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        ngram_jaccard, ngram_jaccard_dedup)
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "the quick brown fox jumps over the sleepy dog again and again",
+        2: "a wholly different document about ray data pipelines at scale",
+        3: "a wholly different document about arrow data pipelines at scale",
+        4: "short text",
+    }
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in texts.items()])
+    out = ngram_jaccard_dedup(ds, threshold=0.3, max_df=32).to_pandas()
+    got = {(r.left_id, r.right_id): r.jaccard for r in out.itertuples()}
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = ngram_jaccard(texts[a], texts[b], n=3)
+        if j >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert got == want and len(want) >= 2
+
+
+def test_ngram_jaccard_dedup_stop_shingle_cap(ray_session):
+    """df-capped inverted index: 40 identical boilerplate docs exceed
+    max_df, so their shingles leave the universe entirely (0 pairs — the
+    flood is exact-dedup's job, and no posting list ever exceeds max_df);
+    10 identical docs stay under the cap and yield all 45 pairs at 1.0."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import ngram_jaccard_dedup
+
+    flood = [{"doc_id": i, "text": "the same boilerplate page " * 20}
+             for i in range(40)]
+    small = [{"doc_id": 100 + i,
+              "text": "ten way replicated unique article body " * 8}
+             for i in range(10)]
+    ds = rd.from_items(flood + small)
+    out = ngram_jaccard_dedup(ds, threshold=0.5, max_df=32).to_pandas()
+    assert not ((out.left_id < 40) & (out.right_id < 40)).any()
+    rep = out[(out.left_id >= 100) & (out.right_id >= 100)]
+    assert len(rep) == 45 and (rep.jaccard == 1.0).all()
