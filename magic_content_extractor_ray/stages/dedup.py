@@ -676,15 +676,31 @@ def _doc_ngrams_batch(batch: pa.Table, *, column: str, id_column: str,
     if isinstance(parent, pa.ChunkedArray):
         parent = parent.combine_chunks()
     if len(flat) < n:
+        try:
+            import polars  # noqa: F401
+            empty_t = pa.int64()
+        except ImportError:
+            empty_t = pa.string()
         return pa.table({id_column: pa.array([], batch.column(id_column).type),
-                         "ng": pa.array([], pa.string())})
+                         "ng": pa.array([], empty_t)})
     parts = [flat.slice(i, len(flat) - n + 1) for i in range(n)]
     ngrams = pc.binary_join_element_wise(*parts, " ")
     head = parent.slice(0, len(parent) - n + 1)
     same_doc = pc.equal(head, parent.slice(n - 1, len(parent) - n + 1))
     ngrams = ngrams.filter(same_doc)
     ids = batch.column(id_column).take(head.filter(same_doc))
-    distinct = pa.table({id_column: ids, "ng": ngrams}).group_by(
+    # shuffle int64 xxhashes of the ngrams, never the strings (polars
+    # vectorized hash, fixed seed — deterministic within a polars
+    # version; a 64-bit collision among distinct shingles is ~p²/2⁶⁵ and
+    # would only perturb one intersection count)
+    try:
+        import polars as pl
+
+        key = pa.array(pl.from_arrow(ngrams).hash(seed=7).to_numpy()
+                       .astype(np.int64), pa.int64())
+    except ImportError:  # correct but string-shuffle fallback
+        key = ngrams
+    distinct = pa.table({id_column: ids, "ng": key}).group_by(
         [id_column, "ng"]).aggregate([])
     return distinct.replace_schema_metadata(None)
 
@@ -702,9 +718,12 @@ def _pairs_from_partition(t: pa.Table, *, id_column: str) -> pa.Table:
     col = t.column("ng").combine_chunks()
     docs = t.column(id_column).combine_chunks().to_numpy(
         zero_copy_only=False).astype(np.int64)
+    if len(docs) and (docs.min() < 0 or docs.max() >= (1 << 31)):
+        raise ValueError("ngram_jaccard_dedup packs doc-id pairs into one "
+                         "int64; ids must be in [0, 2^31)")
     if len(col) == 0:
-        return pa.table({"left_id": pa.array([], pa.int64()),
-                         "right_id": pa.array([], pa.int64())})
+        return pa.table({"pk": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
     # run boundaries of the sorted string key, computed in Arrow (no
     # per-row Python string compares)
     new = pc.not_equal(col.slice(1), col.slice(0, len(col) - 1))
@@ -716,8 +735,8 @@ def _pairs_from_partition(t: pa.Table, *, id_column: str) -> pa.Table:
     counts = lens * (lens - 1) // 2
     total = int(counts.sum())
     if total == 0:
-        return pa.table({"left_id": pa.array([], pa.int64()),
-                         "right_id": pa.array([], pa.int64())})
+        return pa.table({"pk": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
     seg = np.repeat(np.arange(len(lens)), counts)
     offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
     tloc = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
@@ -728,9 +747,15 @@ def _pairs_from_partition(t: pa.Table, *, id_column: str) -> pa.Table:
     b = tloc + a + 1 - length * (length - 1) // 2 \
         + (length - a) * (length - a - 1) // 2
     base = starts[seg]
-    # rows are sorted by (ng, id), so a < b implies left < right
-    return pa.table({"left_id": pa.array(docs[base + a], pa.int64()),
-                     "right_id": pa.array(docs[base + b], pa.int64())})
+    # rows are sorted by (ng, id), so a < b implies left < right; pack the
+    # pair into ONE int64 (ids < 2^31) and pre-aggregate the partition's
+    # duplicate pairs with np.unique — the downstream exchange then moves
+    # (packed pair, partial count) rows and never needs a two-column
+    # full-key sort
+    pk = (docs[base + a] << np.int64(31)) | docs[base + b]
+    pku, cnt = np.unique(pk, return_counts=True)
+    return pa.table({"pk": pa.array(pku, pa.int64()),
+                     "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
 
 def ngram_jaccard_dedup(ds, *, column: str = "text",
@@ -779,7 +804,7 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
         only_stop, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow")]
     stop_list = (pa.concat_tables(stop_batches).column("ng").combine_chunks()
-                 if stop_batches else pa.array([], pa.string()))
+                 if stop_batches else None)
     if isinstance(stop_list, pa.ChunkedArray):
         stop_list = stop_list.combine_chunks()
     stop_ref = ray.put(stop_list)
@@ -788,7 +813,7 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
         import pyarrow.compute as pc
 
         sl = ray.get(stop_ref)
-        if len(sl) == 0:
+        if sl is None or len(sl) == 0:
             return t
         return t.filter(pc.invert(pc.is_in(t.column("ng"),
                                            value_set=sl)))
@@ -804,23 +829,42 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
     sz_vals = ray.put(sz_tbl.column("sz").to_numpy(
         zero_copy_only=False).astype(np.int64))
 
-    inter = map_key_partitions(
+    partials = map_key_partitions(
         surv, "ng", lambda t: _pairs_from_partition(t, id_column=id_column),
-        num_buckets=num_buckets, sort_cols=[id_column],
-    ).groupby(["left_id", "right_id"]).aggregate(
-        Count(alias_name="n_common"))
+        num_buckets=num_buckets, sort_cols=[id_column])
 
-    def score(t: pa.Table) -> pa.Table:
+    def sum_and_score(t: pa.Table) -> pa.Table:
+        """Per-pk partition: segment-sum the partial counts (exact |A∩B|),
+        unpack the pair, jaccard + threshold — the heavy candidate volume
+        dies inside this bucket task."""
+        from .window import segment_starts, segment_lengths
+
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "n_common": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        pk = t.column("pk").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = t.column("c").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = segment_starts(pk)
+        common = np.add.reduceat(c, starts)
+        pku = pk[starts]
+        li = pku >> np.int64(31)
+        ri = pku & np.int64((1 << 31) - 1)
         ids_np = ray.get(sz_ids)
         vals_np = ray.get(sz_vals)
-        li = t.column("left_id").to_numpy(zero_copy_only=False)
-        ri = t.column("right_id").to_numpy(zero_copy_only=False)
-        common = t.column("n_common").to_numpy(
-            zero_copy_only=False).astype(np.float64)
         sa = vals_np[np.searchsorted(ids_np, li)].astype(np.float64)
         sb = vals_np[np.searchsorted(ids_np, ri)].astype(np.float64)
         jac = np.round(common / (sa + sb - common), 6)
-        out = t.append_column("jaccard", pa.array(jac, pa.float64()))
-        return out.filter(pa.array(jac >= threshold))
+        keep = jac >= threshold
+        return pa.table({
+            "left_id": pa.array(li[keep], pa.int64()),
+            "right_id": pa.array(ri[keep], pa.int64()),
+            "n_common": pa.array(common[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64())})
 
-    return inter.map_batches(score, batch_format="pyarrow")
+    return map_key_partitions(partials, "pk", sum_and_score,
+                              num_buckets=num_buckets)
