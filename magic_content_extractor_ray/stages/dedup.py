@@ -858,8 +858,11 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
         vals_np = ray.get(sz_vals)
         sa = vals_np[np.searchsorted(ids_np, li)].astype(np.float64)
         sb = vals_np[np.searchsorted(ids_np, ri)].astype(np.float64)
-        jac = np.round(common / (sa + sb - common), 6)
-        keep = jac >= threshold
+        raw = common / (sa + sb - common)
+        # threshold on the UNROUNDED ratio (the oracle's WHERE clause
+        # does the same); round only the reported value
+        keep = raw >= threshold
+        jac = np.round(raw, 6)
         return pa.table({
             "left_id": pa.array(li[keep], pa.int64()),
             "right_id": pa.array(ri[keep], pa.int64()),
