@@ -1228,6 +1228,17 @@ def q_label_centroids(sf_dir: str):
         Sum("n_vals", alias_name="n_vals")).sort(["label", "dim"])
 
 
+def q_collocations(sf_dir: str):
+    """PMI collocation mining (phrase detection for tokenizer/vocab
+    building): unigram+bigram counts combined map-side into one
+    vocab-bounded shuffle, pmi scored against broadcast unigram counts,
+    deterministic top-100 on (rounded pmi, w1, w2)."""
+    from magic_content_extractor_ray.stages.textops import collocation_pmi
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return collocation_pmi(docs, min_count=5, k=100)
+
+
 def q_tfidf_terms(sf_dir: str):
     """TF-IDF vocabulary scoring: ONE tokenization pass emits both term
     frequency and document frequency partials (docs never split across
@@ -2871,6 +2882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminated": q_docs_decontaminated,
         "label_centroids": q_label_centroids,
         "tfidf_terms": q_tfidf_terms,
+        "collocations": q_collocations,
         "last_event_per_user": q_last_event_per_user,
         "supplier_nation": q_supplier_nation,
         "lineitem_revenue": q_lineitem_revenue,
@@ -3378,6 +3390,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, tf, df, round(CAST(tf AS DOUBLE) * "
             "ln(CAST(n.n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) "
             "AS score FROM agg, n) ORDER BY rnk LIMIT 50"),
+        "collocations": r"""
+            WITH toks AS (
+              SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            uni AS (SELECT unnest(ws) AS w FROM toks),
+            ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+            tu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni),
+            big AS (
+              SELECT unnest([ws[i] || ' ' || ws[i+1]
+                             for i in range(1, greatest(len(ws), 1))]) AS b
+              FROM toks),
+            bcnt AS (SELECT b, count(*) AS c FROM big GROUP BY b
+                     HAVING count(*) >= 5),
+            tb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM big)
+            SELECT split_part(b, ' ', 1) AS w1,
+                   split_part(b, ' ', 2) AS w2,
+                   CAST(bcnt.c AS BIGINT) AS c_ab,
+                   round(ln((bcnt.c / tb.nb) /
+                            ((ua.c / tu.nu) * (ub.c / tu.nu))), 6) AS pmi
+            FROM bcnt CROSS JOIN tb CROSS JOIN tu
+            JOIN ucnt ua ON ua.w = split_part(bcnt.b, ' ', 1)
+            JOIN ucnt ub ON ub.w = split_part(bcnt.b, ' ', 2)
+            ORDER BY pmi DESC, w1, w2 LIMIT 100""",
         "customer_order_counts": (
             "SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) "
             "AS n_orders FROM customer c LEFT JOIN orders o "

@@ -159,7 +159,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "audio_features",
              # round-3 arrow-native window family + PII scrub + graph
              "session_durations", "event_gaps", "running_order_total",
-             "pii_redacted", "page_rank", "source_mixture", "dedup_ngram"]
+             "pii_redacted", "page_rank", "source_mixture", "dedup_ngram",
+             "collocations"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

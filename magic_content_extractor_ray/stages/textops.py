@@ -217,3 +217,127 @@ def redact_pii_batch(batch: pa.Table, column: str = "text",
     for _, pat, repl in PII_PATTERNS:
         red = pc.replace_substring_regex(red, pat, repl)
     return batch.append_column(out_column, red)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (phrase detection for tokenizer/vocab pipelines)
+# ---------------------------------------------------------------------------
+
+def _colloc_partial(batch: pa.Table, *, column: str) -> pa.Table:
+    """Per-batch combined unigram + bigram partial counts. Tokens cannot
+    contain spaces (RE2 \\s+ split), so "w" and "w1 w2" keys are disjoint
+    and share ONE vocab-bounded combiner shuffle."""
+    import pyarrow.compute as pc
+
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parent = parent.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if isinstance(parent, pa.ChunkedArray):
+        parent = parent.combine_chunks()
+    tables = []
+    ucnt = pa.table({"term": flat}).group_by("term").aggregate(
+        [("term", "count")])
+    tables.append(pa.table({"term": ucnt.column("term"),
+                            "c": pc.cast(ucnt.column("term_count"),
+                                         pa.int64())}))
+    if len(flat) >= 2:
+        w1 = flat.slice(0, len(flat) - 1)
+        w2 = flat.slice(1, len(flat) - 1)
+        same = pc.equal(parent.slice(0, len(parent) - 1),
+                        parent.slice(1, len(parent) - 1))
+        big = pc.binary_join_element_wise(w1, w2, " ").filter(same)
+        bcnt = pa.table({"term": big}).group_by("term").aggregate(
+            [("term", "count")])
+        tables.append(pa.table({"term": bcnt.column("term"),
+                                "c": pc.cast(bcnt.column("term_count"),
+                                             pa.int64())}))
+    return pa.concat_tables(tables).replace_schema_metadata(None)
+
+
+def collocation_pmi(ds, *, column: str = "text", min_count: int = 5,
+                    k: int = 100):
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information: pmi = ln((c_ab/Nb) / ((c_a/Nu)·(c_b/Nu))), Nb = total
+    bigrams, Nu = total tokens. Counts combine map-side (one vocab-bounded
+    string shuffle); unigram counts broadcast once via ``ray.put`` as
+    sorted arrays (web-scale vocab: swap for a hash_join); ranking on the
+    6-dp ROUNDED pmi with (w1, w2) tiebreak so the cut is deterministic on
+    both the Ray and the SQL side. Returns (w1, w2, c_ab, pmi)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(
+        _colloc_partial, batch_format="pyarrow",
+        fn_kwargs={"column": column},
+    ).groupby("term").aggregate(Sum("c", alias_name="c")).materialize()
+
+    def split_kind(t: pa.Table, want_bigrams: bool) -> pa.Table:
+        import pyarrow.compute as pc
+
+        has_sp = pc.greater(pc.count_substring(t.column("term"), " "), 0)
+        return t.filter(has_sp if want_bigrams else pc.invert(has_sp))
+
+    uni = pa.concat_tables(list(agg.map_batches(
+        lambda t: split_kind(t, False), batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"))).combine_chunks().sort_by("term")
+    u_terms = uni.column("term").to_pylist()
+    u_counts = uni.column("c").to_numpy(zero_copy_only=False).astype(
+        np.float64)
+    nu = float(u_counts.sum())
+    u_ref = ray.put((np.array(u_terms, dtype=object), u_counts))
+
+    bigrams = agg.map_batches(lambda t: split_kind(t, True),
+                              batch_format="pyarrow")
+    nb = float(bigrams.sum("c"))
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t.column("c"), min_count))
+        if len(t) == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c_ab": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        terms, counts = ray.get(u_ref)
+        w1 = pc.split_pattern(t.column("term"), " ").combine_chunks()
+        w1a = pc.list_element(w1, 0)
+        w2a = pc.list_element(w1, 1)
+        ca = counts[np.searchsorted(
+            terms, w1a.to_numpy(zero_copy_only=False))]
+        cb = counts[np.searchsorted(
+            terms, w2a.to_numpy(zero_copy_only=False))]
+        cab = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        pmi = np.round(np.log((cab / nb) / ((ca / nu) * (cb / nu))), 6)
+        return pa.table({"w1": w1a, "w2": w2a,
+                         "c_ab": pc.cast(t.column("c"), pa.int64()),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = t.to_pandas().sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(
+            d, preserve_index=False).replace_schema_metadata(None)
+
+    cands = bigrams.map_batches(score, batch_format="pyarrow").map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=8192)
+    out = pa.concat_tables(
+        list(cands.iter_batches(batch_format="pyarrow")))
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True]).head(k),
+        preserve_index=False).replace_schema_metadata(None)

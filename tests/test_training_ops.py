@@ -1263,3 +1263,24 @@ def test_ngram_jaccard_dedup_stop_shingle_cap(ray_session):
     assert not ((out.left_id < 40) & (out.right_id < 40)).any()
     rep = out[(out.left_id >= 100) & (out.right_id >= 100)]
     assert len(rep) == 45 and (rep.jaccard == 1.0).all()
+
+
+def test_collocation_pmi_hand_computed(ray_session):
+    """6x 'alpha new york beta' + 4x 'alpha beta': only the three
+    6-count bigrams survive min_count=5, and 'new york' (both unigrams
+    rare) must out-PMI the edges. Values checked against the formula
+    pmi = ln((c_ab/Nb) / ((c_a/Nu)(c_b/Nu))) with Nu=32, Nb=22."""
+    import math
+
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.textops import collocation_pmi
+
+    rows = [{"text": "alpha new york beta"}] * 6 + [{"text": "alpha beta"}] * 4
+    out = collocation_pmi(rd.from_items(rows), min_count=5, k=10).to_pandas()
+    assert len(out) == 3 and (out.c_ab == 6).all()
+    top = out.iloc[0]
+    assert (top.w1, top.w2) == ("new", "york")
+    want = round(math.log((6 / 22) / ((6 / 32) * (6 / 32))), 6)
+    assert top.pmi == want
+    edge = out[(out.w1 == "alpha") & (out.w2 == "new")].iloc[0]
+    assert edge.pmi == round(math.log((6 / 22) / ((10 / 32) * (6 / 32))), 6)
