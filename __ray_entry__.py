@@ -303,6 +303,35 @@ def q_pii_redacted(sf_dir: str):
         ["doc_id", "n_email", "n_ip", "n_phone", "text_redacted"])
 
 
+def q_importance_sample(sf_dir: str):
+    """Length-proportional importance sampling (quality-weighted data
+    selection): acceptance threshold = min(1e6, n_tokens·5000) ppm —
+    docs with ≥200 tokens always kept, shorter ones kept with
+    probability n_tokens/200. Integer arithmetic end-to-end so the SQL
+    oracle reproduces every accept/reject decision bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.sample import importance_sample
+    from magic_content_extractor_ray.stages.textops import token_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+
+    def weight(batch: pa.Table) -> pa.Table:
+        batch = token_counts(batch)
+        w = pc.min_element_wise(
+            pc.multiply(batch.column("n_tokens"), pa.scalar(5000,
+                                                            pa.int64())),
+            pa.scalar(1_000_000, pa.int64()))
+        return batch.select(["doc_id", "n_tokens"]).append_column(
+            "w_ppm", pc.cast(w, pa.int64()))
+
+    return importance_sample(
+        ds.map_batches(weight, batch_format="pyarrow"),
+        weight_ppm_column="w_ppm").sort("doc_id")
+
+
 def q_stratified_sample(sf_dir: str):
     """Deterministic per-language stratified sample (the data-mixing
     primitive): a pure md5-hash predicate — shuffle-free, resume-safe,
@@ -2840,6 +2869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": q_orders_rollup,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
+        "importance_sample": q_importance_sample,
         "repetition_stats": q_repetition_stats,
         "doc_frequency": q_doc_frequency,
         "token_histogram": q_token_histogram,
@@ -3083,6 +3113,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
             "% 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 "
             "ELSE 10 END) ORDER BY doc_id"),
+        "importance_sample": (
+            "SELECT doc_id, n_tokens, "
+            "least(n_tokens * 5000, 1000000) AS w_ppm FROM ("
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) "
+            "AS BIGINT) AS n_tokens FROM documents) WHERE "
+            "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+            "% 1000000 < least(n_tokens * 5000, 1000000) "
+            "ORDER BY doc_id"),
         "doc_frequency": (
             "SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, word) "
             "AS BIGINT) AS rnk, word AS term, count(*) AS df FROM ("

@@ -167,3 +167,31 @@ def upsample_mixture(ds, *, key_column: str, rate_pcts: dict[str, int],
                                  pa.array(copy_idx, pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def _hash_ppm(ids, salt: str) -> np.ndarray:
+    """Per-row bucket in [0, 1e6) from the md5 prefix — the fine-grained
+    sibling of _hash_pct for fractional (ppm) acceptance thresholds."""
+    pre = salt.encode()
+    return np.fromiter(
+        (int(hashlib.md5(pre + str(v).encode()).hexdigest()[:8], 16)
+         % 1_000_000 for v in ids),
+        dtype=np.int64, count=len(ids))
+
+
+def importance_sample(ds, *, weight_ppm_column: str,
+                      id_column: str = "doc_id", salt: str = ""):
+    """Importance-weighted selection: keep a row iff its deterministic id
+    hash bucket (parts-per-million) falls below the row's own acceptance
+    threshold ``weight_ppm_column`` (int64 in [0, 1e6]; 1e6 = always
+    keep). Shuffle-free, resumable (same ids → same decisions), and the
+    integer threshold means an SQL oracle can reproduce the decision
+    bit-for-bit — derive the weight column with integer arithmetic."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        buckets = _hash_ppm(batch.column(id_column).to_pylist(), salt)
+        w = batch.column(weight_ppm_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(buckets < w))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

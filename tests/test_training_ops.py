@@ -1284,3 +1284,21 @@ def test_collocation_pmi_hand_computed(ray_session):
     assert top.pmi == want
     edge = out[(out.w1 == "alpha") & (out.w2 == "new")].iloc[0]
     assert edge.pmi == round(math.log((6 / 22) / ((10 / 32) * (6 / 32))), 6)
+
+
+def test_importance_sample_thresholds(ray_session):
+    """Full-weight rows (1e6 ppm) are always kept, zero-weight rows never,
+    and fractional acceptance is deterministic in the id hash."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sample import (
+        _hash_ppm, importance_sample)
+
+    rows = [{"doc_id": i, "w_ppm": w}
+            for i, w in enumerate([1_000_000] * 5 + [0] * 5
+                                  + [500_000] * 20)]
+    out = importance_sample(rd.from_items(rows),
+                            weight_ppm_column="w_ppm").to_pandas()
+    kept = set(out.doc_id)
+    assert set(range(5)) <= kept and not kept & set(range(5, 10))
+    frac = [i for i in range(10, 30) if _hash_ppm([i], "")[0] < 500_000]
+    assert kept - set(range(5)) == set(frac)
