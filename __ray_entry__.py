@@ -1410,6 +1410,39 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_quality_pruned(sf_dir: str):
+    """Percentile-threshold quality pruning (the perplexity-filter
+    shape): exact global p25 of the token-count distribution from the
+    distributed value-histogram quantile operator (tiny result), then a
+    broadcast-threshold filter — two passes over one derived column, no
+    row-level shuffle. Keeps docs strictly above the cutoff."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.stats import grouped_quantiles
+    from magic_content_extractor_ray.stages.textops import token_counts
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        return token_counts(batch).select(["doc_id", "n_tokens"])
+
+    toks = docs.map_batches(tok, batch_format="pyarrow")
+    cuts = grouped_quantiles(
+        toks.map_batches(
+            lambda t: t.append_column(
+                "g", pa.array([1] * len(t), pa.int64())),
+            batch_format="pyarrow"),
+        key_column="g", value_column="n_tokens",
+        quantiles=(0.25,)).to_pandas()
+    p25 = float(cuts["q_0_25"].iloc[0])
+
+    return toks.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_tokens"), p25)),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic EPOCH SHUFFLE (training-data global reordering):
     every document's position in the md5(epoch_salt + id) order —
@@ -2870,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "importance_sample": q_importance_sample,
+        "quality_pruned": q_quality_pruned,
         "repetition_stats": q_repetition_stats,
         "doc_frequency": q_doc_frequency,
         "token_histogram": q_token_histogram,
@@ -3113,6 +3147,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
             "% 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 "
             "ELSE 10 END) ORDER BY doc_id"),
+        "quality_pruned": (
+            "WITH tok AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents), "
+            "t AS (SELECT quantile_cont(n_tokens, 0.25) AS p25 FROM tok) "
+            "SELECT doc_id, n_tokens FROM tok, t WHERE n_tokens > p25 "
+            "ORDER BY doc_id"),
         "importance_sample": (
             "SELECT doc_id, n_tokens, "
             "least(n_tokens * 5000, 1000000) AS w_ppm FROM ("

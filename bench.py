@@ -160,7 +160,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # round-3 arrow-native window family + PII scrub + graph
              "session_durations", "event_gaps", "running_order_total",
              "pii_redacted", "page_rank", "source_mixture", "dedup_ngram",
-             "collocations"]
+             "collocations", "importance_sample", "quality_pruned"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
