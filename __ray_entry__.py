@@ -1410,6 +1410,20 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_clean_text(sf_dir: str):
+    """Unicode corpus cleaning: control-char strip → NFC → whitespace
+    collapse → trim, map-only (no shuffle), bit-for-bit matched by the
+    DuckDB nfc_normalize/regexp_replace oracle."""
+    from magic_content_extractor_ray.stages.textops import (
+        normalize_text_batch)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return docs.map_batches(
+        normalize_text_batch, batch_format="pyarrow",
+    ).select_columns(["doc_id", "clean_text"])
+
+
 def q_quality_pruned(sf_dir: str):
     """Percentile-threshold quality pruning (the perplexity-filter
     shape): exact global p25 of the token-count distribution from the
@@ -2904,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "importance_sample": q_importance_sample,
         "quality_pruned": q_quality_pruned,
+        "clean_text": q_clean_text,
         "repetition_stats": q_repetition_stats,
         "doc_frequency": q_doc_frequency,
         "token_histogram": q_token_histogram,
@@ -3147,6 +3162,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
             "% 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 "
             "ELSE 10 END) ORDER BY doc_id"),
+        "clean_text": (
+            "SELECT doc_id, "
+            "trim(regexp_replace(nfc_normalize(regexp_replace(text, "
+            "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')), "
+            "'\\s+', ' ', 'g')) AS clean_text FROM documents"),
         "quality_pruned": (
             "WITH tok AS (SELECT doc_id, "
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "

@@ -160,7 +160,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # round-3 arrow-native window family + PII scrub + graph
              "session_durations", "event_gaps", "running_order_total",
              "pii_redacted", "page_rank", "source_mixture", "dedup_ngram",
-             "collocations", "importance_sample", "quality_pruned"]
+             "collocations", "importance_sample", "quality_pruned",
+             "clean_text"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -341,3 +341,36 @@ def collocation_pmi(ds, *, column: str = "text", min_count: int = 5,
         out.to_pandas().sort_values(
             ["pmi", "w1", "w2"], ascending=[False, True, True]).head(k),
         preserve_index=False).replace_schema_metadata(None)
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization (corpus cleaning)
+# ---------------------------------------------------------------------------
+
+def normalize_text_batch(batch: pa.Table, column: str = "text",
+                         out_column: str = "clean_text") -> pa.Table:
+    """Control-char strip → Unicode NFC → whitespace collapse → trim.
+    The strip runs BEFORE NFC on purpose: DuckDB's ``nfc_normalize``
+    truncates at an embedded NUL whenever it rewrites the string, so the
+    oracle-parity order is strip-first (and a NUL inside text is garbage
+    either way). Strip/collapse/trim are Arrow RE2 kernels;
+    NFC falls back to ``unicodedata`` per row because this build's
+    ``pc.utf8_normalize`` does not compose (verified: U+0065 U+0301 stays
+    decomposed) — the ``is_normalized`` fast path skips the copy for the
+    (dominant) already-NFC rows."""
+    import unicodedata
+
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    t = pc.replace_substring_regex(
+        texts, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    vals = t.to_pylist()
+    t = pa.array(
+        [None if s is None
+         else (s if unicodedata.is_normalized("NFC", s)
+               else unicodedata.normalize("NFC", s)) for s in vals],
+        pa.string())
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_column, t)

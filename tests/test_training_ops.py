@@ -1302,3 +1302,31 @@ def test_importance_sample_thresholds(ray_session):
     assert set(range(5)) <= kept and not kept & set(range(5, 10))
     frac = [i for i in range(10, 30) if _hash_ppm([i], "")[0] < 500_000]
     assert kept - set(range(5)) == set(frac)
+
+
+def test_normalize_text_unicode_cases(ray_session):
+    """NFC composition, NUL handling (strip-before-NFC — DuckDB's
+    nfc_normalize truncates at embedded NUL otherwise), compatibility
+    chars left alone, whitespace collapse + trim — verified against an
+    in-process DuckDB running the exact oracle expression."""
+    import duckdb
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.textops import (
+        normalize_text_batch)
+
+    texts = ["  helló   world\x00\x1f!  ", "café  \t\n x",
+             "café", "ümlaut̊ mix", "", "   ",
+             "ñ½㎡ﬁ", "a\x00b café"]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+    out = ds.map_batches(normalize_text_batch,
+                         batch_format="pyarrow").to_pandas()
+    got = dict(zip(out.doc_id, out.clean_text))
+    con = duckdb.connect()
+    for i, s in enumerate(texts):
+        want = con.sql(
+            "SELECT trim(regexp_replace(nfc_normalize(regexp_replace("
+            "?::VARCHAR, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', "
+            "'g')), '\\s+', ' ', 'g'))", params=[s]).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
+    assert got[1] == "café x"  # decomposed input composed to NFC
