@@ -1410,6 +1410,64 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_funnel_counts(sf_dir: str):
+    """Ordered conversion funnel (view → click → purchase by strictly
+    increasing FIRST-occurrence time per user): per-batch Arrow partials
+    reduce each user's stage timestamps map-side (sentinel-int64, no
+    null-semantics dependence), ONE (user → 3 int64) shuffle, then a
+    driver-side 3-counter aggregate — the events payload never moves."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    INF = np.int64(1 << 62)
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pa.array(ts_us(batch.column("ts")), pa.int64())
+        et = batch.column("event_type")
+        cols = {"user_id": batch.column("user_id")}
+        for name, stage in (("tv", "view"), ("tc", "click"),
+                            ("tp", "purchase")):
+            cols[name] = pc.if_else(pc.equal(et, stage), ts,
+                                    pa.scalar(INF, pa.int64()))
+        g = pa.table(cols).group_by("user_id").aggregate(
+            [("tv", "min"), ("tc", "min"), ("tp", "min")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "tv": g.column("tv_min"),
+                         "tc": g.column("tc_min"),
+                         "tp": g.column("tp_min")})
+
+    firsts = ev.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(Min("tv", alias_name="tv"),
+                             Min("tc", alias_name="tc"),
+                             Min("tp", alias_name="tp"))
+
+    def flags(batch: pa.Table) -> pa.Table:
+        tv = batch.column("tv").to_numpy(zero_copy_only=False)
+        tc = batch.column("tc").to_numpy(zero_copy_only=False)
+        tp = batch.column("tp").to_numpy(zero_copy_only=False)
+        v = tv < INF
+        vc = v & (tc < INF) & (tc > tv)
+        full = vc & (tp < INF) & (tp > tc)
+        return pa.table({
+            "n_view": pa.array(v.astype(np.int64), pa.int64()),
+            "n_view_click": pa.array(vc.astype(np.int64), pa.int64()),
+            "n_funnel_complete": pa.array(full.astype(np.int64),
+                                          pa.int64())})
+
+    row = firsts.map_batches(flags, batch_format="pyarrow").aggregate(
+        Sum("n_view", alias_name="n_view"),
+        Sum("n_view_click", alias_name="n_view_click"),
+        Sum("n_funnel_complete", alias_name="n_funnel_complete"))
+    return pd.DataFrame([row])
+
+
 def q_clean_text(sf_dir: str):
     """Unicode corpus cleaning: control-char strip → NFC → whitespace
     collapse → trim, map-only (no shuffle), bit-for-bit matched by the
@@ -2919,6 +2977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_sample": q_importance_sample,
         "quality_pruned": q_quality_pruned,
         "clean_text": q_clean_text,
+        "funnel_counts": q_funnel_counts,
         "repetition_stats": q_repetition_stats,
         "doc_frequency": q_doc_frequency,
         "token_histogram": q_token_histogram,
@@ -3162,6 +3221,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
             "% 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 "
             "ELSE 10 END) ORDER BY doc_id"),
+        "funnel_counts": (
+            "WITH f AS (SELECT user_id, "
+            "min(CASE WHEN event_type = 'view' THEN ts END) AS tv, "
+            "min(CASE WHEN event_type = 'click' THEN ts END) AS tc, "
+            "min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp "
+            "FROM events GROUP BY user_id) "
+            "SELECT CAST(count(CASE WHEN tv IS NOT NULL THEN 1 END) "
+            "AS BIGINT) AS n_view, "
+            "CAST(count(CASE WHEN tc > tv THEN 1 END) AS BIGINT) "
+            "AS n_view_click, "
+            "CAST(count(CASE WHEN tc > tv AND tp > tc THEN 1 END) "
+            "AS BIGINT) AS n_funnel_complete FROM f"),
         "clean_text": (
             "SELECT doc_id, "
             "trim(regexp_replace(nfc_normalize(regexp_replace(text, "
