@@ -1410,6 +1410,72 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix (cohort = ISO week of a user's
+    first event; one row per (cohort_week, week_offset) with distinct
+    active users). Every shuffle key is a PACKED int64: distinct
+    (user, week) via one packed groupby, per-user cohort minima via a
+    hash-partition segment kernel, final (cohort, offset) counts via a
+    second packed groupby — no string or composite keys move."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pack_user_week(batch: pa.Table) -> pa.Table:
+        day = ts_us(batch.column("ts")) // 86_400_000_000
+        wk = day - ((day + 3) % 7)           # Monday day-number (ISO)
+        wkidx = wk // 7                      # fits 16 bits through 3100 AD
+        uid = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pk = (uid << np.int64(16)) | wkidx
+        return pa.table({"pk": pa.array(np.unique(pk), pa.int64())})
+
+    uw = ev.map_batches(pack_user_week, batch_format="pyarrow").groupby(
+        "pk").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+    def cohort_offsets(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uid = pk >> np.int64(16)
+        wkidx = pk & np.int64((1 << 16) - 1)
+        starts = segment_starts(uid)
+        lens = segment_lengths(starts, len(uid))
+        cohort = np.repeat(np.minimum.reduceat(wkidx, starts), lens)
+        ck = (cohort << np.int64(16)) | (wkidx - cohort)
+        return pa.table({"ck": pa.array(ck, pa.int64()),
+                         "n": pa.array(np.ones(len(ck), np.int64),
+                                       pa.int64())})
+
+    counts = map_key_partitions(
+        uw.map_batches(
+            lambda t: t.append_column(
+                "u", pa.array(t.column("pk").to_numpy(
+                    zero_copy_only=False) >> np.int64(16), pa.int64())),
+            batch_format="pyarrow"),
+        "u", cohort_offsets,
+    ).groupby("ck").aggregate(Sum("n", alias_name="n_users"))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ck = t.column("ck").to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = (ck >> np.int64(16)) * 7 + 4    # Monday day-numbers ≡ 4 mod 7
+        dates = (np.datetime64("1970-01-01")
+                 + wk.astype("timedelta64[D]")).astype(
+                     "datetime64[D]").astype(str)
+        return pa.table({
+            "cohort_week": pa.array(dates, pa.string()),
+            "week_offset": pa.array(ck & np.int64((1 << 16) - 1),
+                                    pa.int64()),
+            "n_users": t.column("n_users")})
+
+    return counts.map_batches(unpack, batch_format="pyarrow").sort(
+        ["cohort_week", "week_offset"])
+
+
 def q_funnel_counts(sf_dir: str):
     """Ordered conversion funnel (view → click → purchase by strictly
     increasing FIRST-occurrence time per user): per-batch Arrow partials
@@ -2978,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_pruned": q_quality_pruned,
         "clean_text": q_clean_text,
         "funnel_counts": q_funnel_counts,
+        "retention_cohorts": q_retention_cohorts,
         "repetition_stats": q_repetition_stats,
         "doc_frequency": q_doc_frequency,
         "token_histogram": q_token_histogram,
@@ -3221,6 +3288,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
             "% 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 "
             "ELSE 10 END) ORDER BY doc_id"),
+        "retention_cohorts": (
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), "
+            "c AS (SELECT user_id, min(wk) AS cohort FROM uw "
+            "GROUP BY user_id) "
+            "SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week, "
+            "CAST((uw.wk - c.cohort) / 7 AS BIGINT) AS week_offset, "
+            "count(*) AS n_users FROM uw JOIN c USING (user_id) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
         "funnel_counts": (
             "WITH f AS (SELECT user_id, "
             "min(CASE WHEN event_type = 'view' THEN ts END) AS tv, "
