@@ -1410,6 +1410,106 @@ def q_chars_quartiles(sf_dir: str):
         Sum("n_docs", alias_name="n_docs")).sort("quartile")
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (3-way chained join through the partitioned
+    hash_join): BUILDING-segment customers ⋈ pre-cutoff orders ⋈
+    post-cutoff lineitems, exact-cent integer revenue (no float-sum
+    drift), per-batch partial aggregation before the single-int-key
+    groupby, top-10 with a full deterministic tiebreak. All filters and
+    the revenue computation are pushed map-side; only (key, packed
+    payload) rows shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    cut_us = int(np.datetime64("1996-06-30T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+        return pa.table({"o_custkey": t.column("c_custkey"),
+                         "seg_one": pa.array([1] * len(t), pa.int64())})
+
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_mktsegment"]).map_batches(
+        cust_side, batch_format="pyarrow")
+
+    def ords_side(t: pa.Table) -> pa.Table:
+        days = ts_us(t.column("o_orderdate")) // 86_400_000_000
+        keep = ts_us(t.column("o_orderdate")) < cut_us
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "o_orderkey": t.column("o_orderkey"),
+                         "o_days": pa.array(days, pa.int64())}
+                        ).filter(pa.array(keep))
+
+    ords = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ords_side, batch_format="pyarrow")
+
+    j1 = hash_join(
+        ords, cust, key="o_custkey",
+        left_cols=["o_orderkey", "o_days"], right_cols=["seg_one"],
+        left_types={"o_custkey": pa.int64(), "o_orderkey": pa.int64(),
+                    "o_days": pa.int64()},
+        right_types={"seg_one": pa.int64()},
+    ).map_batches(
+        lambda t: pa.table({"l_orderkey": t.column("o_orderkey"),
+                            "o_days": t.column("o_days")}),
+        batch_format="pyarrow")
+
+    def line_side(t: pa.Table) -> pa.Table:
+        keep = ts_us(t.column("l_shipdate")) > cut_us
+        t = t.filter(pa.array(keep))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+            pa.scalar(1.0), t.column("l_discount")), 100)), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev": pc.multiply(price_c, disc_pct)})
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]).map_batches(line_side,
+                                            batch_format="pyarrow")
+
+    j2 = hash_join(
+        li, j1, key="l_orderkey", left_cols=["rev"],
+        right_cols=["o_days"],
+        left_types={"l_orderkey": pa.int64(), "rev": pa.int64()},
+        right_types={"o_days": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate(
+            [("rev", "sum"), ("o_days", "min")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "rev": g.column("rev_sum"),
+                         "o_days": g.column("o_days_min")})
+
+    agg = j2.map_batches(partial, batch_format="pyarrow").groupby(
+        "l_orderkey").aggregate(Sum("rev", alias_name="revenue_c4"),
+                                Min("o_days", alias_name="o_days"))
+
+    top = agg.sort(["revenue_c4", "o_days", "l_orderkey"],
+                   descending=[True, False, False]).limit(10)
+
+    def finish(t: pa.Table) -> pa.Table:
+        days = t.column("o_days").to_numpy(zero_copy_only=False)
+        dates = (np.datetime64("1970-01-01")
+                 + days.astype("timedelta64[D]")).astype(
+                     "datetime64[D]").astype(str)
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "revenue_c4": t.column("revenue_c4"),
+                         "o_orderdate": pa.array(dates, pa.string())})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
 def q_retention_cohorts(sf_dir: str):
     """Weekly cohort retention matrix (cohort = ISO week of a user's
     first event; one row per (cohort_week, week_offset) with distinct
@@ -3045,6 +3145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": q_clean_text,
         "funnel_counts": q_funnel_counts,
         "retention_cohorts": q_retention_cohorts,
+        "shipping_priority": q_shipping_priority,
         "repetition_stats": q_repetition_stats,
         "doc_frequency": q_doc_frequency,
         "token_histogram": q_token_histogram,
@@ -3288,6 +3389,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
             "% 100 < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 "
             "ELSE 10 END) ORDER BY doc_id"),
+        "shipping_priority": (
+            "SELECT l.l_orderkey, CAST(sum("
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c4, "
+            "strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1996-06-30' "
+            "AND l.l_shipdate > TIMESTAMP '1996-06-30' "
+            "GROUP BY l.l_orderkey, o.o_orderdate "
+            "ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey LIMIT 10"),
         "retention_cohorts": (
             "WITH uw AS (SELECT DISTINCT user_id, "
             "CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), "

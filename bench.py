@@ -161,7 +161,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "session_durations", "event_gaps", "running_order_total",
              "pii_redacted", "page_rank", "source_mixture", "dedup_ngram",
              "collocations", "importance_sample", "quality_pruned",
-             "clean_text", "funnel_counts", "retention_cohorts"]
+             "clean_text", "funnel_counts", "retention_cohorts",
+             "shipping_priority"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
