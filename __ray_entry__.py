@@ -1411,16 +1411,18 @@ def q_chars_quartiles(sf_dir: str):
 
 
 def q_shipping_priority(sf_dir: str):
-    """TPC-H Q3 shape (3-way chained join through the partitioned
-    hash_join): BUILDING-segment customers ⋈ pre-cutoff orders ⋈
-    post-cutoff lineitems, exact-cent integer revenue (no float-sum
-    drift), per-batch partial aggregation before the single-int-key
-    groupby, top-10 with a full deterministic tiebreak. All filters and
-    the revenue computation are pushed map-side; only (key, packed
-    payload) rows shuffle."""
+    """TPC-H Q3 shape: the dimension-sized customer side is a BROADCAST
+    semi-filter (`ray.put` once, sorted-array membership per batch — no
+    shuffle for join #1), then ONE partitioned hash_join brings
+    post-cutoff lineitems to their surviving orders. Exact-cent integer
+    revenue (no float-sum drift), per-batch partial aggregation before
+    the single-int-key groupby, top-10 with a full deterministic
+    tiebreak. All filters and the revenue computation run map-side."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
     from ray.data.aggregate import Min, Sum
 
     from magic_content_extractor_ray.stages.join import hash_join
@@ -1429,38 +1431,29 @@ def q_shipping_priority(sf_dir: str):
     cut_us = int(np.datetime64("1996-06-30T00:00:00").astype(
         "datetime64[us]").astype(np.int64))
 
-    def cust_side(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
-        return pa.table({"o_custkey": t.column("c_custkey"),
-                         "seg_one": pa.array([1] * len(t), pa.int64())})
-
-    cust = _read_pq(f"{sf_dir}/customer.parquet",
-                    columns=["c_custkey", "c_mktsegment"]).map_batches(
-        cust_side, batch_format="pyarrow")
+    cust_tbl = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+    keep_keys = np.sort(cust_tbl.filter(pc.equal(
+        cust_tbl.column("c_mktsegment"), "BUILDING")).column(
+        "c_custkey").to_numpy(zero_copy_only=False).astype(np.int64))
+    keys_ref = ray.put(keep_keys)
 
     def ords_side(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
         days = ts_us(t.column("o_orderdate")) // 86_400_000_000
-        keep = ts_us(t.column("o_orderdate")) < cut_us
-        return pa.table({"o_custkey": t.column("o_custkey"),
-                         "o_orderkey": t.column("o_orderkey"),
+        ck = t.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, ck), 0, max(len(ks) - 1, 0))
+        keep = (ts_us(t.column("o_orderdate")) < cut_us) \
+            & (len(ks) > 0) & (ks[pos] == ck)
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
                          "o_days": pa.array(days, pa.int64())}
                         ).filter(pa.array(keep))
 
-    ords = _read_pq(
+    j1 = _read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         ords_side, batch_format="pyarrow")
-
-    j1 = hash_join(
-        ords, cust, key="o_custkey",
-        left_cols=["o_orderkey", "o_days"], right_cols=["seg_one"],
-        left_types={"o_custkey": pa.int64(), "o_orderkey": pa.int64(),
-                    "o_days": pa.int64()},
-        right_types={"seg_one": pa.int64()},
-    ).map_batches(
-        lambda t: pa.table({"l_orderkey": t.column("o_orderkey"),
-                            "o_days": t.column("o_days")}),
-        batch_format="pyarrow")
 
     def line_side(t: pa.Table) -> pa.Table:
         keep = ts_us(t.column("l_shipdate")) > cut_us
