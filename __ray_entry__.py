@@ -202,6 +202,31 @@ def q_dedup_ngram(sf_dir: str):
     return ngram_jaccard_dedup(docs, threshold=0.4, max_df=32)
 
 
+def q_cross_dedup(sf_dir: str):
+    """Cross-corpus near-dup decontamination: the held-out slice
+    (doc_id % 10 == 3) plays the eval set; train docs MinHash-similar
+    (est_jaccard ≥ 0.6) to any eval doc are flagged. One shared banded
+    LSH pass over the tagged union; only cross-side pairs survive."""
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.dedup import (
+        cross_corpus_near_dups)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def side(want_eval):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 10 == 3) == want_eval))
+        return f
+
+    train = docs.map_batches(side(False), batch_format="pyarrow")
+    evalset = docs.map_batches(side(True), batch_format="pyarrow")
+    return cross_corpus_near_dups(train, evalset, threshold=0.6)
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs over the embeddings table."""
     import ray.data as rd
@@ -3122,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
+        "cross_dedup": q_cross_dedup,
         "dedup_embedding": q_dedup_embedding,
         "token_count": q_token_count,
         "pii_redacted": q_pii_redacted,
@@ -3252,6 +3278,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/dedup_minhash.parquet')}')"),
+        "cross_dedup": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/cross_dedup.parquet')}')"),
         "dedup_simhash": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/dedup_simhash.parquet')}')"),

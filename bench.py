@@ -162,7 +162,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "pii_redacted", "page_rank", "source_mixture", "dedup_ngram",
              "collocations", "importance_sample", "quality_pruned",
              "clean_text", "funnel_counts", "retention_cohorts",
-             "shipping_priority"]
+             "shipping_priority", "cross_dedup"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

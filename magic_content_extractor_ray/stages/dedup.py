@@ -871,3 +871,71 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
 
     return map_key_partitions(partials, "pk", sum_and_score,
                               num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dup detection (decontaminate train against eval)
+# ---------------------------------------------------------------------------
+
+def cross_corpus_near_dups(train, evalset, *, column: str = "text",
+                           id_column: str = "doc_id",
+                           threshold: float = 0.7, **minhash_kwargs):
+    """Train docs that are MinHash near-dups of any eval doc — the
+    similarity-level complement of exact n-gram decontamination
+    (stages/decontam.py): paraphrased or lightly-edited eval leakage
+    that no exact n-gram match catches. Both corpora are tagged
+    map-side and share ONE banded LSH pass (``minhash_pairs`` on the
+    union). Flagging is COMPONENT-level, not pair-level, on purpose:
+    the hot-bucket star-pair policy emits an identity group as a star
+    to its min-id representative, so a train doc may reach an eval doc
+    only through intra-train edges — connected components recover
+    exactly those transitive leaks. Returns (train_id, eval_id) where
+    eval_id is the smallest eval doc in the train doc's near-dup
+    cluster.
+
+    Ids must be disjoint across the two inputs (enforced by the odd/even
+    tag bit): ids are tagged ``2·id`` (train) / ``2·id + 1`` (eval) so
+    side membership survives every shuffle without a lookup structure."""
+    import pyarrow.compute as pc
+
+    from .graph import connected_components
+    from .window import map_key_partitions, segment_lengths, segment_starts
+
+    def tag(factor_add):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.add(pc.multiply(t.column(id_column),
+                                     pa.scalar(2, pa.int64())),
+                         pa.scalar(factor_add, pa.int64()))
+            return t.drop_columns([id_column]).append_column(
+                id_column, pc.cast(ids, pa.int64()))
+        return f
+
+    union = train.map_batches(tag(0), batch_format="pyarrow").union(
+        evalset.map_batches(tag(1), batch_format="pyarrow"))
+    pairs = minhash_pairs(union, column=column, id_column=id_column,
+                          threshold=threshold, **minhash_kwargs)
+    memb = connected_components(pairs, node_col="node",
+                                label_col="cluster_id")
+
+    INF = np.int64(1 << 62)
+
+    def flag_clusters(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cl = t.column("cluster_id").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(nodes) == 0:
+            return pa.table({"train_id": pa.array([], pa.int64()),
+                             "eval_id": pa.array([], pa.int64())})
+        starts = segment_starts(cl)
+        lens = segment_lengths(starts, len(cl))
+        is_eval = (nodes & 1) == 1
+        eval_untag = np.where(is_eval, nodes >> 1, INF)
+        min_eval = np.repeat(np.minimum.reduceat(eval_untag, starts),
+                             lens)
+        keep = (~is_eval) & (min_eval < INF)
+        return pa.table({
+            "train_id": pa.array(nodes[keep] >> 1, pa.int64()),
+            "eval_id": pa.array(min_eval[keep], pa.int64())})
+
+    return map_key_partitions(memb, "cluster_id", flag_clusters)

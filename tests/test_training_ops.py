@@ -1330,3 +1330,26 @@ def test_normalize_text_unicode_cases(ray_session):
             "'g')), '\\s+', ' ', 'g'))", params=[s]).fetchone()[0]
         assert got[i] == want, (i, got[i], want)
     assert got[1] == "café x"  # decomposed input composed to NFC
+
+
+def test_cross_corpus_near_dups_planted(ray_session):
+    """A train doc identical to an eval doc must be flagged; intra-side
+    near-dups must NOT appear in the cross output."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        cross_corpus_near_dups)
+
+    leak = "the exact benchmark question text repeated verbatim " * 5
+    train = rd.from_items([
+        {"doc_id": 1, "text": leak},
+        {"doc_id": 2, "text": leak},  # intra-train dup pair (1,2)
+        {"doc_id": 3, "text": "completely unrelated training prose " * 8},
+    ])
+    evalset = rd.from_items([
+        {"doc_id": 7, "text": leak},
+        {"doc_id": 8, "text": "held out unique evaluation item " * 8},
+    ])
+    out = cross_corpus_near_dups(train, evalset,
+                                 threshold=0.8).to_pandas()
+    flagged = set(zip(out.train_id, out.eval_id))
+    assert flagged == {(1, 7), (2, 7)}
