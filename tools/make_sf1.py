@@ -51,4 +51,7 @@ def shift_replicate(name, int_shift_cols):
 shift_replicate("orders", {"o_orderkey", "o_custkey"})
 shift_replicate("customer", {"c_custkey"})
 shift_replicate("events", {"event_id", "user_id"})
+# only l_orderkey shifts: part/supplier dims are not replicated, and the
+# order join is what the sf1 heavy family exercises
+shift_replicate("lineitem", {"l_orderkey"})
 print("documents", pq.ParquetFile(f"{DST}/documents.parquet").metadata.num_rows)
