@@ -3132,6 +3132,390 @@ def _page_rank_sql(damping: float = 0.85, n_iter: int = 10) -> str:
     return sql
 
 
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier revenue): revenue per nation where
+    the CUSTOMER and the LINEITEM's SUPPLIER sit in the same in-region
+    nation. supplier/nation/region are broadcast dimension lookups
+    (dense int arrays, `ray.put` once); orders⋈customer and
+    (orders⋈customer)⋈lineitem are the two PARTITIONED hash joins — the
+    full big-big shuffle path, complementing shipping_priority's
+    broadcast-semi-filter variant. Customers outside the region are
+    dropped map-side BEFORE join #1's shuffle (semi-filter pushdown),
+    revenue is exact integer cents×pct, and per-batch partials precede
+    the final nation-keyed groupby (bounded: 25 nations)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    lo_us = int(np.datetime64("1996-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+    hi_us = int(np.datetime64("1998-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = reg.filter(pc.equal(reg.column("r_name"), "EUROPE")).column(
+        "r_regionkey")[0].as_py()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nkeys = nat.column("n_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    region_nations = np.zeros(int(nkeys.max()) + 1, dtype=bool)
+    in_reg = nat.column("n_regionkey").to_numpy(
+        zero_copy_only=False).astype(np.int64) == rk
+    region_nations[nkeys[in_reg]] = True
+    nation_names = np.array(
+        [""] * (int(nkeys.max()) + 1), dtype=object)
+    nation_names[nkeys] = nat.column("n_name").to_pylist()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = sup.column("s_suppkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sup_nat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    sup_nat[skeys] = sup.column("s_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    reg_ref = ray.put(region_nations)
+    sup_ref = ray.put(sup_nat)
+
+    def ords_side(t: pa.Table) -> pa.Table:
+        us = ts_us(t.column("o_orderdate"))
+        keep = (us >= lo_us) & (us < hi_us)
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+        })
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        rn = ray.get(reg_ref)
+        nk = t.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = (nk >= 0) & (nk < len(rn)) & rn[nk]
+        return pa.table({
+            "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+            "c_nationkey": pa.array(nk, pa.int64()),
+        }).filter(pa.array(keep))
+
+    ords = _read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"]
+                    ).map_batches(ords_side, batch_format="pyarrow")
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_nationkey"]
+                    ).map_batches(cust_side, batch_format="pyarrow")
+    i64 = pa.int64()
+    j1 = hash_join(ords, cust, key="c_custkey",
+                   left_cols=["l_orderkey"], right_cols=["c_nationkey"],
+                   left_types={"c_custkey": i64, "l_orderkey": i64},
+                   right_types={"c_custkey": i64, "c_nationkey": i64})
+
+    def li_side(t: pa.Table) -> pa.Table:
+        sn = ray.get(sup_ref)
+        rn = ray.get(reg_ref)
+        sk = t.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nk = np.where((sk >= 0) & (sk < len(sn)), sn[np.clip(
+            sk, 0, len(sn) - 1)], -1)
+        keep = (nk >= 0) & rn[np.clip(nk, 0, len(rn) - 1)]
+        t = t.filter(pa.array(keep))
+        nk = nk[keep]
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+            pa.scalar(1.0), t.column("l_discount")), 100)), pa.int64())
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "s_nat": pa.array(nk, pa.int64()),
+            "rev": pc.multiply(price_c, disc_pct),
+        })
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"]
+                  ).map_batches(li_side, batch_format="pyarrow")
+    j2 = hash_join(j1, li, key="l_orderkey",
+                   left_cols=["c_nationkey"], right_cols=["s_nat", "rev"],
+                   left_types={"l_orderkey": i64, "c_nationkey": i64},
+                   right_types={"l_orderkey": i64, "s_nat": i64,
+                                "rev": i64})
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        keep = pc.equal(t.column("c_nationkey"), t.column("s_nat"))
+        t = t.filter(keep)
+        nk = t.column("s_nat").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = pa.table({
+            "n_name": pa.array(names[nk].astype(str)),
+            "rev": t.column("rev"),
+        }).group_by("n_name").aggregate([("rev", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "revenue_c4": g.column("rev_sum")})
+
+    name_ref = ray.put(nation_names)
+    return j2.map_batches(finish, batch_format="pyarrow").groupby(
+        "n_name").aggregate(Sum("revenue_c4", alias_name="revenue_c4")
+                            ).sort(["revenue_c4", "n_name"],
+                                   descending=[True, False])
+
+
+def q_covisitation(sf_dir: str):
+    """Item co-occurrence mining ("users who viewed X also viewed Y"):
+    distinct (user, item) pairs from view events, per-user unordered item
+    pairs emitted with the same vectorized triangular-index decode the
+    ngram dedup uses, pair keys PACKED into one int64, per-partition
+    partial counts (np.unique) so the combiner shuffle moves (pair,
+    count) rows, then a bounded top-50. Users never straddle partitions
+    (map_key_partitions), so per-user dedup and pair emission are exact;
+    per-user item fan-out is bounded by the item catalog."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    K = 50
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.cast(pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"), pa.int64())
+        out = pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "item": ks,
+        })
+        # map-side (user, item) pre-dedup shrinks the partition shuffle
+        return out.group_by(["user_id", "item"]).aggregate([])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        it = t.column("item").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(u) and (it.min() < 0 or it.max() >= (1 << 31)):
+            raise ValueError("covisitation packs item pairs into one "
+                             "int64; item ids must be in [0, 2^31)")
+        keep = np.ones(len(u), dtype=bool)
+        if len(u) > 1:  # rows sorted by (user, item): adjacent dedup
+            keep[1:] = (u[1:] != u[:-1]) | (it[1:] != it[:-1])
+        u, it = u[keep], it[keep]
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, len(u))
+        sel = lens >= 2
+        starts, lens = starts[sel], lens[sel]
+        counts = lens * (lens - 1) // 2
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        seg = np.repeat(np.arange(len(lens)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        tloc = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+        length = lens[seg]
+        a = (length - 2 - np.floor(
+            (np.sqrt(-8.0 * tloc + 4.0 * length * (length - 1) - 7.0)
+             - 1.0) / 2.0)).astype(np.int64)
+        b = tloc + a + 1 - length * (length - 1) // 2 \
+            + (length - a) * (length - a - 1) // 2
+        base = starts[seg]
+        pk = (it[base + a] << np.int64(31)) | it[base + b]
+        pku, cnt = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(pku, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    ui = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "props"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    counts = map_key_partitions(ui, "user_id", pairs, sort_cols=["item"]
+                                ).groupby("pk").aggregate(
+        Sum("c", alias_name="n_users"))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(
+            ["n_users", "pk"], ascending=[False, True]).head(K)
+        return pa.Table.from_pandas(
+            df, preserve_index=False).replace_schema_metadata(None)
+
+    cands = counts.map_batches(partial_topk, batch_format="pyarrow",
+                               batch_size=8192)
+    df = cands.to_pandas().sort_values(
+        ["n_users", "pk"], ascending=[False, True]).head(K)
+    pk = df["pk"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "item_a": pa.array(pk >> np.int64(31), pa.int64()),
+        "item_b": pa.array(pk & np.int64((1 << 31) - 1), pa.int64()),
+        "n_users": pa.array(df["n_users"].to_numpy(dtype=np.int64),
+                            pa.int64()),
+    })
+
+
+def q_centroid_assign(sf_dir: str):
+    """Nearest-centroid classification (vector quantization / IVF-style
+    assignment) with an EXACT SQL twin: per-label centroids from the
+    label_centroids sufficient statistics (bounded labels×dims rows on
+    the driver), quantized to integer micro-units with an explicit
+    floor((2s+n)/2n) rule both sides reproduce bit-for-bit, broadcast
+    once, then one vectorized int64 distance matmul-shape pass per batch.
+    Ties break to the smallest label in both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    stats = q_label_centroids(sf_dir).take_all()  # bounded: labels × dims
+    labels = sorted({r["label"] for r in stats})
+    dims = max(r["dim"] for r in stats)
+    lab_ix = {lab: i for i, lab in enumerate(labels)}
+    cm = np.zeros((len(labels), dims), dtype=np.int64)
+    for r in stats:
+        s, n = int(r["sum_micro"]), int(r["n_vals"])
+        cm[lab_ix[r["label"]], r["dim"] - 1] = int(
+            np.floor((2.0 * s + n) / (2.0 * n)))
+    cent_ref = ray.put(cm)
+    labels_arr = np.array(labels, dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        v = flat * 1e6
+        xm = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(
+            np.int64).reshape(len(batch), -1)
+        # (n, L) int64 distances — exact, order-independent
+        d = ((xm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d, axis=1)  # first minimum = smallest label
+        return pa.table({
+            "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+            "pred_label": pa.array(labels_arr[best], pa.int64()),
+            "dist_sq": pa.array(d[np.arange(len(d)), best], pa.int64()),
+        })
+
+    return _read_pq(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"]
+                    ).map_batches(assign, batch_format="pyarrow",
+                                  batch_size=2048).sort("vec_id")
+
+
+def q_quality_percentile(sf_dir: str):
+    """Exact PERCENT_RANK of every document's token count without a
+    global sort: a bounded value histogram of token counts (distinct
+    counts ≪ rows) is aggregated once, its cumulative strictly-less
+    table broadcast, and the rank becomes a map-side searchsorted —
+    rank math in integers, the final ratio floored to ppm with the same
+    IEEE op order as the SQL window function."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.textops import token_counts
+
+    toks = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]
+                    ).map_batches(token_counts, batch_format="pyarrow"
+                                  ).select_columns(["doc_id", "n_tokens"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = batch.group_by("n_tokens").aggregate([("n_tokens", "count")])
+        return pa.table({
+            "n_tokens": g.column("n_tokens"),
+            "cnt": pc.cast(g.column("n_tokens_count"), pa.int64()),
+        })
+
+    h = toks.map_batches(hist, batch_format="pyarrow").groupby(
+        "n_tokens").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+    vals = np.array([r["n_tokens"] for r in h], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in h], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    less = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    n_total = int(cnts.sum())
+    ref = ray.put((vals, less))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        v, lt = ray.get(ref)
+        nt = batch.column("n_tokens").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = lt[np.searchsorted(v, nt)]
+        # same op order as SQL floor(percent_rank() * 1e6):
+        # (rank-1)/(N-1) first, then × 1e6, then floor — both IEEE double
+        pr = np.floor((c.astype(np.float64) / (n_total - 1)) * 1e6)
+        return batch.append_column(
+            "pr_ppm", pa.array(pr.astype(np.int64), pa.int64()))
+
+    return toks.map_batches(rank, batch_format="pyarrow").sort("doc_id")
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build (top-5 postings per term by tf): docs never
+    split across batches, so per-batch (doc, term) tf is exact; each
+    batch keeps only its own top-5 per term (the global top-5 is a
+    subset of the per-batch top-5 union), so the term shuffle moves ≤5
+    rows per term per batch; the per-term merge re-ranks the bounded
+    candidate set."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    K = 5
+
+    def postings(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = _ws_split_lists(pc.utf8_lower(texts))
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, "")
+        words = flat.filter(keep)
+        parent = pc.list_parent_indices(lists).filter(keep)
+        doc_ids = pc.take(batch.column("doc_id"), parent)
+        tf = pa.table({"term": words, "doc_id": doc_ids}).group_by(
+            ["term", "doc_id"]).aggregate([("doc_id", "count")])
+        t = pa.table({
+            "term": tf.column("term"),
+            "doc_id": pc.cast(tf.column("doc_id"), pa.int64()),
+            "tf": pc.cast(tf.column("doc_id_count"), pa.int64()),
+        }).sort_by([("term", "ascending"), ("tf", "descending"),
+                    ("doc_id", "ascending")])
+        col = t.column("term").combine_chunks()
+        if len(col) == 0:
+            return t
+        new = pc.not_equal(col.slice(1), col.slice(0, len(col) - 1))
+        starts = np.nonzero(np.concatenate(
+            ([True], new.to_numpy(zero_copy_only=False))))[0]
+        seg_id = np.cumsum(np.concatenate(
+            ([True], new.to_numpy(zero_copy_only=False)))) - 1
+        rank = np.arange(len(col), dtype=np.int64) - starts[seg_id]
+        return t.filter(pa.array(rank < K))
+
+    def merge(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("term", "ascending"), ("tf", "descending"),
+                       ("doc_id", "ascending")]).slice(0, K)
+        return t.append_column("rank", pa.array(
+            np.arange(1, len(t) + 1, dtype=np.int64), pa.int64()))
+
+    return _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]
+                    ).map_batches(postings, batch_format="pyarrow"
+                                  ).groupby("term").map_groups(
+        merge, batch_format="pyarrow").sort(["term", "rank"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -3165,6 +3549,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "retention_cohorts": q_retention_cohorts,
         "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
+        "covisitation": q_covisitation,
+        "centroid_assign": q_centroid_assign,
+        "quality_percentile": q_quality_percentile,
+        "inverted_index": q_inverted_index,
         "repetition_stats": q_repetition_stats,
         "doc_frequency": q_doc_frequency,
         "token_histogram": q_token_histogram,
@@ -3424,6 +3813,63 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_shipdate > TIMESTAMP '1996-06-30' "
             "GROUP BY l.l_orderkey, o.o_orderdate "
             "ORDER BY revenue_c4 DESC, o_orderdate, l_orderkey LIMIT 10"),
+        "regional_revenue": (
+            "SELECT n.n_name AS n_name, CAST(sum("
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c4 "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "AND c.c_nationkey = s.s_nationkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'EUROPE' "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1 ORDER BY revenue_c4 DESC, n_name"),
+        "covisitation": (
+            "WITH ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view') "
+            "SELECT a.item AS item_a, b.item AS item_b, "
+            "count(*) AS n_users "
+            "FROM ui a JOIN ui b ON a.user_id = b.user_id "
+            "AND a.item < b.item "
+            "GROUP BY 1, 2 ORDER BY n_users DESC, item_a, item_b "
+            "LIMIT 50"),
+        "centroid_assign": (
+            "WITH x AS (SELECT vec_id, label, "
+            "generate_subscripts(embedding, 1) AS dim, "
+            "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) "
+            "AS BIGINT) AS xm FROM embeddings), "
+            "c AS (SELECT label, dim, CAST(floor("
+            "(2.0 * sum(xm) + count(*)) / (2.0 * count(*))) AS BIGINT) "
+            "AS cm FROM x GROUP BY 1, 2), "
+            "d AS (SELECT x.vec_id, c.label, "
+            "CAST(sum((x.xm - c.cm) * (x.xm - c.cm)) AS BIGINT) AS dist "
+            "FROM x JOIN c USING (dim) GROUP BY 1, 2) "
+            "SELECT vec_id, label AS pred_label, dist AS dist_sq "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dist, label) AS rn FROM d) WHERE rn = 1 "
+            "ORDER BY vec_id"),
+        "quality_percentile": (
+            "WITH tok AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents) "
+            "SELECT doc_id, n_tokens, CAST(floor("
+            "percent_rank() OVER (ORDER BY n_tokens) * 1000000) "
+            "AS BIGINT) AS pr_ppm FROM tok ORDER BY doc_id"),
+        "inverted_index": (
+            "WITH tf AS (SELECT t.term, d.doc_id, "
+            "CAST(count(*) AS BIGINT) AS tf "
+            "FROM documents d, unnest(regexp_extract_all("
+            "lower(d.text), '\\S+')) AS t(term) "
+            "WHERE t.term <> '' GROUP BY 1, 2) "
+            "SELECT term, doc_id, tf, rn AS rank "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY term "
+            "ORDER BY tf DESC, doc_id) AS rn FROM tf) WHERE rn <= 5 "
+            "ORDER BY term, rank"),
         "retention_cohorts": (
             "WITH uw AS (SELECT DISTINCT user_id, "
             "CAST(date_trunc('week', ts) AS DATE) AS wk FROM events), "

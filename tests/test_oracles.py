@@ -21,7 +21,9 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "epoch_shuffle", "brand_revenue", "event_value_totals",
         "recent_orders", "top_terms_per_lang", "session_durations",
         "doc_chunks", "chunk_dedup", "docs_decontaminated",
-        "split_assignments", "supplier_ship_volumes", "ann_filtered"]
+        "split_assignments", "supplier_ship_volumes", "ann_filtered",
+        "covisitation", "centroid_assign", "quality_percentile",
+        "inverted_index"]
 
 
 @pytest.fixture(scope="module")
