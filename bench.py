@@ -162,7 +162,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "pii_redacted", "page_rank", "source_mixture", "dedup_ngram",
              "collocations", "importance_sample", "quality_pruned",
              "clean_text", "funnel_counts", "retention_cohorts",
-             "shipping_priority", "cross_dedup"]
+             "shipping_priority", "cross_dedup",
+             # Q5 big-big join chain, co-occurrence mining, vector
+             # quantization, exact percent_rank, inverted index
+             "regional_revenue", "covisitation", "centroid_assign",
+             "quality_percentile", "inverted_index"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
