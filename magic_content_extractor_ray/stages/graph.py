@@ -178,8 +178,10 @@ def connected_components(pairs, *, left: str = "left_id",
         # acero bucket join) — each node's label flows to its neighbors
         msgs = hash_join(edges, labels, key="node",
                          left_cols=["nbr"], right_cols=["label"])
-        cands = msgs.map_batches(nbr_cands, batch_format="pyarrow").union(
-            labels.map_batches(self_cands, batch_format="pyarrow"))
+        cands = msgs.map_batches(
+            nbr_cands, batch_format="pyarrow", batch_size=65536).union(
+            labels.map_batches(self_cands, batch_format="pyarrow",
+                               batch_size=65536))
         stepped = cands.groupby("node").aggregate(
             Min("cand", alias_name="label"),
             Min("old", alias_name="old")).repartition(nb).materialize()

@@ -53,9 +53,14 @@ def set_op(left, right, *, key_columns: list[str] | str, op: str):
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}, got {op!r}")
 
+    # batch_size coalesces each side into dense blocks before the union:
+    # the downstream groupby's all-to-all pays a fixed per-input-block
+    # cost that grows superlinearly past ~100 blocks (see join.hash_join)
     tagged = left.map_batches(
-        _tag(1, 0, key_columns), batch_format="pyarrow").union(
-        right.map_batches(_tag(0, 1, key_columns), batch_format="pyarrow"))
+        _tag(1, 0, key_columns), batch_format="pyarrow",
+        batch_size=32768).union(
+        right.map_batches(_tag(0, 1, key_columns), batch_format="pyarrow",
+                          batch_size=32768))
 
     flags = tagged.groupby(key_columns).aggregate(
         Max("in_l", alias_name="in_l"), Max("in_r", alias_name="in_r"))
