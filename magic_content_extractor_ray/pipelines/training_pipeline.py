@@ -44,7 +44,7 @@ def run_training_pipeline(ds, *, budget: int = 2048,
     restart resumes from the last stage boundary instead of recomputing."""
     from ..stages.dedup import exact_dedup, minhash_lsh_dedup
     from ..stages.join import hash_join
-    from ..stages.packing import pack_batch
+    from ..stages.packing import pack_deterministic
     from ..stages.textops import token_counts, quality_counts
 
     def features(batch: pa.Table) -> pa.Table:
@@ -104,11 +104,14 @@ def run_training_pipeline(ds, *, budget: int = 2048,
     deduped = joined.map_batches(
         keep_non_dups, batch_format="pyarrow").materialize()
 
+    order_column = id_column
     if shuffle_salt is not None:
         # deterministic epoch shuffle before packing: packs then mix
-        # documents from across the corpus instead of source order.
-        # Same salt → same order on any cluster shape; bump the salt per
-        # epoch. One distributed range sort on the 60-bit hash.
+        # documents from across the corpus instead of id order. Same
+        # salt → same packs on any cluster shape; bump the salt per
+        # epoch. The shuffle key doubles as the packing partition/order
+        # key, so the "shuffle" costs nothing beyond packing's own
+        # exchange.
         import hashlib
 
         def add_shuffle_key(batch: pa.Table) -> pa.Table:
@@ -118,12 +121,14 @@ def run_training_pipeline(ds, *, budget: int = 2048,
             return batch.append_column("_shuf", pa.array(hs, pa.int64()))
 
         deduped = deduped.map_batches(
-            add_shuffle_key, batch_format="pyarrow").sort(
-            "_shuf").drop_columns(["_shuf"])
+            add_shuffle_key, batch_format="pyarrow")
+        order_column = "_shuf"
 
-    packs = deduped.map_batches(
-        pack_batch, batch_format="pyarrow", batch_size=2048,
-        fn_kwargs=dict(budget=budget, id_column=id_column))
+    # scheduling-independent: pack membership is a pure function of the
+    # surviving doc set (stages/packing.pack_deterministic), so reruns
+    # and snapshot checks see identical packs regardless of block order
+    packs = pack_deterministic(deduped, budget=budget, id_column=id_column,
+                               order_column=order_column)
 
     funnel = {}
     if collect_funnel:

@@ -7,11 +7,13 @@ All are Ray-Data-first:
   pairs, never the payload.
 - ``minhash_lsh_dedup``: char-shingle → minhash signature (numpy, per batch)
   → band explode (the signature rides each band row as a binary column) →
-  ``groupby(band_key)`` bucket → pairs VERIFIED by signature-estimated
-  Jaccard inside the bucket ``map_groups`` → distributed duplicate-pair
-  dedup (composite-key groupby) → connected components as Ray Data
-  min-label-propagation rounds (stages/graph.py). Nothing funnels through
-  the driver; every step returns/consumes a Dataset.
+  hash-partition by band_key (one task per PARTITION, not per bucket —
+  singleton buckets are skipped by a vectorized run-length pass) → pairs
+  VERIFIED by signature-estimated Jaccard inside the partition task →
+  distributed duplicate-pair dedup (composite-key groupby) → connected
+  components as Ray Data min-label-propagation rounds (stages/graph.py).
+  Nothing funnels through the driver; every step returns/consumes a
+  Dataset.
 - ``simhash_dedup``: 64-bit simhash, pigeonhole band split (any pair within
   hamming distance d shares ≥1 of d+1 bands) → bucket → verify hamming.
 - ``ngram_jaccard``: exact word n-gram Jaccard between candidate pairs
@@ -146,9 +148,11 @@ def _band_explode(batch: pa.Table, *, bands: int, id_column: str) -> pa.Table:
         names=["band_key", id_column, "sig"])
 
 
-def _bucket_verified_pairs(group, *, id_column: str, threshold: float,
-                           max_distinct_sigs: int):
-    """Within one LSH bucket: emit VERIFIED pairs (est Jaccard ≥ threshold).
+def _verify_bucket(ids: np.ndarray, sigs: np.ndarray, *, threshold: float,
+                   max_distinct_sigs: int, out_l: list, out_r: list,
+                   out_e: list) -> None:
+    """Within one LSH bucket: append VERIFIED pairs (est Jaccard ≥
+    threshold) to the output lists.
 
     Hot-bucket handling: members are first grouped by signature identity —
     an identity group of size m yields m-1 star pairs to its min-id
@@ -157,22 +161,13 @@ def _bucket_verified_pairs(group, *, id_column: str, threshold: float,
     more than ``max_distinct_sigs`` distinct signatures (a degenerate band)
     compare only the first that-many representatives, but identity pairs
     are always complete."""
-    import pandas as pd
-
-    n = len(group)
-    if n < 2:
-        return pd.DataFrame({"left_id": [], "right_id": [],
-                             "est_jaccard": []})
-    ids = group[id_column].to_numpy()
+    n = len(ids)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    sigs = np.frombuffer(
-        b"".join(group["sig"].to_numpy()[order]), dtype=np.uint64,
-    ).reshape(n, -1)
+    sigs = sigs[order]
 
     uniq, first_idx, inverse = np.unique(
         sigs, axis=0, return_index=True, return_inverse=True)
-    out_l, out_r, out_e = [], [], []
     # identity pairs: member → min-id representative of its identity group
     rep_of = {}
     for g in range(len(uniq)):
@@ -202,16 +197,57 @@ def _bucket_verified_pairs(group, *, id_column: str, threshold: float,
             out_l.append(la)
             out_r.append(lb)
             out_e.append(float(est[i, j]))
-    return pd.DataFrame({"left_id": out_l, "right_id": out_r,
-                         "est_jaccard": out_e})
+
+
+def _partition_verified_pairs(part: pa.Table, *, id_column: str,
+                              threshold: float,
+                              max_distinct_sigs: int) -> pa.Table:
+    """All buckets of one hash partition (sorted by band_key) in ONE call.
+
+    ``groupby(band_key).map_groups`` pays a Python callback + DataFrame
+    construction per bucket; on a mostly-unique corpus ~all buckets are
+    singletons, so callback overhead dominates (measured 3.4 s of a 10 s
+    sf0.1 run). Here singleton buckets are skipped wholesale with one
+    vectorized run-length pass; only multi-member buckets (rare) reach
+    Python."""
+    from .window import segment_lengths, segment_starts
+
+    keys = part.column("band_key").to_numpy(zero_copy_only=False)
+    n = len(keys)
+    out_l: list = []
+    out_r: list = []
+    out_e: list = []
+    if n:
+        ids_all = part.column(id_column).to_numpy(zero_copy_only=False)
+        sig_col = part.column("sig").combine_chunks()
+        starts = segment_starts(keys)
+        lens = segment_lengths(starts, n)
+        width = len(sig_col[0].as_py()) // 8 if n else 0
+        for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+            members = slice(int(s), int(s + ln))
+            sigs = np.frombuffer(
+                b"".join(sig_col[members].to_pylist()),
+                dtype=np.uint64).reshape(int(ln), width)
+            _verify_bucket(ids_all[members], sigs, threshold=threshold,
+                           max_distinct_sigs=max_distinct_sigs,
+                           out_l=out_l, out_r=out_r, out_e=out_e)
+    return pa.table({
+        "left_id": pa.array(out_l, pa.int64()),
+        "right_id": pa.array(out_r, pa.int64()),
+        "est_jaccard": pa.array(out_e, pa.float64()),
+    })
 
 
 def _minhash_raw_pairs(ds, *, column, id_column, num_perm, bands,
                        threshold, shingle_k, max_distinct_sigs, seed):
     """Verified pairs, possibly repeated across bands (cheap to produce;
     consumers that tolerate duplicate edges — union-find, label
-    propagation — skip a whole dedup shuffle by using this directly)."""
+    propagation — skip a whole pair-dedup shuffle by using this
+    directly)."""
+    from functools import partial
+
     from ..util import actor_pool
+    from .window import map_key_partitions
 
     sigs = ds.select_columns([id_column, column]).map_batches(
         MinHasher, batch_format="pyarrow", concurrency=actor_pool(),
@@ -223,13 +259,10 @@ def _minhash_raw_pairs(ds, *, column, id_column, num_perm, bands,
         _band_explode, batch_format="pyarrow",
         fn_kwargs=dict(bands=bands, id_column=id_column))
 
-    return banded.groupby("band_key").map_groups(
-        _bucket_verified_pairs, batch_format="pandas",
-        fn_kwargs=dict(id_column=id_column, threshold=threshold,
-                       max_distinct_sigs=max_distinct_sigs)).map_batches(
-        # arrow blocks without the pandas-conversion metadata (keeps
-        # Ray's schema dedup working; see sources/io.py)
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+    return map_key_partitions(
+        banded, "band_key",
+        partial(_partition_verified_pairs, id_column=id_column,
+                threshold=threshold, max_distinct_sigs=max_distinct_sigs))
 
 
 def minhash_pairs(ds, *, column: str = "text", id_column: str = "doc_id",

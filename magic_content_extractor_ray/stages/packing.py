@@ -3,9 +3,10 @@
 Training pipelines batch documents into fixed-length contexts (e.g. 4k/8k
 tokens); packing efficiency directly sets achieved tokens/step. Distributed
 shape: token counts come from the vectorized textops stage; packing runs
-per-block with a greedy first-fit over the block's docs (blocks are
-independent, so packing parallelizes; cross-block fragmentation is bounded
-by one partial pack per block and is reported, not hidden). A document
+one task per hash partition over deterministically-ordered fixed-size
+chunks (``pack_deterministic`` — partitions are independent, so packing
+parallelizes; cross-chunk fragmentation is bounded by one partial pack
+per chunk and is reported, not hidden). A document
 longer than the budget becomes its own SINGLETON OVERFLOW pack
 (``is_overflow=true``) carrying its true token count — consumers that
 split long documents across contexts can do so downstream; nothing is
@@ -63,15 +64,46 @@ def pack_batch(batch: pa.Table, *, budget: int = 4096,
     })
 
 
+def pack_deterministic(counted, *, budget: int = 4096,
+                       id_column: str = "doc_id",
+                       tokens_column: str = "n_tokens",
+                       order_column: str | None = None,
+                       num_buckets: int = 64, chunk: int = 2048):
+    """Scheduling-independent packing of a (id, n_tokens) Dataset.
+
+    Naive ``map_batches(pack_batch)`` packs whatever rows the executor
+    happened to put in each block — pack membership (and even the pack
+    COUNT) then varies run-to-run with task scheduling, which breaks
+    reproducible-training guarantees and any snapshot-based regression
+    check. Here rows are hash-partitioned by ``order_column`` (default:
+    the id), each partition is sorted by it, and fixed ``chunk``-row
+    slices are packed independently — pack assignment becomes a pure
+    function of the row set. Pass a precomputed shuffle key as
+    ``order_column`` to get a deterministic EPOCH-SHUFFLED packing.
+    One shuffle; one task per bucket (size ``num_buckets`` to the
+    cluster)."""
+    from .window import map_key_partitions
+
+    key = order_column or id_column
+
+    def run(part: pa.Table) -> pa.Table:
+        outs = [pack_batch(part.slice(s, chunk), budget=budget,
+                           id_column=id_column, tokens_column=tokens_column)
+                for s in range(0, max(len(part), 1), chunk)]
+        return pa.concat_tables(outs)
+
+    return map_key_partitions(counted, key, run, num_buckets=num_buckets)
+
+
 def pack_documents(ds, *, budget: int = 4096, id_column: str = "doc_id",
-                   text_column: str = "text", batch_size: int = 2048):
-    """documents → token counts → per-block greedy packs."""
+                   text_column: str = "text", batch_size: int = 2048,
+                   num_buckets: int = 64):
+    """documents → token counts → deterministic greedy packs."""
     from .textops import token_counts
 
     counted = ds.map_batches(
         token_counts, batch_format="pyarrow",
         fn_kwargs={"column": text_column}).select_columns(
         [id_column, "n_tokens"])
-    return counted.map_batches(
-        pack_batch, batch_format="pyarrow", batch_size=batch_size,
-        fn_kwargs=dict(budget=budget, id_column=id_column))
+    return pack_deterministic(counted, budget=budget, id_column=id_column,
+                              num_buckets=num_buckets, chunk=batch_size)

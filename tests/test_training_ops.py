@@ -292,6 +292,28 @@ def test_sequence_packing(ray_session):
     assert sum(len(row) for row in packs64["doc_ids"]) == 500
 
 
+def test_packing_scheduling_independent(ray_session):
+    """Pack membership must be a pure function of the (id, tokens) set:
+    identical packs from shuffled input order and different block
+    shapes (the run-to-run flake pack-per-arrival-block packing had)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.packing import pack_deterministic
+
+    rows = [{"doc_id": i, "n_tokens": 10 + (i * 37) % 90}
+            for i in range(1000)]
+
+    def run(rows, blocks):
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(blocks)
+        df = pack_deterministic(ds, budget=256, chunk=128).to_pandas()
+        return sorted((r["pack_key"], tuple(r["doc_ids"]), r["total_tokens"])
+                      for _, r in df.iterrows())
+
+    base = run(rows, 4)
+    assert run(rows[::-1], 17) == base
+    assert run(rows[500:] + rows[:500], 1) == base
+
+
 def test_hll_distinct(ray_session):
     import ray.data as rd
     from magic_content_extractor_ray.stages.sketch import approx_distinct
