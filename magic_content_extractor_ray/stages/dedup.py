@@ -360,7 +360,6 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
     representative, never m²/2 — and cross-hash comparison runs only
     between distinct-hash representatives, vectorized-popcount in chunks,
     capped at ``max_distinct`` representatives per bucket."""
-    import pandas as pd
     from ray.data.aggregate import Min
 
     n_bands = max_hamming + 1
@@ -392,17 +391,13 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
              pa.array(np.repeat(hs, n_bands).astype(np.int64), pa.int64())],
             names=["band_key", id_column, "simhash"])
 
-    def pairs_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"left_id": [], "right_id": [], "hamming": []})
-        ids = g[id_column].to_numpy()
+    def pairs_in_bucket(ids: np.ndarray, hs: np.ndarray,
+                        out_l: list, out_r: list, out_d: list) -> None:
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        hs = g["simhash"].to_numpy()[order].astype(np.uint64)
+        hs = hs[order]
 
         uniq, inverse = np.unique(hs, return_inverse=True)
-        out_l, out_r, out_d = [], [], []
         # identity pairs: member → min-id representative (hamming 0) —
         # n identical docs cost n-1 pairs, never n²/2
         rep_of = {}
@@ -435,13 +430,34 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
                 out_l.append(la)
                 out_r.append(lb)
                 out_d.append(int(d[i, j]))
-        return pd.DataFrame({"left_id": out_l, "right_id": out_r,
-                             "hamming": out_d})
 
-    pairs = hashed.map_batches(explode, batch_format="pyarrow").groupby(
-        "band_key").map_groups(
-        pairs_in_bucket, batch_format="pandas").map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+    def partition_pairs(part: pa.Table) -> pa.Table:
+        # all buckets of one hash partition in one call; singleton
+        # buckets (~all of them) are skipped by the run-length pass
+        from .window import segment_lengths, segment_starts
+
+        keys = part.column("band_key").to_numpy(zero_copy_only=False)
+        out_l: list = []
+        out_r: list = []
+        out_d: list = []
+        if len(keys):
+            ids_all = part.column(id_column).to_numpy(zero_copy_only=False)
+            hs_all = part.column("simhash").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            starts = segment_starts(keys)
+            lens = segment_lengths(starts, len(keys))
+            for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+                sl = slice(int(s), int(s + ln))
+                pairs_in_bucket(ids_all[sl], hs_all[sl], out_l, out_r, out_d)
+        return pa.table({"left_id": pa.array(out_l, pa.int64()),
+                         "right_id": pa.array(out_r, pa.int64()),
+                         "hamming": pa.array(out_d, pa.int64())})
+
+    from .window import map_key_partitions
+
+    pairs = map_key_partitions(
+        hashed.map_batches(explode, batch_format="pyarrow"),
+        "band_key", partition_pairs)
     return pairs.groupby(["left_id", "right_id"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
@@ -471,7 +487,6 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
     ``tile``-row matmul tiles (memory O(tile × bucket), never O(bucket²))
     and capped at ``max_distinct`` representatives per bucket.
     """
-    import pandas as pd
     import ray
     import ray.data as rd
     from ray.data.aggregate import Max
@@ -496,19 +511,15 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
         fn_constructor_kwargs=dict(planes_ref=planes_ref, column=column,
                                    id_column=id_column))
 
-    def pairs_in_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"left_id": [], "right_id": [], "cosine": []})
-        ids = g[id_column].to_numpy()
+    def pairs_in_bucket(ids: np.ndarray, mat: np.ndarray,
+                        out_l: list, out_r: list, out_c: list) -> None:
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        mat = np.stack(g["vec"].to_numpy()[order])  # already L2-normalized
+        mat = mat[order]  # already L2-normalized
 
         # identity groups: byte-identical vectors → star pairs to min id
         uniq, inverse = np.unique(mat, axis=0, return_inverse=True)
         inverse = inverse.ravel()
-        out_l, out_r, out_c = [], [], []
         rep_of = {}
         for gi in range(len(uniq)):
             members = np.nonzero(inverse == gi)[0]
@@ -535,12 +546,34 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
                 out_l.append(la)
                 out_r.append(lb)
                 out_c.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"left_id": out_l, "right_id": out_r,
-                             "cosine": out_c})
 
-    pairs = bucketed.groupby("bucket").map_groups(
-        pairs_in_bucket, batch_format="pandas").map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+    def partition_pairs(part: pa.Table) -> pa.Table:
+        # all buckets of one hash partition per call; singleton buckets
+        # skipped by the run-length pass, vectors decoded zero-copy once
+        from .window import segment_lengths, segment_starts
+
+        keys = part.column("bucket").to_numpy(zero_copy_only=False)
+        out_l: list = []
+        out_r: list = []
+        out_c: list = []
+        if len(keys):
+            ids_all = part.column(id_column).to_numpy(zero_copy_only=False)
+            vecs = part.column("vec").combine_chunks()
+            mat_all = vecs.flatten().to_numpy(
+                zero_copy_only=False).reshape(len(keys), -1)
+            starts = segment_starts(keys)
+            lens = segment_lengths(starts, len(keys))
+            for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+                sl = slice(int(s), int(s + ln))
+                pairs_in_bucket(ids_all[sl], mat_all[sl],
+                                out_l, out_r, out_c)
+        return pa.table({"left_id": pa.array(out_l, pa.int64()),
+                         "right_id": pa.array(out_r, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    from .window import map_key_partitions
+
+    pairs = map_key_partitions(bucketed, "bucket", partition_pairs)
     return pairs.groupby(["left_id", "right_id"]).aggregate(
         Max("cosine", alias_name="cosine"))
 
