@@ -3516,6 +3516,146 @@ def q_inverted_index(sf_dir: str):
         merge, batch_format="pyarrow").sort(["term", "rank"])
 
 
+def q_dup_passages(sf_dir: str):
+    """Per-document duplicated-passage stats: distinct word-3-grams,
+    how many are shared with ≥1 other doc, and the dup ratio — the
+    doc-level repeated-passage signal behind substring-dedup pruning
+    (stages/dedup.duplicate_passage_stats: ONE exchange on the ngram
+    key, df computed as in-partition run lengths, no df table/join)."""
+    from magic_content_extractor_ray.stages.dedup import (
+        duplicate_passage_stats)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return duplicate_passage_stats(docs, n=3, min_df=2).sort("doc_id")
+
+
+def q_eval_overlap(sf_dir: str):
+    """GPT-3-style n-gram overlap contamination score: for each eval
+    doc (doc_id % 10 == 0), the fraction of its distinct 3-grams found
+    anywhere in the train split (stages/decontam.ngram_overlap_scores:
+    tagged union, ONE exchange on the ngram key, train-presence read
+    off each sorted segment's first row)."""
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.decontam import (
+        ngram_overlap_scores)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def side(want_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            # doc_id % 10 == 0 (non-negative ids; arrow has no modulo)
+            mod = pc.subtract(
+                ids, pc.multiply(pc.divide(ids, 10), 10))
+            is_eval = pc.equal(mod, 0)
+            return t.filter(is_eval if want_eval else pc.invert(is_eval))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return ngram_overlap_scores(side(False), side(True), n=3).sort("doc_id")
+
+
+def q_word_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy + type-token ratio (the
+    perplexity-proxy quality features) — one vectorized map_batches,
+    no shuffle (stages/textops.word_entropy_batch: dictionary-encode +
+    packed (row, code) keys + one np.unique per batch)."""
+    from magic_content_extractor_ray.stages.textops import (
+        word_entropy_batch)
+
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        out = word_entropy_batch(t, "text")
+        # the SQL oracle's unnest produces no row for word-less docs
+        out = out.filter(pc.greater(out.column("n_words"), 0))
+        return out.select(["doc_id", "n_words", "n_distinct",
+                           "word_entropy", "ttr"])
+
+    return _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow").sort("doc_id")
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-quantity orders): per-order quantity sums
+    with map-side combine, HAVING > 200, one partitioned hash_join back
+    to orders, customer names appended from a broadcast dimension
+    lookup (ray.put once, searchsorted per batch — join #2 never
+    shuffles). Quantities are integral doubles → summed as int64, so
+    the HAVING cutoff is exact on both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    def li_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("l_orderkey"),
+            "qty_i": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+        })
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_quantity"]).map_batches(
+        li_side, batch_format="pyarrow")
+
+    def having(part: pa.Table) -> pa.Table:
+        # per-order sums via segment reduceat; the HAVING cutoff runs
+        # INSIDE the partition task, so only qualifying orders leave it
+        from magic_content_extractor_ray.stages.window import (
+            segment_starts)
+
+        keys = part.column("o_orderkey").to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "total_qty": pa.array([], pa.int64())})
+        q = part.column("qty_i").to_numpy(zero_copy_only=False)
+        starts = segment_starts(keys)
+        sums = np.add.reduceat(q, starts)
+        keep = sums > 200
+        return pa.table({
+            "o_orderkey": pa.array(keys[starts][keep], pa.int64()),
+            "total_qty": pa.array(sums[keep], pa.int64())})
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions)
+
+    big = map_key_partitions(li, "o_orderkey", having,
+                             coalesce_rows=131072)
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    j = hash_join(orders, big, key="o_orderkey",
+                  left_cols=["o_custkey", "o_totalprice"],
+                  right_cols=["total_qty"],
+                  right_types={"total_qty": pa.int64()})
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).sort_by(
+        "c_custkey")
+    keys_ref = ray.put(cust.column("c_custkey").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    names_ref = ray.put(np.asarray(cust.column("c_name").to_pylist(),
+                                   dtype=object))
+
+    def add_name(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        nm = ray.get(names_ref)
+        ck = t.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, ck), 0, max(len(ks) - 1, 0))
+        return t.append_column("c_name", pa.array(nm[pos], pa.string()))
+
+    return j.map_batches(add_name, batch_format="pyarrow").sort("o_orderkey")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -3628,6 +3768,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "distinct_users_approx": q_distinct_users_approx,
         "checkpoint_lineage": q_checkpoint_lineage,
+        "dup_passages": q_dup_passages,
+        "eval_overlap": q_eval_overlap,
+        "word_entropy": q_word_entropy,
+        "big_orders": q_big_orders,
     }
 
 
@@ -4361,4 +4505,77 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank "
             f"FROM scored) SELECT query_id, neighbor_id, rank FROM ranked "
             f"WHERE rank <= {_ANN_K}"),
+        "dup_passages": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            ngrams AS (
+              SELECT DISTINCT doc_id, ng FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))])
+                       AS ng
+                FROM toks)),
+            df AS (SELECT ng, count(*) AS c FROM ngrams GROUP BY ng),
+            per AS (
+              SELECT n.doc_id, count(*) AS n_ngrams,
+                     CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_dup
+              FROM ngrams n JOIN df USING (ng) GROUP BY n.doc_id)
+            SELECT doc_id, n_ngrams, n_dup,
+                   round(n_dup * 1.0 / n_ngrams, 6) AS dup_ratio
+            FROM per ORDER BY doc_id""",
+        "eval_overlap": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            ngrams AS (
+              SELECT DISTINCT doc_id, ng FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))])
+                       AS ng
+                FROM toks)),
+            ev AS (SELECT * FROM ngrams WHERE doc_id % 10 = 0),
+            tr AS (SELECT DISTINCT ng FROM ngrams WHERE doc_id % 10 <> 0),
+            hits AS (
+              SELECT e.doc_id, count(*) AS n_ngrams,
+                     CAST(sum(CASE WHEN t.ng IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_overlap
+              FROM ev e LEFT JOIN tr t USING (ng) GROUP BY e.doc_id)
+            SELECT doc_id, n_ngrams, n_overlap,
+                   round(n_overlap * 1.0 / n_ngrams, 6) AS overlap_ratio
+            FROM hits ORDER BY doc_id""",
+        "word_entropy": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            w AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+            c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                           count(*) AS n_distinct, sum(c * log2(c)) AS s
+                    FROM c GROUP BY doc_id)
+            SELECT doc_id, n_words, n_distinct,
+                   round(log2(n_words) - s / n_words, 4) AS word_entropy,
+                   round(n_distinct * 1.0 / n_words, 6) AS ttr
+            FROM agg ORDER BY doc_id""",
+        "big_orders": r"""
+            WITH qty AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200)
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   q.total_qty, c.c_name
+            FROM qty q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_orderkey""",
     }

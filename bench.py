@@ -166,7 +166,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # Q5 big-big join chain, co-occurrence mining, vector
              # quantization, exact percent_rank, inverted index
              "regional_revenue", "covisitation", "centroid_assign",
-             "quality_percentile", "inverted_index"]
+             "quality_percentile", "inverted_index",
+             # corpus-stats / decontam-score / Q18 family
+             "dup_passages", "eval_overlap", "word_entropy",
+             "big_orders"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -123,3 +123,89 @@ def decontaminate_bloom(ds, phrases: list[str], *, n: int = 13,
 
     return ds.map_batches(Filter, batch_format="pyarrow",
                           concurrency=actor_pool())
+
+
+def ngram_overlap_scores(train, evalset, *, column: str = "text",
+                         id_column: str = "doc_id", n: int = 3,
+                         num_buckets: int = 64):
+    """Per-eval-document contamination score: the fraction of each eval
+    doc's distinct word n-grams that occur anywhere in the train corpus
+    (the GPT-3 appendix-C / PaLM "n-gram overlap" decontamination
+    metric — a graded complement to the boolean Bloom filter above).
+
+    Single exchange on the ngram key: both corpora are tokenized
+    map-side into distinct (doc, ngram) rows (``_doc_ngrams_batch``),
+    tagged with a side bit, and hash-partitioned together. Within a
+    partition sorted by (ngram, side), a segment's FIRST row is a train
+    row iff the train corpus contains that ngram — so the per-eval-row
+    hit flag falls out of one vectorized run-length pass. One int-key
+    groupby then aggregates hits back to eval docs. No broadcast, no
+    join, no driver state.
+
+    Returns (doc_id, n_ngrams, n_overlap, overlap_ratio) for eval docs
+    with at least one n-gram; overlap_ratio rounded 6dp.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import _doc_ngrams_batch
+    from .window import map_key_partitions, segment_lengths, segment_starts
+
+    def grams(ds, side: int):
+        g = ds.map_batches(
+            _doc_ngrams_batch, batch_format="pyarrow",
+            fn_kwargs={"column": column, "id_column": id_column, "n": n})
+
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, dtype=np.int64)))
+
+        # dense id/key blocks before the union: the downstream exchange
+        # pays a per-input-block cost (see BASELINE.md union-coalescing)
+        return g.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+
+    union = grams(train, 0).union(grams(evalset, 1))
+
+    def score_partition(t: pa.Table) -> pa.Table:
+        """train-presence per segment → PER-EVAL-DOC PARTIALS within the
+        partition, so the doc exchange moves one row per (partition,
+        eval doc) instead of one per (eval doc, ngram)."""
+        keys = t.column("ng").to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "c_all": pa.array([], pa.int64()),
+                             "c_hit": pa.array([], pa.int64())})
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        starts = segment_starts(keys)
+        lens = segment_lengths(starts, len(keys))
+        has_train = side[starts] == 0  # sorted by (ng, side)
+        hit = np.repeat(has_train, lens)
+        mask = side == 1
+        ids = t.column(id_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)[mask]
+        hit = hit[mask]
+        uids, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            id_column: pa.array(uids, pa.int64()),
+            "c_all": pa.array(np.bincount(inv, minlength=len(uids))
+                              .astype(np.int64), pa.int64()),
+            "c_hit": pa.array(np.bincount(inv, weights=hit,
+                                          minlength=len(uids))
+                              .astype(np.int64), pa.int64())})
+
+    scored = map_key_partitions(union, "ng", score_partition,
+                                num_buckets=num_buckets,
+                                sort_cols=["side"],
+                                coalesce_rows=262144)
+    stats = scored.groupby(id_column).aggregate(
+        Sum("c_all", alias_name="n_ngrams"),
+        Sum("c_hit", alias_name="n_overlap"))
+
+    def ratio(t: pa.Table) -> pa.Table:
+        r = pc.round(pc.divide(
+            pc.cast(t.column("n_overlap"), pa.float64()),
+            pc.cast(t.column("n_ngrams"), pa.float64())), ndigits=6,
+            round_mode="half_towards_infinity")  # = DuckDB round() on positives
+        return t.append_column("overlap_ratio", r)
+
+    return stats.map_batches(ratio, batch_format="pyarrow")

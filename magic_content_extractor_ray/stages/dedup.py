@@ -939,6 +939,74 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
                               num_buckets=num_buckets)
 
 
+def duplicate_passage_stats(ds, *, column: str = "text",
+                            id_column: str = "doc_id", n: int = 3,
+                            min_df: int = 2, num_buckets: int = 64):
+    """Per-document duplicated-passage statistics: how much of each
+    document is word-``n``-gram content that also occurs in at least
+    ``min_df - 1`` OTHER documents — the doc-level signal behind
+    substring-dedup / repeated-passage pruning policies (Lee et al.
+    2022 style, at n-gram granularity).
+
+    ONE exchange on the ngram key: every row of an ngram lands in the
+    same hash partition (``map_key_partitions``), so a sorted segment's
+    length IS the ngram's document frequency — no df table, no second
+    join. The flagged rows then take one int-key groupby back to docs.
+
+    Returns (doc_id, n_ngrams, n_dup, dup_ratio): distinct n-grams,
+    how many of them are duplicated corpus-wide, and their ratio
+    (rounded 6dp). Documents with fewer than ``n`` words have no
+    n-grams and produce no row — the same universe as the SQL oracle.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .window import map_key_partitions, segment_lengths, segment_starts
+
+    grams = ds.map_batches(
+        _doc_ngrams_batch, batch_format="pyarrow",
+        fn_kwargs={"column": column, "id_column": id_column, "n": n})
+
+    def flag_partition(t: pa.Table) -> pa.Table:
+        """df per ngram (segment length) → PER-DOC PARTIALS within the
+        partition (np.unique + bincount), so the doc exchange moves one
+        row per (partition, doc) instead of one per (doc, ngram)."""
+        keys = t.column("ng").to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "c_all": pa.array([], pa.int64()),
+                             "c_dup": pa.array([], pa.int64())})
+        ids = t.column(id_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = segment_starts(keys)
+        lens = segment_lengths(starts, len(keys))
+        is_dup = np.repeat(lens >= min_df, lens)
+        uids, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            id_column: pa.array(uids, pa.int64()),
+            "c_all": pa.array(np.bincount(inv, minlength=len(uids))
+                              .astype(np.int64), pa.int64()),
+            "c_dup": pa.array(np.bincount(inv, weights=is_dup,
+                                          minlength=len(uids))
+                              .astype(np.int64), pa.int64())})
+
+    flagged = map_key_partitions(grams, "ng", flag_partition,
+                                 num_buckets=num_buckets,
+                                 coalesce_rows=262144)
+    stats = flagged.groupby(id_column).aggregate(
+        Sum("c_all", alias_name="n_ngrams"),
+        Sum("c_dup", alias_name="n_dup"))
+
+    def ratio(t: pa.Table) -> pa.Table:
+        r = pc.round(pc.divide(
+            pc.cast(t.column("n_dup"), pa.float64()),
+            pc.cast(t.column("n_ngrams"), pa.float64())), ndigits=6,
+            round_mode="half_towards_infinity")  # = DuckDB round() on positives
+        return t.append_column("dup_ratio", r)
+
+    return stats.map_batches(ratio, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # cross-corpus near-dup detection (decontaminate train against eval)
 # ---------------------------------------------------------------------------

@@ -157,6 +157,67 @@ def repetition_counts(batch: pa.Table, column: str = "text") -> pa.Table:
     return batch.append_column("n_nonspace_chars", n_nonspace)
 
 
+def word_entropy_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-document unigram Shannon entropy (bits) and type-token ratio
+    — the distributional quality signals behind perplexity-proxy
+    filters (low entropy = keyword-stuffed / template text; low TTR =
+    repetitive text). Fully vectorized: lowercased RE2 ``\\s+`` tokens
+    are dictionary-encoded, (row, word-code) keys packed into one int64,
+    and ONE ``np.unique`` over the whole batch yields every document's
+    word histogram; entropy = log2(n) − Σ c·log2(c) / n via segmented
+    reduceat. No Python loop over rows or words.
+
+    Appends n_words, n_distinct, word_entropy (4dp), ttr (6dp); empty
+    documents get zeros."""
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parent = parent.filter(keep)
+
+    n_rows = len(batch)
+    n_words = np.zeros(n_rows, np.int64)
+    n_distinct = np.zeros(n_rows, np.int64)
+    ent = np.zeros(n_rows, np.float64)
+    ttr = np.zeros(n_rows, np.float64)
+    if len(flat):
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        codes = flat.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = (par << np.int64(32)) | codes
+        uk, counts = np.unique(key, return_counts=True)
+        docseg = (uk >> np.int64(32)).astype(np.int64)
+        starts = np.nonzero(np.concatenate(
+            ([True], docseg[1:] != docseg[:-1])))[0]
+        rows = docseg[starts]
+        tot = np.add.reduceat(counts, starts)
+        s = np.add.reduceat(counts * np.log2(counts), starts)
+        n_words[rows] = tot
+        n_distinct[rows] = np.diff(np.append(starts, len(uk)))
+        ent[rows] = np.log2(tot) - s / tot
+        ttr[rows] = n_distinct[rows] / tot
+    batch = batch.append_column("n_words", pa.array(n_words, pa.int64()))
+    batch = batch.append_column("n_distinct",
+                                pa.array(n_distinct, pa.int64()))
+    # half-away-from-zero (= DuckDB round on non-negatives) — both values
+    # can land on exact .5 ties (power-of-two word counts make entropy
+    # dyadic; ttr is a small-int ratio, e.g. 1/128), where np.round's
+    # half-to-even would diverge from the SQL oracle
+    ent_r = np.floor(ent * 1e4 + 0.5) / 1e4
+    ttr_r = np.floor(ttr * 1e6 + 0.5) / 1e6
+    batch = batch.append_column(
+        "word_entropy", pa.array(ent_r, pa.float64()))
+    return batch.append_column("ttr", pa.array(ttr_r, pa.float64()))
+
+
 def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Document fingerprints:
 

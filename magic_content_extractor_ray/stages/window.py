@@ -28,13 +28,21 @@ import pyarrow as pa
 
 
 def map_key_partitions(ds, key: str, fn, *, num_buckets: int = 64,
-                       sort_cols: list[str] | None = None):
+                       sort_cols: list[str] | None = None,
+                       coalesce_rows: int | None = None):
     """Hash-partition ``ds`` by ``key`` and call ``fn`` once per partition.
 
     ``fn(table: pa.Table) -> pa.Table`` receives all rows of every key in
     the partition, sorted by ``[key] + sort_cols`` (defaults to just the
     key), WITHOUT the transient ``__bucket`` column. Keys never straddle
     partitions, so any per-key window computed inside ``fn`` is exact.
+
+    ``coalesce_rows``: batch size for the bucket-tagging map — coalesces
+    many small upstream blocks into dense shuffle inputs (the groupby's
+    all-to-all pays a fixed cost per input block × partition; see
+    BASELINE.md union-coalescing). Use for narrow key/value rows; leave
+    None when rows carry large payloads (rebatching megabyte blocks
+    costs more than it saves).
     """
     from .join import _bucket_array
 
@@ -49,7 +57,9 @@ def map_key_partitions(ds, key: str, fn, *, num_buckets: int = 64,
         out = fn(t)
         return out.replace_schema_metadata(None)
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
+    kwargs = {} if coalesce_rows is None else {"batch_size": coalesce_rows}
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          **kwargs).groupby(
         "__bucket").map_groups(run, batch_format="pyarrow")
 
 

@@ -1375,3 +1375,66 @@ def test_cross_corpus_near_dups_planted(ray_session):
                                  threshold=0.8).to_pandas()
     flagged = set(zip(out.train_id, out.eval_id))
     assert flagged == {(1, 7), (2, 7)}
+
+
+def test_duplicate_passage_stats(ray_session):
+    """Hand-built corpus: doc 1 and 2 share one 3-gram run; doc 3 is
+    all-unique; a doc shorter than n produces no row."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        duplicate_passage_stats)
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a b c d"},        # ngrams: 'a b c', 'b c d'
+        {"doc_id": 2, "text": "a b c x"},        # shares 'a b c' with 1
+        {"doc_id": 3, "text": "p q r s"},        # unique
+        {"doc_id": 4, "text": "one two"},        # < n words: no row
+    ])
+    out = duplicate_passage_stats(docs, n=3).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 2, 3]
+    assert out.loc[1, "n_ngrams"] == 2 and out.loc[1, "n_dup"] == 1
+    assert out.loc[2, "n_ngrams"] == 2 and out.loc[2, "n_dup"] == 1
+    assert out.loc[3, "n_dup"] == 0
+    assert out.loc[1, "dup_ratio"] == 0.5
+
+
+def test_ngram_overlap_scores_planted(ray_session):
+    """Eval doc lifted verbatim from train scores 1.0; a fresh eval doc
+    scores 0; a half-contaminated doc scores the exact fraction."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.decontam import (
+        ngram_overlap_scores)
+
+    train = rd.from_items([
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 2, "text": "one two three four"},
+    ])
+    evalset = rd.from_items([
+        {"doc_id": 10, "text": "alpha beta gamma delta epsilon"},  # leak
+        {"doc_id": 11, "text": "zz yy xx ww vv"},                  # clean
+        # 3 ngrams: 'one two three' and 'two three four' hit, third not
+        {"doc_id": 12, "text": "one two three four nope"},
+    ])
+    out = ngram_overlap_scores(train, evalset, n=3).to_pandas(
+    ).set_index("doc_id")
+    assert out.loc[10, "overlap_ratio"] == 1.0
+    assert out.loc[11, "overlap_ratio"] == 0.0
+    assert out.loc[12, "n_ngrams"] == 3 and out.loc[12, "n_overlap"] == 2
+
+
+def test_word_entropy_batch():
+    """Hand-computed entropy: 'a a b b' -> H=1 bit, TTR=0.5; a
+    single-word doc -> H=0; empty doc -> zeros."""
+    import pyarrow as pa
+    from magic_content_extractor_ray.stages.textops import (
+        word_entropy_batch)
+
+    t = pa.table({"text": ["a a b b", "word", "", "x y z"]})
+    out = word_entropy_batch(t).to_pandas()
+    assert list(out["n_words"]) == [4, 1, 0, 3]
+    assert list(out["n_distinct"]) == [2, 1, 0, 3]
+    assert out["word_entropy"][0] == 1.0
+    assert out["word_entropy"][1] == 0.0
+    assert out["word_entropy"][2] == 0.0
+    assert abs(out["word_entropy"][3] - 1.585) < 0.0002  # log2(3)
+    assert out["ttr"][0] == 0.5
