@@ -3656,6 +3656,82 @@ def q_big_orders(sf_dir: str):
     return j.map_batches(add_name, batch_format="pyarrow").sort("o_orderkey")
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic deduplication over the embeddings table
+    (stages/cluster.semantic_dedup): k-means partitions the space, exact
+    pairwise cosine runs only WITHIN clusters (O(n²/k), bounded per
+    task), near-dup groups collapse to their min-id representative.
+    Iterative k-means is not SQL-expressible — snapshot oracle; the
+    planted-duplicate pytest pins semantics."""
+    from magic_content_extractor_ray.stages.cluster import semantic_dedup
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding"])
+    # the synthetic embeddings top out near cosine 0.51 (see
+    # q_dedup_embedding); 0.4 keeps the dup groups non-trivial
+    return semantic_dedup(emb, k=8, threshold=0.4).sort("vec_id")
+
+
+def q_chars_quantiles_approx(sf_dir: str):
+    """Mergeable histogram-quantile sketch over n_chars
+    (stages/sketch.histogram_quantiles): one bounds aggregate + one
+    (bucket, count) exchange of ≤1024 rows per block; all bucket/rank
+    math is integer, so the SQL oracle reproduces the sketch estimate
+    bit-for-bit (approximate vs truth, exact vs spec)."""
+    from magic_content_extractor_ray.stages.sketch import (
+        histogram_quantiles)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return histogram_quantiles(docs, "n_chars", n_buckets=1024,
+                               qs=(0.5, 0.9, 0.99))
+
+
+def q_mode_source(sf_dir: str):
+    """Per-language modal source (most-frequent, ties to the
+    lexicographically smallest) — per-batch Arrow partial counts, one
+    exchange on lang, argmax inside the partition kernel."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([("source", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "c": pc.cast(g.column("source_count"), pa.int64())})
+
+    parts = _read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["lang", "source"]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def pick(part: pa.Table) -> pa.Table:
+        langs = part.column("lang").to_numpy(zero_copy_only=False)
+        out_l, out_s, out_n = [], [], []
+        if len(langs):
+            srcs = part.column("source").to_numpy(zero_copy_only=False)
+            cs = part.column("c").to_numpy(zero_copy_only=False)
+            starts = segment_starts(langs)
+            lens = segment_lengths(starts, len(langs))
+            for s, ln in zip(starts, lens):
+                sl = slice(int(s), int(s + ln))
+                # np.unique sorts sources → argmax's first hit IS the
+                # lexicographically-smallest tie winner
+                us, inv = np.unique(srcs[sl], return_inverse=True)
+                tot = np.bincount(inv, weights=cs[sl]).astype(np.int64)
+                w = int(np.argmax(tot))
+                out_l.append(langs[s])
+                out_s.append(str(us[w]))
+                out_n.append(int(tot[w]))
+        return pa.table({"lang": pa.array(out_l, pa.string()),
+                         "mode_source": pa.array(out_s, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    return map_key_partitions(parts, "lang", pick).sort("lang")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -3772,6 +3848,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_overlap": q_eval_overlap,
         "word_entropy": q_word_entropy,
         "big_orders": q_big_orders,
+        "semantic_dedup": q_semantic_dedup,
+        "chars_quantiles_approx": q_chars_quantiles_approx,
+        "mode_source": q_mode_source,
     }
 
 
@@ -4578,4 +4657,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_orderkey = q.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
             ORDER BY o.o_orderkey""",
+        "semantic_dedup": (
+            "SELECT * FROM read_parquet("
+            f"'{_fixture('sf0_01/semantic_dedup.parquet')}')"),
+        "chars_quantiles_approx": r"""
+            WITH b AS (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+                              CAST(max(n_chars) AS BIGINT) AS hi,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM documents),
+            h AS (SELECT ((d.n_chars - b.lo) * 1024)
+                           // (b.hi - b.lo + 1) AS bucket,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM documents d, b GROUP BY 1),
+            cum AS (SELECT bucket,
+                           sum(c) OVER (ORDER BY bucket) AS cm FROM h),
+            qq AS (SELECT unnest([50, 90, 99]) AS q),
+            pick AS (SELECT qq.q AS q, min(cum.bucket) AS bucket
+                     FROM qq, b, cum
+                     WHERE cum.cm >= greatest(1, (qq.q * b.n + 99) // 100)
+                     GROUP BY qq.q)
+            SELECT CAST(p.q AS BIGINT) AS q,
+                   CAST(b.lo + p.bucket * (b.hi - b.lo + 1) // 1024
+                        AS BIGINT) AS est
+            FROM pick p, b ORDER BY q""",
+        "mode_source": r"""
+            SELECT lang, source AS mode_source, n FROM (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY count(*) DESC, source)
+                       AS rnk
+              FROM documents GROUP BY lang, source)
+            WHERE rnk = 1 ORDER BY lang""",
     }

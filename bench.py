@@ -169,7 +169,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "quality_percentile", "inverted_index",
              # corpus-stats / decontam-score / Q18 family
              "dup_passages", "eval_overlap", "word_entropy",
-             "big_orders"]
+             "big_orders", "semantic_dedup", "chars_quantiles_approx",
+             "mode_source"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

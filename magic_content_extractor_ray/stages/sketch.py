@@ -347,3 +347,58 @@ def heavy_hitters(ds, column: str, *, k: int = 100,
     out = out.rename(columns={column: "value"})
     out.attrs["mg_threshold"] = total_n / capacity if capacity else 0.0
     return out[["rnk", "value", "n"]]
+
+
+def histogram_quantiles(ds, column: str, *, n_buckets: int = 1024,
+                        qs: tuple = (0.5, 0.9, 0.99)):
+    """Mergeable approximate quantiles over an INTEGER column via a
+    fixed-width histogram sketch — the streaming complement to the exact
+    distributed quantile operator (which sorts): error is bounded by one
+    bucket width ((max-min+1)/n_buckets), the shuffle carries at most
+    ``n_buckets`` (bucket, count) rows per block, and partials merge by
+    addition, so it composes with any pre-aggregation tree.
+
+    All bucket math is INTEGER (bucket = (v-lo)*B // (hi-lo+1); estimate
+    = lo + ceil(q*n)-rank interpolation on bucket lower bounds), so a
+    SQL oracle reproduces the result bit-for-bit — approximate vs the
+    true quantile, exact vs the spec.
+
+    Returns a pyarrow Table (q, est) with one row per requested quantile
+    (q as round(q*100) int64 percent, est int64).
+    """
+    import pyarrow.compute as pc
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    # pass 1: exact global bounds + count (one streaming aggregate)
+    bounds = ds.aggregate(Min(column), Max(column), Count())
+    lo = int(bounds[f"min({column})"])
+    hi = int(bounds[f"max({column})"])
+    n = int(bounds["count()"])
+    span = hi - lo + 1
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column(column).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (v - lo) * n_buckets // span
+        ub, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = ds.map_batches(bucketize, batch_format="pyarrow").groupby(
+        "bucket").aggregate(Sum("c", alias_name="c")).sort("bucket")
+    ht = pa.concat_tables(hist.iter_batches(batch_format="pyarrow"))
+    buckets = ht.column("bucket").to_numpy(zero_copy_only=False)
+    counts = ht.column("c").to_numpy(zero_copy_only=False)
+    cum = np.cumsum(counts)
+
+    out_q, out_est = [], []
+    for q in qs:
+        q100 = int(round(q * 100))
+        # ceil(q100·n/100) in pure ints — no float boundary anywhere
+        rank = max(1, (q100 * n + 99) // 100)
+        i = int(np.searchsorted(cum, rank))
+        b = int(buckets[min(i, len(buckets) - 1)])
+        out_q.append(q100)
+        out_est.append(lo + b * span // n_buckets)  # bucket lower bound
+    return pa.table({"q": pa.array(out_q, pa.int64()),
+                     "est": pa.array(out_est, pa.int64())})

@@ -1438,3 +1438,48 @@ def test_word_entropy_batch():
     assert out["word_entropy"][2] == 0.0
     assert abs(out["word_entropy"][3] - 1.585) < 0.0002  # log2(3)
     assert out["ttr"][0] == 0.5
+
+
+def test_semantic_dedup_planted(ray_session):
+    """Planted near-copies collapse to the min-id representative across
+    clusters; unique vectors keep themselves; result is deterministic
+    across block shapes."""
+    import numpy as np
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.cluster import semantic_dedup
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(50, 16).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": (v / np.linalg.norm(v)).tolist()}
+            for i, v in enumerate(base)]
+    for j, src in zip((60, 61, 62, 63), (0, 0, 0, 5)):
+        v = base[src] + rng.randn(16).astype(np.float32) * 0.001
+        rows.append({"vec_id": j,
+                     "embedding": (v / np.linalg.norm(v)).tolist()})
+
+    def run(rows, blocks):
+        ds = rd.from_items(rows).repartition(blocks)
+        return semantic_dedup(ds, k=4, threshold=0.99).to_pandas(
+        ).sort_values("vec_id").reset_index(drop=True)
+
+    out = run(rows, 4)
+    d = out.set_index("vec_id")
+    assert list(d.loc[[60, 61, 62], "rep_id"]) == [0, 0, 0]
+    assert d.loc[63, "rep_id"] == 5 and d.loc[0, "rep_id"] == 0
+    assert (d.rep_id == d.index).sum() == 50
+    assert out.equals(run(rows[::-1], 7))
+
+
+def test_histogram_quantiles_bounds(ray_session):
+    """Estimates land within one bucket width of the exact quantiles."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sketch import (
+        histogram_quantiles)
+
+    vals = list(range(1, 10001))
+    ds = rd.from_items([{"x": v} for v in vals]).repartition(8)
+    t = histogram_quantiles(ds, "x", n_buckets=1024,
+                            qs=(0.5, 0.9, 0.99)).to_pydict()
+    width = 10000 // 1024 + 1
+    for q, est, exact in zip(t["q"], t["est"], (5000, 9000, 9900)):
+        assert abs(est - exact) <= width, (q, est, exact)
