@@ -49,16 +49,32 @@ def read_parquet_clean(path: str, *, columns: list[str] | None = None,
 
 
 def read_docs(uri: str, *, columns: list[str] | None = None):
+    """Format-dispatched corpus read: parquet (default), Lance when the
+    wheel is present, JSONL (`.jsonl`/`.json`), CSV. Parquet/Lance prune
+    columns at the scan; the row-oriented formats can't, so projection
+    happens right after the read (still before the first exchange)."""
     import ray.data as rd
 
     if lance_available() and uri.endswith(".lance"):
         return rd.read_lance(uri, columns=columns)
+    if uri.endswith((".jsonl", ".json")):
+        ds = rd.read_json(uri)
+        return ds.select_columns(columns) if columns else ds
+    if uri.endswith(".csv"):
+        ds = rd.read_csv(uri)
+        return ds.select_columns(columns) if columns else ds
     return read_parquet_clean(uri, columns=columns)
 
 
 def write_docs(ds, uri: str, **kwargs) -> None:
     if lance_available() and uri.endswith(".lance"):
         ds.write_lance(uri, **kwargs)
+        return
+    if uri.endswith((".jsonl", ".json")):
+        ds.write_json(uri, **kwargs)
+        return
+    if uri.endswith(".csv"):
+        ds.write_csv(uri, **kwargs)
         return
     ds.write_parquet(uri, **kwargs)
 

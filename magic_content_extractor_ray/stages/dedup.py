@@ -262,7 +262,8 @@ def _minhash_raw_pairs(ds, *, column, id_column, num_perm, bands,
     return map_key_partitions(
         banded, "band_key",
         partial(_partition_verified_pairs, id_column=id_column,
-                threshold=threshold, max_distinct_sigs=max_distinct_sigs))
+                threshold=threshold, max_distinct_sigs=max_distinct_sigs),
+        coalesce_rows=16384)
 
 
 def minhash_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
@@ -324,25 +325,61 @@ class SimHasher:
             hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
 
     def simhash64(self, text: str) -> int:
+        """Single-doc reference implementation (tests); the batch path
+        below is the vectorized equivalent."""
         words = (text or "").lower().split()
         if not words:
             return 0
-        if len(self.cache) > self.cache_limit:
-            self.cache.clear()
-        cache = self.cache
-        hs = np.array(
-            [cache.get(w) or cache.setdefault(w, self._word_hash(w))
-             for w in words],
-            dtype=np.uint64)
+        hs = np.array([self._word_hash(w) for w in words], dtype=np.uint64)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
             np.int64)
         v = (2 * bits - 1).sum(axis=0)
         return int(((v > 0).astype(np.uint64)
                     << np.arange(64, dtype=np.uint64)).sum())
 
+    def _vocab_signed(self, vocab: list) -> np.ndarray:
+        """(V, 64) ±1 bit matrix for the batch vocabulary; per-actor
+        word→hash cache amortizes blake2b across batches."""
+        if len(self.cache) > self.cache_limit:
+            self.cache.clear()
+        cache = self.cache
+        hs = np.fromiter(
+            (cache.get(w) or cache.setdefault(w, self._word_hash(w))
+             for w in vocab), dtype=np.uint64, count=len(vocab))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+        return (2 * bits.astype(np.int8) - 1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.column).to_pylist()
-        out = np.array([self.simhash64(t) for t in texts], dtype=np.uint64)
+        """Whole-batch simhash: one Arrow tokenize pass, blake2b only
+        over the (cached) batch VOCABULARY, per-token ±1 bit rows summed
+        per document with one segmented reduceat — no per-doc Python."""
+        import pyarrow.compute as pc
+
+        texts = batch.column(self.column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts), pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        out = np.zeros(len(batch), dtype=np.uint64)
+        if len(flat):
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            dic = flat.dictionary_encode()
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            signed = self._vocab_signed(dic.dictionary.to_pylist())
+            par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = np.nonzero(np.concatenate(
+                ([True], par[1:] != par[:-1])))[0]
+            sums = np.add.reduceat(
+                signed[codes].astype(np.int32), starts, axis=0)
+            out[par[starts]] = (
+                (sums > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
         return batch.append_column(
             "simhash", pa.array(out.astype(np.int64), pa.int64()))
 
@@ -457,7 +494,7 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
 
     pairs = map_key_partitions(
         hashed.map_batches(explode, batch_format="pyarrow"),
-        "band_key", partition_pairs)
+        "band_key", partition_pairs, coalesce_rows=262144)
     return pairs.groupby(["left_id", "right_id"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
@@ -573,7 +610,8 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
 
     from .window import map_key_partitions
 
-    pairs = map_key_partitions(bucketed, "bucket", partition_pairs)
+    pairs = map_key_partitions(bucketed, "bucket", partition_pairs,
+                               coalesce_rows=32768)
     return pairs.groupby(["left_id", "right_id"]).aggregate(
         Max("cosine", alias_name="cosine"))
 

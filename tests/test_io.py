@@ -179,3 +179,22 @@ def test_read_urls_injected_fetcher(ray_session):
     texts = [s["text"] for s in page0["spans"]]
     assert any("Fetched content number 0" in t for t in texts)
     assert not any("footer noise" in t for t in texts)
+
+
+def test_jsonl_csv_roundtrip(ray_session, tmp_path):
+    """read_docs/write_docs dispatch on .jsonl and .csv with projection
+    pushed right after the row-oriented read."""
+    import ray.data as rd
+    from magic_content_extractor_ray.sources.io import read_docs, write_docs
+
+    rows = [{"doc_id": i, "text": f"doc {i}", "extra": i * 2}
+            for i in range(100)]
+    ds = rd.from_items(rows)
+    for ext in ("jsonl", "csv"):
+        uri = str(tmp_path / f"corpus.{ext}")
+        write_docs(ds, uri)
+        back = read_docs(uri, columns=["doc_id", "text"]).to_pandas(
+        ).sort_values("doc_id").reset_index(drop=True)
+        assert list(back.columns) == ["doc_id", "text"]
+        assert len(back) == 100
+        assert back.loc[7, "text"] == "doc 7"
