@@ -55,3 +55,7 @@ shift_replicate("events", {"event_id", "user_id"})
 # order join is what the sf1 heavy family exercises
 shift_replicate("lineitem", {"l_orderkey"})
 print("documents", pq.ParquetFile(f"{DST}/documents.parquet").metadata.num_rows)
+# embeddings: vec_id shifts; vectors repeat verbatim, so every vector
+# gains 9 exact semantic duplicates across replicas — a deliberate
+# hot-group stress for semantic_dedup / embedding_dedup at sf1
+shift_replicate("embeddings", {"vec_id"})

@@ -29,7 +29,8 @@ for name in NAMES:
     p = Peak()
     t0 = time.time()
     try:
-        n = qs[name]("/tmp/sf1").count()
+        r = qs[name]("/tmp/sf1")
+        n = len(r) if not hasattr(r, "count") or hasattr(r, "column_names") else r.count()
         status = "ok"
     except Exception as ex:
         n, status = -1, f"{type(ex).__name__}: {str(ex)[:150]}"
