@@ -144,6 +144,12 @@ def ngram_overlap_scores(train, evalset, *, column: str = "text",
 
     Returns (doc_id, n_ngrams, n_overlap, overlap_ratio) for eval docs
     with at least one n-gram; overlap_ratio rounded 6dp.
+
+    PARTITIONING ASSUMPTION: as in ``duplicate_passage_stats``, one
+    ngram's full posting list lands in one partition; when universal
+    boilerplate ngrams approach the corpus size, pre-reduce the train
+    side to distinct (ng) per batch before the union, or switch to the
+    salted-join shape described there.
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum

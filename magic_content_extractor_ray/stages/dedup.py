@@ -995,6 +995,15 @@ def duplicate_passage_stats(ds, *, column: str = "text",
     how many of them are duplicated corpus-wide, and their ratio
     (rounded 6dp). Documents with fewer than ``n`` words have no
     n-grams and produce no row — the same universe as the SQL oracle.
+
+    PARTITIONING ASSUMPTION: one ngram's full posting list (df rows)
+    lands in one partition, so the hottest ngram's df must fit a task.
+    At corpus scales where universal boilerplate ngrams approach the
+    doc count, switch to the three-exchange shape: map-side partial
+    (ng, count) combiner → groupby-sum df (hot keys are pre-reduced per
+    block) → ``hash_join(grams, df, hot_keys="auto")`` salted flag join
+    — or prune stop ngrams up front as ``ngram_jaccard_dedup`` does
+    with its ``max_df`` cap.
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
