@@ -3732,6 +3732,21 @@ def q_mode_source(sf_dir: str):
     return map_key_partitions(parts, "lang", pick).sort("lang")
 
 
+_BM25_TERMS = ("batch", "hash", "scan")
+
+
+def q_bm25_topk(sf_dir: str):
+    """Okapi/Lucene BM25 top-20 against a fixed query-term set
+    (stages/retrieval.bm25_topk): the term stream is filtered at the
+    tokenize pass, corpus stats reduce through tiny aggregates, scoring
+    maps over matches only. Deterministic (rounded score, doc_id) cut."""
+    from magic_content_extractor_ray.stages.retrieval import bm25_topk
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return bm25_topk(docs, list(_BM25_TERMS), k=20)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -3851,6 +3866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "chars_quantiles_approx": q_chars_quantiles_approx,
         "mode_source": q_mode_source,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -4688,4 +4704,35 @@ def oracle_sql() -> dict[str, str]:
                        AS rnk
               FROM documents GROUP BY lang, source)
             WHERE rnk = 1 ORDER BY lang""",
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            q AS (SELECT unnest(['batch', 'hash', 'scan']) AS term),
+            stats AS (SELECT count(*) AS n, avg(len(ws)) AS avgdl
+                      FROM toks),
+            tf AS (SELECT t.doc_id, w.word AS term,
+                          CAST(count(*) AS BIGINT) AS tf,
+                          any_value(len(t.ws)) AS dl
+                   FROM toks t, unnest(t.ws) AS w(word)
+                   WHERE w.word IN (SELECT term FROM q)
+                   GROUP BY t.doc_id, w.word),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     -- constants written as the engine computes them
+                     -- ((k1+1.0) != literal 2.2 at the last ulp)
+                     sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * tf.dl / s.avgdl)))
+                       AS raw
+              FROM tf JOIN df USING (term), stats s
+              GROUP BY tf.doc_id)
+            SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
+            FROM scored
+            ORDER BY score DESC, doc_id LIMIT 20""",
     }

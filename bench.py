@@ -170,7 +170,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # corpus-stats / decontam-score / Q18 family
              "dup_passages", "eval_overlap", "word_entropy",
              "big_orders", "semantic_dedup", "chars_quantiles_approx",
-             "mode_source"]
+             "mode_source", "bm25_topk"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

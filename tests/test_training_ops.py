@@ -1483,3 +1483,28 @@ def test_histogram_quantiles_bounds(ray_session):
     width = 10000 // 1024 + 1
     for q, est, exact in zip(t["q"], t["est"], (5000, 9000, 9900)):
         assert abs(est - exact) <= width, (q, est, exact)
+
+
+def test_bm25_topk_hand_computed(ray_session):
+    """Three-doc corpus, hand-computed Lucene BM25."""
+    import math
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.retrieval import bm25_topk
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "apple apple banana"},   # tf(apple)=2 dl=3
+        {"doc_id": 2, "text": "apple cherry"},          # tf(apple)=1 dl=2
+        {"doc_id": 3, "text": "durian elderberry fig"},
+    ])
+    out = bm25_topk(docs, ["apple"], k=3).to_pandas()
+    n, df, avgdl, k1, b = 3, 2, 8 / 3, 1.2, 0.75
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def s(tf, dl):
+        raw = idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl))
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    assert list(out.doc_id) == [1, 2]  # doc 3 has no match
+    assert out.score[0] == s(2, 3)
+    assert out.score[1] == s(1, 2)
