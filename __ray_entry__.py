@@ -3732,6 +3732,171 @@ def q_mode_source(sf_dir: str):
     return map_key_partitions(parts, "lang", pick).sort("lang")
 
 
+def q_item_triangles(sf_dir: str):
+    """Distributed triangle counting on the item co-view graph (edge =
+    item pair co-viewed by ≥2 users). Edges are oriented low→high, so
+    every triangle is generated EXACTLY ONCE as a wedge from its MIN
+    vertex (one partition pass, np.triu_indices per vertex segment) and
+    verified by one partitioned hash join against the edge set — the
+    standard wedge-check shape; no vertex's work exceeds its degree².
+    Returns per-item triangle participation counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    MIN_SUP = 2
+    MASK = (1 << 31) - 1
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.cast(pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"), pa.int64())
+        out = pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "item": ks,
+        })
+        return out.group_by(["user_id", "item"]).aggregate([])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        it = t.column("item").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            keep[1:] = (u[1:] != u[:-1]) | (it[1:] != it[:-1])
+        u, it = u[keep], it[keep]
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, len(u))
+        out = []
+        for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+            bs = it[int(s):int(s + ln)]  # sorted ascending within user
+            iu, ju = np.triu_indices(int(ln), 1)
+            out.append((bs[iu] << np.int64(31)) | bs[ju])
+        pk = np.concatenate(out) if out else np.zeros(0, np.int64)
+        pku, cnt = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(pku, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    ui = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "props"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    counts = map_key_partitions(ui, "user_id", pairs, sort_cols=["item"],
+                                coalesce_rows=131072).groupby(
+        "pk").aggregate(Sum("c", alias_name="n_users"))
+
+    def unpack_edges(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        n = t.column("n_users").to_numpy(zero_copy_only=False)
+        keep = n >= MIN_SUP
+        pk = pk[keep]
+        return pa.table({"a": pa.array(pk >> np.int64(31), pa.int64()),
+                         "b": pa.array(pk & np.int64(MASK), pa.int64()),
+                         "pk": pa.array(pk, pa.int64())})
+
+    edges = counts.map_batches(
+        unpack_edges, batch_format="pyarrow").materialize()  # used 2×
+
+    def wedges(part: pa.Table) -> pa.Table:
+        a = part.column("a").to_numpy(zero_copy_only=False)
+        b = part.column("b").to_numpy(zero_copy_only=False)
+        out_pk, out_a = [], []
+        if len(a):
+            starts = segment_starts(a)
+            lens = segment_lengths(starts, len(a))
+            for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+                bs = b[int(s):int(s + ln)]  # sorted (partition sort)
+                iu, ju = np.triu_indices(int(ln), 1)
+                out_pk.append((bs[iu] << np.int64(31)) | bs[ju])
+                out_a.append(np.full(len(iu), a[int(s)], np.int64))
+        pk = np.concatenate(out_pk) if out_pk else np.zeros(0, np.int64)
+        av = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        return pa.table({"pk": pa.array(pk, pa.int64()),
+                         "apex": pa.array(av, pa.int64())})
+
+    wedge_ds = map_key_partitions(edges, "a", wedges, sort_cols=["b"])
+
+    # wedge (b, c) from apex a is a triangle iff (b, c) is an edge
+    tris = hash_join(
+        wedge_ds, edges.select_columns(["pk"]).map_batches(
+            lambda t: t.append_column(
+                "is_edge", pa.array([1] * len(t), pa.int64())),
+            batch_format="pyarrow"),
+        key="pk", left_cols=["apex"], right_cols=["is_edge"],
+        left_types={"pk": pa.int64(), "apex": pa.int64()},
+        right_types={"is_edge": pa.int64()})
+
+    def explode_items(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        apex = t.column("apex").to_numpy(zero_copy_only=False)
+        items = np.concatenate([apex, pk >> np.int64(31),
+                                pk & np.int64(MASK)])
+        return pa.table({"item": pa.array(items, pa.int64())})
+
+    return tris.map_batches(
+        explode_items, batch_format="pyarrow").groupby("item").aggregate(
+        Count(alias_name="n_triangles")).sort("item")
+
+
+def q_daily_revenue_ma7(sf_dir: str):
+    """Frame-based window (ROWS 6 PRECEDING): 7-day moving average of
+    exact-cent daily order revenue. Per-batch combiner partials shrink
+    the exchange to one row per (block, day); the day series itself is
+    DRIVER-SMALL by construction (one row per calendar day — years of
+    data is thousands of rows), so the ordered convolution runs in one
+    task. The moving average is kept in integer cents via centered
+    integer division (half-away), so the SQL twin matches exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pa.array(ts_us(batch.column("o_orderdate"))
+                       // 86_400_000_000, pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"day": day, "rev_c": cents}).group_by(
+            ["day"]).aggregate([("rev_c", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "rev_c": pc.cast(g.column("rev_c_sum"),
+                                          pa.int64())})
+
+    daily = _read_pq(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderdate", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow").groupby("day").aggregate(
+        Sum("rev_c", alias_name="rev_c"))
+
+    def ma(t: pa.Table) -> pa.Table:
+        t = t.sort_by("day")
+        rev = t.column("rev_c").to_numpy(zero_copy_only=False)
+        cs = np.concatenate(([0], np.cumsum(rev)))
+        n = len(rev)
+        win_lo = np.maximum(0, np.arange(n) - 6)
+        sums = cs[np.arange(n) + 1] - cs[win_lo]
+        counts = np.arange(n) + 1 - win_lo
+        # integer half-away division == round(sum/count) in cents
+        ma_c = (2 * sums + counts) // (2 * counts)
+        return pa.table({"day": t.column("day"),
+                         "rev_c": t.column("rev_c"),
+                         "ma7_c": pa.array(ma_c, pa.int64())})
+
+    # ROWS-frame windows need the whole ordered series in one place;
+    # repartition(1) is safe because the series is one row per day
+    return daily.repartition(1).map_batches(
+        ma, batch_format="pyarrow", batch_size=1 << 30).sort("day")
+
+
 _BM25_TERMS = ("batch", "hash", "scan")
 
 
@@ -3867,6 +4032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles_approx": q_chars_quantiles_approx,
         "mode_source": q_mode_source,
         "bm25_topk": q_bm25_topk,
+        "daily_revenue_ma7": q_daily_revenue_ma7,
+        "item_triangles": q_item_triangles,
     }
 
 
@@ -4735,4 +4902,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
             FROM scored
             ORDER BY score DESC, doc_id LIMIT 20""",
+        "daily_revenue_ma7": r"""
+            WITH d AS (
+              SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                       AS day,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS rev_c
+              FROM orders GROUP BY 1),
+            w AS (
+              SELECT day, rev_c,
+                     CAST(sum(rev_c) OVER (ORDER BY day ROWS 6 PRECEDING)
+                          AS BIGINT) AS s,
+                     CAST(count(*) OVER (ORDER BY day ROWS 6 PRECEDING)
+                          AS BIGINT) AS c
+              FROM d)
+            SELECT day, rev_c, (2 * s + c) // (2 * c) AS ma7_c
+            FROM w ORDER BY day""",
+        "item_triangles": r"""
+            WITH ui AS (
+              SELECT DISTINCT user_id,
+                     CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                          AS BIGINT) AS item
+              FROM events WHERE event_type = 'view'),
+            e0 AS (SELECT a.item AS a, b.item AS b, count(*) AS n
+                   FROM ui a JOIN ui b
+                     ON a.user_id = b.user_id AND a.item < b.item
+                   GROUP BY 1, 2),
+            e AS (SELECT a, b FROM e0 WHERE n >= 2),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1
+                    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            items AS (SELECT x AS item FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri)
+            SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM items GROUP BY item ORDER BY item""",
     }

@@ -170,7 +170,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # corpus-stats / decontam-score / Q18 family
              "dup_passages", "eval_overlap", "word_entropy",
              "big_orders", "semantic_dedup", "chars_quantiles_approx",
-             "mode_source", "bm25_topk"]
+             "mode_source", "bm25_topk", "daily_revenue_ma7",
+             "item_triangles"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
