@@ -121,6 +121,10 @@ def semantic_dedup(ds, *, k: int = 16, threshold: float = 0.95,
     from .ann import _batch_matrix, _normalize
     from .window import map_key_partitions, segment_lengths, segment_starts
 
+    # kmeans_fit streams the input once per iteration (+ the init and
+    # assignment passes) — pin the projected columns in the object store
+    # so those 7+ passes don't re-execute the read lineage each time
+    ds = ds.select_columns([id_column, column]).materialize()
     centroids = kmeans_fit(ds, k=k, iters=iters, column=column,
                            id_column=id_column)
     cref = ray.put(centroids)
