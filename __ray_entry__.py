@@ -3732,6 +3732,40 @@ def q_mode_source(sf_dir: str):
     return map_key_partitions(parts, "lang", pick).sort("lang")
 
 
+def q_lang_chars_quantiles(sf_dir: str):
+    """Per-language approximate p50/p90 of n_chars via the grouped
+    histogram-quantile sketch (stages/sketch.histogram_quantiles_by_group:
+    one (group, bucket) combiner exchange on a shared global grid,
+    per-group extraction in a partition kernel; all-integer math → the
+    SQL twin reproduces every estimate bit-for-bit)."""
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.sketch import (
+        histogram_quantiles_by_group)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "n_chars"])
+    t = histogram_quantiles_by_group(docs, "lang", "n_chars",
+                                     n_buckets=1024, qs=(0.5, 0.9))
+    return pa.table({"lang": t.column("key"), "q": t.column("q"),
+                     "est": t.column("est")})
+
+
+def q_weighted_sample(sf_dir: str):
+    """Efraimidis–Spirakis A-ES weighted sampling WITHOUT replacement:
+    the 100 docs with the largest ln(u)/n_chars keys (u from md5(id)) —
+    a length-proportional sample whose every draw, including the top-k
+    cut, is reproduced bit-for-bit by the SQL twin
+    (stages/sample.weighted_sample_aes: tree of per-batch top-k's)."""
+    from magic_content_extractor_ray.stages.sample import (
+        weighted_sample_aes)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"])
+    return weighted_sample_aes(docs, k=100, weight_column="n_chars",
+                               salt="aes-1:")
+
+
 def q_item_triangles(sf_dir: str):
     """Distributed triangle counting on the item co-view graph (edge =
     item pair co-viewed by ≥2 users). Edges are oriented low→high, so
@@ -4034,6 +4068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "daily_revenue_ma7": q_daily_revenue_ma7,
         "item_triangles": q_item_triangles,
+        "weighted_sample": q_weighted_sample,
+        "lang_chars_quantiles": q_lang_chars_quantiles,
     }
 
 
@@ -4938,4 +4974,39 @@ def oracle_sql() -> dict[str, str]:
                       UNION ALL SELECT z FROM tri)
             SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
             FROM items GROUP BY item ORDER BY item""",
+        "weighted_sample": r"""
+            WITH keyed AS (
+              SELECT doc_id, n_chars AS weight,
+                     ln((CAST(concat('0x', substr(md5(concat('aes-1:',
+                           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                         + 1.0) / 1152921504606846976.0)
+                       / n_chars AS r
+              FROM documents WHERE n_chars > 0),
+            top AS (SELECT * FROM keyed
+                    ORDER BY r DESC, doc_id LIMIT 100)
+            SELECT doc_id, weight, round(r, 6) AS aes_key
+            FROM top ORDER BY doc_id""",
+        "lang_chars_quantiles": r"""
+            WITH b AS (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+                              CAST(max(n_chars) AS BIGINT) AS hi
+                       FROM documents),
+            h AS (SELECT d.lang AS key,
+                         ((d.n_chars - b.lo) * 1024)
+                           // (b.hi - b.lo + 1) AS bucket,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM documents d, b GROUP BY 1, 2),
+            cum AS (SELECT key, bucket,
+                           sum(c) OVER (PARTITION BY key
+                                        ORDER BY bucket) AS cm,
+                           sum(c) OVER (PARTITION BY key) AS n
+                    FROM h),
+            qq AS (SELECT unnest([50, 90]) AS q),
+            pick AS (SELECT cum.key, qq.q, min(cum.bucket) AS bucket
+                     FROM qq JOIN cum
+                       ON cum.cm >= greatest(1, (qq.q * cum.n + 99) // 100)
+                     GROUP BY 1, 2)
+            SELECT p.key AS lang, CAST(p.q AS BIGINT) AS q,
+                   CAST(b.lo + p.bucket * (b.hi - b.lo + 1) // 1024
+                        AS BIGINT) AS est
+            FROM pick p, b ORDER BY lang, q""",
     }

@@ -195,3 +195,59 @@ def importance_sample(ds, *, weight_ppm_column: str,
         return batch.filter(pa.array(buckets < w))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample_aes(ds, *, k: int, weight_column: str,
+                        id_column: str = "doc_id", salt: str = ""):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row gets the key ln(u)/w for a
+    per-id uniform u — the k LARGEST keys are a weight-proportional
+    sample, the distributed order-statistic analog of weighted
+    reservoir sampling.
+
+    u derives from md5(salt + id) (top 60 hex-prefix bits, +1 so u > 0),
+    so the draw is reproducible across runs / workers / parallelism AND
+    SQL-expressible: the DuckDB twin evaluates the identical expression
+    on identical doubles through the same libm, so even the top-k cut
+    lands on the same rows bit-for-bit. Distributed as a tree of partial
+    top-k's: each batch forwards at most k rows.
+
+    Returns a pandas DataFrame (id, weight, aes_key rounded 6dp) sorted
+    by ``id_column``. Weights must be > 0; rows with w <= 0 are dropped.
+    """
+    import hashlib as _h
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pre = salt.encode()
+    denom = float(1 << 60)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_pylist()
+        w = batch.column(weight_column).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        h = np.fromiter(
+            (int(_h.md5(pre + str(v).encode()).hexdigest()[:15], 16)
+             for v in ids), dtype=np.int64, count=len(ids))
+        u = (h.astype(np.float64) + 1.0) / denom
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.log(u) / w
+        keep = w > 0
+        t = pa.table({
+            id_column: pa.array(ids,
+                                batch.column(id_column).type),
+            "weight": batch.column(weight_column),
+            "aes_key": pa.array(r, pa.float64()),
+        }).filter(pa.array(keep))
+        order = pc.sort_indices(t, sort_keys=[("aes_key", "descending"),
+                                              (id_column, "ascending")])
+        return t.take(order[:k])
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192).to_pandas()
+    top = cands.sort_values(["aes_key", id_column],
+                            ascending=[False, True]).head(k)
+    top = top.copy()
+    top["aes_key"] = np.floor(top["aes_key"].to_numpy() * -1e6 + 0.5) / -1e6
+    return top.sort_values(id_column).reset_index(drop=True)

@@ -402,3 +402,71 @@ def histogram_quantiles(ds, column: str, *, n_buckets: int = 1024,
         out_est.append(lo + b * span // n_buckets)  # bucket lower bound
     return pa.table({"q": pa.array(out_q, pa.int64()),
                      "est": pa.array(out_est, pa.int64())})
+
+
+def histogram_quantiles_by_group(ds, key_column: str, column: str, *,
+                                 n_buckets: int = 1024,
+                                 qs: tuple = (0.5, 0.9)):
+    """Per-group ``histogram_quantiles``: same mergeable integer-bucket
+    sketch, one (group, bucket) combiner exchange, quantile extraction
+    per group inside a partition kernel. Shares the GLOBAL [min, max]
+    bucket grid across groups (one cheap bounds pass) — per-group error
+    stays one global-bucket width, and the all-integer math keeps the
+    SQL twin bit-exact.
+
+    Returns a pyarrow Table (key, q, est) sorted by (key, q).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .window import map_key_partitions, segment_lengths, segment_starts
+
+    bounds = ds.aggregate(Min(column), Max(column))
+    lo = int(bounds[f"min({column})"])
+    hi = int(bounds[f"max({column})"])
+    span = hi - lo + 1
+    q100s = [int(round(q * 100)) for q in qs]
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t.column(column).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (v - lo) * n_buckets // span
+        g = pa.table({"key": t.column(key_column),
+                      "bucket": pa.array(b, pa.int64())}).group_by(
+            ["key", "bucket"]).aggregate([("bucket", "count")])
+        return pa.table({"key": g.column("key"),
+                         "bucket": g.column("bucket"),
+                         "c": pc.cast(g.column("bucket_count"),
+                                      pa.int64())})
+
+    hist = ds.map_batches(bucketize, batch_format="pyarrow").groupby(
+        ["key", "bucket"]).aggregate(Sum("c", alias_name="c"))
+
+    def extract(part: pa.Table) -> pa.Table:
+        keys = part.column("key").to_numpy(zero_copy_only=False)
+        out_k: list = []
+        out_q: list = []
+        out_e: list = []
+        if len(keys):
+            buckets = part.column("bucket").to_numpy(zero_copy_only=False)
+            cs = part.column("c").to_numpy(zero_copy_only=False)
+            starts = segment_starts(keys)
+            lens = segment_lengths(starts, len(keys))
+            for s, ln in zip(starts, lens):
+                sl = slice(int(s), int(s + ln))
+                cum = np.cumsum(cs[sl])
+                n = int(cum[-1])
+                for q100 in q100s:
+                    rank = max(1, (q100 * n + 99) // 100)
+                    i = int(np.searchsorted(cum, rank))
+                    b = int(buckets[sl][min(i, int(ln) - 1)])
+                    out_k.append(keys[s])
+                    out_q.append(q100)
+                    out_e.append(lo + b * span // n_buckets)
+        return pa.table({"key": pa.array(out_k),
+                         "q": pa.array(out_q, pa.int64()),
+                         "est": pa.array(out_e, pa.int64())})
+
+    t = pa.concat_tables(map_key_partitions(
+        hist, "key", extract, sort_cols=["bucket"]).iter_batches(
+        batch_format="pyarrow"))
+    return t.sort_by([("key", "ascending"), ("q", "ascending")])

@@ -30,7 +30,9 @@ for name in NAMES:
     t0 = time.time()
     try:
         r = qs[name]("/tmp/sf1")
-        n = len(r) if not hasattr(r, "count") or hasattr(r, "column_names") else r.count()
+        import pandas as _pd
+        import pyarrow as _pa
+        n = len(r) if isinstance(r, (_pd.DataFrame, _pa.Table)) else r.count()
         status = "ok"
     except Exception as ex:
         n, status = -1, f"{type(ex).__name__}: {str(ex)[:150]}"
