@@ -3732,6 +3732,32 @@ def q_mode_source(sf_dir: str):
     return map_key_partitions(parts, "lang", pick).sort("lang")
 
 
+def q_lm_scores(sf_dir: str):
+    """CCNet-style LM quality scoring: add-one bigram model trained on
+    the train split (doc_id % 10 != 0), mean negative log-likelihood per
+    transition for each eval doc (stages/lm.bigram_lm_scores: two keyed
+    exchanges attach the counts — the LM is never broadcast — and
+    per-doc partials leave each partition)."""
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.lm import bigram_lm_scores
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def side(want_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            mod = pc.subtract(
+                ids, pc.multiply(pc.divide(ids, 10), 10))
+            is_eval = pc.equal(mod, 0)
+            return t.filter(is_eval if want_eval else pc.invert(is_eval))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return bigram_lm_scores(side(False), side(True)).sort("doc_id")
+
+
 def q_lang_chars_quantiles(sf_dir: str):
     """Per-language approximate p50/p90 of n_chars via the grouped
     histogram-quantile sketch (stages/sketch.histogram_quantiles_by_group:
@@ -4070,6 +4096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_triangles": q_item_triangles,
         "weighted_sample": q_weighted_sample,
         "lang_chars_quantiles": q_lang_chars_quantiles,
+        "lm_scores": q_lm_scores,
     }
 
 
@@ -5009,4 +5036,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.lo + p.bucket * (b.hi - b.lo + 1) // 1024
                         AS BIGINT) AS est
             FROM pick p, b ORDER BY lang, q""",
+        "lm_scores": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            tr AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+            ev AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+            uni AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS c1
+                    FROM (SELECT unnest(ws) AS w FROM tr) GROUP BY 1),
+            v AS (SELECT count(*) AS v FROM uni),
+            bi_tr AS (
+              SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM (
+                SELECT unnest([ws[i] || ' ' || ws[i+1]
+                               for i in range(1, greatest(len(ws), 1))])
+                       AS bg
+                FROM tr) GROUP BY 1),
+            ev_bi AS (
+              SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1]
+                               for i in range(1, greatest(len(ws), 1))])
+                       AS bg
+                FROM ev) GROUP BY 1, 2),
+            scored AS (
+              SELECT e.doc_id,
+                     sum(e.tf * ln((COALESCE(b.c2, 0) + 1.0)
+                                   / (COALESCE(u.c1, 0) + v.v))) AS s,
+                     CAST(sum(e.tf) AS BIGINT) AS n
+              FROM ev_bi e
+              CROSS JOIN v
+              LEFT JOIN bi_tr b ON b.bg = e.bg
+              LEFT JOIN uni u ON u.word = split_part(e.bg, ' ', 1)
+              GROUP BY e.doc_id)
+            SELECT doc_id, n AS n_bigrams,
+                   floor((-s / n) * 1e4 + 0.5) / 1e4 AS nll
+            FROM scored ORDER BY doc_id""",
     }

@@ -1508,3 +1508,27 @@ def test_bm25_topk_hand_computed(ray_session):
     assert list(out.doc_id) == [1, 2]  # doc 3 has no match
     assert out.score[0] == s(2, 3)
     assert out.score[1] == s(1, 2)
+
+
+def test_bigram_lm_scores_hand_computed(ray_session):
+    """Two-doc train corpus, hand-computed add-one bigram NLL."""
+    import math
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.lm import bigram_lm_scores
+
+    train = rd.from_items([
+        {"doc_id": 1, "text": "a b a b"},   # bigrams: ab, ba, ab
+        {"doc_id": 2, "text": "b c"},        # bigram: bc
+    ])
+    evalset = rd.from_items([
+        {"doc_id": 10, "text": "a b c"},     # ab, bc
+        {"doc_id": 11, "text": "z"},         # no transitions -> no row
+    ])
+    out = bigram_lm_scores(train, evalset).to_pandas().set_index("doc_id")
+    # train: c1(a)=2, c1(b)=3, c1(c)=1; V=3; c2(ab)=2, c2(ba)=1, c2(bc)=1
+    p_ab = (2 + 1) / (2 + 3)
+    p_bc = (1 + 1) / (3 + 3)
+    nll = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert list(out.index) == [10]
+    assert out.loc[10, "n_bigrams"] == 2
+    assert out.loc[10, "nll"] == math.floor(nll * 1e4 + 0.5) / 1e4
