@@ -3732,6 +3732,49 @@ def q_mode_source(sf_dir: str):
     return map_key_partitions(parts, "lang", pick).sort("lang")
 
 
+def q_lang_source_pmi(sf_dir: str):
+    """Dataset-composition diagnostics: pointwise mutual information
+    between language and source (is a source lang-skewed?). Per-batch
+    Arrow partial counts → one tiny combiner groupby; the cell table is
+    bounded by |langs|×|sources|, so the PMI math runs driver-side on
+    integer counts (identical doubles → the SQL twin hash-matches)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([("lang", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "c": pc.cast(g.column("lang_count"), pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["lang", "source"]).map_batches(
+        partial, batch_format="pyarrow").groupby(
+        ["lang", "source"]).aggregate(Sum("c", alias_name="n")).take_all()
+
+    langs: dict = {}
+    srcs: dict = {}
+    total = 0
+    for r in cells:
+        langs[r["lang"]] = langs.get(r["lang"], 0) + int(r["n"])
+        srcs[r["source"]] = srcs.get(r["source"], 0) + int(r["n"])
+        total += int(r["n"])
+    rows = sorted(cells, key=lambda r: (r["lang"], r["source"]))
+    pmi = np.array([float(np.log((int(r["n"]) * total)
+                                 / (langs[r["lang"]] * srcs[r["source"]])))
+                    for r in rows])
+    # half-away-from-zero on BOTH signs (= DuckDB round; PMI can be < 0)
+    pmi_r = np.sign(pmi) * np.floor(np.abs(pmi) * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "pmi": pa.array(pmi_r, pa.float64()),
+    })
+
+
 def q_lm_scores(sf_dir: str):
     """CCNet-style LM quality scoring: add-one bigram model trained on
     the train split (doc_id % 10 != 0), mean negative log-likelihood per
@@ -4097,6 +4140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "lang_chars_quantiles": q_lang_chars_quantiles,
         "lm_scores": q_lm_scores,
+        "lang_source_pmi": q_lang_source_pmi,
     }
 
 
@@ -5073,4 +5117,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n AS n_bigrams,
                    floor((-s / n) * 1e4 + 0.5) / 1e4 AS nll
             FROM scored ORDER BY doc_id""",
+        "lang_source_pmi": r"""
+            WITH cells AS (SELECT lang, source,
+                                  CAST(count(*) AS BIGINT) AS n
+                           FROM documents GROUP BY 1, 2),
+            l AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl
+                  FROM cells GROUP BY 1),
+            s AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+                  FROM cells GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+            SELECT c.lang, c.source, c.n,
+                   round(ln((c.n * t.nt) / (1.0 * l.nl * s.ns)), 6) AS pmi
+            FROM cells c
+            JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t
+            ORDER BY c.lang, c.source""",
     }
