@@ -244,8 +244,19 @@ def weighted_sample_aes(ds, *, k: int, weight_column: str,
                                               (id_column, "ascending")])
         return t.take(order[:k])
 
-    cands = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=8192).to_pandas()
+    lvl1 = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=8192)
+
+    def merge_partial(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[("aes_key", "descending"),
+                                              (id_column, "ascending")])
+        return t.take(order[:k])
+
+    # second tree level: level-1 emits k rows per 8192-row batch, which
+    # is still O(corpus/8192·k) — re-reduce 64k-row bundles so the
+    # driver merge sees O(k · batches/655) rows regardless of scale
+    cands = lvl1.map_batches(merge_partial, batch_format="pyarrow",
+                             batch_size=65536).to_pandas()
     top = cands.sort_values(["aes_key", id_column],
                             ascending=[False, True]).head(k)
     top = top.copy()
