@@ -3732,6 +3732,69 @@ def q_mode_source(sf_dir: str):
     return map_key_partitions(parts, "lang", pick).sort("lang")
 
 
+def q_intra_dup_ngrams(sf_dir: str):
+    """Gopher-style WITHIN-document repetition: the fraction of a doc's
+    word-3-gram occurrences that belong to a 3-gram repeated inside the
+    same doc (the 'duplicate n-gram fraction' pretraining filter) — the
+    intra-doc complement of dup_passages' corpus-level signal. One
+    vectorized map (two Arrow group_bys per batch), no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        n = len(flat)
+        import numpy as np
+
+        tot = np.zeros(len(t), np.int64)
+        dup = np.zeros(len(t), np.int64)
+        if n >= 3:
+            parts = [flat.slice(i, n - 2) for i in range(3)]
+            ngrams = pc.binary_join_element_wise(*parts, " ")
+            head = parent.slice(0, n - 2)
+            same = pc.equal(head, parent.slice(2, n - 2))
+            ngrams = ngrams.filter(same)
+            head = head.filter(same)
+            g = pa.table({"row": head, "ng": ngrams}).group_by(
+                ["row", "ng"]).aggregate([("ng", "count")])
+            rows = g.column("row").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cs = pc.cast(g.column("ng_count"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            tot = np.bincount(rows, weights=cs,
+                              minlength=len(t)).astype(np.int64)
+            dup = np.bincount(rows, weights=np.where(cs >= 2, cs, 0),
+                              minlength=len(t)).astype(np.int64)
+        ratio = np.zeros(len(t), np.float64)
+        nz = tot > 0
+        ratio[nz] = dup[nz] / tot[nz]
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_ngrams": pa.array(tot, pa.int64()),
+            "n_dup_occ": pa.array(dup, pa.int64()),
+            "intra_dup_ratio": pa.array(
+                np.floor(ratio * 1e6 + 0.5) / 1e6, pa.float64()),
+        })
+        return out.filter(pc.greater(out.column("n_ngrams"), 0))
+
+    return _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow").sort("doc_id")
+
+
 def q_lang_source_pmi(sf_dir: str):
     """Dataset-composition diagnostics: pointwise mutual information
     between language and source (is a source lang-skewed?). Per-batch
@@ -4141,6 +4204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_chars_quantiles": q_lang_chars_quantiles,
         "lm_scores": q_lm_scores,
         "lang_source_pmi": q_lang_source_pmi,
+        "intra_dup_ngrams": q_intra_dup_ngrams,
     }
 
 
@@ -5131,4 +5195,25 @@ def oracle_sql() -> dict[str, str]:
             FROM cells c
             JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t
             ORDER BY c.lang, c.source""",
+        "intra_dup_ngrams": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            ng AS (
+              SELECT doc_id, ng, CAST(count(*) AS BIGINT) AS c FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))])
+                       AS ng
+                FROM toks) GROUP BY 1, 2),
+            per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                                AS BIGINT) AS n_dup_occ
+                    FROM ng GROUP BY doc_id)
+            SELECT doc_id, n_ngrams, n_dup_occ,
+                   floor(n_dup_occ * 1.0 / n_ngrams * 1e6 + 0.5) / 1e6
+                     AS intra_dup_ratio
+            FROM per ORDER BY doc_id""",
     }
