@@ -257,6 +257,10 @@ def weighted_sample_aes(ds, *, k: int, weight_column: str,
     # driver merge sees O(k · batches/655) rows regardless of scale
     cands = lvl1.map_batches(merge_partial, batch_format="pyarrow",
                              batch_size=65536).to_pandas()
+    if cands.empty:  # empty input: schema-complete empty frame
+        import pandas as pd
+
+        return pd.DataFrame({id_column: [], "weight": [], "aes_key": []})
     top = cands.sort_values(["aes_key", id_column],
                             ascending=[False, True]).head(k)
     top = top.copy()

@@ -372,6 +372,9 @@ def histogram_quantiles(ds, column: str, *, n_buckets: int = 1024,
 
     # pass 1: exact global bounds + count (one streaming aggregate)
     bounds = ds.aggregate(Min(column), Max(column), Count())
+    if not bounds or bounds.get(f"min({column})") is None:
+        return pa.table({"q": pa.array([], pa.int64()),
+                         "est": pa.array([], pa.int64())})
     lo = int(bounds[f"min({column})"])
     hi = int(bounds[f"max({column})"])
     n = int(bounds["count()"])
@@ -422,6 +425,10 @@ def histogram_quantiles_by_group(ds, key_column: str, column: str, *,
     from .window import map_key_partitions, segment_lengths, segment_starts
 
     bounds = ds.aggregate(Min(column), Max(column))
+    if not bounds or bounds.get(f"min({column})") is None:
+        return pa.table({"key": pa.array([], pa.string()),
+                         "q": pa.array([], pa.int64()),
+                         "est": pa.array([], pa.int64())})
     lo = int(bounds[f"min({column})"])
     hi = int(bounds[f"max({column})"])
     span = hi - lo + 1

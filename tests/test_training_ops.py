@@ -1532,3 +1532,27 @@ def test_bigram_lm_scores_hand_computed(ray_session):
     assert list(out.index) == [10]
     assert out.loc[10, "n_bigrams"] == 2
     assert out.loc[10, "nll"] == math.floor(nll * 1e4 + 0.5) / 1e4
+
+
+def test_sketch_and_sample_empty_and_degenerate(ray_session):
+    """Empty inputs return schema-complete empties; a constant column
+    collapses every quantile to that value."""
+    import pyarrow as pa
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sketch import (
+        histogram_quantiles, histogram_quantiles_by_group)
+    from magic_content_extractor_ray.stages.sample import (
+        weighted_sample_aes)
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64()),
+                                    "k": pa.array([], pa.string()),
+                                    "doc_id": pa.array([], pa.int64())}))
+    assert len(histogram_quantiles(empty, "x")) == 0
+    assert len(histogram_quantiles_by_group(empty, "k", "x")) == 0
+    out = weighted_sample_aes(empty, k=5, weight_column="x")
+    assert list(out.columns) == ["doc_id", "weight", "aes_key"]
+    assert len(out) == 0
+
+    const = rd.from_items([{"x": 7} for _ in range(100)])
+    t = histogram_quantiles(const, "x", qs=(0.5, 0.99)).to_pydict()
+    assert t["est"] == [7, 7]
