@@ -166,9 +166,10 @@ def ngram_overlap_scores(train, evalset, *, column: str = "text",
             return t.append_column(
                 "side", pa.array(np.full(len(t), side, dtype=np.int64)))
 
-        # dense id/key blocks before the union: the downstream exchange
-        # pays a per-input-block cost (see BASELINE.md union-coalescing)
-        return g.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        # NOTE: no batch_size here — map fusion would push it onto the
+        # expanding tokenizer's INPUT and serialize it; density comes
+        # from map_key_partitions' no-shuffle repartition below
+        return g.map_batches(tag, batch_format="pyarrow")
 
     union = grams(train, 0).union(grams(evalset, 1))
 
@@ -202,7 +203,8 @@ def ngram_overlap_scores(train, evalset, *, column: str = "text",
     scored = map_key_partitions(union, "ng", score_partition,
                                 num_buckets=num_buckets,
                                 sort_cols=["side"],
-                                coalesce_rows=262144)
+                                coalesce_rows=262144,
+                                producer_expands=True)
     stats = scored.groupby(id_column).aggregate(
         Sum("c_all", alias_name="n_ngrams"),
         Sum("c_hit", alias_name="n_overlap"))

@@ -1039,7 +1039,8 @@ def duplicate_passage_stats(ds, *, column: str = "text",
 
     flagged = map_key_partitions(grams, "ng", flag_partition,
                                  num_buckets=num_buckets,
-                                 coalesce_rows=262144)
+                                 coalesce_rows=262144,
+                                 producer_expands=True)
     stats = flagged.groupby(id_column).aggregate(
         Sum("c_all", alias_name="n_ngrams"),
         Sum("c_dup", alias_name="n_dup"))

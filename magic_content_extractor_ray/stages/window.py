@@ -29,7 +29,8 @@ import pyarrow as pa
 
 def map_key_partitions(ds, key: str, fn, *, num_buckets: int = 64,
                        sort_cols: list[str] | None = None,
-                       coalesce_rows: int | None = None):
+                       coalesce_rows: int | None = None,
+                       producer_expands: bool = False):
     """Hash-partition ``ds`` by ``key`` and call ``fn`` once per partition.
 
     ``fn(table: pa.Table) -> pa.Table`` receives all rows of every key in
@@ -37,12 +38,15 @@ def map_key_partitions(ds, key: str, fn, *, num_buckets: int = 64,
     key), WITHOUT the transient ``__bucket`` column. Keys never straddle
     partitions, so any per-key window computed inside ``fn`` is exact.
 
-    ``coalesce_rows``: batch size for the bucket-tagging map — coalesces
-    many small upstream blocks into dense shuffle inputs (the groupby's
-    all-to-all pays a fixed cost per input block × partition; see
-    BASELINE.md union-coalescing). Use for narrow key/value rows; leave
-    None when rows carry large payloads (rebatching megabyte blocks
-    costs more than it saves).
+    ``coalesce_rows``: when set, the tagged stream is compacted into
+    ``num_buckets`` dense blocks with a no-shuffle ``repartition``
+    before the exchange (the groupby's all-to-all pays a fixed cost per
+    input block × partition; see BASELINE.md union-coalescing). The
+    repartition is deliberately NOT a ``batch_size`` on the tagging map:
+    map fusion would push that batch size onto the UPSTREAM stage's
+    input, serializing any row-expanding producer (a tokenizer emitting
+    400 ngrams/doc collapsed to ONE task that way). Use for narrow
+    key/value rows; leave None when rows carry large payloads.
     """
     from .join import _bucket_array
 
@@ -57,7 +61,18 @@ def map_key_partitions(ds, key: str, fn, *, num_buckets: int = 64,
         out = fn(t)
         return out.replace_schema_metadata(None)
 
-    kwargs = {} if coalesce_rows is None else {"batch_size": coalesce_rows}
+    kwargs = {}
+    if coalesce_rows is not None:
+        kwargs["batch_size"] = coalesce_rows
+        if producer_expands:
+            # the off-unit num_cpus BREAKS operator fusion with the
+            # upstream map: fused, the batch size applies to the
+            # UPSTREAM stage's input, serializing a row-expanding
+            # producer (a tokenizer emitting 400 ngrams/doc collapsed
+            # to ONE task that way — dup_passages sf1 68→19 s unfused).
+            # For 1:1/shrinking producers fusion is FASTER (one less
+            # pass; item_triangles sf1 6→13 s when broken) — default.
+            kwargs["num_cpus"] = 1.01
     return ds.map_batches(add_bucket, batch_format="pyarrow",
                           **kwargs).groupby(
         "__bucket").map_groups(run, batch_format="pyarrow")
