@@ -1556,3 +1556,93 @@ def test_sketch_and_sample_empty_and_degenerate(ray_session):
     const = rd.from_items([{"x": 7} for _ in range(100)])
     t = histogram_quantiles(const, "x", qs=(0.5, 0.99)).to_pydict()
     assert t["est"] == [7, 7]
+
+
+def test_ngram_ops_vs_bruteforce_random(ray_session):
+    """duplicate_passage_stats / ngram_overlap_scores / bigram_lm_scores
+    against plain-Python brute force on small random corpora (fixed
+    seeds) — correctness evidence independent of the DuckDB twins."""
+    import math
+    import numpy as np
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.decontam import (
+        ngram_overlap_scores)
+    from magic_content_extractor_ray.stages.dedup import (
+        duplicate_passage_stats)
+    from magic_content_extractor_ray.stages.lm import bigram_lm_scores
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → real collisions
+
+    def corpus(n_docs, lo=0, seed_shift=0):
+        rng2 = np.random.RandomState(11 + seed_shift)
+        return [{"doc_id": lo + i,
+                 "text": " ".join(rng2.choice(vocab,
+                                              size=rng2.randint(1, 15)))}
+                for i in range(n_docs)]
+
+    def grams(text, n):
+        ws = text.split()
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    docs = corpus(40)
+    ds = rd.from_items(docs).repartition(5)
+
+    # --- duplicate_passage_stats ---
+    by_doc = {d["doc_id"]: set(grams(d["text"], 3)) for d in docs}
+    df: dict = {}
+    for s in by_doc.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    out = duplicate_passage_stats(ds, n=3).to_pandas().set_index("doc_id")
+    for did, s in by_doc.items():
+        if not s:
+            assert did not in out.index
+            continue
+        assert out.loc[did, "n_ngrams"] == len(s)
+        assert out.loc[did, "n_dup"] == sum(1 for g in s if df[g] >= 2)
+
+    # --- ngram_overlap_scores ---
+    train_docs = corpus(30, lo=100, seed_shift=1)
+    eval_docs = corpus(10, lo=200, seed_shift=2)
+    train_set = set()
+    for d in train_docs:
+        train_set.update(grams(d["text"], 3))
+    ov = ngram_overlap_scores(
+        rd.from_items(train_docs).repartition(4),
+        rd.from_items(eval_docs).repartition(3), n=3,
+    ).to_pandas().set_index("doc_id")
+    for d in eval_docs:
+        s = set(grams(d["text"], 3))
+        if not s:
+            assert d["doc_id"] not in ov.index
+            continue
+        assert ov.loc[d["doc_id"], "n_ngrams"] == len(s)
+        assert ov.loc[d["doc_id"], "n_overlap"] == sum(
+            1 for g in s if g in train_set)
+
+    # --- bigram_lm_scores ---
+    c1: dict = {}
+    c2: dict = {}
+    for d in train_docs:
+        ws = d["text"].split()
+        for w in ws:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    V = len(c1)
+    lm = bigram_lm_scores(
+        rd.from_items(train_docs).repartition(4),
+        rd.from_items(eval_docs).repartition(3),
+    ).to_pandas().set_index("doc_id")
+    for d in eval_docs:
+        ws = d["text"].split()
+        trans = list(zip(ws, ws[1:]))
+        if not trans:
+            assert d["doc_id"] not in lm.index
+            continue
+        s = sum(math.log((c2.get(t, 0) + 1) / (c1.get(t[0], 0) + V))
+                for t in trans)
+        want = math.floor((-s / len(trans)) * 1e4 + 0.5) / 1e4
+        assert lm.loc[d["doc_id"], "nll"] == want, d["doc_id"]
+        assert lm.loc[d["doc_id"], "n_bigrams"] == len(trans)
