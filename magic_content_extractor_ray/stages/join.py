@@ -78,6 +78,8 @@ def _pack_side(batch: pa.Table, *, key: str, side: str, cols: list[str],
         keys = keys.combine_chunks()
 
     def struct_of(t: pa.DataType) -> pa.Array:
+        if not cols:  # presence-only side (semi/anti joins)
+            return pa.nulls(len(batch), type=t)
         children = [
             (batch.column(c).combine_chunks()
              if isinstance(batch.column(c), pa.ChunkedArray)
@@ -170,7 +172,9 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     """Join two Datasets on ``key``; returns a Dataset with columns
     [key, *left_cols, *right_cols]. One shuffle total (the bucket groupby);
     each bucket joins with a pyarrow table join inside ``map_groups``.
-    ``how`` ∈ {'inner', 'left'} (left = left outer). ``hot_keys`` salts the
+    ``how`` ∈ {'inner', 'left', 'full', 'semi', 'anti'} (semi/anti emit
+    LEFT columns only — pass ``right_cols=[]`` for a presence-only right
+    side). ``hot_keys`` salts the
     named skewed keys across ``num_salts`` sub-buckets (left spreads,
     right replicates) — identical results, bounded per-task key volume.
     ``hot_keys="auto"`` runs ``detect_hot_keys`` on the LEFT side first
@@ -182,7 +186,13 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     EXECUTE the side's whole lineage (expensive when the side ends in an
     aggregate)."""
     join_type = {"inner": "inner", "left": "left outer",
-                 "full": "full outer"}[how]
+                 "full": "full outer", "semi": "left semi",
+                 "anti": "left anti"}[how]
+    # semi/anti emit LEFT columns only; the right side contributes just
+    # key presence (its payload still ships — pass right_cols=[] to keep
+    # the presence-only side minimal)
+    out_cols = [key, *left_cols] if how in ("semi", "anti") \
+        else [key, *left_cols, *right_cols]
     if isinstance(hot_keys, str) and hot_keys == "auto":
         hot_keys = detect_hot_keys(left, key, num_buckets=num_buckets) \
             or None
@@ -239,7 +249,8 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
     empty_schema = pa.schema(
         [(key, key_type)]
         + [(c, ltype.field(c).type) for c in left_cols]
-        + [(c, rtype.field(c).type) for c in right_cols])
+        + ([] if how in ("semi", "anti")
+           else [(c, rtype.field(c).type) for c in right_cols]))
 
     def join_bucket(g: pa.Table) -> pa.Table:
         mask_l = pc.equal(g.column("side"), "L")
@@ -249,7 +260,7 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
             if len(lrows) == 0 and len(rrows) == 0:
                 return empty_schema.empty_table()
         elif len(lrows) == 0 or (len(rrows) == 0 and
-                                 join_type == "inner"):
+                                 join_type in ("inner", "left semi")):
             return empty_schema.empty_table()
         lpay = lrows.column("left_payload").combine_chunks()
         ltab = pa.table(
@@ -260,7 +271,7 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
             {key: rrows.column("join_key"),
              **{c: pc.struct_field(rpay, c) for c in right_cols}})
         return ltab.join(rtab, keys=key, join_type=join_type).select(
-            [key, *left_cols, *right_cols])
+            out_cols)
 
     return packed_l.union(packed_r).groupby("bucket").map_groups(
         join_bucket, batch_format="pyarrow")

@@ -1646,3 +1646,33 @@ def test_ngram_ops_vs_bruteforce_random(ray_session):
         want = math.floor((-s / len(trans)) * 1e4 + 0.5) / 1e4
         assert lm.loc[d["doc_id"], "nll"] == want, d["doc_id"]
         assert lm.loc[d["doc_id"], "n_bigrams"] == len(trans)
+
+
+def test_hash_join_semi_anti(ray_session):
+    """semi = left rows with >=1 match (left cols only, no fan-out);
+    anti = left rows with none; both correct under hot-key salting."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    left = rd.from_items([{"k": i % 5, "l": i} for i in range(20)])
+    right = rd.from_items([{"k": 1, "r": "a"}, {"k": 1, "r": "b"},
+                           {"k": 3, "r": "c"}])
+    semi = hash_join(left, right, key="k", left_cols=["l"],
+                     right_cols=[], how="semi").to_pandas()
+    assert set(semi.columns) == {"k", "l"}
+    assert sorted(set(semi.k)) == [1, 3]
+    assert len(semi) == 8  # 4 left rows per key, NO duplicate fan-out
+    anti = hash_join(left, right, key="k", left_cols=["l"],
+                     right_cols=[], how="anti").to_pandas()
+    assert sorted(set(anti.k)) == [0, 2, 4] and len(anti) == 12
+    # salted: identical results
+    semi_s = hash_join(left, right, key="k", left_cols=["l"],
+                       right_cols=[], how="semi", hot_keys=[1],
+                       num_salts=4).to_pandas()
+    assert sorted(map(tuple, semi_s[["k", "l"]].values.tolist())) == \
+        sorted(map(tuple, semi[["k", "l"]].values.tolist()))
+    anti_s = hash_join(left, right, key="k", left_cols=["l"],
+                       right_cols=[], how="anti", hot_keys=[0],
+                       num_salts=4).to_pandas()
+    assert sorted(map(tuple, anti_s[["k", "l"]].values.tolist())) == \
+        sorted(map(tuple, anti[["k", "l"]].values.tolist()))
