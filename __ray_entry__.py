@@ -51,6 +51,54 @@ def _pool():
     return actor_pool()
 
 
+# Per-user degree cap for the pair-expansion mining queries (covisitation,
+# item_triangles). The per-user unordered-pair expansion is O(degree²); one
+# bot-like user (crawler, shared account) with 10⁴–10⁵ distinct items would
+# otherwise produce 10⁸–10¹⁰ pairs inside ONE partition task. Standard
+# co-vis mining bound: hub users' item lists are hash-sampled down to this
+# cap (deterministic in (user, item) — partition/scheduler independent), so
+# per-task pair work is ≤ cap²/2 ≈ 2M pairs ≈ 16 MB. Documented bias:
+# co-occurrence counts involving capped hubs are computed over a uniform
+# item sample. The fixture's max degree is 24 (sf0.1), so small-SF oracle
+# hashes are unaffected.
+MAX_USER_ITEMS = 2000
+
+
+def _cap_user_items(u, it, cap=None):
+    """Deterministically cap each user's distinct-item list at ``cap``.
+
+    ``u`` must be segment-sorted (all of a user's rows adjacent) and ``it``
+    ascending within each segment — both preserved on return (sampling
+    drops rows by mask, never reorders). Selection key is a splitmix64 mix
+    of (user, item), so the kept sample is a pure function of the data.
+    """
+    import numpy as np
+
+    from magic_content_extractor_ray.stages.window import (
+        segment_lengths, segment_starts)
+
+    if cap is None:
+        cap = MAX_USER_ITEMS
+    if not len(u):
+        return u, it
+    starts = segment_starts(u)
+    lens = segment_lengths(starts, len(u))
+    if int(lens.max()) <= cap:
+        return u, it
+    keep = np.ones(len(u), dtype=bool)
+    for s, ln in zip(starts[lens > cap], lens[lens > cap]):
+        s, ln = int(s), int(ln)
+        salt = np.uint64((int(u[s]) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1))
+        mix = it[s:s + ln].astype(np.uint64) + salt
+        mix ^= mix >> np.uint64(30)
+        mix *= np.uint64(0xBF58476D1CE4E5B9)
+        mix ^= mix >> np.uint64(27)
+        mix *= np.uint64(0x94D049BB133111EB)
+        mix ^= mix >> np.uint64(31)
+        keep[s + np.argpartition(mix, cap)[cap:]] = False
+    return u[keep], it[keep]
+
+
 def _docs(sf_dir: str):
     from magic_content_extractor_ray.corpus import docs_dataset
 
@@ -3270,14 +3318,14 @@ def q_covisitation(sf_dir: str):
     partial counts (np.unique) so the combiner shuffle moves (pair,
     count) rows, then a bounded top-50. Users never straddle partitions
     (map_key_partitions), so per-user dedup and pair emission are exact;
-    per-user item fan-out is bounded by the item catalog."""
+    per-user item fan-out is bounded by the MAX_USER_ITEMS hub cap
+    (deterministic hash sample — see _cap_user_items)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from magic_content_extractor_ray.stages.window import (
-        map_key_partitions, segment_lengths, segment_starts)
+        hash_sum, map_key_partitions, segment_lengths, segment_starts)
 
     K = 50
 
@@ -3306,7 +3354,7 @@ def q_covisitation(sf_dir: str):
         keep = np.ones(len(u), dtype=bool)
         if len(u) > 1:  # rows sorted by (user, item): adjacent dedup
             keep[1:] = (u[1:] != u[:-1]) | (it[1:] != it[:-1])
-        u, it = u[keep], it[keep]
+        u, it = _cap_user_items(u[keep], it[keep])
         starts = segment_starts(u)
         lens = segment_lengths(starts, len(u))
         sel = lens >= 2
@@ -3334,9 +3382,12 @@ def q_covisitation(sf_dir: str):
     ui = _read_pq(f"{sf_dir}/events.parquet",
                   columns=["user_id", "event_type", "props"]
                   ).map_batches(prep, batch_format="pyarrow")
-    counts = map_key_partitions(ui, "user_id", pairs, sort_cols=["item"]
-                                ).groupby("pk").aggregate(
-        Sum("c", alias_name="n_users"))
+    # hash_sum, not groupby().aggregate(Sum): one group per item PAIR is
+    # row-scale cardinality, where the sort-aggregate's per-group Python
+    # callback dominates (2M pairs: 146 s → 4 s on 4 cpus)
+    counts = hash_sum(
+        map_key_partitions(ui, "user_id", pairs, sort_cols=["item"]),
+        "pk", "c", "n_users")
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -3905,15 +3956,17 @@ def q_item_triangles(sf_dir: str):
     vertex (one partition pass, np.triu_indices per vertex segment) and
     verified by one partitioned hash join against the edge set — the
     standard wedge-check shape; no vertex's work exceeds its degree².
+    Per-USER pair emission is bounded by the MAX_USER_ITEMS hub cap
+    (deterministic hash sample — see _cap_user_items).
     Returns per-item triangle participation counts."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     from magic_content_extractor_ray.stages.join import hash_join
     from magic_content_extractor_ray.stages.window import (
-        map_key_partitions, segment_lengths, segment_starts)
+        hash_sum, map_key_partitions, segment_lengths, segment_starts)
 
     MIN_SUP = 2
     MASK = (1 << 31) - 1
@@ -3936,10 +3989,13 @@ def q_item_triangles(sf_dir: str):
             zero_copy_only=False).astype(np.int64)
         it = t.column("item").to_numpy(
             zero_copy_only=False).astype(np.int64)
+        if len(u) and (it.min() < 0 or it.max() >= (1 << 31)):
+            raise ValueError("item_triangles packs item pairs into one "
+                             "int64; item ids must be in [0, 2^31)")
         keep = np.ones(len(u), dtype=bool)
         if len(u) > 1:
             keep[1:] = (u[1:] != u[:-1]) | (it[1:] != it[:-1])
-        u, it = u[keep], it[keep]
+        u, it = _cap_user_items(u[keep], it[keep])
         starts = segment_starts(u)
         lens = segment_lengths(starts, len(u))
         out = []
@@ -3955,9 +4011,12 @@ def q_item_triangles(sf_dir: str):
     ui = _read_pq(f"{sf_dir}/events.parquet",
                   columns=["user_id", "event_type", "props"]
                   ).map_batches(prep, batch_format="pyarrow")
-    counts = map_key_partitions(ui, "user_id", pairs, sort_cols=["item"],
-                                coalesce_rows=131072).groupby(
-        "pk").aggregate(Sum("c", alias_name="n_users"))
+    # hash_sum (Arrow C++ per-partition sum), not the sort-aggregate:
+    # pair-key cardinality is row-scale (see q_covisitation)
+    counts = hash_sum(
+        map_key_partitions(ui, "user_id", pairs, sort_cols=["item"],
+                           coalesce_rows=131072),
+        "pk", "c", "n_users")
 
     def unpack_edges(t: pa.Table) -> pa.Table:
         pk = t.column("pk").to_numpy(zero_copy_only=False)

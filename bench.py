@@ -249,8 +249,39 @@ def run_scaling() -> dict:
     }
 
 
+def emit(result: dict) -> None:
+    """Print the result so the driver's bounded tail capture always sees a
+    parseable headline.
+
+    Round-3 lesson (BENCH_r03.json "parsed": null): the single JSON line
+    carried ~120 per-query timings (~3 KB) and the driver's tail window cut
+    off the headline prefix.  Now the FULL result (all per-query timings) is
+    written to BENCH_QUERIES.json next to this file and printed first, and
+    the LAST stdout line is a compact headline (<1 KB) with a curated
+    queries subset — short enough to survive any tail window.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
+    print(json.dumps(result))
+
+    headline = dict(result)
+    full_q = headline.get("queries") or {}
+    picks = ["dedup_minhash", "dedup_exact", "token_count", "lang_id",
+             "customer_order_counts", "training_pipeline", "ann_topk",
+             "user_sessions", "bm25_topk", "semantic_dedup",
+             "chars_quartiles", "cross_dedup"]
+    headline["queries"] = {k: full_q[k] for k in picks if k in full_q}
+    headline.pop("stages", None)
+    headline["queries_full"] = "BENCH_QUERIES.json"
+    print(json.dumps(headline))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_once()))
+        emit(run_once())

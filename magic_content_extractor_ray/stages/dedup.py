@@ -31,12 +31,26 @@ identity group is ever dropped, regardless of bucket size.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
 
 
 _MERSENNE = (1 << 61) - 1
+
+# RE2's \s (what pyarrow's split_pattern_regex(r"\s+") matches) is the
+# ASCII class [\t\n\f\r ] — NOT Python str.split(), which also splits on
+# \v and Unicode whitespace (NBSP  , ideographic space 　, ...).
+# Every single-doc reference implementation in this module tokenizes with
+# this helper so it agrees byte-for-byte with the vectorized batch paths
+# (and with DuckDB's regexp_split_to_array, also RE2) on web text.
+_RE2_WS = re.compile(r"[\t\n\f\r ]+")
+
+
+def ascii_ws_split(text: str) -> list[str]:
+    """RE2-\\s-compatible whitespace tokenize (drops empty tokens)."""
+    return [w for w in _RE2_WS.split(text) if w]
 
 
 def add_text_hash(batch: pa.Table, column: str = "text") -> pa.Table:
@@ -326,8 +340,10 @@ class SimHasher:
 
     def simhash64(self, text: str) -> int:
         """Single-doc reference implementation (tests); the batch path
-        below is the vectorized equivalent."""
-        words = (text or "").lower().split()
+        below is the vectorized equivalent. Uses the same RE2-compatible
+        ASCII tokenization as the batch path (see ``ascii_ws_split``) so
+        the two agree on Unicode whitespace (NBSP, ideographic space)."""
+        words = ascii_ws_split((text or "").lower())
         if not words:
             return 0
         hs = np.array([self._word_hash(w) for w in words], dtype=np.uint64)
@@ -621,7 +637,10 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
 # ---------------------------------------------------------------------------
 
 def word_ngrams(text: str, n: int = 3) -> set:
-    words = (text or "").lower().split()
+    """Single-doc reference for the batch shingle path — same
+    RE2-compatible tokenization (``ascii_ws_split``) so verifier and
+    batch agree on Unicode whitespace."""
+    words = ascii_ws_split((text or "").lower())
     return {tuple(words[i:i + n]) for i in range(max(0, len(words) - n + 1))}
 
 

@@ -38,14 +38,18 @@ def map_key_partitions(ds, key: str, fn, *, num_buckets: int = 64,
     key), WITHOUT the transient ``__bucket`` column. Keys never straddle
     partitions, so any per-key window computed inside ``fn`` is exact.
 
-    ``coalesce_rows``: when set, the tagged stream is compacted into
-    ``num_buckets`` dense blocks with a no-shuffle ``repartition``
-    before the exchange (the groupby's all-to-all pays a fixed cost per
-    input block × partition; see BASELINE.md union-coalescing). The
-    repartition is deliberately NOT a ``batch_size`` on the tagging map:
-    map fusion would push that batch size onto the UPSTREAM stage's
-    input, serializing any row-expanding producer (a tokenizer emitting
-    400 ngrams/doc collapsed to ONE task that way). Use for narrow
+    ``coalesce_rows``: when set, it is applied as ``batch_size`` on the
+    tagging map so the exchange sees dense input blocks (the groupby's
+    all-to-all pays a fixed cost per input block × partition; see
+    BASELINE.md union-coalescing). CAVEAT — map fusion: Ray fuses the
+    tagging map with the upstream stage, so that batch size applies to
+    the UPSTREAM stage's INPUT. For 1:1/shrinking producers that is
+    faster (one fewer pass); for a ROW-EXPANDING producer (a tokenizer
+    emitting 400 ngrams/doc) it batches ~coalesce_rows producer inputs
+    into one task and serializes the stage (dup_passages sf1: 68 s fused
+    vs 19 s broken). Pass ``producer_expands=True`` for row-expanding
+    producers: it breaks the fusion (via an off-unit num_cpus) so the
+    batch size only compacts the already-expanded rows. Use for narrow
     key/value rows; leave None when rows carry large payloads.
     """
     from .join import _bucket_array
@@ -76,6 +80,30 @@ def map_key_partitions(ds, key: str, fn, *, num_buckets: int = 64,
     return ds.map_batches(add_bucket, batch_format="pyarrow",
                           **kwargs).groupby(
         "__bucket").map_groups(run, batch_format="pyarrow")
+
+
+def hash_sum(ds, key: str, value: str, alias: str, *,
+             num_buckets: int = 64, coalesce_rows: int | None = 65536):
+    """``groupby(key).aggregate(Sum(value))`` for HIGH-CARDINALITY keys.
+
+    Ray's sort-based aggregate pays a Python callback per GROUP when it
+    combines sorted runs — with millions of distinct keys (e.g. one group
+    per packed item pair in co-occurrence mining: 2M groups took 146 s on
+    4 cpus) that Python loop dominates. Same single shuffle here, but each
+    hash partition is summed by Arrow's C++ ``Table.group_by`` — one
+    callback per PARTITION, vectorized inside. Output schema:
+    (key, alias), both preserving the input column types.
+    """
+    import pyarrow.compute as pc
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by([key]).aggregate([(value, "sum")])
+        out_type = t.schema.field(value).type
+        return pa.table({key: g.column(key),
+                         alias: pc.cast(g.column(f"{value}_sum"), out_type)})
+
+    return map_key_partitions(ds, key, agg, num_buckets=num_buckets,
+                              coalesce_rows=coalesce_rows)
 
 
 def segment_starts(keys: np.ndarray) -> np.ndarray:
