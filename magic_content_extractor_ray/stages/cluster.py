@@ -98,23 +98,43 @@ def assign_clusters(ds, centroids: np.ndarray, *,
         assign, batch_format="pyarrow")
 
 
-def semantic_dedup(ds, *, k: int = 16, threshold: float = 0.95,
+def semantic_dedup(ds, *, k: int | None = None, threshold: float = 0.95,
                    iters: int = 5, column: str = "embedding",
                    id_column: str = "vec_id", tile: int = 256,
-                   num_buckets: int = 64):
+                   num_buckets: int = 64, max_cluster_rows: int = 8192,
+                   max_distinct: int = 4096, shard_bits: int = 8,
+                   seed: int = 23):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     partitions the embedding space, then near-duplicate GROUPS are found
     by exact pairwise cosine WITHIN each cluster only — O(n²/k) total
-    pair work instead of O(n²), and the quadratic piece is bounded per
-    task by the cluster size (size ``k`` to the corpus: the paper uses
-    k ~ sqrt(n)).
+    pair work instead of O(n²).
+
+    ``k=None`` (default) sizes k ≈ √n from the dataset row count — the
+    paper's scaling — so the expected cluster is √n rows and the O(n²/k)
+    bound actually tightens as the corpus grows; pass an explicit k to
+    pin it (tests / snapshot oracles do).
+
+    Per-task work is bounded even when k-means drops a pathological
+    share of the corpus into ONE cluster (template-expanded corpora):
+    inside the partition task, each cluster first collapses
+    byte-identical vectors to identity groups (m copies → one
+    representative, never m² pairs — the embedding_dedup hot-bucket
+    policy), and when the DISTINCT representatives still exceed
+    ``max_cluster_rows`` they are sharded by a deterministic
+    second-level sign-LSH (``shard_bits`` hyperplanes seeded per
+    cluster) with a ``max_distinct`` comparison cap per shard — so the
+    quadratic piece never exceeds max(max_cluster_rows, max_distinct)²
+    regardless of cluster size. Sharding is an approximation (near-dup
+    pairs straddling shards are missed); it only engages above the
+    bound, below it results are exact and unchanged.
 
     Returns one row per vector: (vec_id, kcluster, rep_id) where rep_id
     is the min-id member of the vector's within-cluster near-dup group
     (itself when unique). ``rep_id != vec_id`` rows are the prunable
     semantic duplicates. Deterministic: kmeans_fit is
     parallelism-independent, clusters are processed whole inside one
-    hash partition, and grouping is min-id union-find.
+    hash partition, grouping is min-id union-find, and the shard planes
+    are a pure function of (seed, kcluster).
     """
     import ray
 
@@ -125,6 +145,9 @@ def semantic_dedup(ds, *, k: int = 16, threshold: float = 0.95,
     # assignment passes) — pin the projected columns in the object store
     # so those 7+ passes don't re-execute the read lineage each time
     ds = ds.select_columns([id_column, column]).materialize()
+    if k is None:
+        n = ds.count()  # metadata-only on the materialized projection
+        k = max(1, min(n, max(16, int(round(float(n) ** 0.5)))))
     centroids = kmeans_fit(ds, k=k, iters=iters, column=column,
                            id_column=id_column)
     cref = ray.put(centroids)
@@ -148,6 +171,78 @@ def semantic_dedup(ds, *, k: int = 16, threshold: float = 0.95,
 
     assigned = ds.map_batches(assign_with_vec, batch_format="pyarrow")
 
+    def dedup_cluster(ids: np.ndarray, mat: np.ndarray, kcluster: int,
+                      out_id: list, out_cl: list, out_rep: list) -> None:
+        """One cluster (ids sorted ascending, mat row-aligned): min-id
+        union-find over cosine>=threshold pairs. Identity groups collapse
+        first; distinct representatives shard via sign-LSH only past
+        ``max_cluster_rows`` (below the bound this reproduces all-pairs
+        connectivity exactly: every member connects through its
+        representative)."""
+        n_rows = len(ids)
+        parent = np.arange(n_rows)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        def union(i, j):
+            ra, rb = find(int(i)), find(int(j))
+            if ra != rb:  # ids sorted → min index = min id
+                parent[max(ra, rb)] = min(ra, rb)
+
+        # identity groups: byte-identical vectors → union to first member
+        uniq, inverse = np.unique(mat, axis=0, return_inverse=True)
+        inverse = inverse.ravel()
+        order = np.argsort(inverse, kind="stable")
+        g_starts = segment_starts(inverse[order])
+        g_lens = segment_lengths(g_starts, n_rows)
+        rep_idx = np.empty(len(uniq), dtype=np.int64)
+        for s, ln in zip(g_starts, g_lens):
+            members = order[int(s):int(s + ln)]
+            members.sort()  # min index = min id
+            gi = inverse[members[0]]
+            rep_idx[gi] = members[0]
+            # identical normalized vectors have cosine 1 — except the
+            # all-zero vector (cosine 0), which only unions when the
+            # threshold admits it (matches the pre-shard all-pairs path)
+            if float(uniq[gi] @ uniq[gi]) >= threshold:
+                for m in members[1:]:
+                    union(members[0], m)
+
+        # shard distinct representatives when the cluster is over-bound
+        n_uniq = len(uniq)
+        if n_uniq > max_cluster_rows:
+            rng = np.random.RandomState(
+                (seed * 1_000_003 + int(kcluster)) % (2**32))
+            planes = rng.randn(shard_bits, uniq.shape[1]).astype(np.float32)
+            bits = (uniq @ planes.T) > 0
+            shard = bits @ (1 << np.arange(shard_bits, dtype=np.int64))
+            shard_order = np.argsort(shard, kind="stable")
+        else:
+            shard = np.zeros(n_uniq, dtype=np.int64)
+            shard_order = np.arange(n_uniq)
+
+        s_starts = segment_starts(shard[shard_order])
+        s_lens = segment_lengths(s_starts, n_uniq)
+        for s, ln in zip(s_starts[s_lens >= 2], s_lens[s_lens >= 2]):
+            grp = shard_order[int(s):int(s + ln)][:max_distinct]
+            reps = uniq[grp]
+            for i0 in range(0, len(grp), tile):
+                sims = reps[i0:i0 + tile] @ reps.T
+                ii, jj = np.nonzero(sims >= threshold)
+                for i, j in zip(ii, jj):
+                    gi, gj = i0 + int(i), int(j)
+                    if gi < gj:
+                        union(rep_idx[grp[gi]], rep_idx[grp[gj]])
+
+        reps_ids = ids[np.array([find(i) for i in range(n_rows)])]
+        out_id.extend(ids.tolist())
+        out_cl.extend([int(kcluster)] * n_rows)
+        out_rep.extend(reps_ids.tolist())
+
     def dedup_partition(part: pa.Table) -> pa.Table:
         keys = part.column("kcluster").to_numpy(zero_copy_only=False)
         out_id: list = []
@@ -166,29 +261,8 @@ def semantic_dedup(ds, *, k: int = 16, threshold: float = 0.95,
                 mat = np.frombuffer(
                     b"".join(blobs[sl].to_pylist()),
                     dtype=np.float32).reshape(int(ln), -1)[order]
-                # min-id union-find over cosine>=threshold pairs, tiled
-                parent = np.arange(len(ids))
-
-                def find(i):
-                    while parent[i] != i:
-                        parent[i] = parent[parent[i]]
-                        i = parent[i]
-                    return i
-
-                for i0 in range(0, len(ids), tile):
-                    sims = mat[i0:i0 + tile] @ mat.T
-                    ii, jj = np.nonzero(sims >= threshold)
-                    for i, j in zip(ii, jj):
-                        gi = i0 + int(i)
-                        if gi >= j:
-                            continue
-                        ra, rb = find(gi), find(int(j))
-                        if ra != rb:  # ids sorted → min index = min id
-                            parent[max(ra, rb)] = min(ra, rb)
-                reps = ids[np.array([find(i) for i in range(len(ids))])]
-                out_id.extend(ids.tolist())
-                out_cl.extend([int(keys[s])] * int(ln))
-                out_rep.extend(reps.tolist())
+                dedup_cluster(ids, mat, int(keys[s]),
+                              out_id, out_cl, out_rep)
         return pa.table({id_column: pa.array(out_id, pa.int64()),
                          "kcluster": pa.array(out_cl, pa.int64()),
                          "rep_id": pa.array(out_rep, pa.int64())})

@@ -146,22 +146,69 @@ def _pack_side(batch: pa.Table, *, key: str, side: str, cols: list[str],
 
 
 def detect_hot_keys(ds, key: str, *, num_buckets: int = 64,
-                    skew_factor: float = 2.0, k: int = 32) -> list:
-    """Skew pre-pass for ``hash_join``: exact heavy hitters over the key
-    column (Misra-Gries sketch + recount, stages/sketch.py), keeping keys
-    whose row count exceeds ``skew_factor × rows/num_buckets`` — the keys
-    that would dominate a single bucket task. The key column is
-    materialized once (narrow) so the sketch's two passes and the row
-    count don't re-execute the upstream pipeline."""
-    from .sketch import heavy_hitters
+                    skew_factor: float = 2.0, k: int = 32,
+                    capacity: int | None = None) -> list:
+    """Skew pre-pass for ``hash_join``: keys whose row count exceeds
+    ``skew_factor × rows/num_buckets`` — the keys that would dominate a
+    single bucket task.
 
-    keys_ds = ds.select_columns([key]).materialize()
-    n = keys_ds.count()
+    ONE streaming pass, nothing materialized (the key column at 10¹²
+    rows is terabytes — pinning it in the object store was the round-3
+    scale hazard): each batch emits a Misra-Gries summary (≤ ``capacity``
+    rows; the batch's row count rides the first summary row), summaries
+    merge by grouped sum, and each merged block is re-pruned to
+    ``capacity`` before the driver sees it — driver input is O(capacity ×
+    output blocks), never O(distinct keys). A key with true count > the
+    hot threshold survives with estimate within N/capacity of truth;
+    capacity defaults to 50·k = 1600 ≫ num_buckets/skew_factor = 32, so
+    detection at the threshold is effectively exact (and either-way
+    errors only shift work balance — salting never changes results)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    capacity = capacity or 50 * k
+
+    def mg_prune(vals, cnts, rows_total):
+        """Top-``capacity`` values minus the waterline (MG-equivalent),
+        row count carried on the first emitted row."""
+        if len(cnts) > capacity:
+            order = np.argsort(-cnts, kind="stable")[:capacity + 1]
+            waterline = cnts[order[-1]]
+            keep = order[:-1]
+            vals = vals.take(pa.array(keep))
+            cnts = cnts[keep] - waterline
+        rows = np.zeros(len(cnts), np.int64)
+        if len(rows):
+            rows[0] = rows_total
+        return pa.table({key: vals, "cnt": pa.array(cnts, pa.int64()),
+                         "rows": pa.array(rows, pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({key: batch.column(key)}).group_by(key).aggregate(
+            [(key, "count")])
+        cnts = g.column(f"{key}_count").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return mg_prune(g.column(key), cnts, len(batch))
+
+    def reprune(t: pa.Table) -> pa.Table:
+        cnts = t.column("cnt").to_numpy(zero_copy_only=False)
+        rows = t.column("rows").to_numpy(zero_copy_only=False)
+        return mg_prune(t.column(key).combine_chunks(),
+                        cnts.astype(np.int64), int(rows.sum()))
+
+    merged = ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow").groupby(key).aggregate(
+        Sum("cnt", alias_name="cnt"), Sum("rows", alias_name="rows")
+    ).map_batches(reprune, batch_format="pyarrow")
+    df = merged.to_pandas()
+    n = int(df["rows"].sum())
     if n == 0:
         return []
-    hh = heavy_hitters(keys_ds, key, k=k)
     threshold = skew_factor * n / num_buckets
-    return [v for v, c in zip(hh["value"], hh["n"]) if c > threshold]
+    hot = df[df["cnt"] > threshold].sort_values(
+        ["cnt", key], ascending=[False, True]).head(k)
+    return list(hot[key])
 
 
 def hash_join(left, right, *, key: str, left_cols: list[str],

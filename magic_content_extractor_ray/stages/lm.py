@@ -130,13 +130,17 @@ def bigram_lm_scores(train, evalset, *, column: str = "text",
             "c2": t.column("c2"),
             "side": pa.array(np.zeros(len(t), np.int64))}),
         batch_format="pyarrow", batch_size=65536)
+    # NOTE: no batch_size on this tag map — it fuses with the
+    # row-expanding eval_rows tokenizer upstream, so a batch size here
+    # would batch ~65536 eval DOCS per tokenize task (the decontam.py
+    # fusion caveat); coalescing happens in map_key_partitions below
     e1 = ev.map_batches(
         lambda t: pa.table({
             "bg": t.column("bg"), "d": t.column("d"),
             "w1": t.column("w1"), "tf": t.column("tf"),
             "c2": pa.array(np.zeros(len(t), np.int64)),
             "side": pa.array(np.ones(len(t), np.int64))}),
-        batch_format="pyarrow", batch_size=65536)
+        batch_format="pyarrow")
 
     def attach_c2(part: pa.Table) -> pa.Table:
         keys = part.column("bg").to_numpy(zero_copy_only=False)
@@ -162,7 +166,9 @@ def bigram_lm_scores(train, evalset, *, column: str = "text",
 
     step1 = map_key_partitions(u1.union(e1), "bg", attach_c2,
                                num_buckets=num_buckets,
-                               sort_cols=["side"])
+                               sort_cols=["side"],
+                               coalesce_rows=65536,
+                               producer_expands=True)
 
     # --- exchange 2: attach c1 by w1, emit per-doc partials -----------
     u2 = c1.map_batches(
@@ -174,13 +180,15 @@ def bigram_lm_scores(train, evalset, *, column: str = "text",
             "c1": t.column("c1"),
             "side": pa.array(np.zeros(len(t), np.int64))}),
         batch_format="pyarrow", batch_size=65536)
+    # no batch_size here either: step1's partition callback emits whole-
+    # partition row-expanded outputs; coalesce in map_key_partitions below
     e2 = step1.map_batches(
         lambda t: pa.table({
             "w1": t.column("w1"), "d": t.column("d"),
             "tf": t.column("tf"), "c2": t.column("c2"),
             "c1": pa.array(np.zeros(len(t), np.int64)),
             "side": pa.array(np.ones(len(t), np.int64))}),
-        batch_format="pyarrow", batch_size=65536)
+        batch_format="pyarrow")
 
     def score_partial(part: pa.Table) -> pa.Table:
         keys = part.column("w1").to_numpy(zero_copy_only=False)
@@ -213,7 +221,9 @@ def bigram_lm_scores(train, evalset, *, column: str = "text",
 
     partials = map_key_partitions(u2.union(e2), "w1", score_partial,
                                   num_buckets=num_buckets,
-                                  sort_cols=["side"])
+                                  sort_cols=["side"],
+                                  coalesce_rows=65536,
+                                  producer_expands=True)
     agg = partials.groupby("d").aggregate(Sum("s", alias_name="s"),
                                           Sum("n", alias_name="n"))
 

@@ -1508,6 +1508,56 @@ def test_semantic_dedup_planted(ray_session):
     assert out.equals(run(rows[::-1], 7))
 
 
+def test_semantic_dedup_giant_cluster_bounded(ray_session):
+    """Round-4 verdict item #3: k-means dropping the whole corpus into ONE
+    cluster (k=1 forces it) must not make one task quadratic. Identity
+    groups collapse 3000 byte-identical copies via star unions; the 2000
+    distinct representatives exceed max_cluster_rows=256 so the
+    second-level sign-LSH shards them — per-task pair work is bounded by
+    max(max_cluster_rows, max_distinct)², not cluster size²."""
+    import numpy as np
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.cluster import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    dup = rng.randn(16).astype(np.float32)
+    dup /= np.linalg.norm(dup)
+    rows = [{"vec_id": i, "embedding": dup.tolist()} for i in range(3000)]
+    uniq = rng.randn(2000, 16).astype(np.float32)
+    rows += [{"vec_id": 3000 + i,
+              "embedding": (v / np.linalg.norm(v)).tolist()}
+             for i, v in enumerate(uniq)]
+    ds = rd.from_items(rows).repartition(8)
+    out = semantic_dedup(ds, k=1, threshold=0.999,
+                         max_cluster_rows=256, shard_bits=6,
+                         max_distinct=512).to_pandas()
+    d = out.set_index("vec_id")
+    # all 3000 identical copies → min-id rep 0, via star unions
+    assert (d.loc[:2999, "rep_id"] == 0).all()
+    # random 16-dim unit vectors essentially never reach cosine 0.999:
+    # the distinct tail keeps itself even though it was sharded
+    assert (d.loc[3000:, "rep_id"] == d.loc[3000:].index).all()
+    assert len(out) == 5000
+
+
+def test_semantic_dedup_auto_k(ray_session):
+    """k=None sizes k ≈ √n (paper scaling) and still collapses planted
+    identical copies to the min-id representative."""
+    import numpy as np
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.cluster import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(400, 8).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": (v / np.linalg.norm(v)).tolist()}
+            for i, v in enumerate(base)]
+    rows.append({"vec_id": 400, "embedding": rows[7]["embedding"]})
+    out = semantic_dedup(rd.from_items(rows).repartition(4),
+                         threshold=0.999).to_pandas().set_index("vec_id")
+    assert out.loc[400, "rep_id"] == 7
+    assert len(out) == 401
+
+
 def test_histogram_quantiles_bounds(ray_session):
     """Estimates land within one bucket width of the exact quantiles."""
     import ray.data as rd
