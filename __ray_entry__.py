@@ -51,6 +51,33 @@ def _pool():
     return actor_pool()
 
 
+def _batch_topk(batch, keys, *, k, group=None):
+    """Per-batch Arrow-native top-k candidate pruner: sort by ``keys``
+    [(col, 'descending'|'ascending'), ...] and keep the first k rows —
+    or the first k per ``group`` via a vectorized within-segment rank
+    mask. Replaces the pandas round-trip finishers (round-4 verdict #8);
+    selection is identical, row order is group-major (downstream finals
+    and the driver compare re-sort, so order never matters here)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    order = ([(group, "ascending")] if group else []) + list(keys)
+    t = batch.take(pc.sort_indices(batch, sort_keys=order))
+    if group is None:
+        return t.slice(0, k).replace_schema_metadata(None)
+    from magic_content_extractor_ray.stages.window import (
+        segment_lengths, segment_starts)
+
+    g = t.column(group).to_numpy(zero_copy_only=False)
+    if not len(g):
+        return t.replace_schema_metadata(None)
+    starts = segment_starts(g)
+    lens = segment_lengths(starts, len(g))
+    rank = np.arange(len(g)) - np.repeat(starts, lens)
+    return t.filter(pa.array(rank < k)).replace_schema_metadata(None)
+
+
 # Per-user degree cap for the pair-expansion mining queries (covisitation,
 # item_triangles). The per-user unordered-pair expansion is O(degree²); one
 # bot-like user (crawler, shared account) with 10⁴–10⁵ distinct items would
@@ -544,10 +571,8 @@ def q_top_terms(sf_dir: str):
         })
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n", "term"], ascending=[False, True]).head(K)
-        return pa.Table.from_pandas(
-            df, preserve_index=False).replace_schema_metadata(None)
+        return _batch_topk(batch, [("n", "descending"),
+                                   ("term", "ascending")], k=K)
 
     counts = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["text"],
@@ -592,10 +617,8 @@ def q_doc_frequency(sf_dir: str):
         })
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["df", "term"], ascending=[False, True]).head(K)
-        return pa.Table.from_pandas(
-            df, preserve_index=False).replace_schema_metadata(None)
+        return _batch_topk(batch, [("df", "descending"),
+                                   ("term", "ascending")], k=K)
 
     counts = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["text"],
@@ -643,11 +666,9 @@ def q_top_terms_per_lang(sf_dir: str):
         })
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n", "term"], ascending=[False, True]).groupby(
-            "lang", sort=False).head(K)
-        return pa.Table.from_pandas(
-            df, preserve_index=False).replace_schema_metadata(None)
+        return _batch_topk(batch, [("n", "descending"),
+                                   ("term", "ascending")], k=K,
+                           group="lang")
 
     def final(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["n", "term"],
@@ -1397,10 +1418,8 @@ def q_tfidf_terms(sf_dir: str):
         return batch.append_column("score", pa.array(s, pa.float64()))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        d = batch.to_pandas().sort_values(
-            ["score", "term"], ascending=[False, True]).head(K)
-        return pa.Table.from_pandas(
-            d, preserve_index=False).replace_schema_metadata(None)
+        return _batch_topk(batch, [("score", "descending"),
+                                   ("term", "ascending")], k=K)
 
     cands = agg.map_batches(score, batch_format="pyarrow").map_batches(
         partial_topk, batch_format="pyarrow", batch_size=8192)
@@ -2401,12 +2420,9 @@ def q_top_docs_per_lang(sf_dir: str):
     K = 3
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            df.sort_values(["n_chars", "doc_id"],
-                           ascending=[False, True]).groupby(
-                "lang", sort=False).head(K),
-            preserve_index=False).replace_schema_metadata(None)
+        return _batch_topk(batch, [("n_chars", "descending"),
+                                   ("doc_id", "ascending")], k=K,
+                           group="lang")
 
     def final(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["n_chars", "doc_id"],
@@ -2855,24 +2871,60 @@ def q_ann_filtered(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def _ann_recall_checked(approx, sf_dir: str, queries, *,
+                        min_recall: float = 0.9):
+    """Join an approximate-ANN result with the exact float64 brute-force
+    top-k (the independently-SQL-oracled ann_topk algorithm) computed on
+    the same input: adds ``in_exact_topk`` per row and RAISES if overall
+    recall@k falls below ``min_recall`` — so every run of the approximate
+    operators (driver correctness, bench, tests) self-asserts against
+    independent ground truth instead of relying on the frozen snapshot
+    alone. Driver-side work is bounded: nq × k rows per side."""
+    import pandas as pd
+    from magic_content_extractor_ray.stages.ann import brute_force_topk
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, queries, k=_ANN_K, dtype="float64")
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    out = approx.to_pandas() if hasattr(approx, "to_pandas") else approx
+    out = out.copy()
+    out["in_exact_topk"] = [
+        int((q, n) in exact_pairs)
+        for q, n in zip(out["query_id"], out["neighbor_id"])]
+    recall = out["in_exact_topk"].sum() / max(1, len(exact_pairs))
+    if recall < min_recall:
+        raise AssertionError(
+            f"approximate ANN recall@{_ANN_K} = {recall:.3f} < "
+            f"{min_recall} vs exact brute-force top-k")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_ann_ivf(sf_dir: str):
-    import ray.data as rd
+    """IVF ANN with an in-query recall assertion vs the exact float64
+    brute-force top-k (see _ann_recall_checked)."""
     from magic_content_extractor_ray.stages.ann import ivf_topk, load_queries
 
     queries = load_queries(sf_dir, _ANN_NQ)
     ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return ivf_topk(ds, queries, k=_ANN_K, n_centroids=16, nprobe=6)
+    out = ivf_topk(ds, queries, k=_ANN_K, n_centroids=16, nprobe=6)
+    return _ann_recall_checked(out, sf_dir, queries)
 
 
 def q_ann_lsh(sf_dir: str):
-    import ray.data as rd
+    """LSH ANN with an in-query recall assertion vs the exact float64
+    brute-force top-k (see _ann_recall_checked)."""
     from magic_content_extractor_ray.stages.ann import lsh_topk, load_queries
 
     queries = load_queries(sf_dir, _ANN_NQ)
     ds = _read_pq(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return lsh_topk(ds, queries, k=_ANN_K, n_tables=12, n_bits=6)
+    # 24×4-bit tables, not 12×6: 6-bit sign patterns over these
+    # embeddings bucket too finely for the true neighbors to collide
+    # (measured recall@10 at sf0.01: 0.48 vs 0.98 here)
+    out = lsh_topk(ds, queries, k=_ANN_K, n_tables=24, n_bits=4)
+    return _ann_recall_checked(out, sf_dir, queries)
 
 
 def q_views_before_click(sf_dir: str):
@@ -3390,12 +3442,8 @@ def q_covisitation(sf_dir: str):
         "pk", "c", "n_users")
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas().sort_values(
-            ["n_users", "pk"], ascending=[False, True]).head(K)
-        return pa.Table.from_pandas(
-            df, preserve_index=False).replace_schema_metadata(None)
+        return _batch_topk(batch, [("n_users", "descending"),
+                                   ("pk", "ascending")], k=K)
 
     cands = counts.map_batches(partial_topk, batch_format="pyarrow",
                                batch_size=8192)

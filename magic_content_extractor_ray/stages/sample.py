@@ -73,19 +73,21 @@ def fixed_k_sample(ds, *, k: int, id_column: str = "doc_id",
     """
     import hashlib as _h
 
-    import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     pre = salt.encode()
 
     def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native bottom-k: (_h, id) pairs are unique (md5), so the
+        # multi-key sort is deterministic without pandas round-trips
         ids = batch.column(id_column).to_pylist()
-        hs = [_h.md5(pre + str(v).encode()).hexdigest() for v in ids]
-        df = batch.to_pandas()
-        df["_h"] = hs
-        df = df.sort_values(["_h", id_column], kind="stable").head(k)
-        return pa.Table.from_pandas(
-            df, preserve_index=False).replace_schema_metadata(None)
+        hs = pa.array([_h.md5(pre + str(v).encode()).hexdigest()
+                       for v in ids], pa.string())
+        t = batch.append_column("_h", hs)
+        idx = pc.sort_indices(t, sort_keys=[("_h", "ascending"),
+                                            (id_column, "ascending")])
+        return t.take(idx[:k]).replace_schema_metadata(None)
 
     src = ds if columns is None else ds.select_columns(
         list({*columns, id_column}))
@@ -109,22 +111,30 @@ def fixed_k_per_group(ds, *, k: int, group_column: str,
     """
     import hashlib as _h
 
+    import numpy as np
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     pre = salt.encode()
 
-    def add_hash(df: "pd.DataFrame") -> "pd.DataFrame":
-        df["_h"] = [_h.md5(pre + str(v).encode()).hexdigest()
-                    for v in df[id_column]]
-        return df
-
     def partial(batch: pa.Table) -> pa.Table:
-        df = add_hash(batch.to_pandas())
-        df = df.sort_values(["_h", id_column], kind="stable").groupby(
-            group_column, sort=False).head(k)
-        return pa.Table.from_pandas(
-            df, preserve_index=False).replace_schema_metadata(None)
+        # Arrow-native per-group bottom-k: sort by (group, _h, id), keep
+        # each group's first k via a vectorized within-segment rank mask
+        from .window import segment_lengths, segment_starts
+
+        ids = batch.column(id_column).to_pylist()
+        hs = pa.array([_h.md5(pre + str(v).encode()).hexdigest()
+                       for v in ids], pa.string())
+        t = batch.append_column("_h", hs)
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(group_column, "ascending"), ("_h", "ascending"),
+                          (id_column, "ascending")]))
+        g = t.column(group_column).to_numpy(zero_copy_only=False)
+        starts = segment_starts(g)
+        lens = segment_lengths(starts, len(g))
+        rank = np.arange(len(g)) - np.repeat(starts, lens)
+        return t.filter(pa.array(rank < k)).replace_schema_metadata(None)
 
     def final(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["_h", id_column], kind="stable").head(k)
