@@ -3,16 +3,30 @@
 Ray-Data-first layout (SURVEY.md §3.4):
 
     read (parquet/lance, pruned columns)
-      → size-aware re-blocking (generator UDF: byte-budgeted sub-batches,
-        giant docs isolated into their own blocks — the north rule's
-        explicit skew handling; a 10 MB forum thread must not straggle a
-        block of 2 KB stubs)
-      → ExtractorActor pool (stateful map_batches, zero-copy Arrow)
+      → size-aware re-blocking (generator UDF: dense byte-budgeted
+        sub-batches — a dispatch-density win, see make_size_rebatcher)
+      → SkewAwareExtractor pool (stateful map_batches, zero-copy Arrow;
+        giant docs offloaded to dedicated raw Ray tasks — the north
+        rule's explicit skew handling; a 10-20 MB forum thread must not
+        straggle a bundle of 2 KB stubs)
       → optional formatter stage (text/markdown columns)
       → write partitioned parquet / consume
 
 Nothing here materializes the full dataset; the streaming executor pipelines
 blocks through every stage with backpressure.
+
+Skew mechanics (round-4 measurements, Ray 2.49): every granularity Ray
+Data offers is ROW-count based — parquet read splitting assigns ~equal
+ROWS per block regardless of bytes, map generator yields are re-coalesced
+into ~target_max_block_size output blocks, and actor-pool bundling
+concatenates input blocks to ``batch_size`` ROWS. So N adjacent giant
+documents (one crawl shard of a heavy site) always end up in ONE actor
+task no matter how the upstream re-blocks — measured 80-93 s straggler
+walls on 6×10-20 MB threads in every block-level configuration. The only
+byte-aware boundary we can create is inside the UDF itself: the
+SkewAwareExtractor offloads each over-threshold row as its OWN raw Ray
+task (the documented escape hatch for semantics the Dataset API can't
+express) while the small rows stream through the pool inline.
 """
 
 from __future__ import annotations
@@ -56,12 +70,17 @@ def add_doc_bytes(batch: pa.Table) -> pa.Table:
 
 
 def make_size_rebatcher(max_bytes: int = 2_000_000, max_rows: int = 64):
-    """Size-bucketed re-blocking as a generator UDF: rows accumulate into a
-    sub-batch until the byte budget is hit; a giant doc gets a block of its
-    own. Each yielded table becomes its OWN block downstream, so extract
-    tasks have bounded work regardless of document skew — the explicit skew
-    handling the north rule calls for, without a branch/union double-pass
-    (measured 3× slower) or an all-to-all repartition."""
+    """Byte-budgeted re-batching as a generator UDF: rows accumulate into
+    a sub-batch until the byte budget or row cap is hit.
+
+    HONESTY NOTE (round 4): this does NOT create task/block boundaries —
+    Ray's map output buffer re-coalesces yielded tables into
+    ~target_max_block_size blocks (measured: 6 one-row yields → 1 block),
+    and actor bundling re-concatenates to ``batch_size`` rows anyway. Its
+    measured 2.5× win (BASELINE.md) is dispatch DENSITY: sparse 64-row
+    read blocks coalesce into dense byte-bounded batches, fewer per-task
+    fixed costs. Giant-document isolation is done elsewhere — see
+    SkewAwareExtractor's per-row offload."""
 
     def rebatch(batch: pa.Table):
         batch = add_doc_bytes(batch)
@@ -78,6 +97,70 @@ def make_size_rebatcher(max_bytes: int = 2_000_000, max_rows: int = 64):
             yield batch.slice(start, len(sizes) - start)
 
     return rebatch
+
+
+_GIANT_EXTRACTORS: dict = {}
+
+
+def _extract_giant(table: pa.Table, strategy_override, formats) -> pa.Table:
+    """Raw-task body for one offloaded giant document. The extractor is
+    cached per (override, formats) per WORKER PROCESS, so repeat giants
+    on a reused worker skip the ~0.25 s strategy build."""
+    key = (strategy_override, tuple(formats))
+    ex = _GIANT_EXTRACTORS.get(key)
+    if ex is None:
+        ex = _GIANT_EXTRACTORS[key] = ExtractorActor(
+            strategy_override=strategy_override, formats=tuple(formats))
+    return ex(table)
+
+
+class SkewAwareExtractor:
+    """ExtractorActor wrapper with byte-aware giant-document offload.
+
+    Rows whose span payload exceeds ``offload_bytes`` are shipped to
+    DEDICATED raw Ray tasks (one per giant — they run concurrently on
+    any free slot while this actor extracts the small rows inline, then
+    their outputs are collected into the same batch). Rationale: all of
+    Ray Data's work-splitting is row-count based, so N adjacent giants
+    otherwise serialize inside one bundle task (module docstring). The
+    offload tasks request ``num_cpus=0.5`` so they can always make
+    progress on the read-headroom CPUs even when the actor pool has the
+    rest reserved (a full-cpu request could starve behind the pool's
+    reservations while every actor blocks on its own giants).
+
+    Deterministic: output row order is small-rows-then-giants by input
+    position — a pure function of the batch, independent of scheduling.
+    """
+
+    def __init__(self, strategy_override: str | None = None,
+                 formats: tuple[str, ...] = (),
+                 offload_bytes: int = 800_000):
+        import ray
+
+        self.inner = ExtractorActor(strategy_override=strategy_override,
+                                    formats=tuple(formats))
+        self.offload_bytes = offload_bytes
+        self.strategy_override = strategy_override
+        self.formats = tuple(formats)
+        self._remote = ray.remote(num_cpus=0.5)(_extract_giant)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        sizes = add_doc_bytes(batch).column("doc_bytes").to_numpy(
+            zero_copy_only=False)
+        big = sizes >= self.offload_bytes
+        if not big.any():
+            return self.inner(batch)
+        futs = [self._remote.remote(batch.slice(int(i), 1),
+                                    self.strategy_override, self.formats)
+                for i in np.nonzero(big)[0]]
+        outs = []
+        small = batch.filter(pa.array(~big))
+        if len(small):
+            outs.append(self.inner(small))
+        outs.extend(ray.get(futs))
+        return pa.concat_tables(outs).combine_chunks()
 
 
 def format_spans_batch(batch: pa.Table,
@@ -129,7 +212,8 @@ def run_extract_pipeline(
         batch_format="pyarrow",
         num_cpus=num_cpus,
         fn_constructor_kwargs={"strategy_override": strategy_override,
-                               "formats": tuple(formats)},
+                               "formats": tuple(formats),
+                               "offload_bytes": large_threshold_bytes * 4},
         zero_copy_batch=True,
     )
 
@@ -137,17 +221,23 @@ def run_extract_pipeline(
         # byte budget dominates: ~large_threshold×4 of payload per block
         # (≈200-500 ms of extract work), row cap only guards metadata-light
         # corpora. Fewer, byte-bounded blocks beat many tiny ones — per-task
-        # dispatch costs ~10 ms.
+        # dispatch costs ~10 ms. (Density only — giant isolation is the
+        # SkewAwareExtractor's offload; see module docstring.)
         rebatched = docs_ds.map_batches(
             make_size_rebatcher(max_bytes=large_threshold_bytes * 4,
                                 max_rows=max(256, batch_size * 4)),
             batch_format="pyarrow")
         out = rebatched.map_batches(
-            ExtractorActor, batch_size=batch_size, concurrency=concurrency,
-            **extract_kwargs)
+            SkewAwareExtractor, batch_size=batch_size,
+            concurrency=concurrency, **extract_kwargs)
     else:
+        # control path: no skew handling at all (A/B in BASELINE.md)
+        plain_kwargs = dict(extract_kwargs)
+        plain_kwargs["fn_constructor_kwargs"] = {
+            "strategy_override": strategy_override,
+            "formats": tuple(formats)}
         out = docs_ds.map_batches(
             ExtractorActor, batch_size=batch_size, concurrency=concurrency,
-            **extract_kwargs)
+            **plain_kwargs)
 
     return out

@@ -205,9 +205,12 @@ def ngram_overlap_scores(train, evalset, *, column: str = "text",
                                 sort_cols=["side"],
                                 coalesce_rows=262144,
                                 producer_expands=True)
-    stats = scored.groupby(id_column).aggregate(
-        Sum("c_all", alias_name="n_ngrams"),
-        Sum("c_hit", alias_name="n_overlap"))
+    # hash_agg: one group per doc is row-scale (see window.hash_agg)
+    from .window import hash_agg
+
+    stats = hash_agg(scored, id_column,
+                     [("c_all", "sum", "n_ngrams"),
+                      ("c_hit", "sum", "n_overlap")])
 
     def ratio(t: pa.Table) -> pa.Table:
         r = pc.round(pc.divide(

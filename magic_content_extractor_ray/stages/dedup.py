@@ -62,16 +62,20 @@ def add_text_hash(batch: pa.Table, column: str = "text") -> pa.Table:
 
 def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
     """One representative (min id) per distinct content hash.
-    Returns (text_hash, doc_id, n_dups)."""
-    from ray.data.aggregate import Min, Count
+    Returns (text_hash, doc_id, n_dups).
+
+    hash_agg, not groupby().aggregate(): group count is ~row count (one
+    group per distinct document), where the sort-aggregate's per-group
+    Python callback dominates at corpus scale — the per-partition Arrow
+    C++ group_by keeps the same single (hash, id) shuffle."""
+    from .window import hash_agg
 
     hashed = ds.map_batches(
         add_text_hash, batch_format="pyarrow", fn_kwargs={"column": column}
     ).select_columns(["text_hash", id_column])
-    return hashed.groupby("text_hash").aggregate(
-        Min(id_column, alias_name=id_column),
-        Count(alias_name="n_dups"),
-    )
+    return hash_agg(hashed, "text_hash",
+                    [(id_column, "min", id_column),
+                     (id_column, "count_all", "n_dups")])
 
 
 # ---------------------------------------------------------------------------
@@ -292,9 +296,14 @@ def minhash_pairs(ds, *, column: str = "text", id_column: str = "doc_id",
         ds, column=column, id_column=id_column, num_perm=num_perm,
         bands=bands, threshold=threshold, shingle_k=shingle_k,
         max_distinct_sigs=max_distinct_sigs, seed=seed)
-    # a pair found in k bands appears k times — distributed dedup
-    return pairs.groupby(["left_id", "right_id"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+    # a pair found in k bands appears k times — distributed dedup via
+    # hash_agg (pair-key group count is row-scale; the sort-aggregate's
+    # per-group Python callback would dominate at corpus scale)
+    from .window import hash_agg
+
+    return hash_agg(pairs, "left_id",
+                    [("est_jaccard", "max", "est_jaccard")],
+                    group_cols=["left_id", "right_id"])
 
 
 def minhash_lsh_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
@@ -511,8 +520,11 @@ def simhash_dedup(ds, *, column: str = "text", id_column: str = "doc_id",
     pairs = map_key_partitions(
         hashed.map_batches(explode, batch_format="pyarrow"),
         "band_key", partition_pairs, coalesce_rows=262144)
-    return pairs.groupby(["left_id", "right_id"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    # cross-band pair dedup via hash_agg (row-scale group count)
+    from .window import hash_agg
+
+    return hash_agg(pairs, "left_id", [("hamming", "min", "hamming")],
+                    group_cols=["left_id", "right_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -628,8 +640,11 @@ def embedding_dedup(ds, *, threshold: float = 0.95,
 
     pairs = map_key_partitions(bucketed, "bucket", partition_pairs,
                                coalesce_rows=32768)
-    return pairs.groupby(["left_id", "right_id"]).aggregate(
-        Max("cosine", alias_name="cosine"))
+    # cross-table pair dedup via hash_agg (row-scale group count)
+    from .window import hash_agg
+
+    return hash_agg(pairs, "left_id", [("cosine", "max", "cosine")],
+                    group_cols=["left_id", "right_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -916,7 +931,10 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
         fn_kwargs={"column": column, "id_column": id_column, "n": n},
     ).materialize()  # consumed 3x (df, sizes, index) — tokenize once
 
-    dfc = pairs.groupby("ng").aggregate(Count(alias_name="df"))
+    # hash_agg: one group per distinct shingle is row-scale cardinality
+    from .window import hash_agg
+
+    dfc = hash_agg(pairs, "ng", [("ng", "count_all", "df")])
 
     def only_stop(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -943,7 +961,7 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
 
     surv = pairs.map_batches(drop_stop, batch_format="pyarrow")
 
-    sizes = surv.groupby(id_column).aggregate(Count(alias_name="sz"))
+    sizes = hash_agg(surv, id_column, [("ng", "count_all", "sz")])
     sz_tbl = pa.concat_tables(
         [b for b in sizes.iter_batches(batch_format="pyarrow")]
     ).combine_chunks().sort_by(id_column)
@@ -1060,9 +1078,11 @@ def duplicate_passage_stats(ds, *, column: str = "text",
                                  num_buckets=num_buckets,
                                  coalesce_rows=262144,
                                  producer_expands=True)
-    stats = flagged.groupby(id_column).aggregate(
-        Sum("c_all", alias_name="n_ngrams"),
-        Sum("c_dup", alias_name="n_dup"))
+    from .window import hash_agg
+
+    stats = hash_agg(flagged, id_column,
+                     [("c_all", "sum", "n_ngrams"),
+                      ("c_dup", "sum", "n_dup")])
 
     def ratio(t: pa.Table) -> pa.Table:
         r = pc.round(pc.divide(

@@ -91,7 +91,6 @@ def connected_components(pairs, *, left: str = "left_id",
     Above the threshold, min-label propagation runs as Ray Data rounds —
     nothing unbounded ever lands on the driver."""
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     # one materialization (blocks stay in the object store, never on the
     # driver): count + schema probe + edge build would otherwise each
@@ -130,9 +129,14 @@ def connected_components(pairs, *, left: str = "left_id",
                                          g.column("node")),
         })
 
-    labels = edges.map_batches(
-        init_partial, batch_format="pyarrow").groupby("node").aggregate(
-        Min("label", alias_name="label")).materialize()
+    from .window import hash_agg
+
+    # hash_agg, not groupby().aggregate(Min): one group per NODE is
+    # row-scale cardinality, where the sort-aggregate's per-group Python
+    # callback dominates (see window.hash_agg)
+    labels = hash_agg(
+        edges.map_batches(init_partial, batch_format="pyarrow"),
+        "node", [("label", "min", "label")]).materialize()
     # the label set is re-shuffled every round; without re-coalescing, the
     # per-round groupby/map_groups/union multiply the BLOCK count and the
     # shuffle's per-block metadata cost grows quadratically round over
@@ -182,9 +186,13 @@ def connected_components(pairs, *, left: str = "left_id",
             nbr_cands, batch_format="pyarrow", batch_size=65536).union(
             labels.map_batches(self_cands, batch_format="pyarrow",
                                batch_size=65536))
-        stepped = cands.groupby("node").aggregate(
-            Min("cand", alias_name="label"),
-            Min("old", alias_name="old")).repartition(nb).materialize()
+        # per-round min-label reduce via hash_agg (node-scale groups;
+        # Arrow's C++ min ignores the null 'old' on neighbor rows just
+        # like Ray's Min would)
+        stepped = hash_agg(
+            cands, "node", [("cand", "min", "label"),
+                            ("old", "min", "old")]
+        ).repartition(nb).materialize()
         changed_a = stepped.map_batches(
             functools.partial(count_ne, a="label", b="old"),
             batch_format="pyarrow").sum("n_changed")

@@ -98,10 +98,16 @@ def bigram_lm_scores(train, evalset, *, column: str = "text",
         return pa.table({"bg": g.column("bg"),
                          "c": pc.cast(g.column("bg_count"), pa.int64())})
 
-    c1 = train.map_batches(uni_partial, batch_format="pyarrow").groupby(
-        "w").aggregate(Sum("c", alias_name="c1")).materialize()  # used 2×
-    c2 = train.map_batches(bi_partial, batch_format="pyarrow").groupby(
-        "bg").aggregate(Sum("c", alias_name="c2"))
+    # hash_agg: unigram/bigram vocabularies are row-scale group counts
+    from .window import hash_agg
+
+    # producer_expands: the count partials are row-expanding tokenizers
+    # (docs → distinct-token rows) — see the map-fusion caveat
+    c1 = hash_agg(train.map_batches(uni_partial, batch_format="pyarrow"),
+                  "w", [("c", "sum", "c1")],
+                  producer_expands=True).materialize()  # used 2×
+    c2 = hash_agg(train.map_batches(bi_partial, batch_format="pyarrow"),
+                  "bg", [("c", "sum", "c2")], producer_expands=True)
     vocab_v = c1.count()  # distinct train unigrams (smoothing constant)
 
     # --- eval transition rows ----------------------------------------
@@ -224,8 +230,8 @@ def bigram_lm_scores(train, evalset, *, column: str = "text",
                                   sort_cols=["side"],
                                   coalesce_rows=65536,
                                   producer_expands=True)
-    agg = partials.groupby("d").aggregate(Sum("s", alias_name="s"),
-                                          Sum("n", alias_name="n"))
+    agg = hash_agg(partials, "d", [("s", "sum", "s"),
+                                   ("n", "sum", "n")])
 
     def finish(t: pa.Table) -> pa.Table:
         s = t.column("s").to_numpy(zero_copy_only=False)

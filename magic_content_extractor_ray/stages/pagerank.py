@@ -51,8 +51,12 @@ def _agg_edges(edges, src: str, dst: str, weight):
         g = t.group_by(["src", "dst"]).aggregate([("w", "sum")])
         return g.rename_columns(["src", "dst", "w"])
 
-    return edges.map_batches(partial, batch_format="pyarrow").groupby(
-        ["src", "dst"]).aggregate(Sum("w", alias_name="w"))
+    # hash_agg: one group per distinct edge is edge-scale cardinality
+    # (see window.hash_agg); composite (src,dst) hash-partitions on src
+    from .window import hash_agg
+
+    return hash_agg(edges.map_batches(partial, batch_format="pyarrow"),
+                    "src", [("w", "sum", "w")], group_cols=["src", "dst"])
 
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst", weight=None,
@@ -149,7 +153,9 @@ def _pagerank_broadcast(edges, src, dst, weight, damping, n_iter,
 
     # out-weight per source (|V|-sized, driver-held like the rank vector)
     outw = np.zeros(nv, np.float64)
-    ow = eidx.groupby("si").aggregate(Sum("w", alias_name="ow"))
+    from .window import hash_agg
+
+    ow = hash_agg(eidx, "si", [("w", "sum", "ow")])
     for batch in ow.iter_batches(batch_format="pyarrow"):
         outw[batch.column("si").to_numpy(zero_copy_only=False)] = \
             batch.column("ow").to_numpy(zero_copy_only=False)
@@ -175,8 +181,8 @@ def _pagerank_broadcast(edges, src, dst, weight, damping, n_iter,
                              "s": pa.array(sums, pa.float64())})
 
         ranks = np.full(nv, base, np.float64)
-        agg = eidx.map_batches(contrib, batch_format="pyarrow").groupby(
-            "di").aggregate(Sum("s", alias_name="s"))
+        agg = hash_agg(eidx.map_batches(contrib, batch_format="pyarrow"),
+                       "di", [("s", "sum", "s")])
         for batch in agg.iter_batches(batch_format="pyarrow"):
             di = batch.column("di").to_numpy(zero_copy_only=False)
             ranks[di] += damping * batch.column("s").to_numpy(
@@ -194,16 +200,17 @@ def _pagerank_join(edges, src, dst, weight, damping, n_iter, num_buckets):
 
     eagg = _agg_edges(edges, src, dst, weight).materialize()
 
-    nodes = eagg.select_columns(["src"]).rename_columns(
-        {"src": "node"}).union(
-        eagg.select_columns(["dst"]).rename_columns(
-            {"dst": "node"})).groupby(
-        "node").aggregate(Sum("node", alias_name="_x")).drop_columns(
+    from .window import hash_agg
+
+    nodes = hash_agg(
+        eagg.select_columns(["src"]).rename_columns({"src": "node"}).union(
+            eagg.select_columns(["dst"]).rename_columns({"dst": "node"})),
+        "node", [("node", "count_all", "_x")]).drop_columns(
         ["_x"]).materialize()
     nv = nodes.count()
 
     # fold out-weight onto each edge once: (src, dst, w, ow)
-    ow = eagg.groupby("src").aggregate(Sum("w", alias_name="ow"))
+    ow = hash_agg(eagg, "src", [("w", "sum", "ow")])
     ewo = hash_join(eagg, ow, key="src", left_cols=["dst", "w"],
                     right_cols=["ow"], num_buckets=num_buckets,
                     right_types={"ow": pa.float64()}).materialize()
@@ -229,8 +236,8 @@ def _pagerank_join(edges, src, dst, weight, damping, n_iter, num_buckets):
             g = t.group_by("node").aggregate([("s", "sum")])
             return g.rename_columns(["node", "s"])
 
-        sums = withr.map_batches(partial, batch_format="pyarrow").groupby(
-            "node").aggregate(Sum("s", alias_name="s"))
+        sums = hash_agg(withr.map_batches(partial, batch_format="pyarrow"),
+                        "node", [("s", "sum", "s")])
         # hash_join payloads ride in per-side structs, which can't be
         # empty — give the node list a constant payload and drop it
         nodes_p = nodes.map_batches(

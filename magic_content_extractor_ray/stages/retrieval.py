@@ -106,8 +106,11 @@ def bm25_topk(ds, terms: list[str], *, k: int = 20, k1: float = 1.2,
         return pa.table({id_column: batch.column(id_column),
                          "part": pa.array(s, pa.float64())})
 
-    scored = matches.map_batches(score, batch_format="pyarrow").groupby(
-        id_column).aggregate(Sum("part", alias_name="raw"))
+    # hash_agg: one group per matching doc is row-scale cardinality
+    from .window import hash_agg
+
+    scored = hash_agg(matches.map_batches(score, batch_format="pyarrow"),
+                      id_column, [("part", "sum", "raw")])
 
     def finish(t: pa.Table) -> pa.Table:
         s = t.column("raw").to_numpy(zero_copy_only=False)

@@ -62,8 +62,13 @@ def set_op(left, right, *, key_columns: list[str] | str, op: str):
         right.map_batches(_tag(0, 1, key_columns), batch_format="pyarrow",
                           batch_size=32768))
 
-    flags = tagged.groupby(key_columns).aggregate(
-        Max("in_l", alias_name="in_l"), Max("in_r", alias_name="in_r"))
+    # hash_agg: distinct-key cardinality is row-scale; composite keys
+    # never straddle partitions (hash on the first key column)
+    from .window import hash_agg
+
+    flags = hash_agg(tagged, key_columns[0],
+                     [("in_l", "max", "in_l"), ("in_r", "max", "in_r")],
+                     group_cols=key_columns)
 
     if op == "union":
         pred = None  # every grouped key qualifies

@@ -82,28 +82,54 @@ def map_key_partitions(ds, key: str, fn, *, num_buckets: int = 64,
         "__bucket").map_groups(run, batch_format="pyarrow")
 
 
-def hash_sum(ds, key: str, value: str, alias: str, *,
-             num_buckets: int = 64, coalesce_rows: int | None = 65536):
-    """``groupby(key).aggregate(Sum(value))`` for HIGH-CARDINALITY keys.
+def hash_agg(ds, key: str, aggs, *, group_cols: list[str] | None = None,
+             num_buckets: int = 64, coalesce_rows: int | None = 65536,
+             producer_expands: bool = False):
+    """``groupby(group_cols).aggregate(...)`` for HIGH-CARDINALITY groups.
 
     Ray's sort-based aggregate pays a Python callback per GROUP when it
-    combines sorted runs — with millions of distinct keys (e.g. one group
-    per packed item pair in co-occurrence mining: 2M groups took 146 s on
-    4 cpus) that Python loop dominates. Same single shuffle here, but each
-    hash partition is summed by Arrow's C++ ``Table.group_by`` — one
-    callback per PARTITION, vectorized inside. Output schema:
-    (key, alias), both preserving the input column types.
+    combines sorted runs — with row-scale group counts (one group per
+    content hash in exact dedup, per candidate pair in LSH dedup, per
+    packed item pair in co-occurrence mining: 2M groups took 146 s on 4
+    cpus) that Python loop dominates. Same single shuffle here, but each
+    hash partition is aggregated by Arrow's C++ ``Table.group_by`` — one
+    callback per PARTITION, vectorized inside.
+
+    ``aggs``: list of ``(column, fn, alias)`` with fn ∈ {sum, min, max,
+    count, count_all} (count_all = row count, column ignored).
+    ``group_cols`` defaults to ``[key]``; ``key`` must be a member —
+    composite groups never straddle partitions because every row of a
+    key lands in one partition. Output schema: (*group_cols, *aliases);
+    sum/min/max preserve the input column type.
     """
     import pyarrow.compute as pc
 
+    groups = list(group_cols or [key])
+    assert key in groups
+
     def agg(t: pa.Table) -> pa.Table:
-        g = t.group_by([key]).aggregate([(value, "sum")])
-        out_type = t.schema.field(value).type
-        return pa.table({key: g.column(key),
-                         alias: pc.cast(g.column(f"{value}_sum"), out_type)})
+        g = t.group_by(groups).aggregate(
+            [(([] if fn == "count_all" else col), fn)
+             for col, fn, _ in aggs])
+        cols = {c: g.column(c) for c in groups}
+        for col, fn, alias in aggs:
+            out = g.column(f"{col}_{fn}" if fn != "count_all"
+                           else "count_all")
+            if fn in ("sum", "min", "max"):
+                out = pc.cast(out, t.schema.field(col).type)
+            cols[alias] = out
+        return pa.table(cols)
 
     return map_key_partitions(ds, key, agg, num_buckets=num_buckets,
-                              coalesce_rows=coalesce_rows)
+                              coalesce_rows=coalesce_rows,
+                              producer_expands=producer_expands)
+
+
+def hash_sum(ds, key: str, value: str, alias: str, *,
+             num_buckets: int = 64, coalesce_rows: int | None = 65536):
+    """``groupby(key).sum(value)`` — see hash_agg."""
+    return hash_agg(ds, key, [(value, "sum", alias)],
+                    num_buckets=num_buckets, coalesce_rows=coalesce_rows)
 
 
 def segment_starts(keys: np.ndarray) -> np.ndarray:

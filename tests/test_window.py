@@ -95,3 +95,47 @@ def test_map_key_partitions_string_keys(ray_session):
         columns={"v": "total"}).sort_values("key").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert got["key"].is_unique
+
+
+def test_hash_agg_matches_ray_groupby(ray_session):
+    """hash_agg == groupby().aggregate() on every fn, including composite
+    groups and null handling (min ignores nulls like Ray's Min)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    rows = [{"k": int(rng.randint(0, 1500)), "k2": int(rng.randint(0, 3)),
+             "v": float(rng.randn()),
+             "o": None if i % 7 == 0 else int(rng.randint(0, 100))}
+            for i in range(n)]
+    ds = rd.from_items(rows).repartition(7)
+
+    got = hash_agg(ds, "k", [("v", "sum", "s"), ("v", "min", "mn"),
+                             ("v", "max", "mx"), ("o", "min", "omin"),
+                             ("v", "count_all", "n")]).to_pandas(
+        ).sort_values("k").reset_index(drop=True)
+    exp = ds.groupby("k").aggregate(
+        Sum("v", alias_name="s"), Min("v", alias_name="mn"),
+        Max("v", alias_name="mx"), Min("o", alias_name="omin"),
+        Count(alias_name="n")).to_pandas().sort_values("k").reset_index(
+        drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[["k", "mn", "mx", "omin", "n"]],
+                                  exp[["k", "mn", "mx", "omin", "n"]],
+                                  check_dtype=False)
+    assert np.allclose(got["s"], exp["s"])
+
+    # composite groups hash-partitioned on the first key
+    got2 = hash_agg(ds, "k", [("v", "sum", "s")],
+                    group_cols=["k", "k2"]).to_pandas().sort_values(
+        ["k", "k2"]).reset_index(drop=True)
+    exp2 = ds.groupby(["k", "k2"]).aggregate(
+        Sum("v", alias_name="s")).to_pandas().sort_values(
+        ["k", "k2"]).reset_index(drop=True)
+    assert list(got2.columns) == list(exp2.columns)
+    assert np.allclose(got2["s"], exp2["s"])
