@@ -32,8 +32,13 @@ def grouped_quantiles(ds, *, key_column: str, value_column: str,
             "cnt": pc.cast(g.column(f"{value_column}_count"), pa.int64()),
         })
 
-    hist = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        [key_column, value_column]).aggregate(Sum("cnt", alias_name="cnt"))
+    # hash_agg: one group per distinct (key, value) pair is row-scale
+    # for continuous-ish values (see window.hash_agg)
+    from .window import hash_agg
+
+    hist = hash_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                    key_column, [("cnt", "sum", "cnt")],
+                    group_cols=[key_column, value_column])
 
     qcols = [f"q_{str(q).replace('.', '_')}" for q in quantiles]
 
