@@ -76,12 +76,16 @@ def _dedup_and_topk(cands, k: int):
     composite-key groupby dedups multi-bucket hits, then a per-query
     map_groups ranks — no driver materialization."""
     import pandas as pd
-    from ray.data.aggregate import Max
+
+    # hash_agg: one group per (query, candidate) pair is candidate-scale
+    # cardinality (see window.hash_agg); partitioning by query_id keeps
+    # every pair of a query in one partition.
+    from .window import hash_agg
 
     cands = cands.map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
-    deduped = cands.groupby(["query_id", "neighbor_id"]).aggregate(
-        Max("score", alias_name="score"))
+    deduped = hash_agg(cands, "query_id", [("score", "max", "score")],
+                       group_cols=["query_id", "neighbor_id"])
 
     def topk(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["score", "neighbor_id"],

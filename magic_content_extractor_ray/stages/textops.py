@@ -334,12 +334,15 @@ def collocation_pmi(ds, *, column: str = "text", min_count: int = 5,
     both the Ray and the SQL side. Returns (w1, w2, c_ab, pmi)."""
     import numpy as np
     import ray
-    from ray.data.aggregate import Sum
 
-    agg = ds.map_batches(
+    # hash_agg: one group per distinct unigram/bigram is vocabulary-scale
+    # cardinality (see window.hash_agg)
+    from .window import hash_agg
+
+    agg = hash_agg(ds.map_batches(
         _colloc_partial, batch_format="pyarrow",
         fn_kwargs={"column": column},
-    ).groupby("term").aggregate(Sum("c", alias_name="c")).materialize()
+    ), "term", [("c", "sum", "c")]).materialize()
 
     def split_kind(t: pa.Table, want_bigrams: bool) -> pa.Table:
         import pyarrow.compute as pc
