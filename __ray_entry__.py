@@ -4185,6 +4185,79 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(docs, list(_BM25_TERMS), k=20)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup with a KEEP-BEST policy (CCNet/RefinedWeb shape: of
+    several exact copies, keep the one from the most-trusted source,
+    not the min-id one) — stages/dedup.exact_dedup_keep_best resolves
+    the whole (priority, id) argmin as one packed-int64 min through
+    hash_agg. The synthetic corpus has no exact duplicates, so each
+    doc with doc_id % 5 == 0 is first re-emitted under a different
+    deterministic source (the DuckDB oracle performs the IDENTICAL
+    augmentation), giving 100 two-copy groups whose winner is decided
+    by the source-rank policy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.dedup import (
+        exact_dedup_keep_best)
+
+    def augment(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 5 == 0
+        dup = batch.filter(pa.array(m))
+        dupids = ids[m]
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(dupids + 1000000, pa.int64()))
+        dup = dup.set_column(
+            dup.schema.get_field_index("source"), "source",
+            pa.array(["src" + str(int(i * 7 + 3) % 25) for i in dupids],
+                     pa.string()))
+        return pa.concat_tables([batch, dup])
+
+    def add_priority(batch: pa.Table) -> pa.Table:
+        # source rank: 'srcN' → N (smaller = more trusted)
+        pri = pc.cast(pc.utf8_slice_codeunits(batch.column("source"), 3, 99),
+                      pa.int64())
+        return batch.append_column("priority", pri)
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text", "source"]).map_batches(
+        augment, batch_format="pyarrow").map_batches(
+        add_priority, batch_format="pyarrow")
+    return exact_dedup_keep_best(ds, priority_column="priority")
+
+
+def q_quality_classifier(sf_dir: str):
+    """fastText-style hashed linear quality-classifier inference
+    (stages/classify.HashedLinearScorer): integer md5-bucket weight per
+    token, exact int64 per-doc sum, sign → keep label. The token→weight
+    table is actor-pool state (the trained-model deployment shape);
+    scores are bit-exact against the SQL twin."""
+    from magic_content_extractor_ray.stages.classify import (
+        hashed_linear_scores)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return hashed_linear_scores(docs, concurrency=_pool())
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken MOSS
+    local fingerprinting, distinct-window-min variant): word-3-gram md5
+    hashes, window-4 sliding minima, distinct per doc
+    (stages/textops.WinnowFingerprinter — gram-hash memo is actor
+    state, window math is one numpy sliding_window_view pass)."""
+    from magic_content_extractor_ray.stages.textops import (
+        winnow_fingerprints)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return winnow_fingerprints(docs, concurrency=_pool())
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -4312,6 +4385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_scores": q_lm_scores,
         "lang_source_pmi": q_lang_source_pmi,
         "intra_dup_ngrams": q_intra_dup_ngrams,
+        "dedup_keep_best": q_dedup_keep_best,
+        "quality_classifier": q_quality_classifier,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -5323,4 +5399,55 @@ def oracle_sql() -> dict[str, str]:
                    floor(n_dup_occ * 1.0 / n_ngrams * 1e6 + 0.5) / 1e6
                      AS intra_dup_ratio
             FROM per ORDER BY doc_id""",
+        "dedup_keep_best": r"""
+            WITH corpus AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text,
+                     'src' || CAST((doc_id * 7 + 3) % 25 AS VARCHAR)
+              FROM documents WHERE doc_id % 5 = 0)
+            SELECT md5(text) AS text_hash, doc_id, priority, n_dups
+            FROM (
+              SELECT doc_id, text, priority,
+                row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY priority, doc_id) AS rn,
+                count(*) OVER (PARTITION BY md5(text)) AS n_dups
+              FROM (SELECT doc_id, text,
+                           CAST(substr(source, 4) AS BIGINT) AS priority
+                    FROM corpus))
+            WHERE rn = 1 ORDER BY doc_id""",
+        "quality_classifier": r"""
+            SELECT doc_id, CAST(score AS BIGINT) AS score,
+                   CAST(score >= 0 AS BIGINT) AS label FROM (
+              SELECT doc_id,
+                SUM(CAST(CAST(concat('0x', substr(md5(word), 1, 8))
+                              AS UBIGINT) % 2001 AS BIGINT) - 1000)
+                  AS score
+              FROM (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\S+'))
+                             AS word
+                    FROM documents)
+              GROUP BY doc_id) ORDER BY doc_id""",
+        "winnow_fingerprints": r"""
+            WITH grams AS (
+              SELECT doc_id,
+                list_transform(range(1, len(lst) - 1),
+                  i -> CAST(concat('0x', substr(md5(
+                         lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]),
+                         1, 8)) AS UBIGINT)) AS h
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '\S+') AS lst
+                    FROM documents)
+              WHERE len(lst) >= 3),
+            mins AS (
+              SELECT doc_id,
+                CASE WHEN len(h) <= 4 THEN [list_min(h)]
+                     ELSE list_transform(range(1, len(h) - 2),
+                                         j -> list_min(h[j:j+3])) END
+                  AS wmins
+              FROM grams)
+            SELECT doc_id, CAST(fp AS BIGINT) AS fp
+            FROM (SELECT doc_id, unnest(list_distinct(wmins)) AS fp
+                  FROM mins)
+            ORDER BY doc_id, fp""",
     }

@@ -78,6 +78,54 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
                      (id_column, "count_all", "n_dups")])
 
 
+def exact_dedup_keep_best(ds, *, column: str = "text",
+                          id_column: str = "doc_id",
+                          priority_column: str = "priority"):
+    """Exact dedup keeping the BEST duplicate, not the min-id one — the
+    CCNet/RefinedWeb keep policy (when a page is crawled from several
+    mirrors, keep the copy from the most-trusted source / highest
+    quality score). ``priority_column`` is an int64 where SMALLER is
+    better; ties break to the smaller id.
+
+    Same single (hash, packed-int64) shuffle as ``exact_dedup``: the
+    (priority, id) argmin is one ``min`` over ``priority << 40 | id``
+    packed keys, so the per-partition Arrow C++ group_by resolves the
+    whole policy without a per-group Python callback. Requires
+    ``0 <= id < 2**40`` and ``0 <= priority < 2**23`` (checked).
+    Returns (text_hash, id_column, priority_column, n_dups)."""
+    import pyarrow.compute as pc
+
+    from .window import hash_agg
+
+    def pack(batch: pa.Table) -> pa.Table:
+        t = add_text_hash(batch, column=column)
+        ids = t.column(id_column).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pri = t.column(priority_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 40)):
+            raise ValueError(f"{id_column} outside [0, 2**40)")
+        if len(pri) and (pri.min() < 0 or pri.max() >= (1 << 23)):
+            raise ValueError(f"{priority_column} outside [0, 2**23)")
+        return pa.table({"text_hash": t.column("text_hash"),
+                         "packed": pa.array((pri << 40) | ids, pa.int64())})
+
+    agg = hash_agg(ds.map_batches(pack, batch_format="pyarrow"),
+                   "text_hash", [("packed", "min", "w"),
+                                 ("packed", "count_all", "n_dups")])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "text_hash": t.column("text_hash"),
+            id_column: pa.array(w & ((1 << 40) - 1), pa.int64()),
+            priority_column: pa.array(w >> 40, pa.int64()),
+            "n_dups": pc.cast(t.column("n_dups"), pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

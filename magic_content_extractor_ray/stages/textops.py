@@ -438,3 +438,125 @@ def normalize_text_batch(batch: pa.Table, column: str = "text",
     t = pc.replace_substring_regex(t, r"\s+", " ")
     t = pc.utf8_trim_whitespace(t)
     return batch.append_column(out_column, t)
+
+
+class WinnowFingerprinter:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm), distinct-window-min variant: hash every
+    word ``k``-gram, slide a window of ``w`` consecutive gram hashes,
+    keep the DISTINCT window minima as the document's fingerprint set.
+    Guarantees every shared run of ``w + k - 1`` words between two
+    documents shares at least one fingerprint, at ~1/w the density of
+    the full gram set — the standard local fingerprinting scheme for
+    plagiarism / near-copy detection at corpus scale.
+
+    Stateful actor stage: the gram→hash memo persists across batches.
+    Gram hashes are the first 8 hex chars of md5 (a uint32), so the
+    DuckDB oracle reproduces the fingerprints bit-for-bit. Documents
+    with fewer than ``k`` words emit nothing; documents with ≤ w gram
+    hashes emit the single global min (one incomplete window).
+    Emits one (id, fp) row per distinct fingerprint."""
+
+    def __init__(self, *, column: str = "text", id_column: str = "doc_id",
+                 k: int = 3, w: int = 4, max_memo: int = 4_000_000):
+        self.column = column
+        self.id_column = id_column
+        self.k = k
+        self.w = w
+        self.max_memo = max_memo
+        self._memo: dict[str, int] = {}
+
+    def _hashes(self, grams: np.ndarray) -> np.ndarray:
+        import hashlib
+
+        memo = self._memo
+        if len(memo) > self.max_memo:
+            memo.clear()
+        out = np.empty(len(grams), dtype=np.int64)
+        for i, g in enumerate(grams):
+            v = memo.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                memo[g] = v
+            out[i] = v
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        k, w = self.k, self.w
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        empty = pa.table({self.id_column: pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())})
+        texts = batch.column(self.column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if len(flat) < k:
+            return empty
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # k-gram strings at every in-document start (vectorized join of
+        # the k shifted word arrays)
+        shifted = [flat.slice(i, len(flat) - k + 1) for i in range(k)]
+        grams = pc.binary_join_element_wise(*shifted, " ")
+        valid = par[:len(par) - k + 1] == par[k - 1:]
+        gpar = par[:len(par) - k + 1][valid]
+        grams = grams.filter(pa.array(valid))
+        if len(grams) == 0:
+            return empty
+
+        # hash each DISTINCT gram once (memoized across batches)
+        dic = grams.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = self._hashes(
+            np.asarray(dic.dictionary.to_pylist(), dtype=object))[codes]
+
+        # per-document sliding window minima over the contiguous
+        # gram-hash runs; windows never straddle documents
+        out_parts = []
+        if len(h) >= w:
+            mins = sliding_window_view(h, w).min(axis=1)
+            ok = gpar[:len(gpar) - w + 1] == gpar[w - 1:]
+            out_parts.append((gpar[:len(gpar) - w + 1][ok], mins[ok]))
+        # documents with 1..w gram hashes: single global min
+        starts = np.nonzero(np.concatenate(
+            ([True], gpar[1:] != gpar[:-1])))[0]
+        lens = np.diff(np.append(starts, len(gpar)))
+        short = lens <= w
+        if short.any():
+            smin = np.minimum.reduceat(h, starts)[short]
+            out_parts.append((gpar[starts][short], smin))
+
+        dpar = np.concatenate([p for p, _ in out_parts])
+        fps = np.concatenate([f for _, f in out_parts])
+        packed = np.unique((dpar << np.int64(32)) | fps)
+        return pa.table({
+            self.id_column: pa.array(ids[packed >> np.int64(32)]),
+            "fp": pa.array(packed & np.int64(0xFFFFFFFF), pa.int64()),
+        })
+
+
+def winnow_fingerprints(ds, *, column: str = "text",
+                        id_column: str = "doc_id", k: int = 3, w: int = 4,
+                        concurrency=None):
+    """Dataset → Dataset (id, fp); see WinnowFingerprinter."""
+    from ..util import actor_pool
+
+    return ds.map_batches(
+        WinnowFingerprinter,
+        fn_constructor_kwargs={"column": column, "id_column": id_column,
+                               "k": k, "w": w},
+        batch_format="pyarrow",
+        concurrency=concurrency or actor_pool())

@@ -1849,3 +1849,105 @@ def test_item_triangles_rejects_out_of_range_ids(
     with pytest.raises((ValueError, ray.exceptions.RayTaskError,
                         Exception)):
         entrymod.q_item_triangles(str(tmp_path)).to_pandas()
+
+
+def test_exact_dedup_keep_best_policy(ray_session):
+    """Of three exact copies, the smallest (priority, id) wins and
+    n_dups counts the whole group; uniques pass through; id/priority
+    range guards raise."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        exact_dedup_keep_best)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["same", "same", "same", "uniq", "tie"],
+                         pa.string()),
+        "priority": pa.array([5, 2, 2, 9, 0], pa.int64()),
+    })
+    out = exact_dedup_keep_best(
+        rd.from_arrow(t), priority_column="priority").to_pandas()
+    rows = {r.text_hash: (r.doc_id, r.priority, r.n_dups)
+            for r in out.itertuples()}
+    import hashlib
+
+    h = hashlib.md5(b"same").hexdigest()
+    # priority 2 beats 5; id 2 beats 3 on the tie
+    assert rows[h] == (2, 2, 3)
+    assert len(out) == 3
+
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["x"], pa.string()),
+                    "priority": pa.array([1 << 23], pa.int64())})
+    with pytest.raises(Exception):
+        exact_dedup_keep_best(
+            rd.from_arrow(bad), priority_column="priority").to_pandas()
+
+
+def test_hashed_linear_scorer_matches_reference(ray_session):
+    """Batch path == per-token reference sum, incl. Unicode tokens and
+    the RE2 whitespace definition; zero-token docs are dropped."""
+    import pyarrow as pa
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.classify import (
+        hashed_linear_scores, token_weight)
+    from magic_content_extractor_ray.stages.dedup import ascii_ws_split
+
+    texts = ["Hello world HELLO", "héllo wörld x", "  ", "one"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = hashed_linear_scores(
+        rd.from_arrow(t), concurrency=2).to_pandas().set_index("doc_id")
+    for i, txt in enumerate(texts):
+        words = ascii_ws_split(txt.lower())
+        if not words:
+            assert i not in out.index
+            continue
+        want = sum(token_weight(w) for w in words)
+        assert out.loc[i, "score"] == want
+        assert out.loc[i, "label"] == int(want >= 0)
+
+
+def test_winnow_fingerprints_reference_and_guarantee(ray_session):
+    """Batch path == brute-force single-doc winnowing; the winnowing
+    guarantee holds: docs sharing a run of w+k-1 words share a
+    fingerprint; docs under k words emit nothing."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import ascii_ws_split
+    from magic_content_extractor_ray.stages.textops import (
+        winnow_fingerprints)
+
+    k, w = 3, 4
+
+    def reference(text: str) -> set:
+        words = ascii_ws_split(text.lower())
+        if len(words) < k:
+            return set()
+        h = [int(hashlib.md5(
+            " ".join(words[i:i + k]).encode()).hexdigest()[:8], 16)
+            for i in range(len(words) - k + 1)]
+        if len(h) <= w:
+            return {min(h)}
+        return {min(h[j:j + w]) for j in range(len(h) - w + 1)}
+
+    shared = "alpha beta gamma delta epsilon zeta"  # w+k-1 = 6 words
+    texts = [
+        f"intro words here {shared} tail one",
+        f"{shared} completely different ending tokens now",
+        "tiny doc",          # < k words → no fingerprints
+        "just three words",  # exactly k words → 1 gram → single min
+        " ".join(f"w{i % 7}" for i in range(50)),  # repeats collapse
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = winnow_fingerprints(
+        rd.from_arrow(t), k=k, w=w, concurrency=2).to_pandas()
+    got = {i: set(g["fp"]) for i, g in out.groupby("doc_id")}
+    for i, txt in enumerate(texts):
+        assert got.get(i, set()) == reference(txt), f"doc {i}"
+    assert got[0] & got[1], "winnowing guarantee: shared run -> shared fp"
