@@ -4258,6 +4258,33 @@ def q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(docs, concurrency=_pool())
 
 
+def q_table_profile(sf_dir: str):
+    """Deequ/TFDV-style per-column data-quality profile over events
+    (stages/profile.table_profile): completeness + EXACT cardinality —
+    per-batch distinct partials, one O(distinct)-volume hash_agg per
+    column, single combiner pass for the row/null counters."""
+    from magic_content_extractor_ray.stages.profile import table_profile
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "props"])
+    return table_profile(ds, ["user_id", "event_type", "props"])
+
+
+def q_value_outliers(sf_dir: str):
+    """Per-event-type z-score outlier screen (|v − mean| > 2σ_pop,
+    stages/profile.grouped_value_outliers): exact centi-unit integer
+    sufficient statistics combined map-side, tiny (group → cutoff)
+    broadcast, map-side counting — bit-for-bit SQL-checkable because
+    both engines derive mean/σ from identical integers."""
+    from magic_content_extractor_ray.stages.profile import (
+        grouped_value_outliers)
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "value"])
+    return grouped_value_outliers(ds, key_column="event_type",
+                                  value_column="value")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -4388,6 +4415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "quality_classifier": q_quality_classifier,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "table_profile": q_table_profile,
+        "value_outliers": q_value_outliers,
     }
 
 
@@ -5450,4 +5479,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(list_distinct(wmins)) AS fp
                   FROM mins)
             ORDER BY doc_id, fp""",
+        "table_profile": r"""
+            SELECT 'event_type' AS "column", count(*) AS n_rows,
+                   count(*) - count(event_type) AS n_nulls,
+                   count(DISTINCT event_type) AS n_distinct FROM events
+            UNION ALL
+            SELECT 'props', count(*), count(*) - count(props),
+                   count(DISTINCT props) FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id) FROM events
+            ORDER BY 1""",
+        "value_outliers": r"""
+            WITH m AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+              FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL),
+            s AS (
+              SELECT event_type, count(*) AS n, sum(v) AS sv,
+                     sum(v * v) AS svv
+              FROM m GROUP BY event_type)
+            SELECT m.event_type, CAST(count(*) FILTER (
+              WHERE abs(m.v - sv * 1.0 / n) > 2.0 * sqrt(greatest(
+                svv * 1.0 / n - (sv * 1.0 / n) * (sv * 1.0 / n), 0.0))
+            ) AS BIGINT) AS n_outliers, CAST(max(n) AS BIGINT) AS n
+            FROM m JOIN s USING (event_type)
+            GROUP BY m.event_type ORDER BY m.event_type""",
     }

@@ -171,7 +171,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "dup_passages", "eval_overlap", "word_entropy",
              "big_orders", "semantic_dedup", "chars_quantiles_approx",
              "mode_source", "bm25_topk", "daily_revenue_ma7",
-             "item_triangles", "weighted_sample", "lang_chars_quantiles", "lm_scores", "lang_source_pmi", "intra_dup_ngrams"]
+             "item_triangles", "weighted_sample", "lang_chars_quantiles",
+             "lm_scores", "lang_source_pmi", "intra_dup_ngrams",
+             # round-4 additions
+             "dedup_keep_best", "quality_classifier",
+             "winnow_fingerprints", "table_profile", "value_outliers"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

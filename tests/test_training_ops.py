@@ -1951,3 +1951,40 @@ def test_winnow_fingerprints_reference_and_guarantee(ray_session):
     for i, txt in enumerate(texts):
         assert got.get(i, set()) == reference(txt), f"doc {i}"
     assert got[0] & got[1], "winnowing guarantee: shared run -> shared fp"
+
+
+def test_table_profile_counts_nulls_and_distinct(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.profile import table_profile
+
+    t = pa.table({
+        "a": pa.array([1, 1, None, 3], pa.int64()),
+        "b": pa.array(["x", None, None, "x"], pa.string()),
+    })
+    out = table_profile(
+        rd.from_arrow(t), ["a", "b"]).to_pandas().set_index("column")
+    assert out.loc["a"].to_dict() == {
+        "n_rows": 4, "n_nulls": 1, "n_distinct": 2}
+    assert out.loc["b"].to_dict() == {
+        "n_rows": 4, "n_nulls": 2, "n_distinct": 1}
+
+
+def test_grouped_value_outliers_planted(ray_session):
+    """A planted far-out value is flagged; nulls ignored; a constant
+    group (sigma 0) flags nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.profile import (
+        grouped_value_outliers)
+
+    t = pa.table({
+        "k": pa.array(["g"] * 11 + ["c"] * 3, pa.string()),
+        "v": pa.array([10.0] * 10 + [1000.0] + [5.0, 5.0, None],
+                      pa.float64()),
+    })
+    out = grouped_value_outliers(
+        rd.from_arrow(t), key_column="k",
+        value_column="v").to_pandas().set_index("k")
+    assert out.loc["g", "n_outliers"] == 1 and out.loc["g", "n"] == 11
+    assert out.loc["c", "n_outliers"] == 0 and out.loc["c", "n"] == 2
