@@ -4258,6 +4258,18 @@ def q_winnow_fingerprints(sf_dir: str):
     return winnow_fingerprints(docs, concurrency=_pool())
 
 
+def q_spearman(sf_dir: str):
+    """Spearman rank correlation (tie-aware average ranks) between
+    lineitem quantity and extended price — distributed WITHOUT a global
+    sort: per-column value histograms → broadcast rank lookups → one
+    integer sufficient-stats pass (stages/stats.spearman_corr)."""
+    from magic_content_extractor_ray.stages.stats import spearman_corr
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_quantity", "l_extendedprice"])
+    return spearman_corr(ds, col_a="l_quantity", col_b="l_extendedprice")
+
+
 def q_table_profile(sf_dir: str):
     """Deequ/TFDV-style per-column data-quality profile over events
     (stages/profile.table_profile): completeness + EXACT cardinality —
@@ -4417,6 +4429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "table_profile": q_table_profile,
         "value_outliers": q_value_outliers,
+        "spearman_qty_price": q_spearman,
     }
 
 
@@ -5505,4 +5518,27 @@ def oracle_sql() -> dict[str, str]:
             ) AS BIGINT) AS n_outliers, CAST(max(n) AS BIGINT) AS n
             FROM m JOIN s USING (event_type)
             GROUP BY m.event_type ORDER BY m.event_type""",
+        "spearman_qty_price": r"""
+            WITH v AS (
+              SELECT CAST(round(l_quantity * 100) AS BIGINT) AS a,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS b
+              FROM lineitem),
+            r AS (
+              SELECT
+                2 * rank() OVER (ORDER BY a)
+                  + count(*) OVER (PARTITION BY a) - 1 AS ra,
+                2 * rank() OVER (ORDER BY b)
+                  + count(*) OVER (PARTITION BY b) - 1 AS rb
+              FROM v),
+            s AS (
+              SELECT count(*) AS n, sum(ra) AS sa, sum(rb) AS sb,
+                     sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+                     sum(ra * rb) AS sab
+              FROM r)
+            SELECT floor(CAST(n * sab - sa * sb AS DOUBLE) /
+                   sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 AS spearman,
+                   CAST(n AS BIGINT) AS n
+            FROM s""",
     }

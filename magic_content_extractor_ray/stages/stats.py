@@ -13,6 +13,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -182,3 +183,99 @@ def grouped_approx_quantiles(ds, *, key_column: str, value_column: str,
 
     return ds.map_batches(partial, batch_format="pyarrow").groupby(
         key_column).map_groups(merge, batch_format="pandas")
+
+
+def spearman_corr(ds, *, col_a: str, col_b: str, decimals: int = 2):
+    """Distributed Spearman rank correlation between two numeric
+    columns — the tie-aware average-rank definition, EXACT and
+    bit-for-bit SQL-checkable, with NO global sort: each column's
+    ranks come from its value histogram (state O(distinct values),
+    the ``grouped_quantiles`` trick), broadcast as a sorted
+    (value → 2×average-rank) lookup; one map pass accumulates integer
+    rank sufficient statistics (per-batch int64 partials, merged as
+    arbitrary-precision Python ints on the driver — one tiny row per
+    batch); the final ρ is one float expression over exact integers,
+    mirrored verbatim by the DuckDB oracle and rounded to 6 dp.
+
+    2×-scaled average ranks keep ties integral: for value v with
+    ``cum`` smaller rows and ``cnt`` ties, r2(v) = 2·cum + cnt + 1.
+    Values are fixed-point at ``decimals`` digits. Exactness bound:
+    per-batch Σr2² must fit int64 — holds to ~7·10⁵ rows per 4096-row
+    batch scale (checked, raises); beyond that use normalized float
+    ranks (approximate) or smaller batches. Returns a Dataset with one
+    (spearman, n) row."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from .window import hash_agg
+
+    scale = 10 ** decimals
+
+    def to_fixed(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in (col_a, col_b):
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(
+                np.round(v * scale).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    fixed = ds.select_columns([col_a, col_b]).map_batches(
+        to_fixed, batch_format="pyarrow")
+
+    def rank_lookup(col: str):
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.select([col]).group_by([col]).aggregate([(col, "count")])
+            return pa.table({
+                col: g.column(col),
+                "cnt": pc.cast(g.column(f"{col}_count"), pa.int64())})
+
+        hist = hash_agg(fixed.map_batches(partial, batch_format="pyarrow"),
+                        col, [("cnt", "sum", "cnt")]).take_all()
+        vals = np.array(sorted(r[col] for r in hist), dtype=np.int64)
+        cnt_by = {r[col]: r["cnt"] for r in hist}
+        cnts = np.array([cnt_by[v] for v in vals], dtype=np.int64)
+        cum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        r2 = 2 * cum + cnts + 1
+        return vals, r2
+
+    vals_a, r2_a = rank_lookup(col_a)
+    vals_b, r2_b = rank_lookup(col_b)
+    lut = ray.put((vals_a, r2_a, vals_b, r2_b))
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        va, ra2, vb, rb2 = ray.get(lut)
+        a = t.column(col_a).to_numpy(zero_copy_only=False)
+        b = t.column(col_b).to_numpy(zero_copy_only=False)
+        ra = ra2[np.searchsorted(va, a)]
+        rb = rb2[np.searchsorted(vb, b)]
+        mx = max(int(ra.max(initial=0)), int(rb.max(initial=0)))
+        if mx and len(a) > (1 << 63) // (mx * mx):
+            raise ValueError(
+                "spearman_corr int64 partial would overflow: shrink "
+                "batch_size or switch to the float-rank scale path")
+        return pa.table({
+            "n": pa.array([len(a)], pa.int64()),
+            "sa": pa.array([int(ra.sum())], pa.int64()),
+            "sb": pa.array([int(rb.sum())], pa.int64()),
+            "saa": pa.array([int(np.dot(ra, ra))], pa.int64()),
+            "sbb": pa.array([int(np.dot(rb, rb))], pa.int64()),
+            "sab": pa.array([int(np.dot(ra, rb))], pa.int64()),
+        })
+
+    rows = fixed.map_batches(stats_partial, batch_format="pyarrow",
+                             batch_size=4096).take_all()
+    # arbitrary-precision merge: one tiny row per batch
+    n = sum(r["n"] for r in rows)
+    sa = sum(int(r["sa"]) for r in rows)
+    sb = sum(int(r["sb"]) for r in rows)
+    saa = sum(int(r["saa"]) for r in rows)
+    sbb = sum(int(r["sbb"]) for r in rows)
+    sab = sum(int(r["sab"]) for r in rows)
+    num = float(n * sab - sa * sb)
+    den = math.sqrt(float(n * saa - sa * sa) * float(n * sbb - sb * sb))
+    rho = math.floor(num / den * 1e6 + 0.5) / 1e6 if den else float("nan")
+    return rd.from_arrow(pa.table({
+        "spearman": pa.array([rho], pa.float64()),
+        "n": pa.array([n], pa.int64())}))

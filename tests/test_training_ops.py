@@ -747,6 +747,43 @@ def test_grouped_quantiles_matches_numpy(ray_session):
         assert abs(out.loc[key, "q_0_9"] - p90) < 1e-12
 
 
+def test_spearman_matches_scipy_definition(ray_session):
+    """Histogram-rank Spearman equals the tie-aware average-rank
+    definition computed directly with numpy (Pearson over average
+    ranks), including heavy ties and anti-correlated data."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.stats import spearman_corr
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 20, size=500).astype(float)        # heavy ties
+    b = (-a + rng.normal(0, 3, size=500)).round(2)        # anti-corr
+
+    def avg_ranks(x):
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(len(x), dtype=float)
+        sx = x[order]
+        i = 0
+        while i < len(sx):
+            j = i
+            while j < len(sx) and sx[j] == sx[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2  # 1-based average rank
+            i = j
+        return ranks
+
+    ra, rb = avg_ranks(a), avg_ranks(b)
+    expect = np.corrcoef(ra, rb)[0, 1]
+    expect = np.floor(expect * 1e6 + 0.5) / 1e6
+
+    out = spearman_corr(
+        rd.from_items([{"a": float(x), "b": float(y)}
+                       for x, y in zip(a, b)]),
+        col_a="a", col_b="b").to_pandas()
+    assert out["n"][0] == 500
+    assert abs(out["spearman"][0] - expect) < 2e-6
+    assert out["spearman"][0] < -0.5  # genuinely anti-correlated
+
+
 def test_dedup_cluster_and_drop_helpers(docs_ds):
     from magic_content_extractor_ray.stages.dedup import (
         simhash_clusters, drop_exact_duplicates)
