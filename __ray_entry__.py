@@ -4297,6 +4297,24 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_mad_outliers(sf_dir: str):
+    """Per-event-type ROBUST outlier screen (|v − median| > 5·MAD,
+    stages/profile.grouped_mad_outliers) — the 50%-breakdown companion
+    to the z-score screen (one 1e9 reading inflates σ until nothing
+    else trips; it cannot move the median). ONE histogram shuffle
+    (state O(distinct values per group)); median, the folded deviation
+    histogram, its median (MAD) and the outlier mass are all derived
+    from that histogram in integers, so the counts are bit-for-bit
+    SQL-checkable."""
+    from magic_content_extractor_ray.stages.profile import (
+        grouped_mad_outliers)
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "value"])
+    return grouped_mad_outliers(ds, key_column="event_type",
+                                value_column="value")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -4430,6 +4448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "value_outliers": q_value_outliers,
         "spearman_qty_price": q_spearman,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -5541,4 +5560,33 @@ def oracle_sql() -> dict[str, str]:
                    * 1e6 + 0.5) / 1e6 AS spearman,
                    CAST(n AS BIGINT) AS n
             FROM s""",
+        "mad_outliers": r"""
+            WITH v AS (
+              SELECT event_type AS k,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL),
+            m AS (
+              SELECT k, count(*) AS n,
+                     CAST(round(2 * quantile_cont(CAST(v AS DOUBLE), 0.5))
+                          AS BIGINT) AS m2
+              FROM v GROUP BY k),
+            d AS (
+              SELECT v.k, abs(2 * v.v - m.m2) AS d
+              FROM v JOIN m USING (k)),
+            md AS (
+              SELECT k,
+                     CAST(round(2 * quantile_cont(CAST(d AS DOUBLE), 0.5))
+                          AS BIGINT) AS m4
+              FROM d GROUP BY k),
+            o AS (
+              SELECT d.k,
+                     sum(CASE WHEN 2 * d.d > 5 * md.m4
+                         THEN 1 ELSE 0 END) AS n_out
+              FROM d JOIN md USING (k) GROUP BY d.k)
+            SELECT m.k AS event_type, CAST(m.n AS BIGINT) AS n,
+                   CAST(m.m2 AS DOUBLE) / 2 / 100 AS median,
+                   CAST(md.m4 AS DOUBLE) / 4 / 100 AS mad,
+                   CAST(o.n_out AS BIGINT) AS n_outliers
+            FROM m JOIN md USING (k) JOIN o USING (k)
+            ORDER BY event_type""",
     }

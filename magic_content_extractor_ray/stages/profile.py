@@ -137,3 +137,83 @@ def grouped_value_outliers(ds, *, key_column: str, value_column: str,
         return t.append_column("n", pa.array(ns, pa.int64()))
 
     return agg.map_batches(attach_n, batch_format="pyarrow")
+
+
+def grouped_mad_outliers(ds, *, key_column: str, value_column: str,
+                         k: int = 5, decimals: int = 2):
+    """Per-group ROBUST outlier counts: rows where
+    ``|v − median| > k·MAD`` of the row's group (MAD = median absolute
+    deviation). The z-score screen (``grouped_value_outliers``) is
+    itself corrupted by the outliers it hunts — one 1e9 reading
+    inflates σ until nothing else trips; median/MAD have a 50%
+    breakdown point, which is why data-validation suites pair both.
+
+    EXACT and fully integer: values are fixed-point at ``decimals``
+    digits; ONE distributed pass builds the per-(group, value) count
+    histogram (state O(distinct values per group), the
+    ``grouped_quantiles`` trick — a single hash_agg shuffle), and the
+    per-group finisher derives everything from that histogram with no
+    second data pass: median (doubled → integer m2 even when
+    interpolated), the deviation histogram d = |2v − m2| by folding
+    symmetric values together, its median (doubled → integer m4 =
+    4·MAD), and the outlier count as the histogram mass where
+    ``2·d > k·m4`` — an all-integer comparison, so both engines agree
+    bit-for-bit. MAD = 0 (>50% of a group identical) degenerates to
+    "any deviation is an outlier", the standard MAD-screen behavior.
+    NULL values are ignored. Returns
+    (key, n, median, mad, n_outliers); median/mad are float64 halves /
+    quarters, exactly representable."""
+    import pandas as pd
+
+    from .window import hash_agg
+
+    scale = 10 ** decimals
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_column, value_column]).drop_null()
+        v = np.round(t.column(value_column).to_numpy(
+            zero_copy_only=False) * scale).astype(np.int64)
+        g = pa.table({key_column: t.column(key_column),
+                      "v": pa.array(v, pa.int64())}).group_by(
+            [key_column, "v"]).aggregate([([], "count_all")])
+        return pa.table({key_column: g.column(key_column),
+                         "v": g.column("v"),
+                         "cnt": pc.cast(g.column("count_all"), pa.int64())})
+
+    hist = hash_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                    key_column, [("cnt", "sum", "cnt")],
+                    group_cols=[key_column, "v"])
+
+    def med2(vals: np.ndarray, cnts: np.ndarray) -> int:
+        """2× the interpolated median of a sorted value histogram —
+        integral (median of ints is k or k+0.5)."""
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        lo_rank, hi_rank = (n - 1) // 2, n // 2
+        lo = int(vals[np.searchsorted(cum, lo_rank + 1, side="left")])
+        hi = int(vals[np.searchsorted(cum, hi_rank + 1, side="left")])
+        return lo + hi
+
+    def per_key(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("v").reset_index(drop=True)
+        vals = g["v"].to_numpy(dtype=np.int64)
+        cnts = g["cnt"].to_numpy(dtype=np.int64)
+        n = int(cnts.sum())
+        m2 = med2(vals, cnts)
+        # fold the value histogram into the |2v − m2| histogram
+        d = np.abs(2 * vals - m2)
+        order = np.argsort(d, kind="stable")
+        d, dc = d[order], cnts[order]
+        uniq, start = np.unique(d, return_index=True)
+        dcnt = np.add.reduceat(dc, start)
+        m4 = med2(uniq, dcnt)
+        n_out = int(dcnt[2 * uniq > k * m4].sum())
+        return pd.DataFrame({
+            key_column: [g[key_column].iloc[0]],
+            "n": np.array([n], np.int64),
+            "median": [m2 / 2.0 / scale],
+            "mad": [m4 / 4.0 / scale],
+            "n_outliers": np.array([n_out], np.int64)})
+
+    return hist.groupby(key_column).map_groups(
+        per_key, batch_format="pandas")

@@ -2025,3 +2025,39 @@ def test_grouped_value_outliers_planted(ray_session):
         value_column="v").to_pandas().set_index("k")
     assert out.loc["g", "n_outliers"] == 1 and out.loc["g", "n"] == 11
     assert out.loc["c", "n_outliers"] == 0 and out.loc["c", "n"] == 2
+
+
+def test_grouped_mad_outliers_robustness(ray_session):
+    """The MAD screen keeps flagging a moderate deviation even when an
+    extreme value has inflated sigma past it (the z-screen's failure
+    mode); even-count interpolated medians are exact; a constant group
+    (MAD 0) flags every deviation."""
+    import pyarrow as pa
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.profile import (
+        grouped_mad_outliers, grouped_value_outliers)
+
+    # g: 10 × 10.0, one 25.0 (moderate), one 1e7 (extreme).
+    # median = 10, MAD = 0 → both deviants flagged by MAD.
+    # z-screen: the 1e7 point inflates sigma so 25.0 is NOT flagged.
+    g_vals = [10.0] * 10 + [25.0, 1e7]
+    # e: even count with distinct middles → interpolated median 15,
+    # deviations |v−15| = [5,5,5,5], MAD = 5, k·MAD = 25 → none out
+    e_vals = [10.0, 10.0, 20.0, 20.0]
+    t = pa.table({
+        "k": pa.array(["g"] * 12 + ["e"] * 4 + ["c"] * 3),
+        "v": pa.array(g_vals + e_vals + [7.0, 7.0, None], pa.float64()),
+    })
+    mad = grouped_mad_outliers(
+        rd.from_arrow(t), key_column="k",
+        value_column="v").to_pandas().set_index("k")
+    z = grouped_value_outliers(
+        rd.from_arrow(t), key_column="k",
+        value_column="v").to_pandas().set_index("k")
+
+    assert mad.loc["g", "median"] == 10.0 and mad.loc["g", "mad"] == 0.0
+    assert mad.loc["g", "n_outliers"] == 2       # 25.0 AND 1e7
+    assert z.loc["g", "n_outliers"] == 1         # sigma blown: 1e7 only
+    assert mad.loc["e", "median"] == 15.0 and mad.loc["e", "mad"] == 5.0
+    assert mad.loc["e", "n_outliers"] == 0
+    assert mad.loc["c", "n"] == 2 and mad.loc["c", "n_outliers"] == 0
