@@ -4297,6 +4297,88 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_source_drift_kl(sf_dir: str):
+    """Dataset-composition drift: per-source KL divergence of the
+    source's token distribution from the corpus-wide one, over the
+    deterministic global top-200 vocabulary (count desc, term asc) —
+    the screen a mixture-rebalancing / drift-detection pass runs before
+    reweighting sources. Two bounded passes: (1) global term counts via
+    hash_agg + tree top-k (no task holds the whole vocabulary),
+    (2) per-(source, vocab-term) counts — the cell table is bounded by
+    |sources|×200, so the KL math runs driver-side on exact integer
+    counts. Each term's contribution p·ln(p/q) is rounded to integer
+    nano-nats before summing (order-free), so the SQL twin hash-matches
+    bit-for-bit; both p and q are normalized over the vocab terms."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    K = 200
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.list_flatten(_ws_split_lists(pc.utf8_lower(texts)))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"term": words}).group_by("term").aggregate(
+            [("term", "count")])
+        return pa.table({"term": g.column("term"),
+                         "n": pc.cast(g.column("term_count"), pa.int64())})
+
+    counts = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow"),
+        "term", [("n", "sum", "n")])
+    cands = counts.map_batches(
+        lambda b: _batch_topk(b, [("n", "descending"),
+                                  ("term", "ascending")], k=K),
+        batch_format="pyarrow", batch_size=8192).take_all()
+    cands.sort(key=lambda r: (-r["n"], r["term"]))
+    vocab = {r["term"]: int(r["n"]) for r in cands[:K]}
+    nv = sum(vocab.values())
+    vocab_arr = pa.array(sorted(vocab), pa.string())
+
+    def partial_cells(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = _ws_split_lists(pc.utf8_lower(texts))
+        words = pc.list_flatten(lists)
+        src = batch.column("source").take(pc.list_parent_indices(lists))
+        keep = pc.is_in(words, value_set=vocab_arr)
+        g = pa.table({"term": words.filter(keep),
+                      "source": src.filter(keep)}).group_by(
+            ["term", "source"]).aggregate([([], "count_all")])
+        return pa.table({"term": g.column("term"),
+                         "source": g.column("source"),
+                         "c": pc.cast(g.column("count_all"), pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["text", "source"]).map_batches(
+        partial_cells, batch_format="pyarrow").groupby(
+        ["term", "source"]).aggregate(Sum("c", alias_name="c")).take_all()
+
+    nsv: dict = {}
+    for r in cells:
+        nsv[r["source"]] = nsv.get(r["source"], 0) + int(r["c"])
+    kl_int: dict = {s: 0 for s in nsv}
+    for r in cells:
+        s, cst = r["source"], int(r["c"])
+        x = (cst / nsv[s]) * float(np.log((cst * nv) /
+                                          (nsv[s] * vocab[r["term"]])))
+        kl_int[s] += int(np.sign(x) * np.floor(abs(x) * 1e9 + 0.5))
+    out = sorted(nsv)
+    return pa.table({
+        "source": pa.array(out, pa.string()),
+        "n": pa.array([nsv[s] for s in out], pa.int64()),
+        "kl": pa.array([kl_int[s] / 1e9 for s in out], pa.float64()),
+    })
+
+
 def q_mad_outliers(sf_dir: str):
     """Per-event-type ROBUST outlier screen (|v − median| > 5·MAD,
     stages/profile.grouped_mad_outliers) — the 50%-breakdown companion
@@ -4449,6 +4531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "spearman_qty_price": q_spearman,
         "mad_outliers": q_mad_outliers,
+        "source_drift_kl": q_source_drift_kl,
     }
 
 
@@ -5589,4 +5672,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o.n_out AS BIGINT) AS n_outliers
             FROM m JOIN md USING (k) JOIN o USING (k)
             ORDER BY event_type""",
+        "source_drift_kl": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents),
+            vocab AS (
+              SELECT term, count(*) AS ct
+              FROM toks GROUP BY term
+              ORDER BY ct DESC, term LIMIT 200),
+            vt AS (SELECT sum(ct) AS nv FROM vocab),
+            st AS (
+              SELECT t.source, t.term, count(*) AS cst
+              FROM toks t JOIN vocab v USING (term)
+              GROUP BY t.source, t.term),
+            ns AS (SELECT source, sum(cst) AS nsv FROM st GROUP BY source),
+            contrib AS (
+              SELECT st.source,
+                     (st.cst / ns.nsv)
+                       * ln((st.cst * vt.nv) / (ns.nsv * v.ct)) AS x
+              FROM st JOIN ns USING (source)
+                   JOIN vocab v ON st.term = v.term CROSS JOIN vt)
+            SELECT c.source, CAST(ns.nsv AS BIGINT) AS n,
+                   CAST(sum(CAST(sign(x) * floor(abs(x) * 1e9 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 1e9 AS kl
+            FROM contrib c JOIN ns ON c.source = ns.source
+            GROUP BY c.source, ns.nsv ORDER BY c.source""",
     }

@@ -89,3 +89,45 @@ def test_doc_chunks_multichunk(duck, ray_session, tmp_path):
     e = exp.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     assert g.groupby("doc_id").size().max() > 1  # multi-chunk exercised
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_source_drift_kl_hand_computed(ray_session, tmp_path):
+    """KL over a tiny corpus matches a direct float computation, and a
+    skewed source scores strictly higher drift than a corpus-like one."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    # balanced: 2×"a b c"; skewed: "a a a a a b"  (vocab ≪ K=200)
+    rows = [
+        {"doc_id": 0, "text": "a b c", "lang": "en", "source": "bal",
+         "n_chars": 5},
+        {"doc_id": 1, "text": "a b c", "lang": "en", "source": "bal",
+         "n_chars": 5},
+        {"doc_id": 2, "text": "a a a a a b", "lang": "en",
+         "source": "skew", "n_chars": 11},
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = entrymod.queries()["source_drift_kl"](sf).to_pandas()
+    got = got.set_index("source")
+
+    # global: a=7 b=3 c=2, nv=12
+    glob = {"a": 7, "b": 3, "c": 2}
+    nv = 12
+    per_src = {"bal": {"a": 2, "b": 2, "c": 2},
+               "skew": {"a": 5, "b": 1}}
+
+    for s, cnts in per_src.items():
+        nsv = sum(cnts.values())
+        kl = 0
+        for t, c in cnts.items():
+            x = (c / nsv) * math.log((c * nv) / (nsv * glob[t]))
+            kl += int(math.copysign(math.floor(abs(x) * 1e9 + 0.5), x))
+        assert got.loc[s, "n"] == nsv
+        assert got.loc[s, "kl"] == kl / 1e9
+    assert got.loc["skew", "kl"] > got.loc["bal", "kl"] > 0
