@@ -4297,6 +4297,34 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_value_trend(sf_dir: str):
+    """Per-event-type OLS value trend over time (is this metric
+    drifting?): x = epoch day, y = centi-units, slope/intercept from
+    exact integer sufficient statistics (stages/stats.grouped_linregress
+    — one combiner-pass shuffle of (n, Σx, Σy, Σxx, Σxy) rows), the
+    final floats mirrored CAST-for-CAST by the SQL twin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.stats import grouped_linregress
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.drop_null()
+        day = pc.cast(pc.cast(pc.cast(t.column("ts"), pa.date32()),
+                              pa.int32()), pa.int64())
+        cents = pa.array(np.round(t.column("value").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64), pa.int64())
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": day, "cents": cents})
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow")
+    return grouped_linregress(ds, key_column="event_type",
+                              x_column="day", y_column="cents")
+
+
 def q_source_drift_kl(sf_dir: str):
     """Dataset-composition drift: per-source KL divergence of the
     source's token distribution from the corpus-wide one, over the
@@ -4532,6 +4560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_qty_price": q_spearman,
         "mad_outliers": q_mad_outliers,
         "source_drift_kl": q_source_drift_kl,
+        "value_trend": q_value_trend,
     }
 
 
@@ -5698,4 +5727,32 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT)) AS DOUBLE) / 1e9 AS kl
             FROM contrib c JOIN ns ON c.source = ns.source
             GROUP BY c.source, ns.nsv ORDER BY c.source""",
+        "value_trend": r"""
+            WITH v AS (
+              SELECT event_type AS k,
+                     CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                          AS BIGINT) AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                            AND event_type IS NOT NULL),
+            s AS (
+              SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM v GROUP BY k),
+            r AS (
+              SELECT k, n,
+                     CAST(CAST(n AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / CAST(NULLIF(CAST(n AS HUGEINT) * sxx
+                                   - CAST(sx AS HUGEINT) * sx, 0)
+                            AS DOUBLE) AS slope_raw,
+                     sx, sy
+              FROM s)
+            SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+                   sign(slope_raw) * floor(abs(slope_raw) * 1e6 + 0.5)
+                     / 1e6 AS slope,
+                   sign((sy - slope_raw * sx) / n)
+                     * floor(abs((sy - slope_raw * sx) / n) * 1e6 + 0.5)
+                     / 1e6 AS b
+            FROM r ORDER BY event_type""",
     }

@@ -279,3 +279,79 @@ def spearman_corr(ds, *, col_a: str, col_b: str, decimals: int = 2):
     return rd.from_arrow(pa.table({
         "spearman": pa.array([rho], pa.float64()),
         "n": pa.array([n], pa.int64())}))
+
+
+def grouped_linregress(ds, *, key_column: str, x_column: str,
+                       y_column: str, round_dp: int = 6):
+    """Per-group ordinary-least-squares trend line (y = slope·x + b)
+    from EXACT integer sufficient statistics — the per-segment drift /
+    trend-detection pass (is this event type's value rising?). Inputs
+    must already be integer-valued columns (callers fix-point scale
+    floats first). One combiner pass accumulates (n, Σx, Σy, Σxx, Σxy)
+    per group map-side — the shuffle is one row per (batch, group) —
+    then slope/intercept are one float expression over the exact
+    integers, identical in the SQL twin, rounded half-away-from-zero at
+    ``round_dp``. int64 bound: per-group Σxx / Σxy must fit 2⁶³
+    (x ~ epoch-days and y ~ cents hold to ~10¹² rows per group; shard
+    groups and merge partials as Python ints past that). Groups with
+    all-identical x (degenerate denominator) return NULL slope/b.
+    Returns (key, n, slope, b)."""
+    import math
+
+    import pandas as pd
+
+    from .window import hash_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_column, x_column, y_column]).drop_null()
+        x = t.column(x_column).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = t.column(y_column).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = pa.table({key_column: t.column(key_column),
+                      "x": pa.array(x), "y": pa.array(y),
+                      "xx": pa.array(x * x), "xy": pa.array(x * y),
+                      "one": pa.array(np.ones(len(x), np.int64))}
+                     ).group_by([key_column]).aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("xy", "sum")])
+        return pa.table({key_column: g.column(key_column)} | {
+            a: pc.cast(g.column(f"{c}_sum"), pa.int64())
+            for c, a in (("one", "n"), ("x", "sx"), ("y", "sy"),
+                         ("xx", "sxx"), ("xy", "sxy"))})
+
+    sums = hash_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                    key_column,
+                    [(c, "sum", c) for c in ("n", "sx", "sy",
+                                             "sxx", "sxy")])
+
+    q = 10 ** round_dp
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        slopes, bs = [], []
+        for n, sx, sy, sxx, sxy in zip(df["n"], df["sx"], df["sy"],
+                                       df["sxx"], df["sxy"]):
+            n, sx, sy, sxx, sxy = (int(n), int(sx), int(sy),
+                                   int(sxx), int(sxy))
+            den = n * sxx - sx * sx
+            if den == 0:
+                slopes.append(None)
+                bs.append(None)
+                continue
+            # float() each exact int BEFORE dividing — mirrors the SQL
+            # twin's CAST(... AS DOUBLE) / CAST(... AS DOUBLE) exactly
+            # (Python int/int single-rounds the exact rational instead)
+            slope = float(n * sxy - sx * sy) / float(den)
+            b = (sy - slope * sx) / n
+            slopes.append(math.copysign(
+                math.floor(abs(slope) * q + 0.5), slope) / q)
+            bs.append(math.copysign(
+                math.floor(abs(b) * q + 0.5), b) / q)
+        return pa.table({
+            key_column: pa.array(df[key_column]),
+            "n": pa.array(df["n"].astype("int64"), pa.int64()),
+            "slope": pa.array(slopes, pa.float64()),
+            "b": pa.array(bs, pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -2061,3 +2061,32 @@ def test_grouped_mad_outliers_robustness(ray_session):
     assert mad.loc["e", "median"] == 15.0 and mad.loc["e", "mad"] == 5.0
     assert mad.loc["e", "n_outliers"] == 0
     assert mad.loc["c", "n"] == 2 and mad.loc["c", "n_outliers"] == 0
+
+
+def test_grouped_linregress_matches_polyfit(ray_session):
+    """Exact-integer OLS equals np.polyfit per group; an all-same-x
+    group yields NULL slope/intercept instead of dividing by zero."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.stats import grouped_linregress
+
+    rng = np.random.RandomState(11)
+    rows = []
+    expect = {}
+    for key, slope, b in (("up", 3, 40), ("down", -2, 7)):
+        x = rng.randint(0, 400, size=200)
+        y = slope * x + b + rng.randint(-30, 31, size=200)
+        rows += [{"k": key, "x": int(a), "y": int(c)}
+                 for a, c in zip(x, y)]
+        fit = np.polyfit(x.astype(float), y.astype(float), 1)
+        expect[key] = (fit[0], fit[1])
+    rows += [{"k": "flat", "x": 5, "y": v} for v in (1, 2, 3)]
+
+    out = grouped_linregress(
+        rd.from_items(rows), key_column="k", x_column="x",
+        y_column="y").to_pandas().set_index("k")
+    for key, (slope, b) in expect.items():
+        assert abs(out.loc[key, "slope"] - slope) < 1e-5
+        assert abs(out.loc[key, "b"] - b) < 1e-4
+    assert out.loc["flat", "n"] == 3
+    assert np.isnan(out.loc["flat", "slope"])
+    assert np.isnan(out.loc["flat", "b"])
