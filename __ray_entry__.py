@@ -4297,6 +4297,130 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_segment_gini(sf_dir: str):
+    """Revenue-concentration audit: per market segment, the EXACT Gini
+    coefficient of per-customer total spend (is one whale segment
+    carrying the revenue?). Pipeline: per-customer cent totals (one
+    O(customers) hash_agg), a partitioned hash_join to attach the
+    segment, then a (segment, spend → count) histogram shuffle whose
+    per-segment finisher evaluates Σ rank·xᵢ WITHOUT materializing
+    ranks — for each histogram cell (v, c) after ``cum`` cheaper
+    customers, Σ ranks = c·cum + c(c+1)/2, so
+    G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) comes out of exact integers
+    (state O(distinct spend values per segment), the
+    grouped_quantiles bound). SQL twin mirrors the double casts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        cents = pa.array(np.round(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64), pa.int64())
+        g = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "v": cents}).group_by(["o_custkey"]).aggregate(
+            [("v", "sum")])
+        return pa.table({"o_custkey": g.column("o_custkey"),
+                         "v": pc.cast(g.column("v_sum"), pa.int64())})
+
+    spend = hash_agg(
+        _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_totalprice"])
+        .map_batches(spend_partial, batch_format="pyarrow"),
+        "o_custkey", [("v", "sum", "v")])
+
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({"o_custkey": t.column("c_custkey"),
+                            "segment": t.column("c_mktsegment")}),
+        batch_format="pyarrow")
+
+    joined = hash_join(
+        spend, cust, key="o_custkey", left_cols=["v"],
+        right_cols=["segment"],
+        left_types={"o_custkey": pa.int64(), "v": pa.int64()},
+        right_types={"o_custkey": pa.int64(), "segment": pa.string()})
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["segment", "v"]).aggregate([([], "count_all")])
+        return pa.table({"segment": g.column("segment"),
+                         "v": g.column("v"),
+                         "c": pc.cast(g.column("count_all"), pa.int64())})
+
+    hist = hash_agg(joined.map_batches(hist_partial, batch_format="pyarrow"),
+                    "segment", [("c", "sum", "c")],
+                    group_cols=["segment", "v"])
+
+    def finish(df):
+        import pandas as pd
+
+        df = df.sort_values("v").reset_index(drop=True)
+        v = df["v"].to_numpy(dtype=object)        # exact python ints
+        c = df["c"].to_numpy(dtype=object)
+        n = s0 = s1 = 0
+        for vi, ci in zip(v, c):
+            vi, ci = int(vi), int(ci)
+            s1 += vi * (ci * n + ci * (ci + 1) // 2)   # Σ rank·x over cell
+            s0 += vi * ci
+            n += ci
+        gini = float(2 * s1 - (n + 1) * s0) / float(n * s0)
+        gini = float(np.floor(gini * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame({"segment": [df["segment"].iloc[0]],
+                             "n": np.array([n], np.int64),
+                             "gini": [gini]})
+
+    return hist.groupby("segment").map_groups(finish, batch_format="pandas")
+
+
+def q_cumulative_users(sf_dir: str):
+    """Daily new + cumulative distinct users — the running-DISTINCT
+    window (audience-growth curve) that a naive count(DISTINCT) OVER
+    would re-scan per day. Distributed as: per-user first-seen day
+    (one O(users) min-shuffle via hash_agg), a tiny per-day count, and
+    a driver-side cumsum over the bounded day range. Exact integers
+    throughout."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), 86400000000)),
+            pa.int64())
+        g = pa.table({"user_id": batch.column("user_id"),
+                      "day": day}).group_by(["user_id"]).aggregate(
+            [("day", "min")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "first_day": g.column("day_min")})
+
+    first = hash_agg(
+        _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("first_day", "min", "first_day")])
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["first_day"]).aggregate([([], "count_all")])
+        return pa.table({"day_bucket": g.column("first_day"),
+                         "c": pc.cast(g.column("count_all"), pa.int64())})
+
+    rows = hash_agg(first.map_batches(day_counts, batch_format="pyarrow"),
+                    "day_bucket", [("c", "sum", "c")]).take_all()
+    rows.sort(key=lambda r: r["day_bucket"])
+    cum = 0
+    days, new, cums = [], [], []
+    for r in rows:
+        cum += int(r["c"])
+        days.append(int(r["day_bucket"]))
+        new.append(int(r["c"]))
+        cums.append(cum)
+    return pa.table({"day_bucket": pa.array(days, pa.int64()),
+                     "new_users": pa.array(new, pa.int64()),
+                     "cum_users": pa.array(cums, pa.int64())})
+
+
 def q_value_trend(sf_dir: str):
     """Per-event-type OLS value trend over time (is this metric
     drifting?): x = epoch day, y = centi-units, slope/intercept from
@@ -4561,6 +4685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": q_mad_outliers,
         "source_drift_kl": q_source_drift_kl,
         "value_trend": q_value_trend,
+        "cumulative_users": q_cumulative_users,
+        "segment_gini": q_segment_gini,
     }
 
 
@@ -5755,4 +5881,32 @@ def oracle_sql() -> dict[str, str]:
                      * floor(abs((sy - slope_raw * sx) / n) * 1e6 + 0.5)
                      / 1e6 AS b
             FROM r ORDER BY event_type""",
+        "cumulative_users": r"""
+            WITH f AS (
+              SELECT user_id,
+                     min(CAST(floor(epoch_us(ts) / 86400000000)
+                              AS BIGINT)) AS day
+              FROM events GROUP BY user_id)
+            SELECT day AS day_bucket,
+                   CAST(count(*) AS BIGINT) AS new_users,
+                   CAST(sum(count(*)) OVER (ORDER BY day)
+                        AS BIGINT) AS cum_users
+            FROM f GROUP BY day ORDER BY day""",
+        "segment_gini": r"""
+            WITH spend AS (
+              SELECT c.c_mktsegment AS segment,
+                     sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS v
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment, o.o_custkey),
+            g AS (
+              SELECT segment, v,
+                     row_number() OVER (PARTITION BY segment
+                                        ORDER BY v) AS i
+              FROM spend)
+            SELECT segment, CAST(count(*) AS BIGINT) AS n,
+                   floor(CAST(2 * sum(i * v) - (count(*) + 1) * sum(v)
+                              AS DOUBLE)
+                         / CAST(count(*) * sum(v) AS DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS gini
+            FROM g GROUP BY segment ORDER BY segment""",
     }

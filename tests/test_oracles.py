@@ -131,3 +131,62 @@ def test_source_drift_kl_hand_computed(ray_session, tmp_path):
         assert got.loc[s, "n"] == nsv
         assert got.loc[s, "kl"] == kl / 1e9
     assert got.loc["skew", "kl"] > got.loc["bal", "kl"] > 0
+
+
+def test_cumulative_users_multiday(ray_session, tmp_path):
+    """Returning users never recount; the curve accumulates only
+    first-appearances — exercised over 4 synthetic days (the sf corpus
+    spans just 2)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    base = dt.datetime(2024, 3, 1)
+    ev = []   # (day_offset, user): u1 d0,d1,d3; u2 d0; u3 d1; u4 d3
+    for day, user in [(0, 1), (1, 1), (3, 1), (0, 2), (1, 3), (3, 4)]:
+        ev.append({"event_id": len(ev), "user_id": user,
+                   "ts": base + dt.timedelta(days=day, minutes=user),
+                   "event_type": "view", "value": 1.0, "props": "{}"})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(ev), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["cumulative_users"](sf).to_pandas()
+    d0 = (base - dt.datetime(1970, 1, 1)).days
+    assert got["day_bucket"].tolist() == [d0, d0 + 1, d0 + 3]
+    assert got["new_users"].tolist() == [2, 1, 1]
+    assert got["cum_users"].tolist() == [2, 3, 4]
+
+
+def test_segment_gini_hand_computed(ray_session, tmp_path):
+    """Gini from the histogram finisher matches hand arithmetic: an
+    equal segment scores 0, a whale segment 0.72; ties exercise the
+    c·cum + c(c+1)/2 rank-sum path; multi-order customers sum first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    # eq: 4 customers spending 2.00 each (one via two 1.00 orders)
+    # whale: spends 1,1,1,97 → G = (2·394 − 5·100)/400 = 0.72
+    orders, cust = [], []
+    for ck, seg, amounts in [
+        (1, "eq", [1.0, 1.0]), (2, "eq", [2.0]), (3, "eq", [2.0]),
+        (4, "eq", [2.0]),
+        (5, "wh", [1.0]), (6, "wh", [1.0]), (7, "wh", [1.0]),
+        (8, "wh", [97.0]),
+    ]:
+        cust.append({"c_custkey": ck, "c_mktsegment": seg})
+        for a in amounts:
+            orders.append({"o_orderkey": len(orders), "o_custkey": ck,
+                           "o_totalprice": a})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(orders), f"{sf}/orders.parquet")
+    pq.write_table(pa.Table.from_pylist(cust), f"{sf}/customer.parquet")
+
+    got = entrymod.queries()["segment_gini"](sf).to_pandas()
+    got = got.set_index("segment")
+    assert got.loc["eq", "n"] == 4 and got.loc["eq", "gini"] == 0.0
+    assert got.loc["wh", "n"] == 4 and got.loc["wh", "gini"] == 0.72
