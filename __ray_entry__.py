@@ -4297,6 +4297,55 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_term_cms(sf_dir: str):
+    """Count-Min sketch point estimates for the global top-30 terms
+    (stages/sketch.count_min_estimates): the fixed-size (4×1024 cells)
+    mergeable counter for frequency queries where exact per-value
+    counts won't fit — deterministic md5 bucketing, so the DuckDB twin
+    rebuilds the identical sketch and the estimates hash-match
+    bit-for-bit (and are ≥ the true counts, the CMS one-sided
+    guarantee)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.sketch import count_min_estimates
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    K = 30
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.list_flatten(_ws_split_lists(pc.utf8_lower(texts)))
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"term": words}).group_by("term").aggregate(
+            [("term", "count")])
+        return pa.table({"term": g.column("term"),
+                         "n": pc.cast(g.column("term_count"), pa.int64())})
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts = hash_agg(docs.map_batches(tok_counts, batch_format="pyarrow"),
+                      "term", [("n", "sum", "n")])
+    cands = counts.map_batches(
+        lambda b: _batch_topk(b, [("n", "descending"),
+                                  ("term", "ascending")], k=K),
+        batch_format="pyarrow", batch_size=8192).take_all()
+    cands.sort(key=lambda r: (-r["n"], r["term"]))
+    top = [r["term"] for r in cands[:K]]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.list_flatten(_ws_split_lists(pc.utf8_lower(texts)))
+        return pa.table({"term": words.filter(
+            pc.not_equal(words, ""))})
+
+    toks = docs.map_batches(explode, batch_format="pyarrow")
+    return count_min_estimates(toks, "term", query_values=top)
+
+
 def q_segment_gini(sf_dir: str):
     """Revenue-concentration audit: per market segment, the EXACT Gini
     coefficient of per-customer total spend (is one whale segment
@@ -4687,6 +4736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend": q_value_trend,
         "cumulative_users": q_cumulative_users,
         "segment_gini": q_segment_gini,
+        "term_cms": q_term_cms,
     }
 
 
@@ -5909,4 +5959,23 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) * sum(v) AS DOUBLE)
                          * 1e6 + 0.5) / 1e6 AS gini
             FROM g GROUP BY segment ORDER BY segment""",
+        "term_cms": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term
+              FROM documents),
+            cnt AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+            qry AS (SELECT term FROM cnt ORDER BY n DESC, term LIMIT 30),
+            rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            bkt AS (
+              SELECT r, term, n,
+                     CAST(concat('0x', substr(
+                       md5('cms' || r || ':' || term), 1, 8))
+                       AS UBIGINT) % 1024 AS b
+              FROM cnt CROSS JOIN rws),
+            cell AS (SELECT r, b, sum(n) AS s FROM bkt GROUP BY r, b)
+            SELECT q.term AS value, CAST(min(cell.s) AS BIGINT) AS est
+            FROM qry q
+            JOIN bkt ON bkt.term = q.term
+            JOIN cell ON cell.r = bkt.r AND cell.b = bkt.b
+            GROUP BY q.term ORDER BY q.term""",
     }

@@ -477,3 +477,64 @@ def histogram_quantiles_by_group(ds, key_column: str, column: str, *,
         hist, "key", extract, sort_cols=["bucket"]).iter_batches(
         batch_format="pyarrow"))
     return t.sort_by([("key", "ascending"), ("q", "ascending")])
+
+
+def count_min_estimates(ds, column: str, *, query_values,
+                        w: int = 1024, d: int = 4):
+    """Count-Min sketch frequency estimates: the fixed-size mergeable
+    counter (d rows × w buckets, here d·w·8 bytes total regardless of
+    cardinality) that answers "roughly how often does value X occur?"
+    over a stream too wide for exact per-value counts. One-sided error:
+    est ≥ true count, over-counting by colliding values (≤ 2n/w with
+    probability 1−2⁻ᵈ per the Cormode-Muthukrishnan bound).
+
+    Fully deterministic — row r buckets value t at
+    ``md5("cms{r}:" + t)[:8] mod w`` — so the estimate is reproducible
+    bit-for-bit by a SQL twin applying the same md5 arithmetic. Each
+    batch counts its values (Arrow group_by), hashes only the batch's
+    DISTINCT values (the SimHasher vocab-only trick), and emits its
+    partial (row, bucket, count) cells; one hash_agg merges them
+    (shuffle ≤ d·w rows per batch, usually far less); the driver folds
+    the ≤ d·w cells into the sketch and answers the point queries.
+    Returns a pyarrow Table (value, est) for ``query_values`` in input
+    order."""
+    import hashlib
+
+    import ray.data  # noqa: F401  (ds is already a Dataset)
+
+    from .window import hash_agg
+
+    def bucket(row: int, value: str) -> int:
+        h = hashlib.md5(f"cms{row}:{value}".encode()).hexdigest()[:8]
+        return int(h, 16) % w
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([column]).drop_null().group_by(
+            [column]).aggregate([([], "count_all")])
+        vals = g.column(column).to_pylist()
+        cnts = g.column("count_all").to_pylist()
+        rows_, buckets_, counts_ = [], [], []
+        for r in range(d):
+            cell: dict[int, int] = {}
+            for v, c in zip(vals, cnts):
+                b = bucket(r, v)
+                cell[b] = cell.get(b, 0) + int(c)
+            rows_.extend([r] * len(cell))
+            buckets_.extend(cell.keys())
+            counts_.extend(cell.values())
+        return pa.table({
+            "row": pa.array(rows_, pa.int64()),
+            "bucket": pa.array(buckets_, pa.int64()),
+            "c": pa.array(counts_, pa.int64())})
+
+    cells = hash_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                     "bucket", [("c", "sum", "c")],
+                     group_cols=["row", "bucket"]).take_all()
+    cms = np.zeros((d, w), dtype=np.int64)
+    for r in cells:
+        cms[r["row"], r["bucket"]] = r["c"]
+
+    ests = [int(min(cms[r, bucket(r, v)] for r in range(d)))
+            for v in query_values]
+    return pa.table({"value": pa.array(list(query_values), pa.string()),
+                     "est": pa.array(ests, pa.int64())})

@@ -2090,3 +2090,29 @@ def test_grouped_linregress_matches_polyfit(ray_session):
     assert out.loc["flat", "n"] == 3
     assert np.isnan(out.loc["flat", "slope"])
     assert np.isnan(out.loc["flat", "b"])
+
+
+def test_count_min_one_sided_and_mergeable(ray_session):
+    """CMS estimates are never below the true count (one-sided error),
+    exact when w is collision-free, and merge correctly across many
+    blocks; a tiny w forces collisions that only ever over-count."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.sketch import (
+        count_min_estimates)
+
+    rng = np.random.RandomState(3)
+    vals = [f"v{i}" for i in range(40)]
+    true = {v: int(rng.randint(1, 200)) for v in vals}
+    rows = [{"t": v} for v, c in true.items() for _ in range(c)]
+    rng.shuffle(rows)
+    ds = rd.from_items(rows).repartition(8)
+
+    wide = count_min_estimates(ds, "t", query_values=vals,
+                               w=4096, d=4).to_pandas()
+    assert all(wide.set_index("value")["est"][v] == true[v] for v in vals)
+
+    tight = count_min_estimates(ds, "t", query_values=vals,
+                                w=8, d=2).to_pandas()
+    ests = tight.set_index("value")["est"]
+    assert all(ests[v] >= true[v] for v in vals)      # one-sided
+    assert any(ests[v] > true[v] for v in vals)       # collisions real
