@@ -4297,6 +4297,29 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_title_fuzzy(sf_dir: str):
+    """Fuzzy title self-join: all pairs of distinct 12-char document
+    prefixes at Levenshtein distance exactly 1
+    (stages/fuzzy.edit1_join) — SymSpell deletion-neighborhood
+    bucketing (complete, unlike LSH: distance ≤ 1 ⟹ a shared deletion
+    variant), exact O(L) verify, pair dedup via hash_agg. The DuckDB
+    oracle is a fully INDEPENDENT brute-force levenshtein cross join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.fuzzy import edit1_join
+
+    def titles(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.utf8_slice_codeunits(
+            batch.column("text"), 0, 12))
+        return pa.table({"title": t.filter(pc.not_equal(t, ""))})
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["text"]).map_batches(
+        titles, batch_format="pyarrow")
+    return edit1_join(ds, "title")
+
+
 def q_term_cms(sf_dir: str):
     """Count-Min sketch point estimates for the global top-30 terms
     (stages/sketch.count_min_estimates): the fixed-size (4×1024 cells)
@@ -4737,6 +4760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_users": q_cumulative_users,
         "segment_gini": q_segment_gini,
         "term_cms": q_term_cms,
+        "title_fuzzy": q_title_fuzzy,
     }
 
 
@@ -5978,4 +6002,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN bkt ON bkt.term = q.term
             JOIN cell ON cell.r = bkt.r AND cell.b = bkt.b
             GROUP BY q.term ORDER BY q.term""",
+        "title_fuzzy": r"""
+            WITH t AS (
+              SELECT DISTINCT lower(substr(text, 1, 12)) AS title
+              FROM documents WHERE text IS NOT NULL),
+            d AS (SELECT title FROM t WHERE title <> '')
+            SELECT a.title AS "left", b.title AS "right"
+            FROM d a JOIN d b ON a.title < b.title
+            WHERE levenshtein(a.title, b.title) = 1
+            ORDER BY "left", "right" """,
     }

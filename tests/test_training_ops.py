@@ -2116,3 +2116,46 @@ def test_count_min_one_sided_and_mergeable(ray_session):
     ests = tight.set_index("value")["est"]
     assert all(ests[v] >= true[v] for v in vals)      # one-sided
     assert any(ests[v] > true[v] for v in vals)       # collisions real
+
+
+def test_edit1_join_complete_vs_bruteforce(ray_session):
+    """Deletion-neighborhood candidates + exact verify recover EXACTLY
+    the brute-force Levenshtein-1 pair set — substitution, insertion,
+    deletion, and repeated-char cases; distance-2 pairs excluded."""
+    import itertools
+
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.fuzzy import (
+        edit1_join, _within_one_edit)
+
+    vals = ["table", "tabel", "tble", "tables", "cable", "chair",
+            "chairs", "aaaa", "aaba", "aa", "ab", "b", "", None,
+            "totally-different"]
+    rows = [{"t": v} for v in vals if v is not None] + [{"t": None}]
+    # duplicates must not produce distance-0 pairs
+    rows += [{"t": "table"}, {"t": "chair"}]
+
+    got = edit1_join(rd.from_items(rows).repartition(4),
+                     "t").to_pandas()
+    got_pairs = set(map(tuple, got[["left", "right"]].values))
+
+    import difflib  # noqa: F401  (stdlib only; reference is manual DP)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    distinct = sorted({v for v in vals if v is not None})
+    expect = {(a, b) for a, b in itertools.combinations(distinct, 2)
+              if lev(a, b) == 1}
+    assert got_pairs == expect
+    assert ("chair", "chairs") in expect          # insertion case live
+    assert ("aaaa", "aaba") in expect             # substitution case live
+    # the helper agrees with the DP on a transposition (NOT within 1)
+    assert not _within_one_edit("table", "tabel") and lev(
+        "table", "tabel") == 2
