@@ -4297,6 +4297,64 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_dense_rank_docs(sf_dir: str):
+    """DENSE_RANK window without a global sort: all docs whose n_chars
+    is among their language's top-3 DISTINCT lengths (ties keep every
+    member — the RANK-family semantics row_number/top-k can't express).
+    Distributed as: distinct (lang, n_chars) via one O(distinct)
+    hash_agg, per-lang top-3 values reduced driver-side (|langs|×3),
+    broadcast as a threshold+rank lookup into a shuffle-free filter.
+    Returns (doc_id, lang, n_chars, dr)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "n_chars"]).aggregate(
+            [([], "count_all")])
+        return g.drop_columns(["count_all"])
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "lang", "n_chars"])
+    distinct = hash_agg(
+        docs.select_columns(["lang", "n_chars"]).map_batches(
+            distinct_partial, batch_format="pyarrow"),
+        "lang", [("n_chars", "max", "_m")],
+        group_cols=["lang", "n_chars"]).drop_columns(["_m"])
+    cands = distinct.map_batches(
+        lambda b: _batch_topk(b, [("n_chars", "descending")], k=3,
+                              group="lang"),
+        batch_format="pyarrow", batch_size=8192).take_all()
+
+    top: dict = {}
+    for r in cands:
+        top.setdefault(r["lang"], []).append(int(r["n_chars"]))
+    # rank lookup: lang → its top-3 distinct lengths, descending
+    top = {k: sorted(v, reverse=True)[:3] for k, v in top.items()}
+    lut = ray.put(top)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        dr = np.zeros(len(nc), dtype=np.int64)
+        for lang in np.unique(langs):
+            vals = table.get(lang, [])
+            sel = langs == lang
+            ranks = np.zeros(int(sel.sum()), dtype=np.int64)
+            sub = nc[sel]
+            for i, v in enumerate(vals, start=1):
+                ranks[sub == v] = i
+            dr[sel] = ranks
+        out = batch.append_column("dr", pa.array(dr, pa.int64()))
+        return out.filter(pc.greater(out.column("dr"), 0))
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
 def q_title_fuzzy(sf_dir: str):
     """Fuzzy title self-join: all pairs of distinct 12-char document
     prefixes at Levenshtein distance exactly 1
@@ -4761,6 +4819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_gini": q_segment_gini,
         "term_cms": q_term_cms,
         "title_fuzzy": q_title_fuzzy,
+        "dense_rank_docs": q_dense_rank_docs,
     }
 
 
@@ -6011,4 +6070,12 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.title < b.title
             WHERE levenshtein(a.title, b.title) = 1
             ORDER BY "left", "right" """,
+        "dense_rank_docs": r"""
+            SELECT doc_id, lang, n_chars,
+                   CAST(dense_rank() OVER (PARTITION BY lang
+                                           ORDER BY n_chars DESC)
+                        AS BIGINT) AS dr
+            FROM documents
+            QUALIFY dr <= 3
+            ORDER BY lang, dr, doc_id""",
     }

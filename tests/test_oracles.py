@@ -190,3 +190,29 @@ def test_segment_gini_hand_computed(ray_session, tmp_path):
     got = got.set_index("segment")
     assert got.loc["eq", "n"] == 4 and got.loc["eq", "gini"] == 0.0
     assert got.loc["wh", "n"] == 4 and got.loc["wh", "gini"] == 0.72
+
+
+def test_dense_rank_docs_ties(ray_session, tmp_path):
+    """DENSE_RANK semantics: tied lengths all keep the same rank and
+    ties do not consume rank slots (4 distinct lengths → only top 3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rows = []
+    # en lengths: 100×2 (dr1), 90 (dr2), 80×3 (dr3), 70 (cut)
+    for i, n in enumerate([100, 100, 90, 80, 80, 80, 70]):
+        rows.append({"doc_id": i, "text": "x", "lang": "en",
+                     "source": "s", "n_chars": n})
+    rows.append({"doc_id": 99, "text": "x", "lang": "de",
+                 "source": "s", "n_chars": 5})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = entrymod.queries()["dense_rank_docs"](sf).to_pandas()
+    en = got[got["lang"] == "en"].sort_values("doc_id")
+    assert en["doc_id"].tolist() == [0, 1, 2, 3, 4, 5]   # 70 cut
+    assert en["dr"].tolist() == [1, 1, 2, 3, 3, 3]
+    de = got[got["lang"] == "de"]
+    assert de["dr"].tolist() == [1]                      # short group
