@@ -4297,6 +4297,81 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_concurrent_sessions(sf_dir: str):
+    """Peak simultaneous sessions per day — the interval sweep-line
+    (load planning: how many users are on at once?). Sessions are the
+    30-min-gap intervals; each emits (+1 at start, −1 at end) deltas,
+    tie-broken starts-before-ends so an interval is inclusive of its
+    endpoints; the running count comes from the range-bucketed
+    distributed prefix-sum (stages/scan.keyed_prefix_sum — no global
+    sort), and the per-day max over start points (concurrency only
+    rises at a start) is one tiny hash_agg. Ties among equal-time
+    starts are scheduling-independent for the MAX (the last tied start
+    sees all the others). SQL twin counts interval overlap at each
+    start point directly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+    from magic_content_extractor_ray.stages.window import (
+        col_np, hash_agg, map_key_partitions, segment_starts, ts_us)
+
+    GAP_US = 1800 * 1_000_000
+
+    def sessions(t: pa.Table) -> pa.Table:
+        n = len(t)
+        uid = col_np(t, "user_id")
+        us = ts_us(t.column("ts"))
+        ustarts = segment_starts(uid)
+        is_start = np.zeros(n, dtype=bool)
+        is_start[ustarts] = True
+        is_start[1:] |= (us[1:] - us[:-1]) > GAP_US
+        s_idx = np.nonzero(is_start)[0]
+        e_idx = np.append(s_idx[1:], n) - 1
+        # fix: a user's last session ends at the user's last event, and
+        # a session never crosses into the next user's segment
+        st, en = us[s_idx], us[e_idx]
+        return pa.table({"st": pa.array(st, pa.int64()),
+                         "en": pa.array(en, pa.int64())})
+
+    sess = map_key_partitions(
+        _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+        "user_id", sessions, sort_cols=["ts"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        st = t.column("st").to_numpy(zero_copy_only=False)
+        en = t.column("en").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "t": pa.array(np.concatenate([st, en]), pa.int64()),
+            "d": pa.array(np.concatenate(
+                [np.ones(len(st), np.int64),
+                 -np.ones(len(en), np.int64)])),
+            "tie": pa.array(np.concatenate(
+                [-np.ones(len(st), np.int64),
+                 np.ones(len(en), np.int64)])),
+        })
+
+    scanned = keyed_prefix_sum(
+        sess.map_batches(deltas, batch_format="pyarrow"),
+        key_column="t", value_column="d", tie_column="tie",
+        bucket_width=3_600_000_000, out_column="run")
+
+    def day_conc(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("d"), 0))
+        conc = pc.add(t.column("run"), 1)
+        day = pc.cast(pc.divide(t.column("t"), 86400000000), pa.int64())
+        g = pa.table({"day_bucket": day, "conc": conc}).group_by(
+            ["day_bucket"]).aggregate([("conc", "max")])
+        return pa.table({"day_bucket": g.column("day_bucket"),
+                         "max_concurrent": pc.cast(
+                             g.column("conc_max"), pa.int64())})
+
+    return hash_agg(
+        scanned.map_batches(day_conc, batch_format="pyarrow"),
+        "day_bucket", [("max_concurrent", "max", "max_concurrent")])
+
+
 def q_dense_rank_docs(sf_dir: str):
     """DENSE_RANK window without a global sort: all docs whose n_chars
     is among their language's top-3 DISTINCT lengths (ties keep every
@@ -4820,6 +4895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cms": q_term_cms,
         "title_fuzzy": q_title_fuzzy,
         "dense_rank_docs": q_dense_rank_docs,
+        "concurrent_sessions": q_concurrent_sessions,
     }
 
 
@@ -6078,4 +6154,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             QUALIFY dr <= 3
             ORDER BY lang, dr, doc_id""",
+        "concurrent_sessions": r"""
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s2 AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o),
+            sess AS (
+              SELECT user_id, sid, min(epoch_us(ts)) AS st,
+                     max(epoch_us(ts)) AS en
+              FROM s2 GROUP BY user_id, sid),
+            conc AS (
+              SELECT s1.st AS t,
+                     (SELECT count(*) FROM sess s2
+                      WHERE s2.st <= s1.st AND s2.en >= s1.st) AS c
+              FROM sess s1)
+            SELECT CAST(t // 86400000000 AS BIGINT) AS day_bucket,
+                   CAST(max(c) AS BIGINT) AS max_concurrent
+            FROM conc GROUP BY 1 ORDER BY 1""",
     }

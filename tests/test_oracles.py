@@ -216,3 +216,34 @@ def test_dense_rank_docs_ties(ray_session, tmp_path):
     assert en["dr"].tolist() == [1, 1, 2, 3, 3, 3]
     de = got[got["lang"] == "de"]
     assert de["dr"].tolist() == [1]                      # short group
+
+
+def test_concurrent_sessions_endpoint_inclusive(ray_session, tmp_path):
+    """A session that starts exactly when another ends overlaps it
+    (inclusive endpoints → concurrency 2); disjoint sessions don't;
+    the per-day max lands on the start point's day."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    mk = lambda uid, mins: {
+        "event_id": uid * 100 + mins, "user_id": uid,
+        "ts": base + dt.timedelta(minutes=mins),
+        "event_type": "view", "value": 1.0, "props": "{}"}
+    ev = [
+        mk(1, 0), mk(1, 10),          # u1 session [0, 10]
+        mk(2, 10),                    # u2 session [10, 10] — touches u1
+        mk(3, 200),                   # u3 far later, alone (same day)
+        # next day: three overlapping singles at the same minute
+        mk(4, 1440), mk(5, 1440), mk(6, 1440),
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(ev), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["concurrent_sessions"](sf).to_pandas()
+    got = got.sort_values("day_bucket").reset_index(drop=True)
+    assert got["max_concurrent"].tolist() == [2, 3]
