@@ -4297,6 +4297,56 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_bpe_pairs(sf_dir: str):
+    """Tokenizer-training corpus statistics: the top-50 adjacent
+    character pairs over lowered text — the first BPE merge-candidate
+    table. Fully vectorized: each doc's code points come from one
+    utf-32 decode (np.frombuffer), adjacent pairs pack into int64
+    ((a<<21)|b — code-point order == lexicographic order of the
+    2-char string, so the numeric tie-break matches the SQL's string
+    tie-break), per-batch np.unique partials → one O(|pair vocab|)
+    hash_agg → tree top-k. Returns (rnk, pair, n)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    K = 50
+
+    def partial(batch: pa.Table) -> pa.Table:
+        packs = []
+        for s in batch.column("text").to_pylist():
+            if not s or len(s) < 2:
+                continue
+            cp = np.frombuffer(s.lower().encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.int64)
+            packs.append((cp[:-1] << 21) | cp[1:])
+        if not packs:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(np.concatenate(packs), return_counts=True)
+        return pa.table({"pk": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "pk", [("n", "sum", "n")])
+    cands = counts.map_batches(
+        lambda b: _batch_topk(b, [("n", "descending"),
+                                  ("pk", "ascending")], k=K),
+        batch_format="pyarrow", batch_size=8192).take_all()
+    cands.sort(key=lambda r: (-r["n"], r["pk"]))
+    top = cands[:K]
+    return pa.table({
+        "rnk": pa.array(range(1, len(top) + 1), pa.int64()),
+        "pair": pa.array([chr(r["pk"] >> 21) + chr(r["pk"] & 0x1FFFFF)
+                          for r in top], pa.string()),
+        "n": pa.array([int(r["n"]) for r in top], pa.int64()),
+    })
+
+
 def q_concurrent_sessions(sf_dir: str):
     """Peak simultaneous sessions per day — the interval sweep-line
     (load planning: how many users are on at once?). Sessions are the
@@ -4896,6 +4946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_fuzzy": q_title_fuzzy,
         "dense_rank_docs": q_dense_rank_docs,
         "concurrent_sessions": q_concurrent_sessions,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -6179,4 +6230,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(t // 86400000000 AS BIGINT) AS day_bucket,
                    CAST(max(c) AS BIGINT) AS max_concurrent
             FROM conc GROUP BY 1 ORDER BY 1""",
+        "bpe_pairs": r"""
+            WITH t AS (SELECT lower(text) AS s FROM documents
+                       WHERE text IS NOT NULL),
+            p AS (
+              SELECT substr(s, CAST(i AS INTEGER), 2) AS pair
+              FROM t CROSS JOIN (
+                SELECT unnest(range(1, (SELECT max(length(s)) FROM t)))
+                  AS i)
+              WHERE i <= length(s) - 1)
+            SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, pair)
+                        AS BIGINT) AS rnk,
+                   pair, count(*) AS n
+            FROM p GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 50""",
     }

@@ -175,7 +175,13 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "lm_scores", "lang_source_pmi", "intra_dup_ngrams",
              # round-4 additions
              "dedup_keep_best", "quality_classifier",
-             "winnow_fingerprints", "table_profile", "value_outliers"]
+             "winnow_fingerprints", "table_profile", "value_outliers",
+             # round-4 late additions: rank stats, drift/concentration
+             # diagnostics, CMS, fuzzy join, rank/interval windows
+             "spearman_qty_price", "mad_outliers", "source_drift_kl",
+             "value_trend", "cumulative_users", "segment_gini",
+             "term_cms", "title_fuzzy", "dense_rank_docs",
+             "concurrent_sessions"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -247,3 +247,33 @@ def test_concurrent_sessions_endpoint_inclusive(ray_session, tmp_path):
     got = entrymod.queries()["concurrent_sessions"](sf).to_pandas()
     got = got.sort_values("day_bucket").reset_index(drop=True)
     assert got["max_concurrent"].tolist() == [2, 3]
+
+
+def test_bpe_pairs_hand_computed(ray_session, tmp_path):
+    """Adjacent-pair counts on a tiny corpus match hand counting,
+    including the count-desc/pair-asc tie-break and Unicode pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rows = [
+        {"doc_id": 0, "text": "ABAB", "lang": "en", "source": "s",
+         "n_chars": 4},      # lower: abab → ab×2, ba×1
+        {"doc_id": 1, "text": "ab", "lang": "en", "source": "s",
+         "n_chars": 2},      # ab×1  → ab total 3
+        {"doc_id": 2, "text": "x", "lang": "en", "source": "s",
+         "n_chars": 1},      # too short: nothing
+        {"doc_id": 3, "text": "héé", "lang": "fr", "source": "s",
+         "n_chars": 3},      # hé×1, éé×1 (code-point pairs)
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = entrymod.queries()["bpe_pairs"](sf).to_pandas()
+    by = dict(zip(got["pair"], got["n"]))
+    assert by == {"ab": 3, "ba": 1, "hé": 1, "éé": 1}
+    assert got[got["pair"] == "ab"]["rnk"].iloc[0] == 1
+    # ties (n=1) ranked by code-point order: ba < hé < éé
+    assert got.sort_values("rnk")["pair"].tolist() == [
+        "ab", "ba", "hé", "éé"]
