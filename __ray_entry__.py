@@ -4297,6 +4297,49 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    top-20 (fixed query terms) and the dense exact-cosine top-20 for
+    the first embedded query (vec_id 0; ids are doc-aligned). Each
+    distributed leg is an already-oracled top-k; fusion of two 20-row
+    lists is inherently driver-scale. RRF contributions are integer
+    nano-units (⌊1e9/(60+rank)+0.5⌋, missing list → 0) so the score is
+    exact and the SQL twin — which recomputes BOTH legs independently —
+    hash-matches. Returns the top-10 (rnk, doc_id, rrf_ppb)."""
+    import math
+
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.ann import (
+        brute_force_topk, load_queries)
+    from magic_content_extractor_ray.stages.retrieval import bm25_topk
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    lex = bm25_topk(docs, list(_BM25_TERMS), k=20).take_all()
+    lex.sort(key=lambda r: (-r["score"], r["doc_id"]))
+
+    queries = load_queries(sf_dir, 1)
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding"])
+    den = brute_force_topk(emb, queries, k=20,
+                           dtype="float64")  # pandas DataFrame
+    den = den.sort_values("rank").to_dict("records")
+
+    ppb: dict[int, int] = {}
+    for i, r in enumerate(lex, start=1):
+        ppb[int(r["doc_id"])] = math.floor(1e9 / (60 + i) + 0.5)
+    for r in den:
+        d = int(r["neighbor_id"])
+        ppb[d] = ppb.get(d, 0) + math.floor(1e9 / (60 + r["rank"]) + 0.5)
+    fused = sorted(ppb.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "rnk": pa.array(range(1, len(fused) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+        "rrf_ppb": pa.array([s for _, s in fused], pa.int64()),
+    })
+
+
 def q_bpe_pairs(sf_dir: str):
     """Tokenizer-training corpus statistics: the top-50 adjacent
     character pairs over lowered text — the first BPE merge-candidate
@@ -4947,6 +4990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_docs": q_dense_rank_docs,
         "concurrent_sessions": q_concurrent_sessions,
         "bpe_pairs": q_bpe_pairs,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -6244,4 +6288,59 @@ def oracle_sql() -> dict[str, str]:
                    pair, count(*) AS n
             FROM p GROUP BY pair
             ORDER BY n DESC, pair LIMIT 50""",
+        "hybrid_rrf": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            q AS (SELECT unnest(['batch', 'hash', 'scan']) AS term),
+            stats AS (SELECT count(*) AS n, avg(len(ws)) AS avgdl
+                      FROM toks),
+            tf AS (SELECT t.doc_id, w.word AS term,
+                          CAST(count(*) AS BIGINT) AS tf,
+                          any_value(len(t.ws)) AS dl
+                   FROM toks t, unnest(t.ws) AS w(word)
+                   WHERE w.word IN (SELECT term FROM q)
+                   GROUP BY t.doc_id, w.word),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * tf.dl / s.avgdl)))
+                       AS raw
+              FROM tf JOIN df USING (term), stats s
+              GROUP BY tf.doc_id),
+            lexcut AS (
+              SELECT doc_id, floor(raw * 1e6 + 0.5) / 1e6 AS score
+              FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+            lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS lr
+              FROM lexcut),
+            qd AS (SELECT embedding AS qe FROM embeddings
+                   WHERE vec_id = 0),
+            dsc AS (SELECT e.vec_id AS doc_id,
+                           list_cosine_similarity(qd.qe, e.embedding) AS s
+                    FROM qd CROSS JOIN embeddings e),
+            den AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY s DESC, doc_id) AS dr
+              FROM dsc QUALIFY dr <= 20),
+            f AS (
+              SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+                     coalesce(CAST(floor(1e9 / (60 + lr) + 0.5)
+                                   AS BIGINT), 0)
+                     + coalesce(CAST(floor(1e9 / (60 + dr) + 0.5)
+                                     AS BIGINT), 0) AS rrf_ppb
+              FROM lex FULL OUTER JOIN den
+                   ON lex.doc_id = den.doc_id)
+            SELECT CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id)
+                        AS BIGINT) AS rnk,
+                   doc_id, rrf_ppb
+            FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 10""",
     }

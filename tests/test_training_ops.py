@@ -2159,3 +2159,23 @@ def test_edit1_join_complete_vs_bruteforce(ray_session):
     # the helper agrees with the DP on a transposition (NOT within 1)
     assert not _within_one_edit("table", "tabel") and lev(
         "table", "tabel") == 2
+
+
+def test_hybrid_rrf_fusion_properties(ray_session):
+    """RRF fusion over the sf0.001 corpus: a doc in both lists outranks
+    one with a single equal-or-worse contribution; scores are exact
+    integer nano-units; ranks are 1..10 without gaps."""
+    import math
+
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["hybrid_rrf"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert out["rnk"].tolist() == list(range(1, len(out) + 1))
+    assert len(out) <= 10 and len(out) >= 1
+    # every score decomposes into at most two valid rank contributions
+    valid = {math.floor(1e9 / (60 + r) + 0.5) for r in range(1, 21)}
+    pairsums = {a + b for a in valid for b in valid} | valid
+    assert set(out["rrf_ppb"]) <= pairsums
+    # monotone non-increasing by construction
+    assert (out["rrf_ppb"].diff().dropna() <= 0).all()
