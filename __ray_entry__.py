@@ -4297,6 +4297,73 @@ def q_value_outliers(sf_dir: str):
                                   value_column="value")
 
 
+def q_weekly_churn(sf_dir: str):
+    """Week-over-week churn: for each ISO-epoch week w, how many of
+    its active users returned in w+1 and how many churned. One
+    O(users × weeks) distinct shuffle (packed user,week), then a
+    per-user partition kernel marks week-pair transitions — the
+    consecutive-week membership test that an OLTP anti-join would do
+    per week-pair runs once over each user's sorted week set. Returns
+    (week, active, retained, churned); the last observed week is
+    excluded (its w+1 is unobservable)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        col_np, hash_agg, map_key_partitions)
+
+    WEEK_US = 7 * 86400 * 1_000_000
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        week = pc.cast(pc.divide(pc.cast(batch.column("ts"), pa.int64()),
+                                 WEEK_US), pa.int64())
+        g = pa.table({"user_id": batch.column("user_id"),
+                      "week": week}).group_by(
+            ["user_id", "week"]).aggregate([([], "count_all")])
+        return g.drop_columns(["count_all"])
+
+    # distinct (user, week) is bounded state (users × weeks); pin it so
+    # the last-week probe and the transition pass share one shuffle
+    uw = hash_agg(
+        _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(distinct_partial, batch_format="pyarrow"),
+        "user_id", [("week", "max", "_m")],
+        group_cols=["user_id", "week"]).drop_columns(["_m"]).materialize()
+
+    # global last week (tiny aggregate): its w+1 is unobservable
+    last_week = int(uw.max("week"))
+
+    def transitions(t: pa.Table) -> pa.Table:
+        # partition arrives user-major, weeks sorted + distinct per
+        # user → "returned in w+1" is one shifted comparison
+        uid = col_np(t, "user_id")
+        wk = col_np(t, "week")
+        n = len(uid)
+        retained = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            retained[:-1] = ((uid[1:] == uid[:-1])
+                             & (wk[1:] == wk[:-1] + 1)).astype(np.int64)
+        keep = wk < last_week
+        return pa.table({
+            "week": pa.array(wk[keep], pa.int64()),
+            "active": pa.array(np.ones(int(keep.sum()), np.int64)),
+            "retained": pa.array(retained[keep], pa.int64())})
+
+    per_user = map_key_partitions(uw, "user_id", transitions,
+                                  sort_cols=["week"])
+    agg = hash_agg(per_user, "week",
+                   [("active", "sum", "active"),
+                    ("retained", "sum", "retained")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "churned", pc.subtract(t.column("active"),
+                                   t.column("retained")))
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("week")
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     top-20 (fixed query terms) and the dense exact-cosine top-20 for
@@ -4991,6 +5058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_sessions": q_concurrent_sessions,
         "bpe_pairs": q_bpe_pairs,
         "hybrid_rrf": q_hybrid_rrf,
+        "weekly_churn": q_weekly_churn,
     }
 
 
@@ -6343,4 +6411,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rnk,
                    doc_id, rrf_ppb
             FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 10""",
+        "weekly_churn": r"""
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+              FROM events),
+            mx AS (SELECT max(week) AS lw FROM uw),
+            t AS (
+              SELECT user_id, week,
+                     CASE WHEN lead(week) OVER (PARTITION BY user_id
+                                                ORDER BY week)
+                               = week + 1
+                          THEN 1 ELSE 0 END AS retained
+              FROM uw)
+            SELECT week, CAST(count(*) AS BIGINT) AS active,
+                   CAST(sum(retained) AS BIGINT) AS retained,
+                   CAST(count(*) - sum(retained) AS BIGINT) AS churned
+            FROM t, mx WHERE week < mx.lw
+            GROUP BY week ORDER BY week""",
     }

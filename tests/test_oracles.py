@@ -277,3 +277,41 @@ def test_bpe_pairs_hand_computed(ray_session, tmp_path):
     # ties (n=1) ranked by code-point order: ba < hé < éé
     assert got.sort_values("rnk")["pair"].tolist() == [
         "ab", "ba", "hé", "éé"]
+
+
+def test_weekly_churn_transitions(ray_session, tmp_path):
+    """Hand-built activity pattern: a user active in consecutive weeks
+    is retained, a gap week churns them for that week, and the final
+    observed week is excluded (its next week is unobservable)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    def at_week(w, uid):
+        # epoch-week w (ts inside that week), unique event ids
+        base = dt.datetime(1970, 1, 1) + dt.timedelta(weeks=w, hours=uid)
+        return {"event_id": w * 1000 + uid, "user_id": uid, "ts": base,
+                "event_type": "view", "value": 1.0, "props": "{}"}
+
+    W = 2800  # some epoch week
+    ev = [
+        # u1: W, W+1, W+2  → retained at W and W+1
+        at_week(W, 1), at_week(W + 1, 1), at_week(W + 2, 1),
+        # u2: W, W+2       → churned at W (gap), W+2 is last week (cut)
+        at_week(W, 2), at_week(W + 2, 2),
+        # u3: W+1 only     → churned at W+1
+        at_week(W + 1, 3),
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(ev), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["weekly_churn"](sf).to_pandas()
+    got = got.set_index("week")
+    assert got.index.tolist() == [W, W + 1]          # W+2 excluded
+    assert got.loc[W].to_dict() == {
+        "active": 2, "retained": 1, "churned": 1}     # u1 ret, u2 churn
+    assert got.loc[W + 1].to_dict() == {
+        "active": 2, "retained": 1, "churned": 1}     # u1 ret, u3 churn
