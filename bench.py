@@ -181,7 +181,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "spearman_qty_price", "mad_outliers", "source_drift_kl",
              "value_trend", "cumulative_users", "segment_gini",
              "term_cms", "title_fuzzy", "dense_rank_docs",
-             "concurrent_sessions"]
+             "concurrent_sessions", "bpe_pairs", "hybrid_rrf",
+             "weekly_churn"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -224,24 +224,43 @@ def spearman_corr(ds, *, col_a: str, col_b: str, decimals: int = 2):
     fixed = ds.select_columns([col_a, col_b]).map_batches(
         to_fixed, batch_format="pyarrow")
 
-    def rank_lookup(col: str):
-        def partial(t: pa.Table) -> pa.Table:
+    def hist_partial(t: pa.Table) -> pa.Table:
+        # BOTH columns' value counts in one pass over the read (tagged)
+        parts = []
+        for tag, col in ((0, col_a), (1, col_b)):
             g = t.select([col]).group_by([col]).aggregate([(col, "count")])
-            return pa.table({
-                col: g.column(col),
-                "cnt": pc.cast(g.column(f"{col}_count"), pa.int64())})
+            parts.append(pa.table({
+                "tag": pa.array(
+                    np.full(len(g), tag, np.int64), pa.int64()),
+                "v": pc.cast(g.column(col), pa.int64()),
+                "cnt": pc.cast(g.column(f"{col}_count"), pa.int64())}))
+        return pa.concat_tables(parts)
 
-        hist = hash_agg(fixed.map_batches(partial, batch_format="pyarrow"),
-                        col, [("cnt", "sum", "cnt")]).take_all()
-        vals = np.array(sorted(r[col] for r in hist), dtype=np.int64)
-        cnt_by = {r[col]: r["cnt"] for r in hist}
-        cnts = np.array([cnt_by[v] for v in vals], dtype=np.int64)
+    hist = hash_agg(fixed.map_batches(hist_partial, batch_format="pyarrow"),
+                    "v", [("cnt", "sum", "cnt")], group_cols=["tag", "v"])
+    # Arrow-native collect: millions of distinct values arrive as a few
+    # numpy arrays, never as Python row dicts
+    tg, vs, cs = [], [], []
+    for b in hist.iter_batches(batch_format="pyarrow",
+                               batch_size=1 << 20):
+        tg.append(b.column("tag").to_numpy(zero_copy_only=False))
+        vs.append(b.column("v").to_numpy(zero_copy_only=False))
+        cs.append(b.column("cnt").to_numpy(zero_copy_only=False))
+    tg = np.concatenate(tg)
+    vs = np.concatenate(vs).astype(np.int64)
+    cs = np.concatenate(cs).astype(np.int64)
+
+    def rank_lookup(tag: int):
+        sel = tg == tag
+        vals, cnts = vs[sel], cs[sel]
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
         cum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
         r2 = 2 * cum + cnts + 1
         return vals, r2
 
-    vals_a, r2_a = rank_lookup(col_a)
-    vals_b, r2_b = rank_lookup(col_b)
+    vals_a, r2_a = rank_lookup(0)
+    vals_b, r2_b = rank_lookup(1)
     lut = ray.put((vals_a, r2_a, vals_b, r2_b))
 
     def stats_partial(t: pa.Table) -> pa.Table:
