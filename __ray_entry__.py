@@ -4914,6 +4914,310 @@ def q_mad_outliers(sf_dir: str):
                                 value_column="value")
 
 
+def q_revenue_forecast(sf_dir: str):
+    """TPC-H Q6 shape: single-pass filtered aggregate in EXACT integers
+    — revenue forgone by a discount change. All three predicates run
+    map-side on pruned columns (the discount test compares ROUNDED
+    integer percent, not raw float, so Ray and SQL agree bit-for-bit);
+    only one (sum, count) partial per batch crosses to the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    lo = int(np.datetime64("1996-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = ts_us(batch.column("l_shipdate"))
+        disc_pct = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), 100)), pa.int64())
+        dp = disc_pct.to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = ((ship >= lo) & (ship < hi) & (dp >= 5) & (dp <= 7)
+                & (qty < 24))
+        t = batch.filter(pa.array(keep))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())
+        dpk = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100)), pa.int64())
+        rev = pc.sum(pc.multiply(price_c, dpk)).as_py() or 0
+        return pa.table({"revenue_c4": pa.array([rev], pa.int64()),
+                         "n_rows": pa.array([len(t)], pa.int64())})
+
+    stats = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"),
+        Sum("n_rows", alias_name="n_rows"))
+    import pandas as pd
+    return pd.DataFrame({"revenue_c4": [int(stats["revenue_c4"])],
+                         "n_rows": [int(stats["n_rows"])]})
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo-part revenue share per ship-month. The
+    part table is a BROADCAST bitmap (partkey -> is-promo via sorted
+    searchsorted, `ray.put` once) — lineitem never shuffles; per-batch
+    partials keyed by month, final share in exact integer parts-per-
+    million via Python bigint cross-multiplication (no float division
+    drift; the SQL twin uses HUGEINT the same way)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    keys = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    promo = pc.equal(part.column("p_type"), "PROMO").to_numpy(
+        zero_copy_only=False)
+    order = np.argsort(keys)
+    lookup_ref = ray.put({"keys": keys[order], "promo": promo[order]})
+
+    class MonthPartial:
+        def __init__(self):
+            lk = ray.get(lookup_ref)
+            self.keys, self.promo = lk["keys"], lk["promo"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            us = ts_us(batch.column("l_shipdate"))
+            days = us // 86_400_000_000
+            months = ((np.datetime64("1970-01-01")
+                       + days.astype("timedelta64[D]")).astype(
+                           "datetime64[M]").astype(np.int64))
+            pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.keys, pk), 0,
+                          max(len(self.keys) - 1, 0))
+            is_promo = (self.keys[pos] == pk) & self.promo[pos]
+            price_c = pc.cast(pc.round(pc.multiply(
+                batch.column("l_extendedprice"), 100)), pa.int64())
+            disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+                pa.scalar(1.0), batch.column("l_discount")), 100)),
+                pa.int64())
+            rev = pc.multiply(price_c, disc_pct).to_numpy(
+                zero_copy_only=False)
+            t = pa.table({
+                "m": pa.array(months, pa.int64()),
+                "promo_rev": pa.array(np.where(is_promo, rev, 0),
+                                      pa.int64()),
+                "total_rev": pa.array(rev, pa.int64()),
+            })
+            g = t.group_by("m").aggregate(
+                [("promo_rev", "sum"), ("total_rev", "sum")])
+            return pa.table({"m": g.column("m"),
+                             "promo_rev": g.column("promo_rev_sum"),
+                             "total_rev": g.column("total_rev_sum")})
+
+    agg = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(MonthPartial, batch_format="pyarrow",
+                  concurrency=_pool()).groupby("m").aggregate(
+        Sum("promo_rev", alias_name="promo_rev"),
+        Sum("total_rev", alias_name="total_rev")).sort("m").take_all()
+
+    import pandas as pd
+    months = [np.datetime64(0, "M") + np.timedelta64(int(r["m"]), "M")
+              for r in agg]
+    return pd.DataFrame({
+        "ship_month": [str(m) for m in months],
+        "promo_rev_c4": [int(r["promo_rev"]) for r in agg],
+        "total_rev_c4": [int(r["total_rev"]) for r in agg],
+        # exact floor((1e6 * promo) / total) via Python bigints
+        "promo_ppm": [(1_000_000 * int(r["promo_rev"]))
+                      // int(r["total_rev"]) for r in agg],
+    })
+
+
+def q_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: how many customers placed exactly k orders
+    (k = 0 included). Orders pre-aggregate per-batch to (custkey,
+    partial count) — the only shuffle carries one row per distinct
+    custkey per batch; zero-order customers come from the dimension
+    count minus the distinct-buyer count (no outer join of the full
+    customer table). Output: (c_count, custdist)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    n_customers = pq.read_metadata(
+        f"{sf_dir}/customer.parquet").num_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "n": pc.cast(g.column("o_custkey_count"), pa.int64())})
+
+    per_cust = _read_pq(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"]).map_batches(
+        partial, batch_format="pyarrow").groupby("o_custkey").aggregate(
+        Sum("n", alias_name="c_count"))
+
+    dist = per_cust.groupby("c_count").aggregate(
+        Count(alias_name="custdist")).take_all()
+    rows = {int(r["c_count"]): int(r["custdist"]) for r in dist}
+    buyers = sum(rows.values())
+    if n_customers - buyers > 0:
+        rows[0] = rows.get(0, 0) + (n_customers - buyers)
+
+    import pandas as pd
+    out = sorted(rows.items(), key=lambda kv: (-kv[1], -kv[0]))
+    return pd.DataFrame({
+        "c_count": [k for k, _ in out],
+        "custdist": [v for _, v in out]})
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with MAX revenue over a quarter
+    (ties all kept — the spec's correlated max). Revenue partials are
+    keyed by suppkey map-side (supplier cardinality << rows), the max
+    + tie filter runs on the driver over the supplier-sized aggregate,
+    names attach from the broadcast-read dimension."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    lo = int(np.datetime64("1996-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1996-04-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = ts_us(batch.column("l_shipdate"))
+        t = batch.filter(pa.array((ship >= lo) & (ship < hi)))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+            pa.scalar(1.0), t.column("l_discount")), 100)), pa.int64())
+        g = pa.table({"l_suppkey": t.column("l_suppkey"),
+                      "rev": pc.multiply(price_c, disc_pct)}).group_by(
+            "l_suppkey").aggregate([("rev", "sum")])
+        return pa.table({"l_suppkey": g.column("l_suppkey"),
+                         "rev": g.column("rev_sum")})
+
+    per_supp = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        "l_suppkey").aggregate(Sum("rev", alias_name="total_rev_c4")
+                               ).take_all()
+
+    best = max(int(r["total_rev_c4"]) for r in per_supp)
+    winners = sorted(int(r["l_suppkey"]) for r in per_supp
+                     if int(r["total_rev_c4"]) == best)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_name").to_pylist()))
+    import pandas as pd
+    return pd.DataFrame({
+        "s_suppkey": winners,
+        "s_name": [names[k] for k in winners],
+        "total_rev_c4": [best] * len(winners)})
+
+
+def q_idle_customer_balance(sf_dir: str):
+    """TPC-H Q22 shape (adapted to this schema: nation stands in for the
+    phone country code, and "never ordered" becomes "dormant — no order
+    since 2000-07-01" because every synthetic customer has SOME order):
+    positive-balance customers RICHER than the global positive-balance
+    average with no recent order, counted + summed per nation. The
+    above-average test is an exact integer CROSS-MULTIPLY (bal_c * n >
+    sum_c — no float threshold at the boundary); the dormancy test is a
+    broadcast anti-filter over the distinct recent-buyer set (a bounded
+    fraction of the dimension, shipped once via ray.put)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    cut_us = int(np.datetime64("2000-07-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+
+    # distinct recent buyers: per-batch filter + dedup, custkey-only shuffle
+    def dedup(batch: pa.Table) -> pa.Table:
+        keep = ts_us(batch.column("o_orderdate")) >= cut_us
+        t = batch.filter(pa.array(keep))
+        return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
+
+    buyers_rows = _read_pq(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"]).map_batches(
+        dedup, batch_format="pyarrow").groupby("o_custkey").aggregate(
+        Count(alias_name="_n")).take_all()
+    buyers = np.sort(np.array(
+        [int(r["o_custkey"]) for r in buyers_rows], dtype=np.int64))
+    buyers_ref = ray.put(buyers)
+
+    # global positive-balance mean, in exact cents
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal_c = pc.cast(pc.round(pc.multiply(
+            batch.column("c_acctbal"), 100)), pa.int64())
+        pos = pc.filter(bal_c, pc.greater(bal_c, 0))
+        return pa.table({
+            "s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+            "n": pa.array([len(pos)], pa.int64())})
+
+    cust = f"{sf_dir}/customer.parquet"
+    tot = _read_pq(cust, columns=["c_acctbal"]).map_batches(
+        bal_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    sum_c, n_pos = int(tot["s"]), int(tot["n"])
+
+    class IdleRich:
+        def __init__(self):
+            self.buyers = ray.get(buyers_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bal_c = pc.cast(pc.round(pc.multiply(
+                batch.column("c_acctbal"), 100)), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.buyers, ck), 0,
+                          max(len(self.buyers) - 1, 0))
+            has_orders = (len(self.buyers) > 0) & (self.buyers[pos] == ck)
+            keep = (~has_orders) & (bal_c * n_pos > sum_c)
+            t = pa.table({
+                "c_nationkey": pc.cast(batch.column("c_nationkey"),
+                                       pa.int64()),
+                "bal_c": pa.array(bal_c, pa.int64()),
+            }).filter(pa.array(keep))
+            g = t.group_by("c_nationkey").aggregate(
+                [("bal_c", "sum"), ("bal_c", "count")])
+            return pa.table({
+                "c_nationkey": g.column("c_nationkey"),
+                "total_bal_c": g.column("bal_c_sum"),
+                "n_custs": pc.cast(g.column("bal_c_count"), pa.int64())})
+
+    return _read_pq(cust, columns=["c_custkey", "c_acctbal",
+                                   "c_nationkey"]).map_batches(
+        IdleRich, batch_format="pyarrow", concurrency=_pool()).groupby(
+        "c_nationkey").aggregate(
+        Sum("total_bal_c", alias_name="total_bal_c"),
+        Sum("n_custs", alias_name="n_custs")).sort("c_nationkey")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -5059,6 +5363,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": q_bpe_pairs,
         "hybrid_rrf": q_hybrid_rrf,
         "weekly_churn": q_weekly_churn,
+        "revenue_forecast": q_revenue_forecast,
+        "promo_revenue": q_promo_revenue,
+        "customer_distribution": q_customer_distribution,
+        "top_supplier": q_top_supplier,
+        "idle_customer_balance": q_idle_customer_balance,
     }
 
 
@@ -6429,4 +6738,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - sum(retained) AS BIGINT) AS churned
             FROM t, mx WHERE week < mx.lw
             GROUP BY week ORDER BY week""",
+        "revenue_forecast": (
+            "SELECT CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c4, count(*) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"),
+        "promo_revenue": (
+            "WITH l AS (SELECT "
+            "strftime(date_trunc('month', li.l_shipdate), '%Y-%m') "
+            "AS ship_month, "
+            "CAST(round(li.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - li.l_discount) * 100) AS BIGINT) AS rev, "
+            "CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS isp "
+            "FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey) "
+            "SELECT ship_month, "
+            "CAST(sum(CASE WHEN isp = 1 THEN rev ELSE 0 END) AS BIGINT) "
+            "AS promo_rev_c4, CAST(sum(rev) AS BIGINT) AS total_rev_c4, "
+            "CAST(CAST(1000000 AS HUGEINT) * "
+            "sum(CASE WHEN isp = 1 THEN rev ELSE 0 END) // sum(rev) "
+            "AS BIGINT) AS promo_ppm "
+            "FROM l GROUP BY 1 ORDER BY 1"),
+        "customer_distribution": (
+            "WITH per_cust AS (SELECT c.c_custkey, "
+            "count(o.o_orderkey) AS c_count "
+            "FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey GROUP BY 1) "
+            "SELECT c_count, count(*) AS custdist FROM per_cust "
+            "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"),
+        "top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_rev_c4 FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT s.s_suppkey, s.s_name, r.total_rev_c4 "
+            "FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey "
+            "WHERE r.total_rev_c4 = (SELECT max(total_rev_c4) FROM rev) "
+            "ORDER BY s.s_suppkey"),
+        "idle_customer_balance": (
+            "WITH bal AS (SELECT c_custkey, c_nationkey, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c "
+            "FROM customer), "
+            "agg AS (SELECT sum(bal_c) AS s, count(*) AS n "
+            "FROM bal WHERE bal_c > 0) "
+            "SELECT CAST(b.c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(sum(b.bal_c) AS BIGINT) AS total_bal_c, "
+            "count(*) AS n_custs "
+            "FROM bal b, agg WHERE b.bal_c * agg.n > agg.s "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = b.c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2000-07-01') "
+            "GROUP BY 1 ORDER BY 1"),
     }

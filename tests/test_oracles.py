@@ -23,7 +23,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "doc_chunks", "chunk_dedup", "docs_decontaminated",
         "split_assignments", "supplier_ship_volumes", "ann_filtered",
         "covisitation", "centroid_assign", "quality_percentile",
-        "inverted_index"]
+        "inverted_index", "revenue_forecast", "promo_revenue",
+        "customer_distribution", "top_supplier", "idle_customer_balance"]
 
 
 @pytest.fixture(scope="module")
