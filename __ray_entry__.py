@@ -5218,6 +5218,344 @@ def q_idle_customer_balance(sf_dir: str):
         Sum("n_custs", alias_name="n_custs")).sort("c_nationkey")
 
 
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: bilateral EUROPE<->ASIA trade volume per
+    (supp_nation, cust_nation, ship-year). BOTH nation attachments are
+    broadcast lookups (supplier and customer are dimension-sized;
+    `ray.put` once, searchsorted per batch) and both sides pre-filter
+    to the two regions BEFORE the single orderkey hash_join — the
+    shuffle carries only qualifying rows; the cross-region direction
+    test runs post-join on a 25-entry nation->region array. Exact
+    integer cents×pct revenue."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    lo = int(np.datetime64("1996-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1998-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rgrp = {int(r["r_regionkey"]): {"EUROPE": 0, "ASIA": 1}.get(
+        r["r_name"], -1) for r in region.to_pylist()}
+    name_of, grp_of = {}, {}
+    for r in nation.to_pylist():
+        name_of[int(r["n_nationkey"])] = r["n_name"]
+        grp_of[int(r["n_nationkey"])] = rgrp[int(r["n_regionkey"])]
+    nat_grp = np.full(max(grp_of) + 1, -1, np.int64)
+    for k, g in grp_of.items():
+        nat_grp[k] = g
+
+    def _sorted_lookup(path, key_col, val_col):
+        t = pq.read_table(path, columns=[key_col, val_col])
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        o = np.argsort(k)
+        return k[o], v[o]
+
+    sk, sv = _sorted_lookup(f"{sf_dir}/supplier.parquet",
+                            "s_suppkey", "s_nationkey")
+    ck, cv = _sorted_lookup(f"{sf_dir}/customer.parquet",
+                            "c_custkey", "c_nationkey")
+    supp_ref, cust_ref = ray.put((sk, sv)), ray.put((ck, cv))
+
+    def _attach(keys_ref, col, batch):
+        ks, vs = ray.get(keys_ref)
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pos = np.clip(np.searchsorted(ks, x), 0, max(len(ks) - 1, 0))
+        nat = np.where(ks[pos] == x, vs[pos], -1)
+        return nat
+
+    class LineSide:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ship = ts_us(batch.column("l_shipdate"))
+            nat = _attach(supp_ref, "l_suppkey", batch)
+            in_grp = (nat >= 0) & (nat_grp[np.clip(nat, 0, None)] >= 0)
+            keep = (ship >= lo) & (ship < hi) & in_grp
+            t = batch.filter(pa.array(keep))
+            years = ((ts_us(t.column("l_shipdate")) // 86_400_000_000)
+                     .astype("timedelta64[D]")
+                     + np.datetime64("1970-01-01")).astype(
+                         "datetime64[Y]").astype(np.int64) + 1970
+            price_c = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100)), pa.int64())
+            disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+                pa.scalar(1.0), t.column("l_discount")), 100)),
+                pa.int64())
+            return pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "supp_nat": pa.array(nat[keep], pa.int64()),
+                "l_year": pa.array(years, pa.int64()),
+                "rev": pc.multiply(price_c, disc_pct)})
+
+    class OrdSide:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nat = _attach(cust_ref, "o_custkey", batch)
+            keep = (nat >= 0) & (nat_grp[np.clip(nat, 0, None)] >= 0)
+            t = batch.filter(pa.array(keep))
+            return pa.table({
+                "l_orderkey": t.column("o_orderkey"),
+                "cust_nat": pa.array(nat[keep], pa.int64())})
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                           "l_extendedprice", "l_discount"]).map_batches(
+        LineSide, batch_format="pyarrow", concurrency=_pool())
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"]).map_batches(
+        OrdSide, batch_format="pyarrow", concurrency=_pool())
+
+    j = hash_join(
+        li, orders, key="l_orderkey",
+        left_cols=["supp_nat", "l_year", "rev"], right_cols=["cust_nat"],
+        left_types={"l_orderkey": pa.int64(), "supp_nat": pa.int64(),
+                    "l_year": pa.int64(), "rev": pa.int64()},
+        right_types={"cust_nat": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        sg = nat_grp[t.column("supp_nat").to_numpy(zero_copy_only=False)]
+        cg = nat_grp[t.column("cust_nat").to_numpy(zero_copy_only=False)]
+        t = t.filter(pa.array(sg != cg))
+        g = t.group_by(["supp_nat", "cust_nat", "l_year"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({"supp_nat": g.column("supp_nat"),
+                         "cust_nat": g.column("cust_nat"),
+                         "l_year": g.column("l_year"),
+                         "rev": g.column("rev_sum")})
+
+    cells = j.map_batches(partial, batch_format="pyarrow").groupby(
+        ["supp_nat", "cust_nat", "l_year"]).aggregate(
+        Sum("rev", alias_name="revenue_c4")).take_all()
+
+    import pandas as pd
+    rows = sorted(((name_of[int(r["supp_nat"])],
+                    name_of[int(r["cust_nat"])], int(r["l_year"]),
+                    int(r["revenue_c4"])) for r in cells))
+    return pd.DataFrame(rows, columns=["supp_nation", "cust_nation",
+                                       "l_year", "revenue_c4"])
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_3's market share (exact integer ppm) of
+    PROMO-part revenue bought by EUROPE customers, per order-year.
+    Three broadcast sides (part promo bitmap, supplier nation, customer
+    in-Europe bitmap) prune both inputs map-side; one orderkey
+    hash_join; the per-year share is a Python-bigint floor division
+    mirrored by a HUGEINT twin (no float drift)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    lo = int(np.datetime64("1996-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1998-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    europe_rk = {int(r["r_regionkey"]) for r in region.to_pylist()
+                 if r["r_name"] == "EUROPE"}
+    europe_nations = {int(r["n_nationkey"]) for r in nation.to_pylist()
+                      if int(r["n_regionkey"]) in europe_rk}
+    n3 = next(int(r["n_nationkey"]) for r in nation.to_pylist()
+              if r["n_name"] == "NATION_3")
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    promo = pc.equal(part.column("p_type"), "PROMO").to_numpy(
+        zero_copy_only=False)
+    o = np.argsort(pk)
+    part_ref = ray.put((pk[o], promo[o]))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp.column("s_suppkey").to_numpy(zero_copy_only=False)
+    sn = supp.column("s_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    o = np.argsort(sk)
+    supp_ref = ray.put((sk[o], (sn == n3)[o]))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+    ce = np.isin(cust.column("c_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64),
+        sorted(europe_nations))
+    o = np.argsort(ck)
+    cust_ref = ray.put((ck[o], ce[o]))
+
+    def _flag(ref, col, batch):
+        ks, fl = ray.get(ref)
+        x = batch.column(col).to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, x), 0, max(len(ks) - 1, 0))
+        return (ks[pos] == x) & fl[pos]
+
+    class LineSide:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = _flag(part_ref, "l_partkey", batch)
+            is_n3 = _flag(supp_ref, "l_suppkey", batch)
+            t = batch.filter(pa.array(keep))
+            price_c = pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100)), pa.int64())
+            disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+                pa.scalar(1.0), t.column("l_discount")), 100)),
+                pa.int64())
+            rev = pc.multiply(price_c, disc_pct).to_numpy(
+                zero_copy_only=False)
+            n3r = np.where(is_n3[keep], rev, 0)
+            return pa.table({"l_orderkey": t.column("l_orderkey"),
+                             "rev": pa.array(rev, pa.int64()),
+                             "n3_rev": pa.array(n3r, pa.int64())})
+
+    class OrdSide:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ts = ts_us(batch.column("o_orderdate"))
+            keep = ((ts >= lo) & (ts < hi)
+                    & _flag(cust_ref, "o_custkey", batch))
+            t = batch.filter(pa.array(keep))
+            years = ((ts_us(t.column("o_orderdate")) // 86_400_000_000)
+                     .astype("timedelta64[D]")
+                     + np.datetime64("1970-01-01")).astype(
+                         "datetime64[Y]").astype(np.int64) + 1970
+            return pa.table({"l_orderkey": t.column("o_orderkey"),
+                             "o_year": pa.array(years, pa.int64())})
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"]).map_batches(
+        LineSide, batch_format="pyarrow", concurrency=_pool())
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey",
+                               "o_orderdate"]).map_batches(
+        OrdSide, batch_format="pyarrow", concurrency=_pool())
+
+    j = hash_join(
+        li, orders, key="l_orderkey", left_cols=["rev", "n3_rev"],
+        right_cols=["o_year"],
+        left_types={"l_orderkey": pa.int64(), "rev": pa.int64(),
+                    "n3_rev": pa.int64()},
+        right_types={"o_year": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_year").aggregate(
+            [("rev", "sum"), ("n3_rev", "sum")])
+        return pa.table({"o_year": g.column("o_year"),
+                         "rev": g.column("rev_sum"),
+                         "n3_rev": g.column("n3_rev_sum")})
+
+    cells = j.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_year").aggregate(Sum("rev", alias_name="total_rev_c4"),
+                            Sum("n3_rev", alias_name="n3_rev_c4")
+                            ).sort("o_year").take_all()
+
+    import pandas as pd
+    return pd.DataFrame({
+        "o_year": [int(r["o_year"]) for r in cells],
+        "n3_rev_c4": [int(r["n3_rev_c4"]) for r in cells],
+        "total_rev_c4": [int(r["total_rev_c4"]) for r in cells],
+        "mkt_share_ppm": [(1_000_000 * int(r["n3_rev_c4"]))
+                          // int(r["total_rev_c4"]) for r in cells]})
+
+
+def q_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (returnflag R) for orders placed in 1996H1. Both fact sides filter
+    map-side before the single orderkey hash_join; per-batch custkey
+    partials bound the aggregate shuffle; the top-20 cut has a full
+    deterministic tiebreak and names attach from dimension reads on
+    the driver (20 rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    lo = int(np.datetime64("1996-01-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+    hi = int(np.datetime64("1996-07-01T00:00:00").astype(
+        "datetime64[us]").astype(np.int64))
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+            pa.scalar(1.0), t.column("l_discount")), 100)), pa.int64())
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev": pc.multiply(price_c, disc_pct)})
+
+    def ord_side(batch: pa.Table) -> pa.Table:
+        ts = ts_us(batch.column("o_orderdate"))
+        t = batch.filter(pa.array((ts >= lo) & (ts < hi)))
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "o_custkey": t.column("o_custkey")})
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_returnflag",
+                           "l_extendedprice", "l_discount"]).map_batches(
+        line_side, batch_format="pyarrow")
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey",
+                               "o_orderdate"]).map_batches(
+        ord_side, batch_format="pyarrow")
+
+    j = hash_join(
+        li, orders, key="l_orderkey", left_cols=["rev"],
+        right_cols=["o_custkey"],
+        left_types={"l_orderkey": pa.int64(), "rev": pa.int64()},
+        right_types={"o_custkey": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        return pa.table({"o_custkey": g.column("o_custkey"),
+                         "rev": g.column("rev_sum")})
+
+    top = j.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_custkey").aggregate(Sum("rev", alias_name="revenue_c4")).sort(
+        ["revenue_c4", "o_custkey"],
+        descending=[True, False]).limit(20).take_all()
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    cmap = {int(k): (n, int(nk)) for k, n, nk in zip(
+        cust.column("c_custkey").to_pylist(),
+        cust.column("c_name").to_pylist(),
+        cust.column("c_nationkey").to_pylist())}
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+
+    import pandas as pd
+    ck = [int(r["o_custkey"]) for r in top]
+    return pd.DataFrame({
+        "c_custkey": ck,
+        "c_name": [cmap[k][0] for k in ck],
+        "n_name": [nmap[cmap[k][1]] for k in ck],
+        "revenue_c4": [int(r["revenue_c4"]) for r in top]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -5368,6 +5706,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution": q_customer_distribution,
         "top_supplier": q_top_supplier,
         "idle_customer_balance": q_idle_customer_balance,
+        "nation_trade_volume": q_nation_trade_volume,
+        "market_share": q_market_share,
+        "returned_items": q_returned_items,
     }
 
 
@@ -6794,4 +7135,59 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o.o_custkey = b.c_custkey "
             "AND o.o_orderdate >= TIMESTAMP '2000-07-01') "
             "GROUP BY 1 ORDER BY 1"),
+        "nation_trade_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c4 "
+            "FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+            "JOIN region r1 ON n1.n_regionkey = r1.r_regionkey "
+            "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
+            "WHERE ((r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA') "
+            "OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')) "
+            "AND l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+        "market_share": (
+            "WITH cell AS (SELECT "
+            "CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l.l_discount) * 100) AS BIGINT) AS rev, "
+            "CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END AS isn3 "
+            "FROM lineitem l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation cn ON c.c_nationkey = cn.n_nationkey "
+            "JOIN region r ON cn.n_regionkey = r.r_regionkey "
+            "WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE' "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1998-01-01') "
+            "SELECT o_year, "
+            "CAST(sum(CASE WHEN isn3 = 1 THEN rev ELSE 0 END) AS BIGINT) "
+            "AS n3_rev_c4, CAST(sum(rev) AS BIGINT) AS total_rev_c4, "
+            "CAST(CAST(1000000 AS HUGEINT) * "
+            "sum(CASE WHEN isn3 = 1 THEN rev ELSE 0 END) // sum(rev) "
+            "AS BIGINT) AS mkt_share_ppm "
+            "FROM cell GROUP BY 1 ORDER BY 1"),
+        "returned_items": (
+            "SELECT c.c_custkey, c.c_name, n.n_name, CAST(sum("
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c4 "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-07-01' "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY revenue_c4 DESC, c_custkey LIMIT 20"),
     }

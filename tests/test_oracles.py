@@ -24,7 +24,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "split_assignments", "supplier_ship_volumes", "ann_filtered",
         "covisitation", "centroid_assign", "quality_percentile",
         "inverted_index", "revenue_forecast", "promo_revenue",
-        "customer_distribution", "top_supplier", "idle_customer_balance"]
+        "customer_distribution", "top_supplier", "idle_customer_balance",
+        "nation_trade_volume", "market_share", "returned_items"]
 
 
 @pytest.fixture(scope="module")
