@@ -5556,6 +5556,39 @@ def q_returned_items(sf_dir: str):
         "revenue_c4": [int(r["revenue_c4"]) for r in top]})
 
 
+def q_pareto_orders(sf_dir: str):
+    """Distributed 2-D SKYLINE (stages/stats.pareto_front): orders not
+    dominated on (totalprice, orderdate) — no other order is >= on both
+    and > on one. Per-block local skylines reduce map-side (the global
+    frontier is a subset of their union), one merge pass over the
+    log-sized candidates. Exact integer cents/days; the SQL oracle is
+    the independent NOT EXISTS dominance definition."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.stats import pareto_front
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100)), pa.int64())
+        days = ts_us(batch.column("o_orderdate")) // 86_400_000_000
+        return pa.table({"price_c": price_c,
+                         "o_days": pa.array(days, pa.int64()),
+                         "o_orderkey": batch.column("o_orderkey")})
+
+    ds = _read_pq(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_totalprice",
+                           "o_orderdate"]).map_batches(
+        prep, batch_format="pyarrow")
+    front = pareto_front(ds, x_column="price_c", y_column="o_days",
+                         extra_columns=("o_orderkey",))
+    return front.sort_by([("price_c", "descending"),
+                          ("o_days", "ascending"),
+                          ("o_orderkey", "ascending")])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -5709,6 +5742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": q_nation_trade_volume,
         "market_share": q_market_share,
         "returned_items": q_returned_items,
+        "pareto_orders": q_pareto_orders,
     }
 
 
@@ -7190,4 +7224,14 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate < TIMESTAMP '1996-07-01' "
             "GROUP BY 1, 2, 3 "
             "ORDER BY revenue_c4 DESC, c_custkey LIMIT 20"),
+        "pareto_orders": (
+            "WITH o AS (SELECT o_orderkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, "
+            "CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) "
+            "AS BIGINT) AS o_days FROM orders) "
+            "SELECT a.o_orderkey, a.price_c, a.o_days FROM o a "
+            "WHERE NOT EXISTS (SELECT 1 FROM o b "
+            "WHERE b.price_c >= a.price_c AND b.o_days >= a.o_days "
+            "AND (b.price_c > a.price_c OR b.o_days > a.o_days)) "
+            "ORDER BY a.price_c DESC, a.o_days, a.o_orderkey"),
     }

@@ -374,3 +374,61 @@ def grouped_linregress(ds, *, key_column: str, x_column: str,
             "b": pa.array(bs, pa.float64())})
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def _skyline_mask(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier (maximize both).
+
+    Dominance: a dominates b iff a.x >= b.x and a.y >= b.y with at
+    least one strict — exact (x, y) duplicates never dominate each
+    other, so every copy of a frontier point survives. Vectorized
+    O(n log n): sort by x desc (y desc within), a point survives iff
+    its y equals its x-group's max AND that max strictly exceeds the
+    running max y over all strictly-greater x."""
+    n = len(xs)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-ys, -xs))
+    xs_s, ys_s = xs[order], ys[order]
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    new_grp[1:] = xs_s[1:] != xs_s[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    grp_max = ys_s[new_grp]  # first y per group is the group max
+    prev_best = np.concatenate((
+        [np.iinfo(np.int64).min],
+        np.maximum.accumulate(grp_max)[:-1]))
+    keep_sorted = ((ys_s == grp_max[grp_id])
+                   & (grp_max[grp_id] > prev_best[grp_id]))
+    mask = np.zeros(n, bool)
+    mask[order[keep_sorted]] = True
+    return mask
+
+
+def pareto_front(ds, *, x_column: str, y_column: str,
+                 extra_columns: tuple[str, ...] = ()):
+    """Distributed 2-D SKYLINE (Pareto frontier, maximize both columns).
+
+    The global frontier is a subset of the union of per-block local
+    frontiers, so each block reduces to its own skyline map-side (the
+    expensive all-pairs dominance never runs on raw rows) and ONE final
+    pass merges the collected candidates. For independently-distributed
+    dimensions the expected frontier is O(log n) points — candidates
+    crossing to the driver are per-block log-sized. The worst case
+    (perfectly anti-correlated x/y) degenerates to the full input; this
+    operator assumes the frontier fits one task, which holds for every
+    real price/date-shaped pair. Integer columns only (exact compares).
+    Returns a pyarrow Table [x, y, *extra] of frontier rows."""
+    cols = [x_column, y_column, *extra_columns]
+
+    def local(batch: pa.Table) -> pa.Table:
+        xs = batch.column(x_column).to_numpy(zero_copy_only=False)
+        ys = batch.column(y_column).to_numpy(zero_copy_only=False)
+        return batch.select(cols).filter(pa.array(_skyline_mask(xs, ys)))
+
+    cand = pa.Table.from_pandas(
+        ds.map_batches(local, batch_format="pyarrow").to_pandas(),
+        preserve_index=False)
+    xs = cand.column(x_column).to_numpy(zero_copy_only=False)
+    ys = cand.column(y_column).to_numpy(zero_copy_only=False)
+    return cand.filter(pa.array(_skyline_mask(xs, ys)))

@@ -25,7 +25,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "covisitation", "centroid_assign", "quality_percentile",
         "inverted_index", "revenue_forecast", "promo_revenue",
         "customer_distribution", "top_supplier", "idle_customer_balance",
-        "nation_trade_volume", "market_share", "returned_items"]
+        "nation_trade_volume", "market_share", "returned_items",
+        "pareto_orders"]
 
 
 @pytest.fixture(scope="module")

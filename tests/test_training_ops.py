@@ -2179,3 +2179,42 @@ def test_hybrid_rrf_fusion_properties(ray_session):
     assert set(out["rrf_ppb"]) <= pairsums
     # monotone non-increasing by construction
     assert (out["rrf_ppb"].diff().dropna() <= 0).all()
+
+
+def test_pareto_front_brute_force_and_ties(ray_session):
+    """Skyline differential vs the O(n^2) dominance definition, on
+    random integer points with deliberate duplicate and tied values —
+    split across many small blocks so the local-skyline + merge path
+    actually exercises block boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from magic_content_extractor_ray.stages.stats import pareto_front
+
+    rng = np.random.default_rng(7)
+    # small value domain => many exact ties and duplicate points
+    xs = rng.integers(0, 12, 400)
+    ys = rng.integers(0, 12, 400)
+    ids = np.arange(400)
+
+    dominated = np.zeros(400, bool)
+    for i in range(400):
+        dominated[i] = bool(np.any(
+            (xs >= xs[i]) & (ys >= ys[i])
+            & ((xs > xs[i]) | (ys > ys[i]))))
+    expect = set(ids[~dominated].tolist())
+
+    ds = ray.data.from_arrow(pa.table({
+        "x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64()),
+        "id": pa.array(ids, pa.int64())})).repartition(16)
+    got = pareto_front(ds, x_column="x", y_column="y",
+                       extra_columns=("id",))
+    assert set(got.column("id").to_pylist()) == expect
+    # duplicates of a frontier point all survive
+    n_dup = int(np.sum((xs == xs[list(expect)[0]])
+                       & (ys == ys[list(expect)[0]])))
+    got_dup = sum(1 for x, y in zip(got.column("x").to_pylist(),
+                                    got.column("y").to_pylist())
+                  if x == xs[list(expect)[0]] and y == ys[list(expect)[0]])
+    assert got_dup == n_dup
