@@ -3362,24 +3362,19 @@ def q_regional_revenue(sf_dir: str):
                                    descending=[True, False])
 
 
-def q_covisitation(sf_dir: str):
-    """Item co-occurrence mining ("users who viewed X also viewed Y"):
-    distinct (user, item) pairs from view events, per-user unordered item
-    pairs emitted with the same vectorized triangular-index decode the
-    ngram dedup uses, pair keys PACKED into one int64, per-partition
-    partial counts (np.unique) so the combiner shuffle moves (pair,
-    count) rows, then a bounded top-50. Users never straddle partitions
-    (map_key_partitions), so per-user dedup and pair emission are exact;
-    per-user item fan-out is bounded by the MAX_USER_ITEMS hub cap
-    (deterministic hash sample — see _cap_user_items)."""
+def _covis_pair_counts(sf_dir: str):
+    """Shared co-view pair-count pipeline (q_covisitation, q_item_bfs):
+    distinct (user, item) from view events, per-user unordered item
+    pairs via the vectorized triangular-index decode, PACKED int64 pair
+    keys, per-partition partial counts, hash_sum combiner. Returns a
+    Dataset (pk, n_users); per-user fan-out is bounded by the
+    MAX_USER_ITEMS hub cap (see _cap_user_items)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from magic_content_extractor_ray.stages.window import (
         hash_sum, map_key_partitions, segment_lengths, segment_starts)
-
-    K = 50
 
     def prep(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch.column("event_type"), "view"))
@@ -3437,9 +3432,20 @@ def q_covisitation(sf_dir: str):
     # hash_sum, not groupby().aggregate(Sum): one group per item PAIR is
     # row-scale cardinality, where the sort-aggregate's per-group Python
     # callback dominates (2M pairs: 146 s → 4 s on 4 cpus)
-    counts = hash_sum(
+    return hash_sum(
         map_key_partitions(ui, "user_id", pairs, sort_cols=["item"]),
         "pk", "c", "n_users")
+
+
+def q_covisitation(sf_dir: str):
+    """Item co-occurrence mining ("users who viewed X also viewed Y"):
+    the shared _covis_pair_counts pipeline, then a bounded top-50 with
+    Arrow-native per-batch candidate pruning."""
+    import numpy as np
+    import pyarrow as pa
+
+    K = 50
+    counts = _covis_pair_counts(sf_dir)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         return _batch_topk(batch, [("n_users", "descending"),
@@ -5589,6 +5595,90 @@ def q_pareto_orders(sf_dir: str):
                           ("o_orderkey", "ascending")])
 
 
+def q_item_bfs(sf_dir: str):
+    """Iterative distributed BFS (bounded-hop reachability) over the
+    co-view item graph: edges = item pairs co-viewed by >= 2 users
+    (support filter on the shared _covis_pair_counts pipeline, mirrored
+    both directions), seed = smallest item id, 4 frontier-expansion
+    rounds — each round is ONE semi hash_join (edges whose source is in
+    the frontier) + ONE hash_agg min-dist merge, materialized so the
+    lineage stays one round deep. This is the scale path for graphs
+    whose frontier does not fit a broadcast; the SQL twin is an
+    independent recursive CTE."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    MAX_HOPS, MIN_SUPPORT = 4, 2
+
+    counts = _covis_pair_counts(sf_dir)
+
+    def unpack_edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("n_users"),
+                                          MIN_SUPPORT))
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        a = pk >> np.int64(31)
+        b = pk & np.int64((1 << 31) - 1)
+        return pa.table({
+            "item": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    edges = counts.map_batches(unpack_edges,
+                               batch_format="pyarrow").materialize()
+
+    # seed: smallest item id in the distinct (user, item) universe
+    def items_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.cast(pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"),
+            pa.int64())
+        return pa.table({"item": pa.array(
+            [pc.min(ks).as_py()] if len(t) else [], pa.int64())})
+
+    seed = int(_read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    ).map_batches(items_only, batch_format="pyarrow").aggregate(
+        Min("item", alias_name="m"))["m"])
+
+    dist = ray.data.from_arrow(pa.table({
+        "item": pa.array([seed], pa.int64()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+
+    frontier = dist
+    for h in range(1, MAX_HOPS + 1):
+        nbrs = hash_join(
+            edges, frontier, key="item", left_cols=["dst"],
+            right_cols=[], how="semi",
+            left_types={"item": pa.int64(), "dst": pa.int64()},
+            right_types={"dist": pa.int64()})
+
+        def cand(batch: pa.Table, hop=h) -> pa.Table:
+            return pa.table({
+                "item": pc.unique(batch.column("dst")),
+                "dist": pa.array(
+                    [hop] * len(pc.unique(batch.column("dst"))),
+                    pa.int64())})
+
+        dist = hash_agg(
+            dist.union(nbrs.map_batches(cand, batch_format="pyarrow")),
+            "item", [("dist", "min", "dist")]).materialize()
+
+        def this_hop(batch: pa.Table, hop=h) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("dist"), hop))
+
+        frontier = dist.map_batches(this_hop, batch_format="pyarrow")
+
+    return dist.sort("item")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -5743,6 +5833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": q_market_share,
         "returned_items": q_returned_items,
         "pareto_orders": q_pareto_orders,
+        "item_bfs": q_item_bfs,
     }
 
 
@@ -7234,4 +7325,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE b.price_c >= a.price_c AND b.o_days >= a.o_days "
             "AND (b.price_c > a.price_c OR b.o_days > a.o_days)) "
             "ORDER BY a.price_c DESC, a.o_days, a.o_orderkey"),
+        "item_bfs": (
+            "WITH RECURSIVE ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "pairs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS c "
+            "FROM ui a JOIN ui b ON a.user_id = b.user_id "
+            "AND a.item < b.item GROUP BY 1, 2), "
+            "edges AS (SELECT ia, ib FROM pairs WHERE c >= 2 "
+            "UNION ALL SELECT ib, ia FROM pairs WHERE c >= 2), "
+            "seed AS (SELECT min(item) AS s FROM ui), "
+            "bfs(item, dist) AS (SELECT s, 0 FROM seed UNION ALL "
+            "SELECT e.ib, b.dist + 1 FROM bfs b "
+            "JOIN edges e ON e.ia = b.item WHERE b.dist < 4) "
+            "SELECT item, CAST(min(dist) AS BIGINT) AS dist "
+            "FROM bfs GROUP BY 1 ORDER BY 1"),
     }

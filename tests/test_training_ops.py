@@ -2218,3 +2218,31 @@ def test_pareto_front_brute_force_and_ties(ray_session):
                                     got.column("y").to_pylist())
                   if x == xs[list(expect)[0]] and y == ys[list(expect)[0]])
     assert got_dup == n_dup
+
+
+def test_item_bfs_hand_built_graph(ray_session, tmp_path):
+    """BFS distances on a known graph: support-1 pairs are NOT edges,
+    unreachable components are absent, distances are min-hop."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    # edges (support>=2): 1-2 (u1,u2), 2-3 (u3,u4); 3-4 support 1 only;
+    # 4-5 (u6,u7) unreachable from seed 1; item 9 isolated.
+    views = [(1, [1, 2]), (2, [1, 2]), (3, [2, 3]), (4, [2, 3]),
+             (5, [3, 4]), (6, [4, 5]), (7, [4, 5]), (8, [9])]
+    ev, base = [], dt.datetime(2024, 1, 1)
+    for user, items in views:
+        for it in items:
+            ev.append({"event_id": len(ev), "user_id": user,
+                       "ts": base + dt.timedelta(minutes=len(ev)),
+                       "event_type": "view", "value": 1.0,
+                       "props": '{"k": %d}' % it})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(ev), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["item_bfs"](sf).to_pandas()
+    assert dict(zip(got["item"], got["dist"])) == {1: 0, 2: 1, 3: 2}
