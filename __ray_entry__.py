@@ -5679,6 +5679,154 @@ def q_item_bfs(sf_dir: str):
     return dist.sort("item")
 
 
+def q_pricing_summary(sf_dir: str):
+    """FULL TPC-H Q1 pricing summary (lineitem_pricing's superset):
+    per (returnflag, linestatus) — sum qty / base price / discounted /
+    charged, three averages, row count. Every sum is an EXACT integer
+    (cents, cents×pct c4, cents×pct×pct c6) so partials merge
+    order-free; averages divide the exact integers CAST-for-CAST like
+    the SQL twin. One combiner shuffle of |flags×statuses| rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), 100)), pa.int64())
+        tax_pct = pc.cast(pc.round(pc.multiply(
+            batch.column("l_tax"), 100)), pa.int64())
+        disc_c4 = pc.multiply(price_c,
+                              pc.subtract(pa.scalar(100), disc_pct))
+        charge_c6 = pc.multiply(disc_c4,
+                                pc.add(pa.scalar(100), tax_pct))
+        t = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty": qty, "base_c": price_c, "disc_pct": disc_pct,
+            "disc_c4": disc_c4, "charge_c6": charge_c6,
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc_pct", "sum"),
+             ("disc_c4", "sum"), ("charge_c6", "sum"), ("qty", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": g.column("qty_sum"),
+            "sum_base_c": g.column("base_c_sum"),
+            "sum_disc_pct": g.column("disc_pct_sum"),
+            "sum_disc_c4": g.column("disc_c4_sum"),
+            "sum_charge_c6": g.column("charge_c6_sum"),
+            "n_rows": pc.cast(g.column("qty_count"), pa.int64())})
+
+    cells = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    ).map_batches(partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        *[Sum(c, alias_name=c) for c in
+          ("sum_qty", "sum_base_c", "sum_disc_pct", "sum_disc_c4",
+           "sum_charge_c6", "n_rows")]).sort(
+        ["l_returnflag", "l_linestatus"]).take_all()
+
+    import pandas as pd
+    # averages: exact int / exact int, float()ed BEFORE dividing to
+    # mirror the oracle's CAST(... AS DOUBLE) / CAST(... AS DOUBLE)
+    return pd.DataFrame({
+        "l_returnflag": [r["l_returnflag"] for r in cells],
+        "l_linestatus": [r["l_linestatus"] for r in cells],
+        "sum_qty": [int(r["sum_qty"]) for r in cells],
+        "sum_base_c": [int(r["sum_base_c"]) for r in cells],
+        "sum_disc_c4": [int(r["sum_disc_c4"]) for r in cells],
+        "sum_charge_c6": [int(r["sum_charge_c6"]) for r in cells],
+        "avg_qty": [float(int(r["sum_qty"])) / float(int(r["n_rows"]))
+                    for r in cells],
+        "avg_price_c": [float(int(r["sum_base_c"]))
+                        / float(int(r["n_rows"])) for r in cells],
+        "avg_disc_pct": [float(int(r["sum_disc_pct"]))
+                         / float(int(r["n_rows"])) for r in cells],
+        "n_rows": [int(r["n_rows"]) for r in cells]})
+
+
+def q_readability(sf_dir: str):
+    """Per-language mean Coleman–Liau readability index — a pure
+    count-based readability score (letters / words / sentences per
+    document), so unlike syllable formulas it is EXACTLY
+    SQL-expressible. Per-batch vectorized Arrow regex counts, exact
+    integer sufficient sums, one |langs| combiner shuffle; the final
+    float formula is mirrored CAST-for-CAST by the oracle. Documents
+    with zero words are excluded on both sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        words = pc.cast(pc.count_substring_regex(txt, r"\S+"),
+                        pa.int64())
+        letters = pc.cast(pc.count_substring_regex(txt, r"[A-Za-z]"),
+                          pa.int64())
+        sents = pc.cast(pc.count_substring_regex(txt, r"[.!?]"),
+                        pa.int64())
+        t = pa.table({
+            "lang": batch.column("lang"),
+            "w": words, "l": letters,
+            # sentence count floors at 1 (trailing fragment)
+            "s": pc.max_element_wise(sents, pa.scalar(1, pa.int64())),
+        }).filter(pc.greater(words, 0))
+        # CLI is linear in L=100*letters/words and S=100*sents/words,
+        # but the MEAN of per-doc CLI needs per-doc ratios — carry the
+        # per-doc ratio sums as exact micro-unit integers, rounded
+        # half-UP via the integer floor((2·x·SCALE + w) / 2w) rule the
+        # SQL twin reproduces bit-for-bit (pc.round is half-to-even)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        lv = t.column("l").to_numpy(zero_copy_only=False)
+        sv = t.column("s").to_numpy(zero_copy_only=False)
+        SCALE = 100_000_000
+        lw = (2 * lv * SCALE + w) // (2 * w)
+        sw = (2 * sv * SCALE + w) // (2 * w)
+        g = pa.table({"lang": t.column("lang"),
+                      "lw": pa.array(lw, pa.int64()),
+                      "sw": pa.array(sw, pa.int64())}
+                     ).group_by("lang").aggregate(
+            [("lw", "sum"), ("sw", "sum"), ("lw", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "lw": g.column("lw_sum"), "sw": g.column("sw_sum"),
+            "n": pc.cast(g.column("lw_count"), pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("lw", alias_name="lw"), Sum("sw", alias_name="sw"),
+        Sum("n", alias_name="n")).sort("lang").take_all()
+
+    import math
+
+    import pandas as pd
+    # mean CLI = 0.0588*mean(L) - 0.296*mean(S) - 15.8 with
+    # L = 100*letters/words, S = 100*sents/words (per-doc, micro-units);
+    # final rounding is half-away (DuckDB round), not Python banker's
+    out = {"lang": [], "n_docs": [], "mean_cli": []}
+    for r in cells:
+        n = int(r["n"])
+        mean_l = float(int(r["lw"])) / float(n) / 1e6
+        mean_s = float(int(r["sw"])) / float(n) / 1e6
+        x = 0.0588 * mean_l - 0.296 * mean_s - 15.8
+        out["lang"].append(r["lang"])
+        out["n_docs"].append(n)
+        out["mean_cli"].append(
+            math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6)
+    return pd.DataFrame(out)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -5834,6 +5982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_items": q_returned_items,
         "pareto_orders": q_pareto_orders,
         "item_bfs": q_item_bfs,
+        "pricing_summary": q_pricing_summary,
+        "readability": q_readability,
     }
 
 
@@ -7340,4 +7490,41 @@ def oracle_sql() -> dict[str, str]:
             "JOIN edges e ON e.ia = b.item WHERE b.dist < 4) "
             "SELECT item, CAST(min(dist) AS BIGINT) AS dist "
             "FROM bfs GROUP BY 1 ORDER BY 1"),
+        "pricing_summary": (
+            "WITH l AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(l_quantity AS BIGINT) AS qty, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS base_c, "
+            "CAST(round(l_discount * 100) AS BIGINT) AS disc_pct, "
+            "CAST(round(l_tax * 100) AS BIGINT) AS tax_pct "
+            "FROM lineitem) "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(qty) AS BIGINT) AS sum_qty, "
+            "CAST(sum(base_c) AS BIGINT) AS sum_base_c, "
+            "CAST(sum(base_c * (100 - disc_pct)) AS BIGINT) "
+            "AS sum_disc_c4, "
+            "CAST(sum(base_c * (100 - disc_pct) * (100 + tax_pct)) "
+            "AS BIGINT) AS sum_charge_c6, "
+            "CAST(sum(qty) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+            "AS avg_qty, "
+            "CAST(sum(base_c) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+            "AS avg_price_c, "
+            "CAST(sum(disc_pct) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+            "AS avg_disc_pct, count(*) AS n_rows "
+            "FROM l GROUP BY 1, 2 ORDER BY 1, 2"),
+        "readability": (
+            "WITH d AS (SELECT lang, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) "
+            "AS l, greatest(CAST(len(regexp_extract_all(text, '[.!?]')) "
+            "AS BIGINT), 1) AS s FROM documents), "
+            "m AS (SELECT lang, "
+            "(2 * l * 100000000 + w) // (2 * w) AS lw, "
+            "(2 * s * 100000000 + w) // (2 * w) AS sw "
+            "FROM d WHERE w > 0) "
+            "SELECT lang, count(*) AS n_docs, "
+            "round(0.0588 * (CAST(sum(lw) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE) / 1000000.0) "
+            "- 0.296 * (CAST(sum(sw) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE) / 1000000.0) - 15.8, 6) "
+            "AS mean_cli FROM m GROUP BY 1 ORDER BY 1"),
     }

@@ -26,7 +26,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "inverted_index", "revenue_forecast", "promo_revenue",
         "customer_distribution", "top_supplier", "idle_customer_balance",
         "nation_trade_volume", "market_share", "returned_items",
-        "pareto_orders", "item_bfs"]
+        "pareto_orders", "item_bfs", "pricing_summary", "readability"]
 
 
 @pytest.fixture(scope="module")
