@@ -5827,6 +5827,180 @@ def q_readability(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def q_weighted_median(sf_dir: str):
+    """Per-returnflag WEIGHTED median price (weight = quantity) via
+    stages/stats.grouped_weighted_median — the exact all-integer lower
+    weighted median (smallest value whose 2·cumweight reaches the
+    total), state O(distinct prices per flag), never raw rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.stats import (
+        grouped_weighted_median)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "price_c": pc.cast(pc.round(pc.multiply(
+                batch.column("l_extendedprice"), 100)), pa.int64()),
+            "qty": pc.cast(batch.column("l_quantity"), pa.int64())})
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_returnflag", "l_extendedprice",
+                           "l_quantity"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = grouped_weighted_median(ds, key_column="l_returnflag",
+                                  value_column="price_c",
+                                  weight_column="qty")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "wmedian_price_c": t.column("wmedian")})
+
+    return out.map_batches(rename, batch_format="pyarrow").sort(
+        "l_returnflag")
+
+
+def q_conversion_lag(sf_dir: str):
+    """View→purchase CONVERSION LAG percentiles: per user (hash
+    partitions, users never straddle), events sorted by (ts, event_id),
+    each purchase takes the running max of strictly-preceding view
+    timestamps (vectorized cummax — no per-row loop), then the exact
+    distributed value-histogram quantiles (quantile_cont interpolation)
+    over the lag microseconds. The SQL twin is the identical
+    ROWS-window max + quantile_cont."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.stats import grouped_quantiles
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, ts_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "ts_us": pa.array(ts_us(batch.column("ts")), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "is_view": pc.equal(batch.column("event_type"), "view"),
+            "is_buy": pc.equal(batch.column("event_type"), "purchase")})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type"]
+                  ).map_batches(prep, batch_format="pyarrow")
+
+    def lags(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        iv = t.column("is_view").to_numpy(zero_copy_only=False)
+        ib = t.column("is_buy").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "lag_us": pa.array([], pa.int64())})
+        # rows arrive sorted by (user, ts, event_id); running max of
+        # view ts, reset per user, shifted by one row (strict precede)
+        import pandas as pd
+
+        view_ts = np.where(iv, ts, np.int64(-1))
+        grp_new = np.empty(n, bool)
+        grp_new[0] = True
+        grp_new[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(grp_new)
+        # segmented cummax (C-speed; the arithmetic offset trick would
+        # overflow int64 at group_count × epoch-us magnitudes)
+        run = pd.Series(view_ts).groupby(gid).cummax().to_numpy()
+        prev = np.concatenate(([np.int64(-1)], run[:-1]))
+        prev = np.where(grp_new, np.int64(-1), prev)
+        keep = ib & (prev >= 0)
+        lag = ts[keep] - prev[keep]
+        return pa.table({"k": pa.array(np.zeros(keep.sum(), np.int64),
+                                       pa.int64()),
+                         "lag_us": pa.array(lag, pa.int64())})
+
+    lag_ds = map_key_partitions(ev, "user_id", lags,
+                                sort_cols=["ts_us", "event_id"])
+    return grouped_quantiles(lag_ds, key_column="k",
+                             value_column="lag_us",
+                             quantiles=(0.5, 0.95)).to_pandas().drop(
+        columns=["k"]).rename(columns={"q_0_5": "p50_lag_us",
+                                       "q_0_95": "p95_lag_us"})
+
+
+def q_source_ks(sf_dir: str):
+    """Per-source Kolmogorov–Smirnov drift statistic on the doc-length
+    distribution vs the whole corpus — the CDF-based companion to
+    source_drift_kl. ONE (source, n_chars) histogram shuffle; the
+    corpus CDF (O(distinct lengths)) is assembled once and broadcast
+    into each source's partition, where the sup-distance is an exact
+    INTEGER max of |cs·ng − cg·ns| (per-source denominator is constant,
+    so the argmax needs no floats); ks_ppm floors via Python bigints,
+    HUGEINT in the twin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["source", "n_chars"]).group_by(
+            ["source", "n_chars"]).aggregate([("n_chars", "count")])
+        return pa.table({
+            "source": g.column("source"),
+            "v": pc.cast(g.column("n_chars"), pa.int64()),
+            "c": pc.cast(g.column("n_chars_count"), pa.int64())})
+
+    hist = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["source", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow"),
+        "source", [("c", "sum", "c")],
+        group_cols=["source", "v"]).materialize()
+
+    # corpus CDF over distinct values (bounded O(distinct n_chars))
+    corpus = hist.groupby("v").aggregate(Sum("c", alias_name="c")
+                                         ).sort("v").take_all()
+    vals = np.array([int(r["v"]) for r in corpus], np.int64)
+    cg = np.cumsum(np.array([int(r["c"]) for r in corpus], np.int64))
+    ng = int(cg[-1]) if len(cg) else 0
+    cdf_ref = ray.put((vals, cg))
+
+    def per_source(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vals_g, cg_g = ray.get(cdf_ref)
+        df = t.to_pandas()
+        out = {"source": [], "ns": [], "d_num": []}
+        for s, g in df.groupby("source", sort=False):
+            g = g.sort_values("v")
+            v = g["v"].to_numpy(dtype="int64")
+            cs = g["c"].to_numpy(dtype="int64").cumsum()
+            ns = int(cs[-1])
+            # evaluate at every corpus value point: cs(v) step lookup
+            pos = np.searchsorted(v, vals_g, side="right") - 1
+            cs_at = np.where(pos >= 0, cs[np.clip(pos, 0, None)], 0)
+            d = np.abs(cs_at * ng - cg_g * ns)
+            out["source"].append(s)
+            out["ns"].append(ns)
+            out["d_num"].append(int(d.max()) if len(d) else 0)
+        return pa.Table.from_pandas(pd.DataFrame(out),
+                                    preserve_index=False)
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions)
+
+    rows = map_key_partitions(hist, "source", per_source).take_all()
+    import pandas as pd
+    rows = sorted(rows, key=lambda r: r["source"])
+    return pd.DataFrame({
+        "source": [r["source"] for r in rows],
+        "n_docs": [int(r["ns"]) for r in rows],
+        "ks_ppm": [(1_000_000 * int(r["d_num"]))
+                   // (int(r["ns"]) * ng) for r in rows]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -5984,6 +6158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_bfs": q_item_bfs,
         "pricing_summary": q_pricing_summary,
         "readability": q_readability,
+        "weighted_median": q_weighted_median,
+        "conversion_lag": q_conversion_lag,
+        "source_ks": q_source_ks,
     }
 
 
@@ -7527,4 +7704,47 @@ def oracle_sql() -> dict[str, str]:
             "- 0.296 * (CAST(sum(sw) AS DOUBLE) / "
             "CAST(count(*) AS DOUBLE) / 1000000.0) - 15.8, 6) "
             "AS mean_cli FROM m GROUP BY 1 ORDER BY 1"),
+        "weighted_median": (
+            "WITH h AS (SELECT l_returnflag, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS v, "
+            "CAST(l_quantity AS BIGINT) AS wt FROM lineitem), "
+            "c AS (SELECT l_returnflag, v, sum(wt) AS w "
+            "FROM h GROUP BY 1, 2), "
+            "s AS (SELECT l_returnflag, v, "
+            "sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw, "
+            "sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM c) "
+            "SELECT l_returnflag, CAST(min(v) AS BIGINT) "
+            "AS wmedian_price_c FROM s WHERE 2 * cw >= tot "
+            "GROUP BY 1 ORDER BY 1"),
+        "conversion_lag": (
+            "WITH x AS (SELECT user_id, epoch_us(ts) AS ts_us, "
+            "event_type, max(CASE WHEN event_type = 'view' "
+            "THEN epoch_us(ts) END) OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv "
+            "FROM events), "
+            "l AS (SELECT ts_us - pv AS lag_us FROM x "
+            "WHERE event_type = 'purchase' AND pv IS NOT NULL) "
+            "SELECT quantile_cont(lag_us, 0.5) AS p50_lag_us, "
+            "quantile_cont(lag_us, 0.95) AS p95_lag_us FROM l"),
+        "source_ks": (
+            "WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, "
+            "CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), "
+            "pts AS (SELECT DISTINCT v FROM h), "
+            "grid AS (SELECT t.source, pts.v FROM "
+            "(SELECT DISTINCT source FROM h) t CROSS JOIN pts), "
+            "j AS (SELECT grid.source, grid.v, coalesce(h.c, 0) AS c "
+            "FROM grid LEFT JOIN h ON h.source = grid.source "
+            "AND h.v = grid.v), "
+            "s AS (SELECT source, v, "
+            "sum(c) OVER (PARTITION BY source ORDER BY v) AS cs, "
+            "sum(c) OVER (PARTITION BY source) AS ns FROM j), "
+            "gt AS (SELECT v, sum(c) AS cv FROM h GROUP BY 1), "
+            "gc AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cg, "
+            "sum(cv) OVER () AS ng FROM gt) "
+            "SELECT s.source, CAST(max(s.ns) AS BIGINT) AS n_docs, "
+            "CAST(CAST(1000000 AS HUGEINT) * "
+            "max(abs(s.cs * gc.ng - gc.cg * s.ns)) "
+            "// (max(s.ns) * max(gc.ng)) AS BIGINT) AS ks_ppm "
+            "FROM s JOIN gc USING (v) GROUP BY 1 ORDER BY 1"),
     }

@@ -432,3 +432,48 @@ def pareto_front(ds, *, x_column: str, y_column: str,
     xs = cand.column(x_column).to_numpy(zero_copy_only=False)
     ys = cand.column(y_column).to_numpy(zero_copy_only=False)
     return cand.filter(pa.array(_skyline_mask(xs, ys)))
+
+
+def grouped_weighted_median(ds, *, key_column: str, value_column: str,
+                            weight_column: str):
+    """EXACT per-group lower WEIGHTED median: the smallest value whose
+    cumulative weight reaches half the group's total (2·cum >= total —
+    an all-integer rule, so the SQL window twin matches bit-for-bit).
+    Same value-histogram shape as grouped_quantiles — per-batch
+    (key, value, Σweight) partials, hash_agg combiner, per-key numpy
+    cumsum over O(distinct values) state; raw rows never group."""
+    from .window import hash_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(
+            [key_column, value_column, weight_column]).group_by(
+            [key_column, value_column]).aggregate(
+            [(weight_column, "sum")])
+        return pa.table({
+            key_column: g.column(key_column),
+            value_column: g.column(value_column),
+            "w": pc.cast(g.column(f"{weight_column}_sum"), pa.int64())})
+
+    hist = hash_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                    key_column, [("w", "sum", "w")],
+                    group_cols=[key_column, value_column])
+
+    def per_key(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        out_k, out_v = [], []
+        for k, g in df.groupby(key_column, sort=False):
+            g = g.sort_values(value_column)
+            w = g["w"].to_numpy(dtype="int64")
+            cum = w.cumsum()
+            idx = int(np.searchsorted(2 * cum, cum[-1], side="left"))
+            out_k.append(k)
+            out_v.append(int(g[value_column].to_numpy()[idx]))
+        return pa.Table.from_pandas(
+            pd.DataFrame({key_column: out_k, "wmedian": out_v}),
+            preserve_index=False)
+
+    from .window import map_key_partitions
+
+    return map_key_partitions(hist, key_column, per_key)

@@ -26,7 +26,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "inverted_index", "revenue_forecast", "promo_revenue",
         "customer_distribution", "top_supplier", "idle_customer_balance",
         "nation_trade_volume", "market_share", "returned_items",
-        "pareto_orders", "item_bfs", "pricing_summary", "readability"]
+        "pareto_orders", "item_bfs", "pricing_summary", "readability",
+        "weighted_median", "conversion_lag", "source_ks"]
 
 
 @pytest.fixture(scope="module")
