@@ -59,3 +59,11 @@ print("documents", pq.ParquetFile(f"{DST}/documents.parquet").metadata.num_rows)
 # gains 9 exact semantic duplicates across replicas — a deliberate
 # hot-group stress for semantic_dedup / embedding_dedup at sf1
 shift_replicate("embeddings", {"vec_id"})
+
+# dimensions are NOT replicated (part/supplier keys stay unshifted in
+# lineitem; c_nationkey values repeat across customer replicas) — copy
+# them verbatim so dim-joining queries run at sf1 too
+import shutil
+for dim in ("part", "supplier", "nation", "region"):
+    shutil.copyfile(f"{SRC}/{dim}.parquet", f"{DST}/{dim}.parquet")
+    print(dim, "copied")
