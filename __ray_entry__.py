@@ -6001,6 +6001,131 @@ def q_source_ks(sf_dir: str):
                    // (int(r["ns"]) * ng) for r in rows]})
 
 
+def q_event_transitions(sf_dir: str):
+    """First-order MARKOV transition counts over per-user event-type
+    sequences (sequence mining / next-event modeling): users never
+    straddle partitions, rows arrive (ts, event_id)-sorted, the bigram
+    pairs are one vectorized shift + boundary mask per partition,
+    partial (prev, next) counts combine in a |types|² shuffle. The SQL
+    twin is the identical LEAD window."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, ts_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "ts_us": pa.array(ts_us(batch.column("ts")), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "event_type": batch.column("event_type")})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type"]
+                  ).map_batches(prep, batch_format="pyarrow")
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        same_user = u[1:] == u[:-1]
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        mask = pa.array(same_user)
+        pairs = pa.table({"prev_type": et.slice(0, n - 1).filter(mask),
+                          "next_type": et.slice(1, n - 1).filter(mask)})
+        g = pairs.group_by(["prev_type", "next_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"prev_type": g.column("prev_type"),
+                         "next_type": g.column("next_type"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    return map_key_partitions(
+        ev, "user_id", bigrams, sort_cols=["ts_us", "event_id"]).groupby(
+        ["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n")).sort(["prev_type", "next_type"])
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary):
+    per-customer aggregates from one orders scan (custkey combiner),
+    the three median cutpoints from ONE tagged value-histogram shuffle
+    (tags r/f/m share the grouped_quantiles pass), then a broadcast
+    bucketing pass counting customers per (r, f, m) octant. The SQL
+    twin recomputes the identical quantile_cont cutpoints."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.stats import grouped_quantiles
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, ts_us)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = ts_us(batch.column("o_orderdate")) // 86_400_000_000
+        price_c = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100)), pa.int64())
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "rd": pa.array(days, pa.int64()),
+                      "m": price_c})
+        g = t.group_by("o_custkey").aggregate(
+            [("rd", "max"), ("m", "sum"), ("m", "count")])
+        return pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "rd": g.column("rd_max"),
+            "f": pc.cast(g.column("m_count"), pa.int64()),
+            "m": g.column("m_sum")})
+
+    per_cust = hash_agg(
+        _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderdate", "o_totalprice"]
+                 ).map_batches(partial, batch_format="pyarrow"),
+        "o_custkey", [("rd", "max", "rd"), ("f", "sum", "f"),
+                      ("m", "sum", "m")]).materialize()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        out = []
+        for name in ("rd", "f", "m"):
+            out.append(pa.table({
+                "tag": pa.array([name] * len(batch), pa.string()),
+                "v": batch.column(name)}))
+        return pa.concat_tables(out)
+
+    cuts = grouped_quantiles(
+        per_cust.map_batches(tag, batch_format="pyarrow"),
+        key_column="tag", value_column="v",
+        quantiles=(0.5,)).to_pandas().set_index("tag")["q_0_5"]
+    cr, cf, cm = float(cuts["rd"]), float(cuts["f"]), float(cuts["m"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        rd = batch.column("rd").to_numpy(zero_copy_only=False)
+        f = batch.column("f").to_numpy(zero_copy_only=False)
+        m = batch.column("m").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "r_b": pa.array(np.where(rd <= cr, 1, 2), pa.int64()),
+            "f_b": pa.array(np.where(f <= cf, 1, 2), pa.int64()),
+            "m_b": pa.array(np.where(m <= cm, 1, 2), pa.int64())})
+        g = t.group_by(["r_b", "f_b", "m_b"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "r_b": g.column("r_b"), "f_b": g.column("f_b"),
+            "m_b": g.column("m_b"),
+            "n_customers": pc.cast(g.column("count_all"), pa.int64())})
+
+    return per_cust.map_batches(bucket, batch_format="pyarrow").groupby(
+        ["r_b", "f_b", "m_b"]).aggregate(
+        Sum("n_customers", alias_name="n_customers")).sort(
+        ["r_b", "f_b", "m_b"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6161,6 +6286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q_weighted_median,
         "conversion_lag": q_conversion_lag,
         "source_ks": q_source_ks,
+        "event_transitions": q_event_transitions,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -7747,4 +7874,26 @@ def oracle_sql() -> dict[str, str]:
             "max(abs(s.cs * gc.ng - gc.cg * s.ns)) "
             "// (max(s.ns) * max(gc.ng)) AS BIGINT) AS ks_ppm "
             "FROM s JOIN gc USING (v) GROUP BY 1 ORDER BY 1"),
+        "event_transitions": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type AS prev_type, nxt AS next_type, "
+            "count(*) AS n FROM s WHERE nxt IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"),
+        "rfm_segments": (
+            "WITH pc AS (SELECT o_custkey, "
+            "CAST(date_diff('day', TIMESTAMP '1970-01-01', "
+            "max(o_orderdate)) AS BIGINT) AS rd, "
+            "count(*) AS f, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS m FROM orders GROUP BY 1), "
+            "cuts AS (SELECT quantile_cont(rd, 0.5) AS cr, "
+            "quantile_cont(f, 0.5) AS cf, quantile_cont(m, 0.5) AS cm "
+            "FROM pc) "
+            "SELECT CASE WHEN rd <= cr THEN 1 ELSE 2 END AS r_b, "
+            "CASE WHEN f <= cf THEN 1 ELSE 2 END AS f_b, "
+            "CASE WHEN m <= cm THEN 1 ELSE 2 END AS m_b, "
+            "count(*) AS n_customers "
+            "FROM pc, cuts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     }

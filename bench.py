@@ -182,7 +182,15 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "value_trend", "cumulative_users", "segment_gini",
              "term_cms", "title_fuzzy", "dense_rank_docs",
              "concurrent_sessions", "bpe_pairs", "hybrid_rrf",
-             "weekly_churn"]
+             "weekly_churn",
+             # round-4 third-session: TPC-H batch (Q1 full, Q6-Q8, Q10,
+             # Q13-Q15, Q22), skyline, iterative BFS, KS drift,
+             # weighted median, conversion lag, readability
+             "pricing_summary", "revenue_forecast", "nation_trade_volume",
+             "market_share", "returned_items", "customer_distribution",
+             "promo_revenue", "top_supplier", "idle_customer_balance",
+             "pareto_orders", "item_bfs", "source_ks",
+             "weighted_median", "conversion_lag", "readability"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

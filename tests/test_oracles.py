@@ -27,7 +27,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "customer_distribution", "top_supplier", "idle_customer_balance",
         "nation_trade_volume", "market_share", "returned_items",
         "pareto_orders", "item_bfs", "pricing_summary", "readability",
-        "weighted_median", "conversion_lag", "source_ks"]
+        "weighted_median", "conversion_lag", "source_ks",
+        "event_transitions", "rfm_segments"]
 
 
 @pytest.fixture(scope="module")
