@@ -6126,6 +6126,52 @@ def q_rfm_segments(sf_dir: str):
         ["r_b", "f_b", "m_b"])
 
 
+def q_classifier_auc(sf_dir: str):
+    """EXACT distributed ROC-AUC (Mann–Whitney rank-sum with the
+    standard tie correction) — the model-evaluation primitive for
+    score/label columns at corpus scale, computed WITHOUT any global
+    sort: one (score value, pos count, neg count) histogram shuffle
+    (state O(distinct scores)), then U×2 accumulates in exact integers
+    (2·negs_below·pos + negs_at·pos per value), so the SQL window twin
+    matches bit-for-bit. Demo scoring: n_chars as a predictor of
+    lang = 'en'. Output: counts and auc_ppm (exact bigint floor)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pos = pc.cast(pc.equal(batch.column("lang"), "en"), pa.int64())
+        neg = pc.subtract(pa.scalar(1, pa.int64()), pos)
+        t = pa.table({"v": pc.cast(batch.column("n_chars"), pa.int64()),
+                      "pos": pos, "neg": neg})
+        g = t.group_by("v").aggregate([("pos", "sum"), ("neg", "sum")])
+        return pa.table({"v": g.column("v"),
+                         "pos": g.column("pos_sum"),
+                         "neg": g.column("neg_sum")})
+
+    hist = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["lang", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow"),
+        "v", [("pos", "sum", "pos"), ("neg", "sum", "neg")]).sort(
+        "v").take_all()
+
+    pos = np.array([int(r["pos"]) for r in hist], np.int64)
+    neg = np.array([int(r["neg"]) for r in hist], np.int64)
+    npos, nneg = int(pos.sum()), int(neg.sum())
+    neg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
+    u2 = int(np.sum(2 * neg_below * pos + neg * pos))
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_pos": [npos], "n_neg": [nneg],
+        # auc = u2 / (2*npos*nneg), floored to ppm in exact bigints
+        "auc_ppm": [(1_000_000 * u2) // (2 * npos * nneg)]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6288,6 +6334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ks": q_source_ks,
         "event_transitions": q_event_transitions,
         "rfm_segments": q_rfm_segments,
+        "classifier_auc": q_classifier_auc,
     }
 
 
@@ -7896,4 +7943,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN m <= cm THEN 1 ELSE 2 END AS m_b, "
             "count(*) AS n_customers "
             "FROM pc, cuts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+        "classifier_auc": (
+            "WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, "
+            "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS pos, "
+            "CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) "
+            "AS BIGINT) AS neg FROM documents GROUP BY 1), "
+            "s AS (SELECT v, pos, neg, "
+            "coalesce(sum(neg) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS neg_below FROM h), "
+            "t AS (SELECT sum(2 * neg_below * pos + neg * pos) AS u2, "
+            "sum(pos) AS np, sum(neg) AS nn FROM s) "
+            "SELECT CAST(np AS BIGINT) AS n_pos, "
+            "CAST(nn AS BIGINT) AS n_neg, "
+            "CAST(CAST(1000000 AS HUGEINT) * u2 // (2 * np * nn) "
+            "AS BIGINT) AS auc_ppm FROM t"),
     }

@@ -2246,3 +2246,33 @@ def test_item_bfs_hand_built_graph(ray_session, tmp_path):
 
     got = entrymod.queries()["item_bfs"](sf).to_pandas()
     assert dict(zip(got["item"], got["dist"])) == {1: 0, 2: 1, 3: 2}
+
+
+def test_classifier_auc_pairwise_differential(ray_session, tmp_path):
+    """Exact AUC from the rank-sum histogram equals the O(n^2) pairwise
+    definition (wins + half-ties) on random scores with heavy ties."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(11)
+    n = 300
+    scores = rng.integers(0, 25, n)          # heavy ties
+    is_pos = rng.random(n) < 0.4
+    rows = [{"doc_id": i, "text": "x",
+             "lang": "en" if is_pos[i] else "fr", "source": "s",
+             "n_chars": int(scores[i])} for i in range(n)]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = entrymod.queries()["classifier_auc"](sf)
+    p, q = scores[is_pos], scores[~is_pos]
+    wins = (p[:, None] > q[None, :]).sum()
+    ties = (p[:, None] == q[None, :]).sum()
+    u2 = 2 * int(wins) + int(ties)
+    expect_ppm = (1_000_000 * u2) // (2 * len(p) * len(q))
+    assert int(got["n_pos"].iloc[0]) == len(p)
+    assert int(got["n_neg"].iloc[0]) == len(q)
+    assert int(got["auc_ppm"].iloc[0]) == expect_ppm
