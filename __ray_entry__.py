@@ -6172,6 +6172,33 @@ def q_classifier_auc(sf_dir: str):
         "auc_ppm": [(1_000_000 * u2) // (2 * npos * nneg)]})
 
 
+def q_dedup_overlap(sf_dir: str):
+    """Asymmetric CONTAINMENT near-dup pairs: the overlap coefficient
+    |A∩B| / min(|A|,|B|) over exact word-3-gram sets — catches the
+    quote-expansion / subset duplicates Jaccard structurally misses (a
+    short doc fully contained in a long one scores 1.0 here, near 0 on
+    Jaccard). Same df-capped inverted-index machinery as dedup_ngram
+    (stages/dedup.ngram_jaccard_dedup metric='overlap'), only the final
+    vectorized score differs."""
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.dedup import (
+        ngram_jaccard_dedup)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    out = ngram_jaccard_dedup(docs, threshold=0.8, max_df=32,
+                              metric="overlap")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"left_id": t.column("left_id"),
+                         "right_id": t.column("right_id"),
+                         "n_common": t.column("n_common"),
+                         "overlap": t.column("jaccard")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6335,6 +6362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "rfm_segments": q_rfm_segments,
         "classifier_auc": q_classifier_auc,
+        "dedup_overlap": q_dedup_overlap,
     }
 
 
@@ -6449,6 +6477,35 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sizes sa ON sa.doc_id = i.left_id
                          JOIN sizes sb ON sb.doc_id = i.right_id
             WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= 0.4""",
+        "dedup_overlap": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            ngrams AS (
+              SELECT DISTINCT doc_id, ng FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))])
+                       AS ng
+                FROM toks)),
+            df AS (SELECT ng, count(*) AS c FROM ngrams GROUP BY ng),
+            surv AS (SELECT n.doc_id, n.ng FROM ngrams n
+                     JOIN df USING (ng) WHERE df.c <= 32),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM surv
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     count(*) AS n_common
+              FROM surv a JOIN surv b
+                ON a.ng = b.ng AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.left_id, i.right_id, i.n_common,
+                   round(i.n_common / least(sa.sz, sb.sz), 6) AS overlap
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.left_id
+                         JOIN sizes sb ON sb.doc_id = i.right_id
+            WHERE i.n_common / least(sa.sz, sb.sz) >= 0.8""",
         "token_count": (
             "SELECT doc_id, "
             "len(regexp_extract_all(text, '\\S+')) AS n_tokens "

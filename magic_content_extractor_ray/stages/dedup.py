@@ -947,7 +947,8 @@ def _pairs_from_partition(t: pa.Table, *, id_column: str) -> pa.Table:
 def ngram_jaccard_dedup(ds, *, column: str = "text",
                         id_column: str = "doc_id", n: int = 3,
                         threshold: float = 0.4, max_df: int = 32,
-                        num_buckets: int = 64):
+                        num_buckets: int = 64,
+                        metric: str = "jaccard"):
     """EXACT word-n-gram Jaccard near-dup pairs (no sketch approximation):
 
     1. distinct (doc, ngram) rows, Arrow-vectorized per batch;
@@ -968,6 +969,14 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
     Returns (left_id, right_id, n_common, jaccard) for jaccard >=
     ``threshold``, jaccard rounded to 6 dp. Matches a DuckDB oracle that
     mirrors the same tokenization (RE2 ``\\s+``), df cap and universe.
+
+    ``metric="overlap"`` scores the OVERLAP COEFFICIENT instead —
+    |A∩B| / min(|A|, |B|) — the asymmetric-containment signal that
+    catches quote-expansion / subset duplicates Jaccard misses (a short
+    doc fully contained in a long one scores 1.0 here but near 0 on
+    Jaccard). Same candidate universe, same exchanges; only the final
+    vectorized score changes. The score column keeps the schema name
+    ``jaccard`` either way — callers rename at the query surface.
     """
     import ray
     from ray.data.aggregate import Count
@@ -1047,7 +1056,8 @@ def ngram_jaccard_dedup(ds, *, column: str = "text",
         vals_np = ray.get(sz_vals)
         sa = vals_np[np.searchsorted(ids_np, li)].astype(np.float64)
         sb = vals_np[np.searchsorted(ids_np, ri)].astype(np.float64)
-        raw = common / (sa + sb - common)
+        raw = (common / np.minimum(sa, sb) if metric == "overlap"
+               else common / (sa + sb - common))
         # threshold on the UNROUNDED ratio (the oracle's WHERE clause
         # does the same); round only the reported value
         keep = raw >= threshold

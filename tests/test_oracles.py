@@ -28,7 +28,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "nation_trade_volume", "market_share", "returned_items",
         "pareto_orders", "item_bfs", "pricing_summary", "readability",
         "weighted_median", "conversion_lag", "source_ks",
-        "event_transitions", "rfm_segments", "classifier_auc"]
+        "event_transitions", "rfm_segments", "classifier_auc",
+        "dedup_overlap"]
 
 
 @pytest.fixture(scope="module")
