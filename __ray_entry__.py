@@ -6199,6 +6199,48 @@ def q_dedup_overlap(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_benford_digits(sf_dir: str):
+    """Benford's-law first-digit audit of order totals (fraud /
+    synthetic-data screening): leading digit of the exact cents value
+    via one vectorized string pass, a 9-row combiner shuffle, expected
+    Benford counts and the chi-square statistic in half-up nano-units
+    (libm log10 on both engines — the bm25 twin already pins that
+    equivalence)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100)), pa.int64())
+        digit = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), 0, 1), pa.int64())
+        t = pa.table({"digit": digit})
+        g = t.group_by("digit").aggregate([([], "count_all")])
+        return pa.table({"digit": g.column("digit"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/orders.parquet",
+                     columns=["o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow").groupby("digit").aggregate(
+        Sum("n", alias_name="n_orders")).sort("digit").take_all()
+
+    import pandas as pd
+    n_tot = sum(int(r["n_orders"]) for r in cells)
+    out = {"digit": [], "n_orders": [], "expected": [], "chi2_term": []}
+    for r in cells:
+        d, n = int(r["digit"]), int(r["n_orders"])
+        exp = n_tot * math.log10(1.0 + 1.0 / d)
+        term = (n - exp) * (n - exp) / exp
+        out["digit"].append(d)
+        out["n_orders"].append(n)
+        out["expected"].append(math.floor(exp * 1e6 + 0.5) / 1e6)
+        out["chi2_term"].append(math.floor(term * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(out)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6363,6 +6405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "classifier_auc": q_classifier_auc,
         "dedup_overlap": q_dedup_overlap,
+        "benford_digits": q_benford_digits,
     }
 
 
@@ -8016,4 +8059,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(nn AS BIGINT) AS n_neg, "
             "CAST(CAST(1000000 AS HUGEINT) * u2 // (2 * np * nn) "
             "AS BIGINT) AS auc_ppm FROM t"),
+        "benford_digits": (
+            "WITH d AS (SELECT CAST(substr(CAST("
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), "
+            "1, 1) AS BIGINT) AS digit FROM orders), "
+            "c AS (SELECT digit, count(*) AS n_orders FROM d "
+            "GROUP BY 1), t AS (SELECT sum(n_orders) AS nt FROM c) "
+            "SELECT digit, CAST(n_orders AS BIGINT) AS n_orders, "
+            "floor(nt * log10(1.0 + 1.0 / digit) * 1000000 + 0.5) "
+            "/ 1000000.0 AS expected, "
+            "floor((n_orders - nt * log10(1.0 + 1.0 / digit)) * "
+            "(n_orders - nt * log10(1.0 + 1.0 / digit)) / "
+            "(nt * log10(1.0 + 1.0 / digit)) * 1000000 + 0.5) "
+            "/ 1000000.0 AS chi2_term "
+            "FROM c, t ORDER BY digit"),
     }

@@ -190,7 +190,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "market_share", "returned_items", "customer_distribution",
              "promo_revenue", "top_supplier", "idle_customer_balance",
              "pareto_orders", "item_bfs", "source_ks",
-             "weighted_median", "conversion_lag", "readability"]
+             "weighted_median", "conversion_lag", "readability",
+             "event_transitions", "rfm_segments", "classifier_auc",
+             "dedup_overlap", "benford_digits"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

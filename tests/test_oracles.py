@@ -29,7 +29,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "pareto_orders", "item_bfs", "pricing_summary", "readability",
         "weighted_median", "conversion_lag", "source_ks",
         "event_transitions", "rfm_segments", "classifier_auc",
-        "dedup_overlap"]
+        "dedup_overlap", "benford_digits"]
 
 
 @pytest.fixture(scope="module")
