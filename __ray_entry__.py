@@ -6241,6 +6241,144 @@ def q_benford_digits(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def q_stickiness(sf_dir: str):
+    """DAU/MAU STICKINESS per month (the standard audience-engagement
+    ratio): distinct (user, day) via one packed-int64 combiner dedup,
+    daily actives summed per month, distinct (user, month) the same
+    way for monthly actives, ratio in exact integer ppm (avg daily
+    actives × 1e6 // monthly actives, bigint floor — HUGEINT twin)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from magic_content_extractor_ray.stages.window import hash_agg, ts_us
+
+    def prep(batch: pa.Table) -> pa.Table:
+        days = ts_us(batch.column("ts")) // 86_400_000_000
+        months = ((np.datetime64("1970-01-01")
+                   + days.astype("timedelta64[D]")).astype(
+                       "datetime64[M]").astype(np.int64))
+        u = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({
+            # pack (user, day): user ids fit 2^31 in this corpus family
+            "ud": pa.array((u << np.int64(20)) | days, pa.int64()),
+            "um": pa.array((u << np.int64(20)) | months, pa.int64()),
+            "day": pa.array(days, pa.int64()),
+            "month": pa.array(months, pa.int64())})
+        return t
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow").materialize()
+
+    # distinct (user, day) -> per (month, day) actives -> per-month sums
+    def dedup_ud(t: pa.Table) -> pa.Table:
+        g = t.group_by("ud").aggregate([("day", "min"),
+                                        ("month", "min")])
+        return pa.table({"ud": g.column("ud"),
+                         "day": g.column("day_min"),
+                         "month": g.column("month_min")})
+
+    uday = hash_agg(ev.select_columns(["ud", "day", "month"]).map_batches(
+        dedup_ud, batch_format="pyarrow"),
+        "ud", [("day", "min", "day"), ("month", "min", "month")])
+
+    dau_cells = uday.groupby("month").aggregate(
+        Count(alias_name="user_days")).take_all()
+
+    def dedup_um(t: pa.Table) -> pa.Table:
+        g = t.group_by("um").aggregate([("month", "min")])
+        return pa.table({"um": g.column("um"),
+                         "month": g.column("month_min")})
+
+    mau_cells = hash_agg(
+        ev.select_columns(["um", "month"]).map_batches(
+            dedup_um, batch_format="pyarrow"),
+        "um", [("month", "min", "month")]).groupby("month").aggregate(
+        Count(alias_name="mau")).take_all()
+
+    # days per month actually present in the data
+    days_present: dict = {}
+    for r in hash_agg(ev.select_columns(["day", "month"]).map_batches(
+            lambda t: t.group_by(["day", "month"]).aggregate([]),
+            batch_format="pyarrow"),
+            "day", [("month", "min", "month")],
+            group_cols=["day", "month"]).take_all():
+        m = int(r["month"])
+        days_present[m] = days_present.get(m, 0) + 1
+
+    dau = {int(r["month"]): int(r["user_days"]) for r in dau_cells}
+    mau = {int(r["month"]): int(r["mau"]) for r in mau_cells}
+
+    import pandas as pd
+    months = sorted(mau)
+    return pd.DataFrame({
+        "month": [str(np.datetime64(0, "M") + np.timedelta64(m, "M"))
+                  for m in months],
+        "user_days": [dau[m] for m in months],
+        "n_days": [days_present[m] for m in months],
+        "mau": [mau[m] for m in months],
+        # avg DAU / MAU in exact ppm: user_days*1e6 // (n_days*mau)
+        "stickiness_ppm": [
+            (1_000_000 * dau[m]) // (days_present[m] * mau[m])
+            for m in months]})
+
+
+def q_revenue_autocorr(sf_dir: str):
+    """LAG-1 AUTOCORRELATION of the daily-revenue series (time-series
+    health diagnostic): daily exact-cent revenue from one combiner
+    shuffle, consecutive-day pairs by a driver-side shift over the
+    BOUNDED day series (O(days), not rows), Pearson over the pairs via
+    exact integer sufficient statistics — the same
+    float-the-exact-ints-then-divide shape as lineitem_corr, mirrored
+    term-for-term by the twin."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = ts_us(batch.column("o_orderdate")) // 86_400_000_000
+        price_c = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100)), pa.int64())
+        t = pa.table({"day": pa.array(days, pa.int64()),
+                      "rev": price_c})
+        g = t.group_by("day").aggregate([("rev", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "rev": g.column("rev_sum")})
+
+    cells = _read_pq(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderdate", "o_totalprice"]
+                     ).map_batches(partial, batch_format="pyarrow"
+                                   ).groupby("day").aggregate(
+        Sum("rev", alias_name="rev")).sort("day").take_all()
+
+    day = np.array([int(r["day"]) for r in cells], np.int64)
+    rev = np.array([int(r["rev"]) for r in cells], np.int64)
+    # pairs are CONSECUTIVE calendar days only (gaps break the chain)
+    adj = (day[1:] - day[:-1]) == 1
+    x = rev[:-1][adj].astype(object)  # python ints: Σxy exceeds int64
+    y = rev[1:][adj].astype(object)
+    n = len(x)
+    sx, sy = int(sum(x)), int(sum(y))
+    sxx = int(sum(a * a for a in x))
+    syy = int(sum(a * a for a in y))
+    sxy = int(sum(a * b for a, b in zip(x, y)))
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = math.sqrt((float(n) * float(sxx) - float(sx) * float(sx))
+                    * (float(n) * float(syy) - float(sy) * float(sy)))
+    import pandas as pd
+    x6 = num / den
+    return pd.DataFrame({"n_pairs": [n], "autocorr": [
+        math.copysign(math.floor(abs(x6) * 1e6 + 0.5), x6) / 1e6]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6406,6 +6544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_auc": q_classifier_auc,
         "dedup_overlap": q_dedup_overlap,
         "benford_digits": q_benford_digits,
+        "stickiness": q_stickiness,
+        "revenue_autocorr": q_revenue_autocorr,
     }
 
 
@@ -8073,4 +8213,40 @@ def oracle_sql() -> dict[str, str]:
             "(nt * log10(1.0 + 1.0 / digit)) * 1000000 + 0.5) "
             "/ 1000000.0 AS chi2_term "
             "FROM c, t ORDER BY digit"),
+        "stickiness": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            "strftime(date_trunc('month', ts), '%Y-%m') AS month "
+            "FROM events), "
+            "dau AS (SELECT month, count(*) AS user_days, "
+            "count(DISTINCT day) AS n_days FROM ud GROUP BY 1), "
+            "mau AS (SELECT strftime(date_trunc('month', ts), '%Y-%m') "
+            "AS month, count(DISTINCT user_id) AS mau "
+            "FROM events GROUP BY 1) "
+            "SELECT d.month, CAST(d.user_days AS BIGINT) AS user_days, "
+            "CAST(d.n_days AS BIGINT) AS n_days, "
+            "CAST(m.mau AS BIGINT) AS mau, "
+            "CAST(CAST(1000000 AS HUGEINT) * d.user_days "
+            "// (d.n_days * m.mau) AS BIGINT) AS stickiness_ppm "
+            "FROM dau d JOIN mau m USING (month) ORDER BY 1"),
+        "revenue_autocorr": (
+            "WITH d AS (SELECT "
+            "CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) "
+            "AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS rev FROM orders GROUP BY 1), "
+            "p AS (SELECT a.rev AS x, b.rev AS y FROM d a "
+            "JOIN d b ON b.day = a.day + 1), "
+            "s AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx, "
+            "sum(CAST(y AS HUGEINT)) AS sy, "
+            "sum(CAST(x AS HUGEINT) * x) AS sxx, "
+            "sum(CAST(y AS HUGEINT) * y) AS syy, "
+            "sum(CAST(x AS HUGEINT) * y) AS sxy FROM p) "
+            "SELECT CAST(n AS BIGINT) AS n_pairs, "
+            "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+            "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) "
+            "AS autocorr FROM s"),
     }

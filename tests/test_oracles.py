@@ -29,7 +29,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "pareto_orders", "item_bfs", "pricing_summary", "readability",
         "weighted_median", "conversion_lag", "source_ks",
         "event_transitions", "rfm_segments", "classifier_auc",
-        "dedup_overlap", "benford_digits"]
+        "dedup_overlap", "benford_digits", "stickiness",
+        "revenue_autocorr"]
 
 
 @pytest.fixture(scope="module")
@@ -321,3 +322,39 @@ def test_weekly_churn_transitions(ray_session, tmp_path):
         "active": 2, "retained": 1, "churned": 1}     # u1 ret, u2 churn
     assert got.loc[W + 1].to_dict() == {
         "active": 2, "retained": 1, "churned": 1}     # u1 ret, u3 churn
+
+
+def test_stickiness_multimonth(ray_session, tmp_path):
+    """DAU/MAU over 3 synthetic months (the sf corpus spans one):
+    repeat users count once per day and once per month; stickiness_ppm
+    floors avg-DAU/MAU exactly."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    base = dt.datetime(2024, 1, 1)
+    ev = []
+    # Jan: u1 active on 2 days, u2 on 1 day (2 days present)
+    #   -> user_days=3, n_days=2, mau=2 -> 3e6 // (2*2) = 750000
+    # Feb: u1,u2,u3 all on one day -> 3e6 // (1*3) = 1000000
+    # Mar: u1 on 3 days, u4 on 1 of them (3 days present)
+    #   -> user_days=4, mau=2 -> 4e6 // (3*2) = 666666
+    plan = [(0, 1), (0, 1), (1, 1), (0, 2),          # Jan (dup same day)
+            (31, 1), (31, 2), (31, 3),               # Feb
+            (60, 1), (61, 1), (62, 1), (61, 4)]      # Mar
+    for day, user in plan:
+        ev.append({"event_id": len(ev), "user_id": user,
+                   "ts": base + dt.timedelta(days=day, minutes=len(ev)),
+                   "event_type": "view", "value": 1.0, "props": "{}"})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(ev), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["stickiness"](sf)
+    assert got["month"].tolist() == ["2024-01", "2024-02", "2024-03"]
+    assert got["user_days"].tolist() == [3, 3, 4]
+    assert got["n_days"].tolist() == [2, 1, 3]
+    assert got["mau"].tolist() == [2, 3, 2]
+    assert got["stickiness_ppm"].tolist() == [750000, 1000000, 666666]
