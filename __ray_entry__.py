@@ -6379,6 +6379,57 @@ def q_revenue_autocorr(sf_dir: str):
         math.copysign(math.floor(abs(x6) * 1e6 + 0.5), x6) / 1e6]})
 
 
+def q_lang_source_chi2(sf_dir: str):
+    """CHI-SQUARE independence test on the lang × source contingency
+    table (is language mix independent of source? — the global
+    companion to lang_source_pmi's per-cell scores): one bounded
+    |langs|×|sources| combiner shuffle, marginals and expected counts
+    on the driver, per-cell chi2 terms in half-up micro-units summed
+    in order-free integers. Exactly SQL-expressible."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["lang", "source"]).group_by(
+            ["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["lang", "source"]).map_batches(
+        partial, batch_format="pyarrow").groupby(
+        ["lang", "source"]).aggregate(Sum("n", alias_name="n")
+                                      ).take_all()
+
+    rows = {(r["lang"], r["source"]): int(r["n"]) for r in cells}
+    lang_tot: dict = {}
+    src_tot: dict = {}
+    for (lg, s), n in rows.items():
+        lang_tot[lg] = lang_tot.get(lg, 0) + n
+        src_tot[s] = src_tot.get(s, 0) + n
+    n_tot = sum(lang_tot.values())
+
+    chi2_int = 0
+    for lg in lang_tot:
+        for s in src_tot:
+            obs = rows.get((lg, s), 0)
+            exp = lang_tot[lg] * src_tot[s] / n_tot
+            term = (obs - exp) * (obs - exp) / exp
+            chi2_int += int(math.floor(term * 1e6 + 0.5))
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_docs": [n_tot], "n_langs": [len(lang_tot)],
+        "n_sources": [len(src_tot)],
+        # df = (L-1)(S-1); chi2 as the exact sum of micro-unit terms
+        "dof": [(len(lang_tot) - 1) * (len(src_tot) - 1)],
+        "chi2": [chi2_int / 1e6]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6546,6 +6597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digits": q_benford_digits,
         "stickiness": q_stickiness,
         "revenue_autocorr": q_revenue_autocorr,
+        "lang_source_chi2": q_lang_source_chi2,
     }
 
 
@@ -8249,4 +8301,26 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
             "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) "
             "AS autocorr FROM s"),
+        "lang_source_chi2": (
+            "WITH c AS (SELECT lang, source, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2), "
+            "lt AS (SELECT lang, sum(n) AS ln FROM c GROUP BY 1), "
+            "st AS (SELECT source, sum(n) AS sn FROM c GROUP BY 1), "
+            "t AS (SELECT sum(n) AS nt FROM c), "
+            "grid AS (SELECT l.lang, s.source, l.ln, s.sn "
+            "FROM lt l CROSS JOIN st s), "
+            "g AS (SELECT grid.lang, grid.source, "
+            "coalesce(c.n, 0) AS obs, grid.ln, grid.sn "
+            "FROM grid LEFT JOIN c ON c.lang = grid.lang "
+            "AND c.source = grid.source), "
+            "terms AS (SELECT CAST(floor((obs - ln * sn / nt.nt) * "
+            "(obs - ln * sn / nt.nt) / (ln * sn / nt.nt) "
+            "* 1000000 + 0.5) AS BIGINT) AS ti, nt.nt AS nt "
+            "FROM g, t nt) "
+            "SELECT CAST(max(nt) AS BIGINT) AS n_docs, "
+            "(SELECT count(*) FROM lt) AS n_langs, "
+            "(SELECT count(*) FROM st) AS n_sources, "
+            "(SELECT (count(*) - 1) FROM lt) * "
+            "(SELECT (count(*) - 1) FROM st) AS dof, "
+            "sum(ti) / 1000000.0 AS chi2 FROM terms"),
     }

@@ -192,7 +192,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "pareto_orders", "item_bfs", "source_ks",
              "weighted_median", "conversion_lag", "readability",
              "event_transitions", "rfm_segments", "classifier_auc",
-             "dedup_overlap", "benford_digits", "stickiness", "revenue_autocorr"]
+             "dedup_overlap", "benford_digits", "stickiness", "revenue_autocorr",
+             "lang_source_chi2"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
