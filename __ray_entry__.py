@@ -6430,6 +6430,23 @@ def q_lang_source_chi2(sf_dir: str):
         "chi2": [chi2_int / 1e6]})
 
 
+def q_media_thumbnails(sf_dir: str):
+    """Image THUMBNAIL derivatives through REAL codecs both directions
+    (stages/multimodal.thumbnail_pipeline): stdlib PNG decode →
+    nearest-neighbor 16×16 resize → stdlib PNG re-encode in an actor
+    pool; the re-encoded bytes' md5 rides the output (byte-exact proof
+    of the write path) while raw thumb bytes stay out of the shuffle.
+    Snapshot-oracled (codec output is not SQL-expressible); anchored by
+    the PNG round-trip tests in test_training_ops/test_io."""
+    from magic_content_extractor_ray.stages.multimodal import (
+        thumbnail_pipeline)
+
+    out = thumbnail_pipeline(_extracted(sf_dir), fake=False)
+    return out.select_columns(
+        ["media_ref", "kind", "thumb_px", "thumb_bytes", "thumb_md5",
+         "thumb_mean"]).sort("media_ref")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6598,6 +6615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stickiness": q_stickiness,
         "revenue_autocorr": q_revenue_autocorr,
         "lang_source_chi2": q_lang_source_chi2,
+        "media_thumbnails": q_media_thumbnails,
     }
 
 
@@ -6655,6 +6673,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_readability": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/extract_readability.parquet')}')"),
+        "media_thumbnails": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/media_thumbnails.parquet')}')"),
         "media_features": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/media_features.parquet')}')"),

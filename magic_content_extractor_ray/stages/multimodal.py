@@ -161,6 +161,39 @@ class ImageDecoder:
         return out.append_column("pixel_mean", pa.array(means, pa.float64()))
 
 
+class ThumbnailEncoder(ImageDecoder):
+    """Actor-pool THUMBNAIL stage: real decode -> nearest-neighbor
+    resize -> real PNG RE-ENCODE, both directions through the stdlib
+    codec (functions/png.py) — the write path of an image-derivatives
+    pipeline, not just feature extraction. Emits the re-encoded bytes'
+    md5 (compact, proves byte-exact encode) plus size metadata; the
+    raw thumb bytes stay out of the shuffle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        import hashlib as _hl
+
+        from ..functions.png import png_encode
+
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        lens, digests, means = [], [], []
+        for p, w, h in zip(payloads, widths, heights):
+            img = self._decode(p or b"", w, h)
+            data = png_encode(img)
+            lens.append(len(data))
+            digests.append(_hl.md5(data).hexdigest())
+            means.append(float(img.mean()))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("thumb_px", pa.array(
+            [self.thumb] * len(batch), pa.int64()))
+        out = out.append_column("thumb_bytes", pa.array(lens, pa.int64()))
+        out = out.append_column("thumb_md5", pa.array(digests,
+                                                      pa.string()))
+        return out.append_column("thumb_mean",
+                                 pa.array(means, pa.float64()))
+
+
 class AudioFeatures:
     """Actor-pool audio feature stage: REAL WAV/PCM decode (stdlib
     ``wave``) → per-frame RMS energy features. Mirrors ImageDecoder's
@@ -265,3 +298,36 @@ def media_pipeline(docs_extracted_ds, *, fake: bool = True,
         ImageDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=_pool(), fn_constructor_kwargs={"fake": fake})
     return decoded
+
+
+def thumbnail_pipeline(docs_extracted_ds, *, fake: bool = True,
+                       thumb: int = 16, batch_size: int = 16):
+    """Extracted docs → media table → fetch → decode → resize →
+    PNG re-encode (ThumbnailEncoder actor pool): the full round-trip
+    image-derivative path on real codecs."""
+    from ..util import actor_pool as _pool
+
+    def flatten_media(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        kind = pc.struct_field(flat, "kind")
+        ref = pc.struct_field(flat, "media_ref")
+        keep = pc.and_(pc.equal(kind, "image"), pc.not_equal(ref, ""))
+        return pa.table({
+            "media_ref": ref.filter(keep),
+            "kind": pa.array(["image"] * int(pc.sum(
+                pc.cast(keep, pa.int64())).as_py() or 0), pa.string()),
+        })
+
+    media = docs_extracted_ds.select_columns(["spans"]).map_batches(
+        flatten_media, batch_format="pyarrow")
+    fetched = media.map_batches(fetch_media_stub, batch_format="pyarrow",
+                                batch_size=batch_size)
+    return fetched.map_batches(
+        ThumbnailEncoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_pool(),
+        fn_constructor_kwargs={"fake": fake, "thumb": thumb})

@@ -2276,3 +2276,39 @@ def test_classifier_auc_pairwise_differential(ray_session, tmp_path):
     assert int(got["n_pos"].iloc[0]) == len(p)
     assert int(got["n_neg"].iloc[0]) == len(q)
     assert int(got["auc_ppm"].iloc[0]) == expect_ppm
+
+
+def test_thumbnail_encoder_roundtrip():
+    """ThumbnailEncoder re-encodes exactly the nearest-neighbor resize:
+    decoding its PNG output reproduces the expected pixel grid, and the
+    reported md5 matches the bytes."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.functions.png import (
+        png_decode, png_encode)
+    from magic_content_extractor_ray.stages.multimodal import (
+        ThumbnailEncoder)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    payload = png_encode(img)
+    enc = ThumbnailEncoder(fake=False, thumb=16)
+    out = enc(pa.table({
+        "media_ref": pa.array(["m1"], pa.string()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([payload], pa.binary()),
+        "width": pa.array([56], pa.int64()),
+        "height": pa.array([40], pa.int64())}))
+
+    yi = np.linspace(0, 39, 16).astype(int)
+    xi = np.linspace(0, 55, 16).astype(int)
+    expect = img[yi][:, xi]
+    expect_png = png_encode(expect)
+    assert out.column("thumb_bytes")[0].as_py() == len(expect_png)
+    assert out.column("thumb_md5")[0].as_py() == \
+        hashlib.md5(expect_png).hexdigest()
+    assert np.array_equal(png_decode(expect_png), expect)
+    assert out.column("thumb_mean")[0].as_py() == float(expect.mean())
