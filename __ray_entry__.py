@@ -5654,6 +5654,10 @@ def q_item_bfs(sf_dir: str):
 
     frontier = dist
     for h in range(1, MAX_HOPS + 1):
+        # early exit once the frontier drains (count() on the small
+        # materialized dist table, not a lineage re-execution)
+        if frontier.count() == 0:
+            break
         nbrs = hash_join(
             edges, frontier, key="item", left_cols=["dst"],
             right_cols=[], how="semi",
