@@ -2312,3 +2312,77 @@ def test_thumbnail_encoder_roundtrip():
         hashlib.md5(expect_png).hexdigest()
     assert np.array_equal(png_decode(expect_png), expect)
     assert out.column("thumb_mean")[0].as_py() == float(expect.mean())
+
+
+def test_conversion_lag_strict_precede_semantics(ray_session, tmp_path):
+    """A view at the SAME (ts, event_id)-order position counts only if
+    it sorts strictly before the purchase; purchases with no prior view
+    are excluded; the running max (not the nearest) view wins."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    base = dt.datetime(2024, 5, 1)
+
+    def ev(eid, user, sec, typ):
+        return {"event_id": eid, "user_id": user,
+                "ts": base + dt.timedelta(seconds=sec),
+                "event_type": typ, "value": 1.0, "props": "{}"}
+
+    rows = [
+        # u1: view@10, purchase@70 -> lag 60s
+        ev(1, 1, 10, "view"), ev(2, 1, 70, "purchase"),
+        # u2: purchase@5 with NO prior view -> excluded;
+        #     then view@6, view@8, purchase@9 -> lag 1s (max prior view)
+        ev(3, 2, 5, "purchase"), ev(4, 2, 6, "view"),
+        ev(5, 2, 8, "view"), ev(6, 2, 9, "purchase"),
+        # u3: view and purchase at the SAME ts — view has the smaller
+        # event_id, so it strictly precedes -> lag 0
+        ev(7, 3, 42, "view"), ev(8, 3, 42, "purchase"),
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["conversion_lag"](sf)
+    # lags (us): [60e6, 1e6, 0] -> p50 = 1e6, p95 = interpolated
+    lags = sorted([60_000_000, 1_000_000, 0])
+    import numpy as np
+    assert float(got["p50_lag_us"].iloc[0]) == float(np.quantile(
+        lags, 0.5))
+    assert float(got["p95_lag_us"].iloc[0]) == float(np.quantile(
+        lags, 0.95))
+
+
+def test_weighted_median_rule(ray_session, tmp_path):
+    """Lower weighted median: smallest value whose 2*cumweight reaches
+    the total — checked on a hand-built weight distribution including
+    the exact-half boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    # flag A: values 100(w1), 200(w1) -> 2*cum(100)=2 == total 2 -> 100
+    # flag B: values 100(w1), 200(w2), 300(w1) -> total 4;
+    #         2*cum(200)=6 >= 4, 2*cum(100)=2 < 4 -> 200
+    rows = []
+    for i, (flag, price, qty) in enumerate([
+            ("A", 1.00, 1), ("A", 2.00, 1),
+            ("B", 1.00, 1), ("B", 2.00, 2), ("B", 3.00, 1)]):
+        rows.append({"l_orderkey": i, "l_partkey": 1, "l_suppkey": 1,
+                     "l_linenumber": 1, "l_quantity": float(qty),
+                     "l_extendedprice": price, "l_discount": 0.0,
+                     "l_tax": 0.0, "l_returnflag": flag,
+                     "l_linestatus": "O",
+                     "l_shipdate": __import__("datetime").datetime(
+                         2024, 1, 1)})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/lineitem.parquet")
+
+    got = entrymod.queries()["weighted_median"](sf).to_pandas()
+    got = got.set_index("l_returnflag")["wmedian_price_c"]
+    assert int(got["A"]) == 100
+    assert int(got["B"]) == 200
