@@ -63,6 +63,8 @@ def read_docs(uri: str, *, columns: list[str] | None = None):
     if uri.endswith(".csv"):
         ds = rd.read_csv(uri)
         return ds.select_columns(columns) if columns else ds
+    if uri.endswith(".orc"):
+        return read_orc(uri, columns=columns)
     return read_parquet_clean(uri, columns=columns)
 
 
@@ -75,6 +77,9 @@ def write_docs(ds, uri: str, **kwargs) -> None:
         return
     if uri.endswith(".csv"):
         ds.write_csv(uri, **kwargs)
+        return
+    if uri.endswith(".orc"):
+        write_orc(ds, uri, **kwargs)
         return
     ds.write_parquet(uri, **kwargs)
 
@@ -97,3 +102,61 @@ def read_partition(path: str, *, column: str, value,
     ``read_parquet_clean`` so pandas-metadata-bearing partitions don't
     reintroduce the unhashable-schema block-dedup failure."""
     return read_parquet_clean(f"{path}/{column}={value}", columns=columns)
+
+
+class OrcDatasource:
+    """ORC read support (Ray 2.49 has no ``read_orc``): a
+    FileBasedDatasource whose per-file reader streams one Arrow table
+    per ORC STRIPE — stripes are ORC's row-group analog, so a large
+    file parallelizes at block granularity downstream and column
+    pruning happens inside the stripe read (never materializing unread
+    columns)."""
+
+    def __new__(cls, paths, columns=None, **kwargs):
+        from ray.data.datasource import FileBasedDatasource
+
+        class _Orc(FileBasedDatasource):
+            _FILE_EXTENSIONS = ["orc"]
+
+            def __init__(self, p, cols, **kw):
+                super().__init__(p, **kw)
+                self._cols = cols
+
+            def _open_input_source(self, filesystem, path, **open_args):
+                # ORC footers/stripe indexes need RANDOM ACCESS; the
+                # base class default opens a forward-only stream
+                return filesystem.open_input_file(path)
+
+            def _read_stream(self, f, path):
+                import pyarrow as pa
+                from pyarrow import orc
+
+                of = orc.ORCFile(f)
+                for i in range(of.nstripes):
+                    batch = of.read_stripe(i, columns=self._cols)
+                    yield pa.Table.from_batches([batch])
+
+        return _Orc(paths, columns, **kwargs)
+
+
+def read_orc(uri: str, *, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_datasource(OrcDatasource(uri, columns))
+
+
+def write_orc(ds, path: str, **kwargs) -> None:
+    """ORC sink via the BlockBasedFileDatasink API — one ORC file per
+    block, written inside the tasks (distributed, never driver-side)."""
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    class _OrcSink(BlockBasedFileDatasink):
+        def __init__(self, p, **kw):
+            super().__init__(p, file_format="orc", **kw)
+
+        def write_block_to_file(self, block, file):
+            from pyarrow import orc
+
+            orc.write_table(block.to_arrow(), file)
+
+    ds.write_datasink(_OrcSink(path, **kwargs))

@@ -198,3 +198,31 @@ def test_jsonl_csv_roundtrip(ray_session, tmp_path):
         assert list(back.columns) == ["doc_id", "text"]
         assert len(back) == 100
         assert back.loc[7, "text"] == "doc 7"
+
+
+def test_orc_roundtrip(ray_session, tmp_path):
+    """ORC write → read roundtrip through the custom datasink/source,
+    including column pruning at the stripe read and the read_docs /
+    write_docs suffix dispatch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from magic_content_extractor_ray.sources.io import (
+        read_docs, read_orc, write_docs)
+
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(200)], pa.string()),
+        "n_chars": pa.array([i % 7 for i in range(200)], pa.int64())})
+    orc_dir = str(tmp_path / "docs.orc")
+    write_docs(rd.from_arrow(t).repartition(4), orc_dir)
+
+    back = read_docs(orc_dir).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == list(range(200))
+    assert back["text"].tolist() == [f"doc {i}" for i in range(200)]
+
+    pruned = read_orc(orc_dir, columns=["doc_id"])
+    assert pruned.schema().names == ["doc_id"]
+    assert pruned.count() == 200
