@@ -6451,6 +6451,69 @@ def q_media_thumbnails(sf_dir: str):
          "thumb_mean"]).sort("media_ref")
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated aggregate subquery): revenue locked
+    in orders whose quantity is below 20% of that PART's average
+    quantity. Two passes over pruned lineitem columns: per-part (Σqty,
+    n) combiner → the 0.2·avg thresholds broadcast as a sorted array →
+    one vectorized filter + exact-cent sum. The float threshold is
+    mirrored CAST-for-CAST (0.2 * (Σ/double(n)))."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"pk": batch.column("l_partkey"),
+                      "q": pc.cast(batch.column("l_quantity"),
+                                   pa.int64())})
+        g = t.group_by("pk").aggregate([("q", "sum"), ("q", "count")])
+        return pa.table({"pk": g.column("pk"),
+                         "sq": g.column("q_sum"),
+                         "n": pc.cast(g.column("q_count"), pa.int64())})
+
+    per_part = _read_pq(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity"]).map_batches(
+        qty_partial, batch_format="pyarrow").groupby("pk").aggregate(
+        Sum("sq", alias_name="sq"), Sum("n", alias_name="n")).take_all()
+
+    pks = np.array([int(r["pk"]) for r in per_part], np.int64)
+    # 0.2 * avg, with the oracle's exact double shape
+    thr = np.array([0.2 * (float(int(r["sq"])) / float(int(r["n"])))
+                    for r in per_part], np.float64)
+    order = np.argsort(pks)
+    thr_ref = ray.put((pks[order], thr[order]))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ks, th = ray.get(thr_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, pk), 0, max(len(ks) - 1, 0))
+        keep = (ks[pos] == pk) & (q < th[pos])
+        t = batch.filter(pa.array(keep))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())
+        return pa.table({
+            "rev_c": pa.array([pc.sum(price_c).as_py() or 0], pa.int64()),
+            "n_rows": pa.array([len(t)], pa.int64())})
+
+    tot = _read_pq(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_partkey", "l_quantity",
+                            "l_extendedprice"]).map_batches(
+        rev_partial, batch_format="pyarrow").aggregate(
+        Sum("rev_c", alias_name="rev_c"),
+        Sum("n_rows", alias_name="n_rows"))
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_rows": [int(tot["n_rows"])],
+        "revenue_c": [int(tot["rev_c"])],
+        # Q17 reports avg yearly: sum/7.0 in doubles, 6dp half-away
+        "avg_yearly_c": [__import__("math").floor(
+            int(tot["rev_c"]) / 7.0 * 1e6 + 0.5) / 1e6]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6620,6 +6683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_autocorr": q_revenue_autocorr,
         "lang_source_chi2": q_lang_source_chi2,
         "media_thumbnails": q_media_thumbnails,
+        "small_qty_revenue": q_small_qty_revenue,
     }
 
 
@@ -8348,4 +8412,18 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT (count(*) - 1) FROM lt) * "
             "(SELECT (count(*) - 1) FROM st) AS dof, "
             "sum(ti) / 1000000.0 AS chi2 FROM terms"),
+        "small_qty_revenue": (
+            "WITH avgq AS (SELECT l_partkey, "
+            "0.2 * (CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE)) AS thr "
+            "FROM lineitem GROUP BY 1), "
+            "f AS (SELECT l.l_extendedprice FROM lineitem l "
+            "JOIN avgq a ON l.l_partkey = a.l_partkey "
+            "WHERE l.l_quantity < a.thr) "
+            "SELECT count(*) AS n_rows, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_c, "
+            "floor(CAST(sum(CAST(round(l_extendedprice * 100) "
+            "AS BIGINT)) AS DOUBLE) / 7.0 * 1000000 + 0.5) / 1000000.0 "
+            "AS avg_yearly_c FROM f"),
     }
