@@ -6514,6 +6514,62 @@ def q_small_qty_revenue(sf_dir: str):
             int(tot["rev_c"]) / 7.0 * 1e6 + 0.5) / 1e6]})
 
 
+def q_brand_band_revenue(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive multi-band predicate, adapted to
+    this schema's part attributes): discounted revenue from lineitems
+    matching ANY of three (brand, size-range, quantity-band) arms. The
+    part side compiles to THREE broadcast bitmap arms evaluated
+    vectorized per batch (brand/size live on the broadcast part lookup,
+    quantity on the fact row) — disjunctions never force a join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False)
+    brand = np.asarray(part.column("p_brand").to_pylist(), dtype=object)
+    size = part.column("p_size").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    # arm part-side bitmaps: (brand, size range) per arm
+    arm1 = (brand == "Brand#1") & (size >= 1) & (size <= 10)
+    arm2 = (brand == "Brand#2") & (size >= 10) & (size <= 25)
+    arm3 = (brand == "Brand#3") & (size >= 20) & (size <= 50)
+    lookup_ref = ray.put((pk[order], arm1[order], arm2[order],
+                          arm3[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, a1, a2, a3 = ray.get(lookup_ref)
+        x = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, x), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == x
+        keep = ((hit & a1[pos] & (q >= 1) & (q <= 11))
+                | (hit & a2[pos] & (q >= 10) & (q <= 20))
+                | (hit & a3[pos] & (q >= 20) & (q <= 30)))
+        t = batch.filter(pa.array(keep))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+            pa.scalar(1.0), t.column("l_discount")), 100)), pa.int64())
+        rev = pc.sum(pc.multiply(price_c, disc_pct)).as_py() or 0
+        return pa.table({"revenue_c4": pa.array([rev], pa.int64()),
+                         "n_rows": pa.array([len(t)], pa.int64())})
+
+    tot = _read_pq(f"{sf_dir}/lineitem.parquet",
+                   columns=["l_partkey", "l_quantity", "l_extendedprice",
+                            "l_discount"]).map_batches(
+        partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_c4", alias_name="revenue_c4"),
+        Sum("n_rows", alias_name="n_rows"))
+    import pandas as pd
+    return pd.DataFrame({"revenue_c4": [int(tot["revenue_c4"])],
+                         "n_rows": [int(tot["n_rows"])]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6684,6 +6740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_chi2": q_lang_source_chi2,
         "media_thumbnails": q_media_thumbnails,
         "small_qty_revenue": q_small_qty_revenue,
+        "brand_band_revenue": q_brand_band_revenue,
     }
 
 
@@ -8426,4 +8483,16 @@ def oracle_sql() -> dict[str, str]:
             "floor(CAST(sum(CAST(round(l_extendedprice * 100) "
             "AS BIGINT)) AS DOUBLE) / 7.0 * 1000000 + 0.5) / 1000000.0 "
             "AS avg_yearly_c FROM f"),
+        "brand_band_revenue": (
+            "SELECT CAST(sum("
+            "CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_c4, count(*) AS n_rows "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10 "
+            "AND l.l_quantity BETWEEN 1 AND 11) "
+            "OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25 "
+            "AND l.l_quantity BETWEEN 10 AND 20) "
+            "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 "
+            "AND l.l_quantity BETWEEN 20 AND 30)"),
     }

@@ -193,7 +193,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "weighted_median", "conversion_lag", "readability",
              "event_transitions", "rfm_segments", "classifier_auc",
              "dedup_overlap", "benford_digits", "stickiness", "revenue_autocorr",
-             "lang_source_chi2", "media_thumbnails", "small_qty_revenue"]
+             "lang_source_chi2", "media_thumbnails", "small_qty_revenue",
+             "brand_band_revenue"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
