@@ -5068,10 +5068,15 @@ def q_customer_distribution(sf_dir: str):
             "o_custkey": g.column("o_custkey"),
             "n": pc.cast(g.column("o_custkey_count"), pa.int64())})
 
-    per_cust = _read_pq(f"{sf_dir}/orders.parquet",
-                        columns=["o_custkey"]).map_batches(
-        partial, batch_format="pyarrow").groupby("o_custkey").aggregate(
-        Sum("n", alias_name="c_count"))
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    # hash_agg: |customers| grows with sf — sort-aggregate would pay a
+    # Python callback per customer (150k at sf1)
+    per_cust = hash_agg(
+        _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        "o_custkey", [("n", "sum", "c_count")])
 
     dist = per_cust.groupby("c_count").aggregate(
         Count(alias_name="custdist")).take_all()
@@ -5537,8 +5542,14 @@ def q_returned_items(sf_dir: str):
         return pa.table({"o_custkey": g.column("o_custkey"),
                          "rev": g.column("rev_sum")})
 
-    top = j.map_batches(partial, batch_format="pyarrow").groupby(
-        "o_custkey").aggregate(Sum("rev", alias_name="revenue_c4")).sort(
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    # hash_agg for the |customers|-cardinality aggregate (same rationale
+    # as customer_distribution), then the deterministic top-20 cut
+    top = hash_agg(
+        j.map_batches(partial, batch_format="pyarrow",
+                      batch_size=65536),
+        "o_custkey", [("rev", "sum", "revenue_c4")]).sort(
         ["revenue_c4", "o_custkey"],
         descending=[True, False]).limit(20).take_all()
 
@@ -6473,10 +6484,17 @@ def q_small_qty_revenue(sf_dir: str):
                          "sq": g.column("q_sum"),
                          "n": pc.cast(g.column("q_count"), pa.int64())})
 
-    per_part = _read_pq(f"{sf_dir}/lineitem.parquet",
-                        columns=["l_partkey", "l_quantity"]).map_batches(
-        qty_partial, batch_format="pyarrow").groupby("pk").aggregate(
-        Sum("sq", alias_name="sq"), Sum("n", alias_name="n")).take_all()
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    # hash_agg, not groupby().aggregate(): |parts| grows with sf (20k at
+    # sf1) and the 1024-row default partial barely compresses, so the
+    # sort-aggregate was shuffling ~rows and paying a callback per part
+    # (43 s at sf1 → ~6 s); 64k partial batches compress 3x up front
+    per_part = hash_agg(
+        _read_pq(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_partkey", "l_quantity"]).map_batches(
+            qty_partial, batch_format="pyarrow", batch_size=65536),
+        "pk", [("sq", "sum", "sq"), ("n", "sum", "n")]).take_all()
 
     pks = np.array([int(r["pk"]) for r in per_part], np.int64)
     # 0.2 * avg, with the oracle's exact double shape
