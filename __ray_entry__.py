@@ -5173,10 +5173,15 @@ def q_idle_customer_balance(sf_dir: str):
         t = batch.filter(pa.array(keep))
         return pa.table({"o_custkey": pc.unique(t.column("o_custkey"))})
 
-    buyers_rows = _read_pq(f"{sf_dir}/orders.parquet",
-                           columns=["o_custkey", "o_orderdate"]).map_batches(
-        dedup, batch_format="pyarrow").groupby("o_custkey").aggregate(
-        Count(alias_name="_n")).take_all()
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    # hash_agg: |buyers| is customer-cardinality (sort-aggregate pays a
+    # Python callback per customer at scale)
+    buyers_rows = hash_agg(
+        _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_orderdate"]).map_batches(
+            dedup, batch_format="pyarrow", batch_size=65536),
+        "o_custkey", [("o_custkey", "count_all", "_n")]).take_all()
     buyers = np.sort(np.array(
         [int(r["o_custkey"]) for r in buyers_rows], dtype=np.int64))
     buyers_ref = ray.put(buyers)
