@@ -1958,12 +1958,14 @@ def q_customers_with_purchases(sf_dir: str):
     ).map_batches(BloomPrefilter, batch_format="pyarrow",
                   concurrency=_pool())
 
-    # global distinct via hash aggregate (batch-level distinct above is
-    # the combiner) — no per-key Python callback
-    from ray.data.aggregate import Count
+    # global distinct via window.hash_agg (batch-level distinct above is
+    # the combiner; Ray's sort aggregate would pay a Python callback per
+    # purchaser — an entity-cardinality key)
+    from magic_content_extractor_ray.stages.window import hash_agg
 
-    distinct_p = purchasers.groupby("user_id").aggregate(
-        Count(alias_name="_n")).map_batches(
+    distinct_p = hash_agg(
+        purchasers, "user_id",
+        [("user_id", "count_all", "_n")]).map_batches(
         lambda t: pa.table({
             "c_custkey": t.column("user_id"),
             "one": pa.array(np.ones(len(t), np.int64)),
@@ -2232,9 +2234,21 @@ def q_customer_order_counts(sf_dir: str):
     from ray.data.aggregate import Count
     from magic_content_extractor_ray.stages.join import hash_join
 
-    counts = _read_pq(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
-    ).groupby("o_custkey").aggregate(Count(alias_name="cnt")).map_batches(
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def _cnt_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.table({"o_custkey": g.column("o_custkey"),
+                         "cnt": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    # hash_agg over the customer-cardinality key (sort-aggregate pays a
+    # Python callback per customer at scale), 64k map-side partials
+    counts = hash_agg(
+        _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey"]).map_batches(
+            _cnt_partial, batch_format="pyarrow", batch_size=65536),
+        "o_custkey", [("cnt", "sum", "cnt")]).map_batches(
         lambda t: pa.table({"c_custkey": t.column("o_custkey"),
                             "cnt": t.column("cnt")}),
         batch_format="pyarrow")
@@ -2449,10 +2463,19 @@ def q_customers_no_purchases(sf_dir: str):
     from ray.data.aggregate import Count
     from magic_content_extractor_ray.stages.join import hash_join
 
-    purchasers = _read_pq(
-        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
-    ).filter(expr="event_type == 'purchase'").groupby("user_id").aggregate(
-        Count(alias_name="n")).map_batches(
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def _p_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    purchasers = hash_agg(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["event_type", "user_id"],
+                 ).filter(expr="event_type == 'purchase'").map_batches(
+            _p_partial, batch_format="pyarrow", batch_size=65536),
+        "user_id", [("n", "sum", "n")]).map_batches(
         lambda t: pa.table({"c_custkey": t.column("user_id"),
                             "n": t.column("n")}),
         batch_format="pyarrow")
