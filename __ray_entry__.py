@@ -2798,9 +2798,13 @@ def q_distinct_users(sf_dir: str):
 
     ds = _read_pq(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
-    distinct = ds.map_batches(
-        distinct_pairs, batch_format="pyarrow",
-    ).groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    # hash_agg: |event_type x user| pairs are entity-cardinality
+    distinct = hash_agg(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        "user_id", [("user_id", "count_all", "_n")],
+        group_cols=["user_id", "event_type"])
     return distinct.map_batches(
         partial_counts, batch_format="pyarrow",
     ).groupby("event_type").aggregate(
@@ -4143,9 +4147,20 @@ def q_item_triangles(sf_dir: str):
                                 pk & np.int64(MASK)])
         return pa.table({"item": pa.array(items, pa.int64())})
 
-    return tris.map_batches(
-        explode_items, batch_format="pyarrow").groupby("item").aggregate(
-        Count(alias_name="n_triangles")).sort("item")
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def corner_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("item").aggregate([([], "count_all")])
+        return pa.table({"item": g.column("item"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    # hash_agg: the item domain is entity-cardinality at corpus scale
+    return hash_agg(
+        tris.map_batches(explode_items, batch_format="pyarrow"
+                         ).map_batches(corner_partial,
+                                       batch_format="pyarrow",
+                                       batch_size=65536),
+        "item", [("n", "sum", "n_triangles")]).sort("item")
 
 
 def q_daily_revenue_ma7(sf_dir: str):
@@ -6002,9 +6017,10 @@ def q_source_ks(sf_dir: str):
         "source", [("c", "sum", "c")],
         group_cols=["source", "v"]).materialize()
 
-    # corpus CDF over distinct values (bounded O(distinct n_chars))
-    corpus = hist.groupby("v").aggregate(Sum("c", alias_name="c")
-                                         ).sort("v").take_all()
+    # corpus CDF over distinct values — through hash_agg (the distinct
+    # value domain is data-scaled, not schema-constant)
+    corpus = hash_agg(hist, "v", [("c", "sum", "c")]).sort(
+        "v").take_all()
     vals = np.array([int(r["v"]) for r in corpus], np.int64)
     cg = np.cumsum(np.array([int(r["c"]) for r in corpus], np.int64))
     ng = int(cg[-1]) if len(cg) else 0
