@@ -6632,6 +6632,186 @@ def q_brand_band_revenue(sf_dir: str):
                          "n_rows": [int(tot["n_rows"])]})
 
 
+def q_item_neighbors(sf_dir: str):
+    """Per-item "users also viewed" TOP-5 neighbor lists (the
+    recommender-output shape of the co-occurrence family): the shared
+    pair-count pipeline mirrored into both directions, then a per-item
+    rank cut — per-batch Arrow top-k pruning bounds the candidates
+    before one |items|-keyed partition rank (segment kernel, no
+    per-group callback). Ties break (count desc, neighbor asc); the
+    twin is the identical ROW_NUMBER window."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions)
+
+    K = 5
+    counts = _covis_pair_counts(sf_dir)
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        c = batch.column("n_users").to_numpy(zero_copy_only=False)
+        a = pk >> np.int64(31)
+        b = pk & np.int64((1 << 31) - 1)
+        return pa.table({
+            "item": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            "n_users": pa.array(np.concatenate([c, c]), pa.int64())})
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return _batch_topk(batch, [("n_users", "descending"),
+                                   ("nbr", "ascending")], k=K,
+                           group="item")
+
+    cands = counts.map_batches(mirror, batch_format="pyarrow"
+                               ).map_batches(prune,
+                                             batch_format="pyarrow")
+
+    def rank_cut(t: pa.Table) -> pa.Table:
+        it = t.column("item").to_numpy(zero_copy_only=False)
+        nb = t.column("nbr").to_numpy(zero_copy_only=False)
+        nu = t.column("n_users").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, -nu, it))
+        it, nb, nu = it[order], nb[order], nu[order]
+        new_grp = np.empty(len(it), bool)
+        if len(it):
+            new_grp[0] = True
+            new_grp[1:] = it[1:] != it[:-1]
+        starts = np.flatnonzero(new_grp)
+        rank = np.arange(len(it)) - np.repeat(starts, np.diff(
+            np.append(starts, len(it)))) + 1
+        keep = rank <= K
+        return pa.table({
+            "item": pa.array(it[keep], pa.int64()),
+            "rnk": pa.array(rank[keep], pa.int64()),
+            "nbr": pa.array(nb[keep], pa.int64()),
+            "n_users": pa.array(nu[keep], pa.int64())})
+
+    return map_key_partitions(cands, "item", rank_cut).sort(
+        ["item", "rnk"])
+
+
+def q_session_bounds(sf_dir: str):
+    """Session ENTRY→EXIT event-type matrix (landing/exit analysis):
+    the 30-minute sessionization the user_sessions family pins, with
+    deterministic (ts, event_id) order; per user partition the session
+    boundaries are one vectorized gap pass, first/last types index out
+    with no row loop, and the bounded |types|² matrix combines. The
+    twin recomputes the identical window sessionization."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, ts_us)
+
+    GAP_US = 1_800_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "ts_us": pa.array(ts_us(batch.column("ts")), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "event_type": batch.column("event_type")})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type"]
+                  ).map_batches(prep, batch_format="pyarrow")
+
+    def bounds(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({"entry_type": pa.array([], pa.string()),
+                             "exit_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        new_sess = np.empty(n, bool)
+        new_sess[0] = True
+        new_sess[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        pairs = pa.table({"entry_type": et.take(pa.array(starts)),
+                          "exit_type": et.take(pa.array(ends))})
+        g = pairs.group_by(["entry_type", "exit_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"entry_type": g.column("entry_type"),
+                         "exit_type": g.column("exit_type"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    return map_key_partitions(
+        ev, "user_id", bounds, sort_cols=["ts_us", "event_id"]).groupby(
+        ["entry_type", "exit_type"]).aggregate(
+        Sum("n", alias_name="n_sessions")).sort(
+        ["entry_type", "exit_type"])
+
+
+def q_revenue_concentration(sf_dir: str):
+    """Revenue CONCENTRATION: what share of total revenue the top-1%
+    highest-spend customers capture (whale analysis). Per-customer
+    exact-cent totals via hash_agg, the p99 spend cutpoint from the
+    value-histogram quantile operator (quantile_cont, broadcast
+    scalar), one conditional-sum pass — all shares in exact integer
+    ppm via bigint floors (HUGEINT twin)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.stats import grouped_quantiles
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch.column("o_custkey"),
+                      "m": pc.cast(pc.round(pc.multiply(
+                          batch.column("o_totalprice"), 100)),
+                          pa.int64())})
+        g = t.group_by("o_custkey").aggregate([("m", "sum")])
+        return pa.table({"o_custkey": g.column("o_custkey"),
+                         "m": g.column("m_sum")})
+
+    per_cust = hash_agg(
+        _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_custkey", "o_totalprice"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        "o_custkey", [("m", "sum", "m")]).materialize()
+
+    cut = float(grouped_quantiles(
+        per_cust.map_batches(
+            lambda t: pa.table({"g": pa.array([1] * len(t), pa.int64()),
+                                "m": t.column("m")}),
+            batch_format="pyarrow"),
+        key_column="g", value_column="m",
+        quantiles=(0.99,)).to_pandas()["q_0_99"].iloc[0])
+
+    def split(batch: pa.Table) -> pa.Table:
+        m = batch.column("m")
+        top = pc.greater(m, cut)
+        t_sum = pc.sum(pc.if_else(top, m, pa.scalar(0, pa.int64())))
+        return pa.table({
+            "top_rev": pa.array([t_sum.as_py() or 0], pa.int64()),
+            "all_rev": pa.array([pc.sum(m).as_py() or 0], pa.int64()),
+            "top_n": pa.array([pc.sum(pc.cast(top, pa.int64())).as_py()
+                               or 0], pa.int64()),
+            "all_n": pa.array([len(batch)], pa.int64())})
+
+    tot = per_cust.map_batches(split, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in
+          ("top_rev", "all_rev", "top_n", "all_n")])
+
+    import pandas as pd
+    return pd.DataFrame({
+        "top_customers": [int(tot["top_n"])],
+        "all_customers": [int(tot["all_n"])],
+        "top_share_ppm": [(1_000_000 * int(tot["top_rev"]))
+                          // int(tot["all_rev"])]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6803,6 +6983,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_thumbnails": q_media_thumbnails,
         "small_qty_revenue": q_small_qty_revenue,
         "brand_band_revenue": q_brand_band_revenue,
+        "item_neighbors": q_item_neighbors,
+        "session_bounds": q_session_bounds,
+        "revenue_concentration": q_revenue_concentration,
     }
 
 
@@ -8557,4 +8740,44 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_quantity BETWEEN 10 AND 20) "
             "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 "
             "AND l.l_quantity BETWEEN 20 AND 30)"),
+        "item_neighbors": (
+            "WITH ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "pairs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS c "
+            "FROM ui a JOIN ui b ON a.user_id = b.user_id "
+            "AND a.item < b.item GROUP BY 1, 2), "
+            "d AS (SELECT ia AS item, ib AS nbr, c FROM pairs "
+            "UNION ALL SELECT ib, ia, c FROM pairs), "
+            "r AS (SELECT item, nbr, c AS n_users, row_number() OVER "
+            "(PARTITION BY item ORDER BY c DESC, nbr) AS rnk FROM d) "
+            "SELECT item, rnk, nbr, n_users FROM r WHERE rnk <= 5 "
+            "ORDER BY item, rnk"),
+        "session_bounds": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS pts FROM events), "
+            "s AS (SELECT *, sum(CASE WHEN pts IS NULL OR "
+            "epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 "
+            "END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+            "b AS (SELECT DISTINCT user_id, sid, "
+            "first_value(event_type) OVER (PARTITION BY user_id, sid "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING) AS entry_type, "
+            "last_value(event_type) OVER (PARTITION BY user_id, sid "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING) AS exit_type FROM s) "
+            "SELECT entry_type, exit_type, count(*) AS n_sessions "
+            "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
+        "revenue_concentration": (
+            "WITH pc2 AS (SELECT o_custkey, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS m FROM orders GROUP BY 1), "
+            "cut AS (SELECT quantile_cont(m, 0.99) AS c FROM pc2) "
+            "SELECT CAST(sum(CASE WHEN m > cut.c THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS top_customers, count(*) AS all_customers, "
+            "CAST(CAST(1000000 AS HUGEINT) * "
+            "sum(CASE WHEN m > cut.c THEN m ELSE 0 END) // sum(m) "
+            "AS BIGINT) AS top_share_ppm FROM pc2, cut"),
     }

@@ -194,7 +194,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "event_transitions", "rfm_segments", "classifier_auc",
              "dedup_overlap", "benford_digits", "stickiness", "revenue_autocorr",
              "lang_source_chi2", "media_thumbnails", "small_qty_revenue",
-             "brand_band_revenue"]
+             "brand_band_revenue", "item_neighbors", "session_bounds",
+             "revenue_concentration"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

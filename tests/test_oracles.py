@@ -30,7 +30,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "weighted_median", "conversion_lag", "source_ks",
         "event_transitions", "rfm_segments", "classifier_auc",
         "dedup_overlap", "benford_digits", "stickiness",
-        "revenue_autocorr", "lang_source_chi2", "small_qty_revenue", "brand_band_revenue"]
+        "revenue_autocorr", "lang_source_chi2", "small_qty_revenue", "brand_band_revenue",
+        "item_neighbors", "session_bounds", "revenue_concentration"]
 
 
 @pytest.fixture(scope="module")
