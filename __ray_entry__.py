@@ -6812,6 +6812,76 @@ def q_revenue_concentration(sf_dir: str):
                           // int(tot["all_rev"])]})
 
 
+def q_item_components(sf_dir: str):
+    """CONNECTED COMPONENTS of the co-view item graph (support >= 2
+    edges, the same universe as item_bfs) through stages/graph's hybrid
+    union-find / min-label-propagation — this gives the CC machinery a
+    TRUE INDEPENDENT SQL oracle (a transitive-closure recursive CTE),
+    where the dedup-clustering call sites can only pin it with
+    snapshots and property tests. Output: (item, component) with
+    component = min item id reachable; isolated items form their own
+    singleton components."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from magic_content_extractor_ray.stages.graph import (
+        connected_components)
+
+    MIN_SUPPORT = 2
+    counts = _covis_pair_counts(sf_dir)
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch.column("n_users"),
+                                          MIN_SUPPORT))
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "left_id": pa.array(pk >> np.int64(31), pa.int64()),
+            "right_id": pa.array(pk & np.int64((1 << 31) - 1),
+                                 pa.int64())})
+
+    comp = connected_components(
+        counts.map_batches(unpack, batch_format="pyarrow"),
+        node_col="item", label_col="component").materialize()
+
+    # add singleton components for items with no qualifying edge (the
+    # oracle's universe is ALL viewed items)
+    def items_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.cast(pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"),
+            pa.int64())
+        return pa.table({"item": pc.unique(ks)})
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    all_items = hash_agg(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["event_type", "props"]).map_batches(
+            items_only, batch_format="pyarrow"),
+        "item", [("item", "count_all", "_n")])
+
+    in_comp = np.sort(np.array(
+        [int(r["item"]) for r in comp.take_all()], np.int64))
+    in_ref = ray.put(in_comp)
+
+    def singletons(batch: pa.Table) -> pa.Table:
+        members = ray.get(in_ref)
+        it = batch.column("item").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(members, it), 0,
+                      max(len(members) - 1, 0))
+        miss = ~((len(members) > 0) & (members[pos] == it))
+        return pa.table({"item": pa.array(it[miss], pa.int64()),
+                         "component": pa.array(it[miss], pa.int64())})
+
+    extra = all_items.map_batches(singletons, batch_format="pyarrow")
+    return comp.union(extra).sort("item")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -6986,6 +7056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_neighbors": q_item_neighbors,
         "session_bounds": q_session_bounds,
         "revenue_concentration": q_revenue_concentration,
+        "item_components": q_item_components,
     }
 
 
@@ -8780,4 +8851,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(1000000 AS HUGEINT) * "
             "sum(CASE WHEN m > cut.c THEN m ELSE 0 END) // sum(m) "
             "AS BIGINT) AS top_share_ppm FROM pc2, cut"),
+        "item_components": (
+            "WITH RECURSIVE ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "pairs AS (SELECT a.item AS ia, b.item AS ib "
+            "FROM ui a JOIN ui b ON a.user_id = b.user_id "
+            "AND a.item < b.item GROUP BY 1, 2 "
+            "HAVING count(*) >= 2), "
+            "edges AS (SELECT ia, ib FROM pairs "
+            "UNION ALL SELECT ib, ia FROM pairs), "
+            "reach(a, b) AS ("
+            "SELECT item, item FROM (SELECT DISTINCT item FROM ui) "
+            "UNION "
+            "SELECT r.a, e.ib FROM reach r JOIN edges e ON e.ia = r.b) "
+            "SELECT a AS item, CAST(min(b) AS BIGINT) AS component "
+            "FROM reach GROUP BY 1 ORDER BY 1"),
     }

@@ -31,7 +31,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "event_transitions", "rfm_segments", "classifier_auc",
         "dedup_overlap", "benford_digits", "stickiness",
         "revenue_autocorr", "lang_source_chi2", "small_qty_revenue", "brand_band_revenue",
-        "item_neighbors", "session_bounds", "revenue_concentration"]
+        "item_neighbors", "session_bounds", "revenue_concentration",
+        "item_components"]
 
 
 @pytest.fixture(scope="module")
