@@ -2386,3 +2386,72 @@ def test_weighted_median_rule(ray_session, tmp_path):
     got = got.set_index("l_returnflag")["wmedian_price_c"]
     assert int(got["A"]) == 100
     assert int(got["B"]) == 200
+
+
+def test_grouped_weighted_median_random_differential(ray_session):
+    """Distributed weighted median == the brute expansion (repeat each
+    value weight times, take the lower median) on random weighted
+    multisets across many blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from magic_content_extractor_ray.stages.stats import (
+        grouped_weighted_median)
+
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 7, 500)
+    vals = rng.integers(-50, 50, 500)
+    wts = rng.integers(1, 9, 500)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+        "w": pa.array(wts, pa.int64())})).repartition(16)
+    got = grouped_weighted_median(
+        ds, key_column="k", value_column="v",
+        weight_column="w").to_pandas().set_index("k")["wmedian"]
+
+    for k in np.unique(keys):
+        m = keys == k
+        expanded = np.sort(np.repeat(vals[m], wts[m]))
+        # lower median: element at index ceil(n/2)-1 (2*cum >= total)
+        expect = int(expanded[(len(expanded) + 1) // 2 - 1])
+        assert int(got[k]) == expect, k
+
+
+def test_source_ks_brute_differential(ray_session, tmp_path):
+    """KS ppm from the histogram path == brute-force sup over all
+    corpus CDF evaluation points on random per-source length
+    distributions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for s, (lo, hi, n) in {"a": (5, 40, 300), "b": (20, 90, 200),
+                           "c": (1, 200, 100)}.items():
+        for i, v in enumerate(rng.integers(lo, hi, n)):
+            rows.append({"doc_id": len(rows), "text": "x", "lang": "en",
+                         "source": s, "n_chars": int(v)})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+
+    got = entrymod.queries()["source_ks"](sf).set_index("source")
+
+    allv = np.array([r["n_chars"] for r in rows])
+    pts = np.unique(allv)
+    ng = len(allv)
+    cg = np.searchsorted(np.sort(allv), pts, side="right")
+    for s in ("a", "b", "c"):
+        sv = np.sort(np.array([r["n_chars"] for r in rows
+                               if r["source"] == s]))
+        ns = len(sv)
+        cs = np.searchsorted(sv, pts, side="right")
+        d_num = int(np.max(np.abs(cs.astype(object) * ng
+                                  - cg.astype(object) * ns)))
+        expect_ppm = (1_000_000 * d_num) // (ns * ng)
+        assert int(got.loc[s, "ks_ppm"]) == expect_ppm, s
+        assert int(got.loc[s, "n_docs"]) == ns
