@@ -6882,6 +6882,52 @@ def q_item_components(sf_dir: str):
     return comp.union(extra).sort("item")
 
 
+def q_audio_spectral(sf_dir: str):
+    """REAL spectral audio features end-to-end: WAV payloads (stdlib
+    codec) decode in the actor pool and run through numpy-rFFT spectral
+    centroid / 85% rolloff / bandwidth (functions/audio.spectral_features
+    — no DSP library). Snapshot-oracled; PHYSICALLY anchored by
+    test_audio_spectral_tone_recovery: the fetch stub synthesizes pure
+    tones at seeded frequencies, and the measured centroid recovers
+    each tone's frequency."""
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.multimodal import (
+        AudioSpectral, fetch_media_stub)
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        refs = [f"https://media.example/{i}/audio-0.wav"
+                for i in ids.to_pylist()]
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "kind": pa.array(["audio"] * len(batch), pa.string()),
+        })
+
+    out = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+    ).map_batches(to_refs, batch_format="pyarrow").map_batches(
+        fetch_media_stub, batch_format="pyarrow", batch_size=64,
+    ).map_batches(AudioSpectral, batch_format="pyarrow", batch_size=64,
+                  concurrency=_pool())
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "media_ref": t.column("media_ref"),
+            "centroid_hz": pc.round(t.column("centroid_hz"), ndigits=3),
+            "rolloff85_hz": pc.round(t.column("rolloff85_hz"),
+                                     ndigits=3),
+            "bandwidth_hz": pc.round(t.column("bandwidth_hz"),
+                                     ndigits=3),
+            "peak_hz": pc.round(t.column("peak_hz"), ndigits=3),
+            "n_frames": pc.cast(t.column("n_frames"), pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(
+        "media_ref")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -7057,6 +7103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_bounds": q_session_bounds,
         "revenue_concentration": q_revenue_concentration,
         "item_components": q_item_components,
+        "audio_spectral": q_audio_spectral,
     }
 
 
@@ -7114,6 +7161,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_readability": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/extract_readability.parquet')}')"),
+        "audio_spectral": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/audio_spectral.parquet')}')"),
         "media_thumbnails": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/media_thumbnails.parquet')}')"),

@@ -68,3 +68,46 @@ def frame_rms(samples: np.ndarray, rate: int,
         return np.zeros(0, dtype=np.float32)
     frames = mono[:n].reshape(-1, step)
     return np.sqrt((frames ** 2).mean(axis=1)).astype(np.float32)
+
+
+def spectral_features(samples: np.ndarray, rate: int,
+                      frame: int = 1024) -> dict:
+    """REAL spectral features via numpy rFFT (no external DSP library):
+    per non-overlapping ``frame``-sample window compute the magnitude
+    spectrum, then average over frames —
+    - ``centroid_hz``: Σf·|X| / Σ|X| (brightness),
+    - ``rolloff85_hz``: the frequency below which 85% of magnitude sits,
+    - ``bandwidth_hz``: magnitude-weighted std around the centroid.
+    Deterministic for fixed numpy; mono-mixes multi-channel first."""
+    if samples.ndim > 1:
+        samples = samples.mean(axis=1)
+    x = samples.astype(np.float64)
+    n = (len(x) // frame) * frame
+    if n == 0:
+        return {"centroid_hz": 0.0, "rolloff85_hz": 0.0,
+                "bandwidth_hz": 0.0, "peak_hz": 0.0, "n_frames": 0}
+    frames = x[:n].reshape(-1, frame)
+    # Hann window: rectangular-window leakage (~1/df sidelobes) biases
+    # the magnitude-weighted centroid up by hundreds of Hz on pure
+    # low-frequency tones; Hann's -31 dB sidelobes keep the centroid
+    # within a few bins of the true peak
+    frames = frames * np.hanning(frame)
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+    tot = mag.sum(axis=1)
+    ok = tot > 0
+    cent = np.zeros(len(frames))
+    cent[ok] = (mag[ok] * freqs).sum(axis=1) / tot[ok]
+    cum = np.cumsum(mag, axis=1)
+    roll_idx = np.argmax(cum >= 0.85 * tot[:, None], axis=1)
+    roll = freqs[roll_idx]
+    bw = np.zeros(len(frames))
+    bw[ok] = np.sqrt((mag[ok] * (freqs[None, :]
+                                 - cent[ok, None]) ** 2).sum(axis=1)
+                     / tot[ok])
+    peak = freqs[np.argmax(mag, axis=1)]
+    return {"centroid_hz": float(cent.mean()),
+            "rolloff85_hz": float(roll.mean()),
+            "bandwidth_hz": float(bw.mean()),
+            "peak_hz": float(peak.mean()),
+            "n_frames": int(len(frames))}

@@ -241,6 +241,56 @@ class AudioFeatures:
                                  pa.array(counts, pa.int32()))
 
 
+class AudioSpectral:
+    """Actor-pool SPECTRAL feature stage: real WAV decode → numpy-rFFT
+    spectral centroid / 85% rolloff / bandwidth per payload
+    (functions/audio.spectral_features — no external DSP library).
+    Same decoder-injection seam as AudioFeatures."""
+
+    def __init__(self, fake: bool = False, frame: int = 1024,
+                 decoder=None):
+        self.fake = fake
+        self.frame = frame
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.audio import spectral_features
+
+        cents, rolls, bws, peaks, nfs = [], [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            p = p or b""
+            if self.decoder is not None:
+                samples, rate = self.decoder(p)
+            elif is_wav(p):
+                samples, rate = wav_decode(p)
+            elif not self.fake:
+                raise NotImplementedError(
+                    "compressed audio decode requires ffmpeg/libsndfile "
+                    "— pass decoder=")
+            else:
+                rng = np.random.RandomState(int.from_bytes(
+                    hashlib.md5(p[:16]).digest()[:4], "big"))
+                samples, rate = (rng.randint(
+                    -2 ** 14, 2 ** 14, 4096).astype(np.int16), 16000)
+            f = spectral_features(np.asarray(samples), rate,
+                                  frame=self.frame)
+            cents.append(f["centroid_hz"])
+            rolls.append(f["rolloff85_hz"])
+            bws.append(f["bandwidth_hz"])
+            peaks.append(f["peak_hz"])
+            nfs.append(f["n_frames"])
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("centroid_hz",
+                                pa.array(cents, pa.float64()))
+        out = out.append_column("rolloff85_hz",
+                                pa.array(rolls, pa.float64()))
+        out = out.append_column("bandwidth_hz",
+                                pa.array(bws, pa.float64()))
+        out = out.append_column("peak_hz",
+                                pa.array(peaks, pa.float64()))
+        return out.append_column("n_frames", pa.array(nfs, pa.int32()))
+
+
 class AudioFrameSampler:
     """Frame-sample stub for VIDEO payloads (same actor-pool shape; no
     pure-stdlib video codec exists, so this one stays a declared stub)."""

@@ -2455,3 +2455,32 @@ def test_source_ks_brute_differential(ray_session, tmp_path):
         expect_ppm = (1_000_000 * d_num) // (ns * ng)
         assert int(got.loc[s, "ks_ppm"]) == expect_ppm, s
         assert int(got.loc[s, "n_docs"]) == ns
+
+
+def test_audio_spectral_tone_recovery(ray_session):
+    """The fetch stub synthesizes pure sine tones at seeded
+    frequencies; the measured spectral centroid must recover each
+    tone's frequency (a physical check, not a snapshot)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.multimodal import (
+        AudioSpectral, fetch_media_stub)
+
+    refs = [f"https://media.example/{i}/audio-0.wav" for i in range(24)]
+    media = fetch_media_stub(pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "kind": pa.array(["audio"] * len(refs), pa.string())}))
+    out = AudioSpectral(fake=False)(media)
+    bin_hz = 8000 / 1024  # stub rate / default frame
+    for ref, cent, peak in zip(out.column("media_ref").to_pylist(),
+                               out.column("centroid_hz").to_pylist(),
+                               out.column("peak_hz").to_pylist()):
+        seed = hashlib.md5(ref.encode()).digest()
+        freq = 100.0 + seed[4] * 8
+        # the peak bin recovers the tone to within one FFT bin; the
+        # Hann-windowed centroid lands within a few bins
+        assert abs(peak - freq) <= bin_hz, (ref, freq, peak)
+        assert abs(cent - freq) < max(5 * bin_hz, 0.05 * freq), (
+            ref, freq, cent)
