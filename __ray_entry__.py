@@ -6928,6 +6928,50 @@ def q_audio_spectral(sf_dir: str):
         "media_ref")
 
 
+def q_image_phash(sf_dir: str):
+    """PERCEPTUAL image hashing + exact-dup grouping — the image
+    modality's dedup primitive (dHash: real PNG decode → grayscale →
+    9×8 resize → 64 horizontal-gradient sign bits). One actor-pool
+    decode pass, then a hash_agg group count per phash (identical
+    images collapse; near-dups differ by a few Hamming bits and feed
+    the same banding machinery simhash uses). Snapshot-oracled;
+    anchored by the planted-duplicate/brightness-invariance unit
+    test."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.multimodal import (
+        ImagePHash, fetch_media_stub)
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        refs = [f"https://media.example/{i % 200}/img-0.png"
+                for i in ids.to_pylist()]  # %200 plants exact dups
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "kind": pa.array(["image"] * len(batch), pa.string()),
+        })
+
+    hashed = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"],
+    ).map_batches(to_refs, batch_format="pyarrow").map_batches(
+        fetch_media_stub, batch_format="pyarrow", batch_size=16,
+    ).map_batches(ImagePHash, batch_format="pyarrow", batch_size=16,
+                  concurrency=_pool(),
+                  fn_constructor_kwargs={"fake": False})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("phash").aggregate([([], "count_all")])
+        return pa.table({"phash": g.column("phash"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    return hash_agg(
+        hashed.map_batches(partial, batch_format="pyarrow"),
+        "phash", [("n", "sum", "n_images")]).sort(
+        ["phash"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -7104,6 +7148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_concentration": q_revenue_concentration,
         "item_components": q_item_components,
         "audio_spectral": q_audio_spectral,
+        "image_phash": q_image_phash,
     }
 
 
@@ -7161,6 +7206,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_readability": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/extract_readability.parquet')}')"),
+        "image_phash": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/image_phash.parquet')}')"),
         "audio_spectral": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/audio_spectral.parquet')}')"),

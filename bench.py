@@ -195,7 +195,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "dedup_overlap", "benford_digits", "stickiness", "revenue_autocorr",
              "lang_source_chi2", "media_thumbnails", "small_qty_revenue",
              "brand_band_revenue", "item_neighbors", "session_bounds",
-             "revenue_concentration", "item_components", "audio_spectral"]
+             "revenue_concentration", "item_components", "audio_spectral",
+             "image_phash"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

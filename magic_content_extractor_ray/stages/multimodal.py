@@ -194,6 +194,50 @@ class ThumbnailEncoder(ImageDecoder):
                                  pa.array(means, pa.float64()))
 
 
+class ImagePHash(ImageDecoder):
+    """Actor-pool PERCEPTUAL HASH stage (difference hash): real decode
+    → grayscale → nearest 9×8 resize → 64-bit dHash (horizontal
+    gradient sign bits). Identical images hash identically; small
+    re-encodes/resizes land within a few Hamming bits — the image
+    modality's analog of simhash for near-dup dedup. Emits the hash as
+    hex (shuffle-friendly) plus the thumbnail mean."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+        hashes, means = [], []
+        for p, w, h in zip(payloads, widths, heights):
+            if self.decoder is not None:
+                img = self._to_rgb(np.asarray(self.decoder(p or b""),
+                                              dtype=np.uint8))
+            elif is_png(p or b""):
+                img = self._to_rgb(png_decode(p))
+            elif not self.fake:
+                raise NotImplementedError(
+                    "non-PNG image decode requires an image library — "
+                    "pass decoder=")
+            else:
+                rng = np.random.RandomState(int.from_bytes(
+                    hashlib.md5((p or b"")[:16]).digest()[:4], "big"))
+                img = rng.randint(0, 256, (16, 16, 3), np.uint8)
+            gray = img.astype(np.float64).mean(axis=2)
+            hh, ww = gray.shape
+            yi = np.linspace(0, hh - 1, 8).astype(int)
+            xi = np.linspace(0, ww - 1, 9).astype(int)
+            g = gray[yi][:, xi]
+            bits = (g[:, 1:] > g[:, :-1]).ravel()
+            val = 0
+            for b in bits:
+                val = (val << 1) | int(b)
+            hashes.append(f"{val:016x}")
+            means.append(float(g.mean()))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("phash", pa.array(hashes, pa.string()))
+        return out.append_column("thumb_mean",
+                                 pa.array(means, pa.float64()))
+
+
 class AudioFeatures:
     """Actor-pool audio feature stage: REAL WAV/PCM decode (stdlib
     ``wave``) → per-frame RMS energy features. Mirrors ImageDecoder's

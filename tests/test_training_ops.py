@@ -2484,3 +2484,37 @@ def test_audio_spectral_tone_recovery(ray_session):
         assert abs(peak - freq) <= bin_hz, (ref, freq, peak)
         assert abs(cent - freq) < max(5 * bin_hz, 0.05 * freq), (
             ref, freq, cent)
+
+
+def test_image_phash_invariances():
+    """dHash: identical payloads hash identically; a uniform
+    brightness shift leaves the hash unchanged (gradient-sign bits);
+    transposing the gradient structure changes it."""
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.functions.png import png_encode
+    from magic_content_extractor_ray.stages.multimodal import ImagePHash
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(30, 200, (40, 50, 3), dtype=np.uint8)
+    brighter = np.clip(base.astype(np.int16) + 20, 0, 255).astype(
+        np.uint8)
+    other = base.transpose(1, 0, 2).copy()
+
+    def run(imgs):
+        t = pa.table({
+            "media_ref": pa.array([f"m{i}" for i in range(len(imgs))],
+                                  pa.string()),
+            "kind": pa.array(["image"] * len(imgs), pa.string()),
+            "payload": pa.array([png_encode(im) for im in imgs],
+                                pa.binary()),
+            "width": pa.array([im.shape[1] for im in imgs], pa.int64()),
+            "height": pa.array([im.shape[0] for im in imgs],
+                               pa.int64())})
+        return ImagePHash(fake=False)(t).column("phash").to_pylist()
+
+    h = run([base, base, brighter, other])
+    assert h[0] == h[1]          # exact duplicate
+    assert h[0] == h[2]          # brightness-shift invariant
+    assert h[0] != h[3]          # different structure
