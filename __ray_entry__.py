@@ -6972,6 +6972,265 @@ def q_image_phash(sf_dir: str):
         ["phash"])
 
 
+def q_rolling_active_users(sf_dir: str):
+    """7-day ROLLING distinct active users per day (trailing-window
+    distinct — the window no per-day groupby can express because one
+    user spans many windows). Shuffle-lean exact plan: a user active on
+    day a is counted on every day d in [a, a+6], so per user the covered
+    days are a UNION OF INTERVALS [a_i, a_i+6]; runs of active days with
+    gaps <= 6 merge into one interval, each interval contributes a +1/-1
+    delta pair, and the per-day rolling-distinct count is the prefix sum
+    of deltas. One distinct-(user,day) combiner pass, one per-user hash
+    partition pass (numpy run detection), one tiny per-day delta
+    aggregate (~2 rows per interval; bounded by the day span, never by
+    row count)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, ts_us)
+
+    W = 7  # trailing window size in days
+
+    def prep(batch: pa.Table) -> pa.Table:
+        days = ts_us(batch.column("ts")) // 86_400_000_000
+        u = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(u) and (u.min() < 0 or u.max() >= (1 << 42)):
+            raise ValueError("user_id out of packable range")
+        # pack (user, day) for the distinct combiner — day spans since
+        # epoch fit comfortably in 20 bits through year 4840
+        t = pa.table({"ud": pa.array((u << np.int64(20)) | days, pa.int64()),
+                      "user_id": pa.array(u, pa.int64()),
+                      "day": pa.array(days, pa.int64())})
+        g = t.group_by("ud").aggregate([("user_id", "min"), ("day", "min")])
+        return pa.table({"user_id": g.column("user_id_min"),
+                         "day": g.column("day_min")})
+
+    uday = hash_agg(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "ts"]).map_batches(
+            prep, batch_format="pyarrow"),
+        "user_id", [("day", "min", "day")],
+        group_cols=["user_id", "day"]).materialize()
+
+    def deltas(t: pa.Table) -> pa.Table:
+        # t is sorted by (user_id, day); runs with day-gaps <= W-1 merge
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "delta": pa.array([], pa.int64())})
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > W - 1)
+        starts = np.nonzero(new_run)[0]
+        ends = np.append(starts[1:], n) - 1  # last index of each run
+        day_on = d[starts]            # interval opens (inclusive)
+        day_off = d[ends] + W         # interval closes (exclusive)
+        return pa.table({
+            "day": pa.array(np.concatenate([day_on, day_off]), pa.int64()),
+            "delta": pa.array(np.concatenate(
+                [np.ones(len(starts), np.int64),
+                 -np.ones(len(starts), np.int64)]), pa.int64())})
+
+    cells = hash_agg(
+        map_key_partitions(uday, "user_id", deltas, sort_cols=["day"]),
+        "day", [("delta", "sum", "delta")]).take_all()
+
+    # present days: report the rolling count only for days with activity
+    present = sorted({int(r["day"]) for r in uday.select_columns(
+        ["day"]).take_all()})
+    cells.sort(key=lambda r: int(r["day"]))
+    delta_days = np.array([int(r["day"]) for r in cells], np.int64)
+    cum = np.cumsum(np.array([int(r["delta"]) for r in cells], np.int64))
+    pos = np.searchsorted(delta_days, np.array(present, np.int64),
+                          side="right") - 1
+    return pd.DataFrame({"day": present,
+                         "active_7d": [int(cum[p]) for p in pos]})
+
+
+def q_dup_size_histogram(sf_dir: str):
+    """Duplicate-CLUSTER-SIZE histogram (the corpus-health summary a
+    dedup run is judged by: how much mass sits in what size of exact-dup
+    group). Per-batch md5 fingerprint (reusing the exact-dedup content
+    key), one hash_agg per fingerprint for group sizes, then a 9-ish-row
+    combiner histogram over sizes — only (hash, count) rows ever
+    shuffle."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        t = pa.table({"h": pa.array(hs, pa.string())})
+        g = t.group_by("h").aggregate([([], "count_all")])
+        return pa.table({"h": g.column("h"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    sizes = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["text"]).map_batches(
+            fingerprint, batch_format="pyarrow"),
+        "h", [("n", "sum", "sz")])
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("sz").aggregate([([], "count_all"), ("sz", "sum")])
+        return pa.table({
+            "group_size": g.column("sz"),
+            "n_groups": pc.cast(g.column("count_all"), pa.int64()),
+            "n_docs": pc.cast(g.column("sz_sum"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return sizes.map_batches(hist, batch_format="pyarrow").groupby(
+        "group_size").aggregate(
+        Sum("n_groups", alias_name="n_groups"),
+        Sum("n_docs", alias_name="n_docs")).sort("group_size")
+
+
+def q_fulfillment_lag(sf_dir: str):
+    """Order-fulfillment lag percentiles per order priority: per-order
+    lag = days from o_orderdate to the LAST lineitem shipment, then
+    exact p50/p95 per priority from a (priority, lag) value histogram
+    (integer day values — the histogram is O(distinct lags), never raw
+    rows). Per-order max is a hash_agg (order-count-scale groups);
+    priorities attach via the partitioned hash join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.stats import grouped_quantiles
+    from magic_content_extractor_ray.stages.window import hash_agg, ts_us
+
+    def ship_days(batch: pa.Table) -> pa.Table:
+        d = ts_us(batch.column("l_shipdate")) // 86_400_000_000
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "ship_day": pa.array(d, pa.int64())})
+
+    last_ship = hash_agg(
+        _read_pq(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_orderkey", "l_shipdate"]).map_batches(
+            ship_days, batch_format="pyarrow"),
+        "l_orderkey", [("ship_day", "max", "last_ship")])
+
+    def order_days(batch: pa.Table) -> pa.Table:
+        d = ts_us(batch.column("o_orderdate")) // 86_400_000_000
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "order_day": pa.array(d, pa.int64()),
+                         "o_orderpriority": batch.column("o_orderpriority")})
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_days, batch_format="pyarrow").map_batches(
+        lambda t: t.rename_columns(
+            ["l_orderkey", "order_day", "o_orderpriority"]),
+        batch_format="pyarrow")
+
+    joined = hash_join(
+        last_ship, orders, key="l_orderkey",
+        left_cols=["last_ship"],
+        right_cols=["order_day", "o_orderpriority"],
+        left_types={"l_orderkey": pa.int64(), "last_ship": pa.int64()},
+        right_types={"l_orderkey": pa.int64(), "order_day": pa.int64(),
+                     "o_orderpriority": pa.string()})
+
+    lags = joined.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "lag_days": pc.subtract(t.column("last_ship"),
+                                    t.column("order_day"))}),
+        batch_format="pyarrow")
+
+    out = grouped_quantiles(lags, key_column="o_orderpriority",
+                            value_column="lag_days",
+                            quantiles=(0.5, 0.95))
+    return out.map_batches(
+        lambda t: t.rename_columns(["o_orderpriority", "p50", "p95"]),
+        batch_format="pyarrow").sort("o_orderpriority")
+
+
+def q_priority_late_orders(sf_dir: str):
+    """TPC-H Q4-shaped order-priority check (adapted to this corpus'
+    columns: no commit/receipt dates, so 'late' = any lineitem shipped
+    more than 60 days after the order date): orders placed in 1996Q3
+    with at least one late lineitem, counted per priority. EXISTS is one
+    inner hash join (date-filtered orders only — the fact side prunes
+    before the exchange) + a per-order any() via hash_agg, then a
+    5-row combiner count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import hash_agg, ts_us
+
+    lo = np.datetime64("1996-07-01").astype("datetime64[D]").astype(
+        np.int64)
+    hi = np.datetime64("1996-10-01").astype("datetime64[D]").astype(
+        np.int64)
+
+    def orders_prep(batch: pa.Table) -> pa.Table:
+        d = ts_us(batch.column("o_orderdate")) // 86_400_000_000
+        mask = pa.array((d >= lo) & (d < hi))
+        t = pa.table({"l_orderkey": batch.column("o_orderkey"),
+                      "order_day": pa.array(d, pa.int64()),
+                      "o_orderpriority": batch.column("o_orderpriority")})
+        return t.filter(mask)
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_prep, batch_format="pyarrow")
+
+    def ship_prep(batch: pa.Table) -> pa.Table:
+        d = ts_us(batch.column("l_shipdate")) // 86_400_000_000
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "ship_day": pa.array(d, pa.int64())})
+
+    ship = _read_pq(f"{sf_dir}/lineitem.parquet",
+                    columns=["l_orderkey", "l_shipdate"]).map_batches(
+        ship_prep, batch_format="pyarrow")
+
+    joined = hash_join(
+        ship, orders, key="l_orderkey",
+        left_cols=["ship_day"],
+        right_cols=["order_day", "o_orderpriority"],
+        left_types={"l_orderkey": pa.int64(), "ship_day": pa.int64()},
+        right_types={"l_orderkey": pa.int64(), "order_day": pa.int64(),
+                     "o_orderpriority": pa.string()})
+
+    late = joined.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.subtract(t.column("ship_day"), t.column("order_day")),
+            60)).select(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+
+    per_order = hash_agg(late, "l_orderkey",
+                         [("o_orderpriority", "min", "o_orderpriority")])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "n_late_orders": pc.cast(g.column("count_all"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return per_order.map_batches(cnt, batch_format="pyarrow").groupby(
+        "o_orderpriority").aggregate(
+        Sum("n_late_orders", alias_name="n_late_orders")).sort(
+        "o_orderpriority")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -7149,6 +7408,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_components": q_item_components,
         "audio_spectral": q_audio_spectral,
         "image_phash": q_image_phash,
+        "rolling_active_users": q_rolling_active_users,
+        "dup_size_histogram": q_dup_size_histogram,
+        "fulfillment_lag": q_fulfillment_lag,
+        "priority_late_orders": q_priority_late_orders,
     }
 
 
@@ -8965,4 +9228,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r.a, e.ib FROM reach r JOIN edges e ON e.ia = r.b) "
             "SELECT a AS item, CAST(min(b) AS BIGINT) AS component "
             "FROM reach GROUP BY 1 ORDER BY 1"),
+        "rolling_active_users": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day "
+            "FROM events), days AS (SELECT DISTINCT day FROM ud) "
+            "SELECT d.day AS day, "
+            "CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d "
+            "FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day "
+            "GROUP BY 1 ORDER BY 1"),
+        "dup_size_histogram": (
+            "WITH g AS (SELECT md5(text) AS h, count(*) AS sz "
+            "FROM documents GROUP BY 1) "
+            "SELECT CAST(sz AS BIGINT) AS group_size, "
+            "CAST(count(*) AS BIGINT) AS n_groups, "
+            "CAST(sum(sz) AS BIGINT) AS n_docs "
+            "FROM g GROUP BY 1 ORDER BY 1"),
+        "fulfillment_lag": (
+            "WITH ls AS (SELECT l_orderkey, "
+            "max(CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)) "
+            "AS last_ship FROM lineitem GROUP BY 1), "
+            "lag AS (SELECT o.o_orderpriority, ls.last_ship - "
+            "CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) "
+            "AS lag_days FROM ls "
+            "JOIN orders o ON o.o_orderkey = ls.l_orderkey) "
+            "SELECT o_orderpriority, "
+            "quantile_cont(lag_days, 0.5) AS p50, "
+            "quantile_cont(lag_days, 0.95) AS p95 "
+            "FROM lag GROUP BY 1 ORDER BY 1"),
+        "priority_late_orders": (
+            "SELECT o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n_late_orders "
+            "FROM orders o "
+            "WHERE o.o_orderdate >= TIMESTAMP '1996-07-01' "
+            "AND o.o_orderdate < TIMESTAMP '1996-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT) "
+            "- CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) "
+            "> 60) GROUP BY 1 ORDER BY 1"),
     }

@@ -196,7 +196,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "lang_source_chi2", "media_thumbnails", "small_qty_revenue",
              "brand_band_revenue", "item_neighbors", "session_bounds",
              "revenue_concentration", "item_components", "audio_spectral",
-             "image_phash"]
+             "image_phash",
+             # round-4 fourth-session: rolling windows, dedup health,
+             # fulfillment percentiles, Q4 shape
+             "rolling_active_users", "dup_size_histogram",
+             "fulfillment_lag", "priority_late_orders"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -2518,3 +2518,97 @@ def test_image_phash_invariances():
     assert h[0] == h[1]          # exact duplicate
     assert h[0] == h[2]          # brightness-shift invariant
     assert h[0] != h[3]          # different structure
+
+
+def test_rolling_active_users_interval_merge(ray_session, tmp_path):
+    """The per-user interval union behind the rolling-distinct plan:
+    active-day runs with gaps <= 6 merge into one +1/-1 interval, a gap
+    of exactly 7 splits; verified against a brute-force trailing-window
+    count over a hand-built activity matrix."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    base = dt.datetime(2024, 3, 1)
+    # user -> active day offsets (chosen to exercise merge/split edges:
+    # gap of exactly 6 merges, exactly 7 splits, duplicate days dedup)
+    activity = {
+        1: [0, 6, 12],          # chained merges -> one interval [0, 18]
+        2: [0, 7],              # split -> [0,6] and [7,13]
+        3: [5, 5, 5],           # duplicates collapse
+        4: [20],                # lone day at the tail
+    }
+    rows, eid = [], 0
+    for user, days in activity.items():
+        for d in days:
+            eid += 1
+            rows.append({"event_id": eid, "user_id": user,
+                         "ts": base + dt.timedelta(days=d, hours=3),
+                         "event_type": "view", "value": 1.0,
+                         "props": "{}"})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["rolling_active_users"](sf)
+    base_day = int(base.timestamp()) // 86400
+
+    present = sorted({d for ds in activity.values() for d in ds})
+    for _, row in got.iterrows():
+        d = int(row["day"]) - base_day
+        expect = sum(
+            1 for days in activity.values()
+            if any(d - 6 <= a <= d for a in days))
+        assert d in present
+        assert int(row["active_7d"]) == expect, (d, expect)
+    assert len(got) == len(present)
+
+
+def test_priority_late_orders_60_day_boundary(ray_session, tmp_path):
+    """'Late' is STRICTLY more than 60 days after the order date: a
+    lineitem shipped exactly +60 does not flag the order, +61 does; an
+    order with several late lineitems counts once; orders outside the
+    1996Q3 window never count."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    q3 = dt.datetime(1996, 7, 15)
+
+    def order(k, date, pri):
+        return {"o_orderkey": k, "o_custkey": 1, "o_orderstatus": "O",
+                "o_totalprice": 10.0, "o_orderdate": date,
+                "o_orderpriority": pri}
+
+    def line(k, ln, ship):
+        return {"l_orderkey": k, "l_partkey": 1, "l_suppkey": 1,
+                "l_linenumber": ln, "l_quantity": 1.0,
+                "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+                "l_returnflag": "N", "l_linestatus": "O",
+                "l_shipdate": ship}
+
+    orders = [
+        order(1, q3, "1-URGENT"),                   # +60 exactly: NOT late
+        order(2, q3, "1-URGENT"),                   # +61: late
+        order(3, q3, "2-HIGH"),                     # two late lines: once
+        order(4, dt.datetime(1996, 5, 1), "2-HIGH"),  # outside window
+    ]
+    lines = [
+        line(1, 1, q3 + dt.timedelta(days=60)),
+        line(2, 1, q3 + dt.timedelta(days=61)),
+        line(3, 1, q3 + dt.timedelta(days=90)),
+        line(3, 2, q3 + dt.timedelta(days=120)),
+        line(4, 1, dt.datetime(1996, 12, 1)),
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(orders), f"{sf}/orders.parquet")
+    pq.write_table(pa.Table.from_pylist(lines), f"{sf}/lineitem.parquet")
+
+    got = entrymod.queries()["priority_late_orders"](sf).to_pandas()
+    by_pri = dict(zip(got["o_orderpriority"], got["n_late_orders"]))
+    assert by_pri == {"1-URGENT": 1, "2-HIGH": 1}
