@@ -7231,6 +7231,273 @@ def q_priority_late_orders(sf_dir: str):
         "o_orderpriority")
 
 
+def q_slow_suppliers(sf_dir: str):
+    """TPC-H Q21-shaped 'suppliers who kept orders waiting' (adapted to
+    this corpus' columns: no commit/receipt dates, so the lone LAST
+    shipper of a multi-supplier order takes the blame): per
+    (order, supplier) max ship day via hash_agg, one per-order hash
+    partition pass that finds orders with >= 2 suppliers where exactly
+    ONE supplier hit the order's latest ship day, a supplier-count
+    aggregate, and a broadcast name attach (supplier is
+    dimension-sized). Top 10 by wait count."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts,
+        ts_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = ts_us(batch.column("l_shipdate")) // 86_400_000_000
+        return pa.table({"l_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"),
+                         "smax": pa.array(d, pa.int64())})
+
+    per_os = hash_agg(
+        _read_pq(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+                 ).map_batches(prep, batch_format="pyarrow"),
+        "l_orderkey", [("smax", "max", "smax")],
+        group_cols=["l_orderkey", "l_suppkey"])
+
+    def lone_last(t: pa.Table) -> pa.Table:
+        # t sorted by l_orderkey; per order: >=2 suppliers and exactly
+        # one supplier at the order max ship day
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        m = t.column("smax").to_numpy(zero_copy_only=False)
+        if not len(o):
+            return pa.table({"l_suppkey": pa.array([], pa.int64())})
+        starts = segment_starts(o)
+        lens = segment_lengths(starts, len(o))
+        omax = np.maximum.reduceat(m, starts)
+        at_max = (m == np.repeat(omax, lens))
+        n_at_max = np.add.reduceat(at_max, starts)
+        pick = (lens >= 2) & (n_at_max == 1)
+        # the lone supplier's row: at_max within a picked segment
+        mask = at_max & np.repeat(pick, lens)
+        return pa.table({"l_suppkey": pa.array(s[mask], pa.int64())})
+
+    waits = hash_agg(
+        map_key_partitions(per_os, "l_orderkey", lone_last).map_batches(
+            lambda t: t.group_by("l_suppkey").aggregate(
+                [([], "count_all")]).rename_columns(
+                ["l_suppkey", "n"]),
+            batch_format="pyarrow"),
+        "l_suppkey", [("n", "sum", "numwait")])
+
+    sup = _read_pq(f"{sf_dir}/supplier.parquet",
+                   columns=["s_suppkey", "s_name"]).to_pandas()
+    names_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                 sup["s_name"])))
+
+    def attach(t: pa.Table, *, _ref=names_ref) -> pa.Table:
+        lk = ray.get(_ref)
+        names = [lk[int(k)] for k in t.column("l_suppkey").to_pylist()]
+        out = pa.table({"s_name": pa.array(names, pa.string()),
+                        "numwait": pc.cast(t.column("numwait"),
+                                           pa.int64())})
+        return _batch_topk(out, [("numwait", "descending"),
+                                 ("s_name", "ascending")], k=10)
+
+    out = waits.map_batches(
+        attach, batch_format="pyarrow").to_pandas().sort_values(
+        ["numwait", "s_name"], ascending=[False, True]).head(
+        10).reset_index(drop=True)
+    return out[["s_name", "numwait"]]
+
+
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix (bot screening:
+    near-zero entropy = single-action automation), top 20 by entropy.
+    Exactly-mergeable plan: per (user, type) counts via hash_agg, then
+    one per-user partition pass. Each c·ln(c) contribution is rounded
+    to integer NANO-NATS before summing (order-independent — the same
+    trick as the KL/PMI queries), so H = ln(n) − S/1e9/n is one
+    deterministic float expression on both engines."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        import pyarrow.compute as pc
+
+        return pa.table({"user_id": g.column("user_id"),
+                         "event_type": g.column("event_type"),
+                         "c": pc.cast(g.column("count_all"), pa.int64())})
+
+    cells = hash_agg(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "event_type"]).map_batches(
+            prep, batch_format="pyarrow"),
+        "user_id", [("c", "sum", "c")],
+        group_cols=["user_id", "event_type"])
+
+    def per_user(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(u):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "entropy_nano": pa.array([], pa.int64())})
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, len(u))
+        # integer nano-nat contributions FIRST, then integer sums.
+        # ln via libm (math.log) over the few distinct counts — np.log's
+        # SIMD path is not guaranteed last-bit-identical to DuckDB's libm
+        uniq, inv = np.unique(c, return_inverse=True)
+        logs = np.array([math.log(int(v)) for v in uniq], np.float64)
+        contrib = np.floor(c * logs[inv] * 1e9 + 0.5).astype(np.int64)
+        s = np.add.reduceat(contrib, starts).astype(np.int64)
+        n = np.add.reduceat(c, starts).astype(np.int64)
+        h = [int(math.floor((math.log(int(nn)) - int(ss) / 1e9 / int(nn))
+                            * 1e9 + 0.5))
+             for nn, ss in zip(n, s)]
+        out = pa.table({"user_id": pa.array(u[starts], pa.int64()),
+                        "n_events": pa.array(n, pa.int64()),
+                        "entropy_nano": pa.array(h, pa.int64())})
+        return _batch_topk(out.sort_by([
+            ("entropy_nano", "descending"), ("user_id", "ascending")]),
+            [("entropy_nano", "descending"), ("user_id", "ascending")],
+            k=20)
+
+    out = map_key_partitions(cells, "user_id", per_user,
+                             sort_cols=["event_type"]).to_pandas()
+    return out.sort_values(["entropy_nano", "user_id"],
+                           ascending=[False, True]).head(
+        20).reset_index(drop=True)[
+        ["user_id", "n_events", "entropy_nano"]]
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve over word TRIGRAMS: distinct
+    trigrams FIRST SEEN per 50-doc bucket of doc_id order, plus the
+    cumulative vocabulary size (the corpus-scaling diagnostic for
+    tokenizer / n-gram-LM sizing; unigrams are useless here — this
+    corpus' unigram vocabulary closes after ten documents). Per-trigram
+    min doc_id via one hash_agg over per-batch (term, min doc)
+    partials; the bucket histogram and its running sum are bucket-count
+    tiny."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    W = 50
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        terms: list[str] = []
+        docs: list[int] = []
+        for i, txt in zip(ids, batch.column("text").to_pylist()):
+            ws = _ascii_words((txt or "").lower())
+            tgs = {" ".join(ws[k:k + 3])
+                   for k in range(max(0, len(ws) - 2))}
+            terms.extend(tgs)
+            docs.extend([int(i)] * len(tgs))
+        t = pa.table({"term": pa.array(terms, pa.string()),
+                      "first_doc": pa.array(docs, pa.int64())})
+        g = t.group_by("term").aggregate([("first_doc", "min")])
+        return pa.table({"term": g.column("term"),
+                         "first_doc": g.column("first_doc_min")})
+
+    firsts = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        "term", [("first_doc", "min", "first_doc")])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.divide(t.column("first_doc"), W)
+        g = pa.table({"bucket": b}).group_by("bucket").aggregate(
+            [([], "count_all")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "new_terms": pc.cast(g.column("count_all"),
+                                              pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    cells = firsts.map_batches(bucket, batch_format="pyarrow").groupby(
+        "bucket").aggregate(Sum("new_terms", alias_name="new_terms")
+                            ).sort("bucket").take_all()
+    out = {"bucket": [], "new_terms": [], "vocab_size": []}
+    cum = 0
+    for r in cells:
+        cum += int(r["new_terms"])
+        out["bucket"].append(int(r["bucket"]))
+        out["new_terms"].append(int(r["new_terms"]))
+        out["vocab_size"].append(cum)
+    return pd.DataFrame(out)
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Full 64x64 covariance matrix of the embedding column (the input
+    to whitening / PCA-style dimensionality audits), exact to the last
+    bit: embeddings quantized to integer MICRO-units (round-half-away,
+    matching SQL round()), per-batch integer sufficient stats
+    (n, Σx 64-vector, ΣxxT Gram matrix via one int64 matmul), partials
+    merged as arbitrary-precision Python ints on the driver (2 080
+    cells × #batches rows — bounded by batch count, never by row
+    count), cov = (n·Σxy − Σx·Σy)/n² single-rounded from the exact
+    integer numerator exactly like CAST(... AS DOUBLE)/n²."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    DIM, SCALE = 64, 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64) * SCALE
+        q = np.where(m >= 0, np.floor(m + 0.5),
+                     np.ceil(m - 0.5)).astype(np.int64)
+        gram = q.T @ q                     # 64x64 int64, exact
+        sums = q.sum(axis=0)
+        iu = np.triu_indices(DIM)
+        return pa.table({
+            "i": pa.array(iu[0].astype(np.int64), pa.int64()),
+            "j": pa.array(iu[1].astype(np.int64), pa.int64()),
+            "sxy": pa.array(gram[iu], pa.int64()),
+            "sx": pa.array(sums[iu[0]], pa.int64()),
+            "sy": pa.array(sums[iu[1]], pa.int64()),
+            "n": pa.array(np.full(len(iu[0]), len(q), np.int64()),
+                          pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/embeddings.parquet",
+                     columns=["embedding"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096).take_all()
+
+    acc: dict[tuple[int, int], list] = {}
+    for r in cells:
+        k = (int(r["i"]), int(r["j"]))
+        a = acc.setdefault(k, [0, 0, 0, 0])   # python ints: exact bignum
+        a[0] += int(r["sxy"])
+        a[1] += int(r["sx"])
+        a[2] += int(r["sy"])
+        a[3] += int(r["n"])
+    out = {"i": [], "j": [], "cov_micro2": []}
+    for (i, j), (sxy, sx, sy, n) in sorted(acc.items()):
+        num = n * sxy - sx * sy            # exact integer numerator
+        # single rounding, mirroring CAST(num AS DOUBLE)/CAST(n*n ..)
+        out["i"].append(i)
+        out["j"].append(j)
+        out["cov_micro2"].append(float(num) / float(n * n))
+    return pd.DataFrame(out)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -7412,6 +7679,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_size_histogram": q_dup_size_histogram,
         "fulfillment_lag": q_fulfillment_lag,
         "priority_late_orders": q_priority_late_orders,
+        "slow_suppliers": q_slow_suppliers,
+        "user_entropy": q_user_entropy,
+        "vocab_growth": q_vocab_growth,
+        "embedding_covariance": q_embedding_covariance,
     }
 
 
@@ -9266,4 +9537,60 @@ def oracle_sql() -> dict[str, str]:
             "AND CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT) "
             "- CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) "
             "> 60) GROUP BY 1 ORDER BY 1"),
+        "slow_suppliers": (
+            "WITH os AS (SELECT l_orderkey, l_suppkey, "
+            "max(CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)) "
+            "AS smax FROM lineitem GROUP BY 1, 2), "
+            "o AS (SELECT l_orderkey, max(smax) AS omax, "
+            "count(*) AS nsupp, "
+            "sum(CASE WHEN smax = (SELECT max(smax) FROM os x "
+            "WHERE x.l_orderkey = os.l_orderkey) THEN 1 ELSE 0 END) "
+            "AS natmax FROM os GROUP BY 1), "
+            "w AS (SELECT os.l_suppkey FROM os "
+            "JOIN o USING (l_orderkey) "
+            "WHERE o.nsupp >= 2 AND o.natmax = 1 AND os.smax = o.omax) "
+            "SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey "
+            "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10"),
+        "user_entropy": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS c "
+            "FROM events GROUP BY 1, 2), "
+            "s AS (SELECT user_id, "
+            "CAST(sum(CAST(floor(c * ln(c) * 1000000000 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS s, "
+            "CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1) "
+            "SELECT user_id, n AS n_events, "
+            "CAST(floor((ln(n) - s / 1000000000.0 / n) * 1000000000 "
+            "+ 0.5) AS BIGINT) AS entropy_nano "
+            "FROM s ORDER BY entropy_nano DESC, user_id LIMIT 20"),
+        "vocab_growth": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS ws "
+            "FROM documents), "
+            "tri AS (SELECT doc_id, ws[u.i] || ' ' || ws[u.i+1] || ' ' "
+            "|| ws[u.i+2] AS term FROM toks, "
+            "unnest(range(1, greatest(len(ws) - 1, 1))) u(i)), "
+            "ft AS (SELECT term, min(doc_id) AS first_doc FROM tri "
+            "GROUP BY 1), "
+            "b AS (SELECT first_doc // 50 AS bucket, "
+            "count(*) AS new_terms FROM ft GROUP BY 1) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(new_terms AS BIGINT) AS new_terms, "
+            "CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) "
+            "AS vocab_size FROM b ORDER BY bucket"),
+        "embedding_covariance": (
+            "WITH q AS (SELECT vec_id, t.i AS i, "
+            "CAST(round(CAST(embedding[CAST(t.i AS INTEGER) + 1] "
+            "AS DOUBLE) * 1000000) "
+            "AS BIGINT) AS v FROM embeddings, range(64) t(i)), "
+            "p AS (SELECT a.i AS i, b.i AS j, count(*) AS n, "
+            "sum(CAST(a.v AS HUGEINT) * b.v) AS sxy, "
+            "sum(CAST(a.v AS HUGEINT)) AS sx, "
+            "sum(CAST(b.v AS HUGEINT)) AS sy "
+            "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
+            "CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) "
+            "/ CAST(n * n AS DOUBLE) AS cov_micro2 "
+            "FROM p ORDER BY i, j"),
     }

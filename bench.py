@@ -200,7 +200,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # round-4 fourth-session: rolling windows, dedup health,
              # fulfillment percentiles, Q4 shape
              "rolling_active_users", "dup_size_histogram",
-             "fulfillment_lag", "priority_late_orders"]
+             "fulfillment_lag", "priority_late_orders",
+             "slow_suppliers", "user_entropy", "vocab_growth",
+             "embedding_covariance"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

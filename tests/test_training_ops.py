@@ -2612,3 +2612,109 @@ def test_priority_late_orders_60_day_boundary(ray_session, tmp_path):
     got = entrymod.queries()["priority_late_orders"](sf).to_pandas()
     by_pri = dict(zip(got["o_orderpriority"], got["n_late_orders"]))
     assert by_pri == {"1-URGENT": 1, "2-HIGH": 1}
+
+
+def test_slow_suppliers_lone_last_semantics(ray_session, tmp_path):
+    """Only the LONE last shipper of a multi-supplier order takes the
+    blame: single-supplier orders never count, ties at the order max
+    exonerate everyone, and one supplier accumulates across orders."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    d0 = dt.datetime(1996, 1, 1)
+
+    def line(ok, supp, day):
+        return {"l_orderkey": ok, "l_partkey": 1, "l_suppkey": supp,
+                "l_linenumber": 1, "l_quantity": 1.0,
+                "l_extendedprice": 1.0, "l_discount": 0.0, "l_tax": 0.0,
+                "l_returnflag": "N", "l_linestatus": "O",
+                "l_shipdate": d0 + dt.timedelta(days=day)}
+
+    lines = [
+        # order 1: supp 2 ships last alone -> blame supp 2
+        line(1, 1, 10), line(1, 2, 20),
+        # order 2: both suppliers tie at the max -> nobody blamed
+        line(2, 1, 30), line(2, 2, 30),
+        # order 3: single supplier -> never counts
+        line(3, 3, 99),
+        # order 4: supp 2 last again -> second strike
+        line(4, 3, 5), line(4, 2, 50),
+    ]
+    sups = [{"s_suppkey": k, "s_name": f"Supplier#{k}",
+             "s_nationkey": 0, "s_acctbal": 0.0} for k in (1, 2, 3)]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(lines), f"{sf}/lineitem.parquet")
+    pq.write_table(pa.Table.from_pylist(sups), f"{sf}/supplier.parquet")
+
+    got = entrymod.queries()["slow_suppliers"](sf)
+    assert list(got["s_name"]) == ["Supplier#2"]
+    assert list(got["numwait"]) == [2]
+
+
+def test_embedding_covariance_matches_numpy(ray_session, tmp_path):
+    """The integer-sufficient-stat covariance equals np.cov(bias=True)
+    of the micro-quantized vectors to float64 precision, across a batch
+    boundary (batch_size=4096 with 5000 rows forces two partials)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(7)
+    n, dim = 5000, 64
+    vecs = rng.normal(scale=0.3, size=(n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(vecs.tolist(),
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32())})
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/embeddings.parquet")
+
+    got = entrymod.queries()["embedding_covariance"](sf)
+    m = vecs.astype(np.float64) * 1e6
+    q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
+    ref = np.cov(q, rowvar=False, bias=True)
+    iu = np.triu_indices(dim)
+    want = ref[iu]
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["cov_micro2"].to_numpy(), want, rtol=1e-12)
+
+
+def test_user_entropy_hand_computed(ray_session, tmp_path):
+    """Entropy of a hand-built mix: uniform 2-type user gets ln 2,
+    single-type user gets 0, and the 3:1 user lands between them."""
+    import datetime as dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    base = dt.datetime(2024, 6, 1)
+    mixes = {1: ["view", "click"], 2: ["view"] * 4,
+             3: ["view"] * 3 + ["click"]}
+    rows, eid = [], 0
+    for user, types in mixes.items():
+        for typ in types:
+            eid += 1
+            rows.append({"event_id": eid, "user_id": user,
+                         "ts": base + dt.timedelta(seconds=eid),
+                         "event_type": typ, "value": 1.0, "props": "{}"})
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["user_entropy"](sf)
+    by_user = dict(zip(got["user_id"], got["entropy_nano"]))
+    assert by_user[1] == math.floor(math.log(2) * 1e9 + 0.5)
+    assert by_user[2] == 0
+    h3 = math.log(4) - (3 * math.log(3)) / 4
+    assert abs(by_user[3] - h3 * 1e9) < 2  # nano-unit rounding
+    assert list(got["user_id"]) == [1, 3, 2]  # entropy-desc order
