@@ -7498,6 +7498,273 @@ def q_embedding_covariance(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit across the star schema (the data-
+    quality gate a 100 TB ingest runs before anything else): orphan
+    counts for each fact→dimension edge plus domain checks. Dimension-
+    sized key sets (customer, part, supplier) are broadcast once via
+    ray.put and probed with np.isin inside map_batches; the one
+    fact→fact edge (lineitem→orders) is a partitioned anti hash join.
+    Output is a constant-size checklist — nothing row-scale ever
+    reaches the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from magic_content_extractor_ray.stages.join import hash_join
+
+    def keyset(table: str, col: str):
+        arr = np.sort(_read_pq(f"{sf_dir}/{table}.parquet",
+                               columns=[col]).to_pandas()[col].to_numpy(
+            ).astype(np.int64))
+        return ray.put(arr)
+
+    cust_ref = keyset("customer", "c_custkey")
+    part_ref = keyset("part", "p_partkey")
+    supp_ref = keyset("supplier", "s_suppkey")
+
+    def count_missing(ds, col: str, ref):
+        def partial(batch: pa.Table, *, _ref=ref) -> pa.Table:
+            keys = ray.get(_ref)
+            vals = batch.column(col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(keys, vals)
+            pos = np.clip(pos, 0, len(keys) - 1)
+            miss = int((keys[pos] != vals).sum())
+            return pa.table({"n": pa.array([miss], pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n"))
+        return int(rows["n"] or 0)
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+    lineitem = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"])
+
+    checks = {
+        "orders_custkey_orphans": count_missing(
+            orders.select_columns(["o_custkey"]), "o_custkey", cust_ref),
+        "lineitem_partkey_orphans": count_missing(
+            lineitem.select_columns(["l_partkey"]), "l_partkey", part_ref),
+        "lineitem_suppkey_orphans": count_missing(
+            lineitem.select_columns(["l_suppkey"]), "l_suppkey", supp_ref),
+    }
+
+    # fact→fact edge: anti join, both sides row-scale
+    orphans = hash_join(
+        lineitem.select_columns(["l_orderkey"]),
+        orders.select_columns(["o_orderkey"]).map_batches(
+            lambda t: t.rename_columns(["l_orderkey"]),
+            batch_format="pyarrow"),
+        key="l_orderkey", left_cols=[], right_cols=[], how="anti",
+        left_types={"l_orderkey": pa.int64()},
+        right_types={"l_orderkey": pa.int64()})
+    checks["lineitem_orderkey_orphans"] = orphans.count()
+
+    nonpos = lineitem.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(pc.less_equal(
+                t.column("l_quantity"), 0.0), pa.int64())).as_py() or 0)],
+            pa.int64())}),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    checks["lineitem_nonpositive_qty"] = int(
+        nonpos.aggregate(Sum("n", alias_name="n"))["n"] or 0)
+
+    empty_docs = _read_pq(f"{sf_dir}/documents.parquet",
+                          columns=["text"]).map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [int(pc.sum(pc.cast(pc.or_kleene(
+                pc.is_null(t.column("text")),
+                pc.equal(pc.utf8_length(t.column("text")), 0)),
+                pa.int64())).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow")
+    checks["documents_empty_text"] = int(
+        empty_docs.aggregate(Sum("n", alias_name="n"))["n"] or 0)
+
+    items = sorted(checks.items())
+    return pd.DataFrame({"check": [k for k, _ in items],
+                         "n_violations": [int(v) for _, v in items]})
+
+
+def q_doc_novelty(sf_dir: str):
+    """Per-document trigram NOVELTY in doc_id order (the dedup-adjacent
+    curation signal: how much of each doc's shingle set is first seen
+    there) — the 20 most REDUNDANT docs (lowest novelty). Plan: per-doc
+    distinct trigrams → one term-keyed partition pass that knows each
+    trigram's first doc (min within the partition — a term's rows never
+    straddle partitions) and emits (doc, new, total) increments → one
+    per-doc hash_agg. Novelty is exact integer ppm."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts)
+
+    def tri(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        terms: list[str] = []
+        docs: list[int] = []
+        for i, txt in zip(ids, batch.column("text").to_pylist()):
+            ws = _ascii_words((txt or "").lower())
+            tgs = {" ".join(ws[k:k + 3])
+                   for k in range(max(0, len(ws) - 2))}
+            terms.extend(tgs)
+            docs.extend([int(i)] * len(tgs))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "doc_id": pa.array(docs, pa.int64())})
+
+    posting = _read_pq(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"]).map_batches(
+        tri, batch_format="pyarrow")
+
+    def score(t: pa.Table) -> pa.Table:
+        # t sorted by (term, doc_id): first doc of each term run is the
+        # novelty owner; every row contributes one trigram to its doc
+        term = t.column("term").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if not len(term):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "new": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        starts = segment_starts(term)
+        lens = segment_lengths(starts, len(term))
+        first_doc = doc[starts]          # min doc: rows are doc-sorted
+        is_new = (doc == np.repeat(first_doc, lens))
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "new": pa.array(is_new.astype(np.int64),
+                                         pa.int64()),
+                         "total": pa.array(np.ones(len(doc), np.int64),
+                                           pa.int64())})
+
+    per_doc = hash_agg(
+        map_key_partitions(posting, "term", score, sort_cols=["doc_id"],
+                           producer_expands=True),
+        "doc_id", [("new", "sum", "n_new"), ("total", "sum", "n_tri")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        ppm = pc.cast(pc.divide(
+            pc.multiply(pc.cast(t.column("n_new"), pa.int64()),
+                        1_000_000),
+            t.column("n_tri")), pa.int64())
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "n_tri": t.column("n_tri"),
+                        "n_new": t.column("n_new"),
+                        "novelty_ppm": ppm})
+        return _batch_topk(out.sort_by([
+            ("novelty_ppm", "ascending"), ("doc_id", "ascending")]),
+            [("novelty_ppm", "ascending"), ("doc_id", "ascending")], k=20)
+
+    out = per_doc.map_batches(
+        finish, batch_format="pyarrow").to_pandas().sort_values(
+        ["novelty_ppm", "doc_id"]).head(20).reset_index(drop=True)
+    return out[["doc_id", "n_tri", "n_new", "novelty_ppm"]]
+
+
+def q_term_keyness(sf_dir: str):
+    """Log-likelihood-ratio KEYNESS (Dunning's G²) of every (source,
+    term) pair — which terms are over-represented in which source,
+    the standard corpus-comparison statistic. Occurrence counts per
+    (source, term) via hash_agg; per-term partitions compute the 2×2
+    G² against broadcast per-source totals; top 20 by G². The four
+    x·ln(x·N/(r·c)) contributions are each half-up-rounded to integer
+    nano-nats BEFORE the fixed-order sum, so both engines evaluate one
+    deterministic expression over exact integer counts."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        out_s: list[str] = []
+        out_t: list[str] = []
+        for s, txt in zip(srcs, batch.column("text").to_pylist()):
+            for w in _ascii_words((txt or "").lower()):
+                out_s.append(s)
+                out_t.append(w)
+        t = pa.table({"source": pa.array(out_s, pa.string()),
+                      "term": pa.array(out_t, pa.string())})
+        g = t.group_by(["source", "term"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "term": g.column("term"),
+                         "k": pc.cast(g.column("count_all"), pa.int64())})
+
+    cells = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["source", "text"]).map_batches(
+            counts, batch_format="pyarrow"),
+        "term", [("k", "sum", "k")], group_cols=["term", "source"],
+        producer_expands=True)
+
+    totals = cells.groupby("source").aggregate(
+        __import__("ray").data.aggregate.Sum("k", alias_name="n")
+    ).take_all()
+    n_s = {r["source"]: int(r["n"]) for r in totals}
+    big_n = sum(n_s.values())
+
+    def nano(x: float) -> int:
+        return int(math.floor(x * 1e9 + 0.5))
+
+    def g2_cells(t: pa.Table) -> pa.Table:
+        import collections
+
+        rows = t.to_pylist()
+        by_term: dict = collections.defaultdict(list)
+        for r in rows:
+            by_term[r["term"]].append((r["source"], int(r["k"])))
+        out = {"source": [], "term": [], "k": [], "g2_nano": []}
+        for term, cell_list in by_term.items():
+            kt = sum(k for _, k in cell_list)
+            for src, a in cell_list:
+                ns = n_s[src]
+                b = kt - a
+                c = ns - a
+                d = big_n - kt - ns + a
+                g2 = 0
+                for x, row_tot, col_tot in (
+                        (a, kt, ns), (b, kt, big_n - ns),
+                        (c, big_n - kt, ns), (d, big_n - kt, big_n - ns)):
+                    if x > 0:
+                        g2 += nano(2.0 * x * math.log(
+                            x * big_n / (row_tot * col_tot)))
+                out["source"].append(src)
+                out["term"].append(term)
+                out["k"].append(a)
+                out["g2_nano"].append(g2)
+        res = pa.table({
+            "source": pa.array(out["source"], pa.string()),
+            "term": pa.array(out["term"], pa.string()),
+            "k": pa.array(out["k"], pa.int64()),
+            "g2_nano": pa.array(out["g2_nano"], pa.int64())})
+        return _batch_topk(res.sort_by([
+            ("g2_nano", "descending"), ("source", "ascending"),
+            ("term", "ascending")]),
+            [("g2_nano", "descending"), ("source", "ascending"),
+             ("term", "ascending")], k=20)
+
+    out = map_key_partitions(cells, "term", g2_cells).to_pandas()
+    out = out.sort_values(["g2_nano", "source", "term"],
+                          ascending=[False, True, True]).head(
+        20).reset_index(drop=True)
+    return out[["source", "term", "k", "g2_nano"]]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -7683,6 +7950,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_entropy": q_user_entropy,
         "vocab_growth": q_vocab_growth,
         "embedding_covariance": q_embedding_covariance,
+        "fk_violations": q_fk_violations,
+        "doc_novelty": q_doc_novelty,
+        "term_keyness": q_term_keyness,
     }
 
 
@@ -9593,4 +9863,69 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) "
             "/ CAST(n * n AS DOUBLE) AS cov_micro2 "
             "FROM p ORDER BY i, j"),
+        "fk_violations": (
+            "WITH checks AS ("
+            "SELECT 'documents_empty_text' AS chk, count(*) FILTER ("
+            "text IS NULL OR length(text) = 0) AS n FROM documents "
+            "UNION ALL SELECT 'lineitem_nonpositive_qty', "
+            "count(*) FILTER (l_quantity <= 0) FROM lineitem "
+            "UNION ALL SELECT 'lineitem_orderkey_orphans', count(*) "
+            "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey) "
+            "UNION ALL SELECT 'lineitem_partkey_orphans', count(*) "
+            "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p "
+            "WHERE p.p_partkey = l.l_partkey) "
+            "UNION ALL SELECT 'lineitem_suppkey_orphans', count(*) "
+            "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s "
+            "WHERE s.s_suppkey = l.l_suppkey) "
+            "UNION ALL SELECT 'orders_custkey_orphans', count(*) "
+            "FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = o.o_custkey)) "
+            "SELECT chk AS \"check\", CAST(n AS BIGINT) AS n_violations "
+            "FROM checks ORDER BY 1"),
+        "doc_novelty": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS ws "
+            "FROM documents), "
+            "tri AS (SELECT DISTINCT doc_id, ws[u.i] || ' ' || "
+            "ws[u.i+1] || ' ' || ws[u.i+2] AS term FROM toks, "
+            "unnest(range(1, greatest(len(ws) - 1, 1))) u(i)), "
+            "f AS (SELECT term, min(doc_id) AS fd FROM tri GROUP BY 1), "
+            "per AS (SELECT t.doc_id, count(*) AS n_tri, "
+            "sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END) AS n_new "
+            "FROM tri t JOIN f ON f.term = t.term GROUP BY 1) "
+            "SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri, "
+            "CAST(n_new AS BIGINT) AS n_new, "
+            "CAST(1000000 * n_new // n_tri AS BIGINT) AS novelty_ppm "
+            "FROM per ORDER BY novelty_ppm, doc_id LIMIT 20"),
+        "term_keyness": (
+            "WITH w AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '\\S+')) AS term "
+            "FROM documents), "
+            "c AS (SELECT source, term, count(*) AS a FROM w "
+            "GROUP BY 1, 2), "
+            "kt AS (SELECT term, sum(a) AS kt FROM c GROUP BY 1), "
+            "ns AS (SELECT source, sum(a) AS ns FROM c GROUP BY 1), "
+            "tot AS (SELECT sum(a) AS n FROM c), "
+            "g AS (SELECT c.source, c.term, c.a AS k, "
+            "(CASE WHEN c.a > 0 THEN CAST(floor(2.0 * c.a * "
+            "ln(c.a * t.n / (kt.kt * ns.ns)) * 1000000000 + 0.5) "
+            "AS BIGINT) ELSE 0 END "
+            "+ CASE WHEN kt.kt - c.a > 0 THEN CAST(floor(2.0 * "
+            "(kt.kt - c.a) * ln((kt.kt - c.a) * t.n / "
+            "(kt.kt * (t.n - ns.ns))) * 1000000000 + 0.5) "
+            "AS BIGINT) ELSE 0 END "
+            "+ CASE WHEN ns.ns - c.a > 0 THEN CAST(floor(2.0 * "
+            "(ns.ns - c.a) * ln((ns.ns - c.a) * t.n / "
+            "((t.n - kt.kt) * ns.ns)) * 1000000000 + 0.5) "
+            "AS BIGINT) ELSE 0 END "
+            "+ CASE WHEN t.n - kt.kt - ns.ns + c.a > 0 THEN "
+            "CAST(floor(2.0 * (t.n - kt.kt - ns.ns + c.a) * "
+            "ln((t.n - kt.kt - ns.ns + c.a) * t.n / "
+            "((t.n - kt.kt) * (t.n - ns.ns))) * 1000000000 + 0.5) "
+            "AS BIGINT) ELSE 0 END) AS g2_nano "
+            "FROM c JOIN kt USING (term) JOIN ns USING (source) "
+            "CROSS JOIN tot t) "
+            "SELECT source, term, CAST(k AS BIGINT) AS k, g2_nano "
+            "FROM g ORDER BY g2_nano DESC, source, term LIMIT 20"),
     }

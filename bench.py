@@ -202,7 +202,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "rolling_active_users", "dup_size_histogram",
              "fulfillment_lag", "priority_late_orders",
              "slow_suppliers", "user_entropy", "vocab_growth",
-             "embedding_covariance"]
+             "embedding_covariance", "fk_violations", "doc_novelty",
+             "term_keyness"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

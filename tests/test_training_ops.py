@@ -2718,3 +2718,126 @@ def test_user_entropy_hand_computed(ray_session, tmp_path):
     h3 = math.log(4) - (3 * math.log(3)) / 4
     assert abs(by_user[3] - h3 * 1e9) < 2  # nano-unit rounding
     assert list(got["user_id"]) == [1, 3, 2]  # entropy-desc order
+
+
+def test_fk_violations_planted(ray_session, tmp_path):
+    """Each audit line fires on exactly the planted defect: one orphan
+    per FK edge, one non-positive quantity, one empty document."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(
+        [{"c_custkey": 1, "c_name": "a", "c_nationkey": 0,
+          "c_acctbal": 0.0, "c_mktsegment": "X"}]),
+        f"{sf}/customer.parquet")
+    pq.write_table(pa.Table.from_pylist(
+        [{"p_partkey": 1, "p_name": "p", "p_brand": "b", "p_type": "t",
+          "p_size": 1, "p_retailprice": 1.0}]), f"{sf}/part.parquet")
+    pq.write_table(pa.Table.from_pylist(
+        [{"s_suppkey": 1, "s_name": "s", "s_nationkey": 0,
+          "s_acctbal": 0.0}]), f"{sf}/supplier.parquet")
+    pq.write_table(pa.Table.from_pylist([
+        {"o_orderkey": 1, "o_custkey": 1, "o_orderstatus": "O",
+         "o_totalprice": 1.0, "o_orderdate": dt.datetime(1996, 1, 1),
+         "o_orderpriority": "1"},
+        {"o_orderkey": 2, "o_custkey": 999, "o_orderstatus": "O",
+         "o_totalprice": 1.0, "o_orderdate": dt.datetime(1996, 1, 1),
+         "o_orderpriority": "1"},          # custkey orphan
+    ]), f"{sf}/orders.parquet")
+    pq.write_table(pa.Table.from_pylist([
+        {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 1.0,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": dt.datetime(1996, 2, 1)},
+        {"l_orderkey": 777, "l_partkey": 999, "l_suppkey": 999,
+         "l_linenumber": 1, "l_quantity": -2.0, "l_extendedprice": 1.0,
+         "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "N",
+         "l_linestatus": "O", "l_shipdate": dt.datetime(1996, 2, 1)},
+    ]), f"{sf}/lineitem.parquet")
+    pq.write_table(pa.Table.from_pylist([
+        {"doc_id": 0, "text": "hello world", "lang": "en",
+         "source": "a", "n_chars": 11},
+        {"doc_id": 1, "text": "", "lang": "en", "source": "a",
+         "n_chars": 0},
+    ]), f"{sf}/documents.parquet")
+
+    got = entrymod.queries()["fk_violations"](sf)
+    by = dict(zip(got["check"], got["n_violations"]))
+    assert by == {
+        "documents_empty_text": 1,
+        "lineitem_nonpositive_qty": 1,
+        "lineitem_orderkey_orphans": 1,
+        "lineitem_partkey_orphans": 1,
+        "lineitem_suppkey_orphans": 1,
+        "orders_custkey_orphans": 1,
+    }
+
+
+def test_doc_novelty_hand_built(ray_session, tmp_path):
+    """doc 0 owns all of its trigrams (novelty 1e6); a verbatim copy at
+    doc 1 owns none (0); a half-overlapping doc lands at the exact
+    integer ppm ratio."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    docs = [
+        {"doc_id": 0, "text": "a b c d e", "lang": "en", "source": "s",
+         "n_chars": 9},                    # trigrams: abc bcd cde
+        {"doc_id": 1, "text": "a b c d e", "lang": "en", "source": "s",
+         "n_chars": 9},                    # all seen -> 0
+        {"doc_id": 2, "text": "a b c x y", "lang": "en", "source": "s",
+         "n_chars": 9},                    # abc old; bcx cxy new -> 2/3
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(docs), f"{sf}/documents.parquet")
+
+    got = entrymod.queries()["doc_novelty"](sf)
+    by = {int(r.doc_id): (int(r.n_tri), int(r.n_new), int(r.novelty_ppm))
+          for r in got.itertuples()}
+    assert by[0] == (3, 3, 1_000_000)
+    assert by[1] == (3, 0, 0)
+    assert by[2] == (3, 2, 666_666)
+    assert list(got["doc_id"]) == [1, 2, 0]  # redundancy-first order
+
+
+def test_term_keyness_hand_computed(ray_session, tmp_path):
+    """G² of a 2x2 with a known strong association: term 'x' appears
+    only in source A — its keyness matches the directly-evaluated
+    Dunning formula in nano-nats."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    docs = [
+        {"doc_id": 0, "text": "x x x y", "lang": "en", "source": "A",
+         "n_chars": 7},
+        {"doc_id": 1, "text": "y y y y", "lang": "en", "source": "B",
+         "n_chars": 7},
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(docs), f"{sf}/documents.parquet")
+
+    got = entrymod.queries()["term_keyness"](sf)
+    row = got[(got["source"] == "A") & (got["term"] == "x")].iloc[0]
+
+    def nano(v):
+        return math.floor(v * 1e9 + 0.5)
+
+    # counts: a=3 (x,A), kt=3, ns=4, N=8 -> b=0, c=1, d=4
+    a, kt, ns, n = 3, 3, 4, 8
+    c, d = ns - a, n - kt - ns + a
+    want = (nano(2.0 * a * math.log(a * n / (kt * ns)))
+            + nano(2.0 * c * math.log(c * n / ((n - kt) * ns)))
+            + nano(2.0 * d * math.log(d * n / ((n - kt) * (n - ns)))))
+    assert int(row["k"]) == 3
+    assert int(row["g2_nano"]) == want
