@@ -7765,6 +7765,24 @@ def q_term_keyness(sf_dir: str):
     return out[["source", "term", "k", "g2_nano"]]
 
 
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich subword units) over
+    the corpus: 40 merges learned on the word-type table — one corpus
+    tokenize+hash_agg, then per-round O(distinct pairs) sweeps (see
+    stages/bpe.py). Iterative + tie-broken deterministically, so the
+    oracle is a frozen sf0.01 snapshot; the independent anchor is the
+    single-process differential test (distributed == reference on
+    random multi-block corpora)."""
+    import pandas as pd
+
+    from magic_content_extractor_ray.stages.bpe import bpe_train
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    merges = bpe_train(docs, column="text", num_merges=40)
+    return pd.DataFrame(merges,
+                        columns=["rank", "left", "right", "pair_count"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -7953,6 +7971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations": q_fk_violations,
         "doc_novelty": q_doc_novelty,
         "term_keyness": q_term_keyness,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -8013,6 +8032,9 @@ def oracle_sql() -> dict[str, str]:
         "image_phash": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/image_phash.parquet')}')"),
+        "bpe_train": (
+            "SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/bpe_train.parquet')}')"),
         "audio_spectral": (
             "SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/audio_spectral.parquet')}')"),

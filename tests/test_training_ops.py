@@ -2841,3 +2841,32 @@ def test_term_keyness_hand_computed(ray_session, tmp_path):
             + nano(2.0 * d * math.log(d * n / ((n - kt) * (n - ns)))))
     assert int(row["k"]) == 3
     assert int(row["g2_nano"]) == want
+
+
+def test_bpe_train_distributed_matches_reference(ray_session):
+    """Distributed BPE == the single-process reference on a random
+    multi-block corpus: same merges, same order, same counts (the
+    (count desc, pair asc) tie-break is scheduler-independent)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from magic_content_extractor_ray.stages.bpe import (
+        bpe_encode_word, bpe_train, bpe_train_reference)
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcdefgh")
+    words = ["".join(rng.choice(alpha, size=rng.integers(2, 8)))
+             for _ in range(60)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 12)))
+             for _ in range(300)]
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(8)
+    got = bpe_train(ds, num_merges=25)
+    want = bpe_train_reference(texts, num_merges=25)
+    assert got == want
+
+    # encode round-trip: merged symbols always concatenate to the word
+    for w in words[:10]:
+        assert "".join(bpe_encode_word(w, got)) == w
