@@ -7783,6 +7783,178 @@ def q_bpe_train(sf_dir: str):
                         columns=["rank", "left", "right", "pair_count"])
 
 
+def q_truncation_twins(sf_dir: str):
+    """Truncated-crawl detection: document groups sharing their first
+    50 characters (the classic signature of the same page crawled to
+    different depths / paywall cut-offs). One prefix hash_agg — only
+    (prefix, count, min/max length) cells shuffle; groups of >= 2 with
+    their length spread, largest groups first."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    P = 50
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pre = pc.utf8_slice_codeunits(batch.column("text"), 0, P)
+        t = pa.table({"prefix": pre, "n_chars": batch.column("n_chars")})
+        g = t.group_by("prefix").aggregate(
+            [([], "count_all"), ("n_chars", "min"), ("n_chars", "max")])
+        return pa.table({
+            "prefix": g.column("prefix"),
+            "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+            "min_chars": pc.cast(g.column("n_chars_min"), pa.int64()),
+            "max_chars": pc.cast(g.column("n_chars_max"), pa.int64())})
+
+    groups = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["text", "n_chars"]).map_batches(
+            prep, batch_format="pyarrow"),
+        "prefix", [("n_docs", "sum", "n_docs"),
+                   ("min_chars", "min", "min_chars"),
+                   ("max_chars", "max", "max_chars")])
+
+    out = groups.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_docs"), 2)),
+        batch_format="pyarrow").to_pandas()
+    out["len_spread"] = out["max_chars"] - out["min_chars"]
+    out = out.sort_values(["n_docs", "prefix"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["prefix", "n_docs", "min_chars", "max_chars",
+                "len_spread"]]
+
+
+def q_last_touch_attribution(sf_dir: str):
+    """LAST-TOUCH purchase attribution with a 24 h window: every
+    purchase credits the item of the latest strictly-preceding click by
+    the same user (ties on (ts, event_id) order — the conversion_lag
+    convention), clicks older than 24 h attribute nothing. One per-user
+    hash partition pass (pandas segmented forward-fill — C speed, no
+    per-user callbacks), then a 20-row top-k over per-item counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, ts_us)
+
+    HORIZON_US = 24 * 3600 * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(mask)
+        items = pc.cast(pc.struct_field(pc.extract_regex(
+            t.column("props"), r'"k":\s*(?P<k>-?\d+)'), "k"),
+            pa.int64()) if t.num_rows else pa.array([], pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts_us": pa.array(ts_us(t.column("ts")), pa.int64()),
+            "event_id": t.column("event_id"),
+            "is_click": pc.equal(t.column("event_type"), "click"),
+            "item": items})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type",
+                           "props"]).map_batches(
+        prep, batch_format="pyarrow")
+
+    def attribute(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()  # partition-sized; segmented ffill is C-speed
+        click_item = df["item"].where(df["is_click"])
+        click_ts = df["ts_us"].where(df["is_click"])
+        last_item = click_item.groupby(df["user_id"], sort=False).ffill()
+        last_ts = click_ts.groupby(df["user_id"], sort=False).ffill()
+        is_buy = ~df["is_click"].to_numpy()
+        ok = (is_buy & last_ts.notna().to_numpy()
+              & ((df["ts_us"] - last_ts) <= HORIZON_US).to_numpy())
+        items = last_item[ok].astype("int64")
+        vc = items.value_counts()
+        return pa.table({
+            "item": pa.array(vc.index.to_numpy(np.int64), pa.int64()),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    counts = hash_agg(
+        map_key_partitions(ev, "user_id", attribute,
+                           sort_cols=["ts_us", "event_id"]),
+        "item", [("n", "sum", "n_purchases")])
+
+    out = counts.map_batches(
+        lambda t: _batch_topk(t.sort_by([
+            ("n_purchases", "descending"), ("item", "ascending")]),
+            [("n_purchases", "descending"), ("item", "ascending")],
+            k=20),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values(["n_purchases", "item"],
+                           ascending=[False, True]).head(
+        20).reset_index(drop=True)[["item", "n_purchases"]]
+
+
+def q_upsert_orders(sf_dir: str):
+    """Upsert / last-writer-wins MERGE (the SCD-1 ingest primitive):
+    a deterministic update batch (every 7th order re-priced +10.00,
+    version 2) merges into the base table (version 1); latest version
+    per key wins via one hash_agg argmax — the winning version's price
+    rides the same packed (version, cents) int64 cell, so no second
+    join is needed. Output: per-status row count and exact revenue
+    cents after the merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100)), pa.int64())
+        base = pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderstatus": batch.column("o_orderstatus"),
+            "packed": pc.add(pc.multiply(pa.scalar(1, pa.int64()),
+                                         pa.scalar(1 << 40, pa.int64())),
+                             cents)})
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        upd = batch.filter(pa.array(keys % 7 == 0))
+        upd_cents = pc.add(pc.cast(pc.round(pc.multiply(
+            upd.column("o_totalprice"), 100)), pa.int64()), 1000)
+        updates = pa.table({
+            "o_orderkey": upd.column("o_orderkey"),
+            "o_orderstatus": upd.column("o_orderstatus"),
+            "packed": pc.add(pc.multiply(pa.scalar(2, pa.int64()),
+                                         pa.scalar(1 << 40, pa.int64())),
+                             upd_cents)})
+        return pa.concat_tables([base, updates])
+
+    merged = hash_agg(
+        _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderkey", "o_orderstatus",
+                          "o_totalprice"]).map_batches(
+            tagged, batch_format="pyarrow"),
+        "o_orderkey", [("packed", "max", "packed"),
+                       ("o_orderstatus", "min", "o_orderstatus")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = pc.bit_wise_and(t.column("packed"),
+                                pa.scalar((1 << 40) - 1, pa.int64()))
+        g = pa.table({"o_orderstatus": t.column("o_orderstatus"),
+                      "cents": cents}).group_by(
+            "o_orderstatus").aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return pa.table({
+            "o_orderstatus": g.column("o_orderstatus"),
+            "n_orders": pc.cast(g.column("count_all"), pa.int64()),
+            "revenue_cents": pc.cast(g.column("cents_sum"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return merged.map_batches(finish, batch_format="pyarrow").groupby(
+        "o_orderstatus").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents")).sort(
+        "o_orderstatus")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -7972,6 +8144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": q_doc_novelty,
         "term_keyness": q_term_keyness,
         "bpe_train": q_bpe_train,
+        "truncation_twins": q_truncation_twins,
+        "last_touch_attribution": q_last_touch_attribution,
+        "upsert_orders": q_upsert_orders,
     }
 
 
@@ -9950,4 +10125,41 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN tot t) "
             "SELECT source, term, CAST(k AS BIGINT) AS k, g2_nano "
             "FROM g ORDER BY g2_nano DESC, source, term LIMIT 20"),
+        "truncation_twins": (
+            "SELECT substr(text, 1, 50) AS prefix, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(min(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(max(n_chars) AS BIGINT) AS max_chars, "
+            "CAST(max(n_chars) - min(n_chars) AS BIGINT) AS len_spread "
+            "FROM documents GROUP BY 1 HAVING count(*) >= 2 "
+            "ORDER BY n_docs DESC, prefix"),
+        "last_touch_attribution": (
+            "WITH e AS (SELECT user_id, ts, event_id, event_type, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type IN ('click', 'purchase')), "
+            "s AS (SELECT *, "
+            "last_value(CASE WHEN event_type = 'click' THEN item END "
+            "IGNORE NULLS) OVER w AS last_item, "
+            "last_value(CASE WHEN event_type = 'click' THEN ts END "
+            "IGNORE NULLS) OVER w AS last_ts FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+            "SELECT last_item AS item, "
+            "CAST(count(*) AS BIGINT) AS n_purchases FROM s "
+            "WHERE event_type = 'purchase' AND last_ts IS NOT NULL "
+            "AND epoch_us(ts) - epoch_us(last_ts) <= 86400000000 "
+            "GROUP BY 1 ORDER BY n_purchases DESC, item LIMIT 20"),
+        "upsert_orders": (
+            "WITH base AS (SELECT o_orderkey, o_orderstatus, 1 AS v, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders "
+            "UNION ALL SELECT o_orderkey, o_orderstatus, 2 AS v, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) + 1000 "
+            "FROM orders WHERE o_orderkey % 7 = 0), "
+            "w AS (SELECT o_orderkey, o_orderstatus, cents, "
+            "row_number() OVER (PARTITION BY o_orderkey "
+            "ORDER BY v DESC) AS rn FROM base) "
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(cents) AS BIGINT) AS revenue_cents "
+            "FROM w WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
     }

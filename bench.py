@@ -203,7 +203,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "fulfillment_lag", "priority_late_orders",
              "slow_suppliers", "user_entropy", "vocab_growth",
              "embedding_covariance", "fk_violations", "doc_novelty",
-             "term_keyness", "bpe_train"]
+             "term_keyness", "bpe_train", "truncation_twins",
+             "last_touch_attribution", "upsert_orders"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -2870,3 +2870,66 @@ def test_bpe_train_distributed_matches_reference(ray_session):
     # encode round-trip: merged symbols always concatenate to the word
     for w in words[:10]:
         assert "".join(bpe_encode_word(w, got)) == w
+
+
+def test_last_touch_attribution_window_and_ties(ray_session, tmp_path):
+    """A click 25 h before the purchase attributes nothing; the LATEST
+    prior click wins (not the first); a click at the same timestamp with
+    a smaller event_id strictly precedes and gets credit."""
+    import datetime as dt
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    base = dt.datetime(2024, 7, 1)
+
+    def ev(eid, user, hours, typ, item):
+        return {"event_id": eid, "user_id": user,
+                "ts": base + dt.timedelta(hours=hours),
+                "event_type": typ, "value": 1.0,
+                "props": json.dumps({"k": item})}
+
+    rows = [
+        # u1: click(item 5)@0h, click(item 7)@1h, purchase@2h -> item 7
+        ev(1, 1, 0, "click", 5), ev(2, 1, 1, "click", 7),
+        ev(3, 1, 2, "purchase", 99),
+        # u2: click@0h, purchase@25h -> outside 24h window, no credit
+        ev(4, 2, 0, "click", 8), ev(5, 2, 25, "purchase", 99),
+        # u3: click and purchase at the same ts; click has smaller
+        # event_id -> strictly precedes -> item 9 credited
+        ev(6, 3, 5, "click", 9), ev(7, 3, 5, "purchase", 99),
+        # u4: purchase with no prior click -> nothing
+        ev(8, 4, 1, "purchase", 99),
+    ]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["last_touch_attribution"](sf)
+    by = dict(zip(got["item"], got["n_purchases"]))
+    assert by == {7: 1, 9: 1}
+
+
+def test_upsert_orders_last_writer_wins(ray_session, tmp_path):
+    """Keys divisible by 7 take the +10.00 version-2 price exactly once;
+    all other keys keep the base price."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rows = [{"o_orderkey": k, "o_custkey": 1, "o_orderstatus": "O",
+             "o_totalprice": 100.0, "o_orderdate": dt.datetime(1996, 1, 1),
+             "o_orderpriority": "1"} for k in (1, 7, 14, 20)]
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/orders.parquet")
+
+    got = entrymod.queries()["upsert_orders"](sf).to_pandas()
+    assert list(got["o_orderstatus"]) == ["O"]
+    assert int(got["n_orders"].iloc[0]) == 4
+    # 2 base (1, 20) + 2 upserted (7, 14): 4*10000 + 2*1000 cents
+    assert int(got["revenue_cents"].iloc[0]) == 42000
