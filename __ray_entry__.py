@@ -7955,6 +7955,444 @@ def q_upsert_orders(sf_dir: str):
         "o_orderstatus")
 
 
+def _nation_region_lookup(sf_dir: str, region: str):
+    """(region-membership bool array indexed by nationkey, name array)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = reg.filter(pc.equal(reg.column("r_name"), region)).column(
+        "r_regionkey")[0].as_py()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    nkeys = nat.column("n_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    in_region = np.zeros(int(nkeys.max()) + 1, dtype=bool)
+    in_region[nkeys[nat.column("n_regionkey").to_numpy(
+        zero_copy_only=False).astype(np.int64) == rk]] = True
+    names = np.array([""] * (int(nkeys.max()) + 1), dtype=object)
+    names[nkeys] = nat.column("n_name").to_pylist()
+    return in_region, names
+
+
+def q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2 shape (min-cost supplier): for each SMALL part of size
+    <= 15, the EUROPE supplier(s) offering the minimum supply cost,
+    with ties kept (Q2 keeps every min-cost supplier). No partsupp
+    table in this corpus, so the supply-cost relation is DERIVED from
+    lineitem: cost(part, supplier) = min extendedprice cents observed.
+
+    Plan: part filter + supplier→(nation, name, acctbal) are broadcast
+    dimension lookups applied MAP-SIDE (rows for other parts/regions
+    never enter the shuffle); one hash_agg per (part, supplier); the
+    correlated min-cost subquery is one pass over per-part hash
+    partitions (every (part, supplier) row of a part is co-located, so
+    the min and the tie filter are exact locally)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts)
+
+    in_eur, nation_names = _nation_region_lookup(sf_dir, "EUROPE")
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_type",
+                                  "p_size"])
+    part = part.filter(pc.and_(pc.equal(part.column("p_type"), "SMALL"),
+                               pc.less_equal(part.column("p_size"), 15)))
+    pkeys = part.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    part_ok = np.zeros(int(pkeys.max()) + 2, dtype=bool)
+    part_ok[pkeys] = True
+    part_names = dict(zip(pkeys.tolist(), part.column("p_name").to_pylist()))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet")
+    skeys = sup.column("s_suppkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sup_nat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    sup_nat[skeys] = sup.column("s_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sup_names = dict(zip(skeys.tolist(), sup.column("s_name").to_pylist()))
+    sup_bal = dict(zip(skeys.tolist(),
+                       sup.column("s_acctbal").to_pylist()))
+    part_ref = ray.put(part_ok)
+    nat_ref = ray.put((sup_nat, in_eur))
+
+    def prep(t: pa.Table) -> pa.Table:
+        pok = ray.get(part_ref)
+        sn, eur = ray.get(nat_ref)
+        pk = t.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nk = np.where((sk >= 0) & (sk < len(sn)),
+                      sn[np.clip(sk, 0, len(sn) - 1)], -1)
+        keep = (pk < len(pok)) & pok[np.clip(pk, 0, len(pok) - 1)] & \
+            (nk >= 0) & eur[np.clip(nk, 0, len(eur) - 1)]
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "cost_c": pc.cast(pc.round(pc.multiply(
+                t.column("l_extendedprice"), 100)), pa.int64()),
+        })
+
+    per_ps = hash_agg(
+        _read_pq(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+                 ).map_batches(prep, batch_format="pyarrow"),
+        "l_partkey", [("cost_c", "min", "cost_c")],
+        group_cols=["l_partkey", "l_suppkey"])
+
+    def min_cost(t: pa.Table) -> pa.Table:
+        # t sorted by l_partkey: keep rows at the per-part min (ties kept)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        c = t.column("cost_c").to_numpy(zero_copy_only=False)
+        if not len(p):
+            return t
+        starts = segment_starts(p)
+        lens = segment_lengths(starts, len(p))
+        pmin = np.minimum.reduceat(c, starts)
+        return t.filter(pa.array(c == np.repeat(pmin, lens)))
+
+    rows = map_key_partitions(per_ps, "l_partkey", min_cost).to_pandas()
+    import pandas as pd
+
+    rows["s_name"] = rows["l_suppkey"].map(sup_names)
+    rows["s_acctbal"] = rows["l_suppkey"].map(sup_bal)
+    rows["n_name"] = [nation_names[sup_nat[k]] for k in rows["l_suppkey"]]
+    rows["p_name"] = rows["l_partkey"].map(part_names)
+    out = rows.sort_values(
+        ["s_acctbal", "n_name", "s_name", "l_partkey"],
+        ascending=[False, True, True, True]).head(100).reset_index(
+        drop=True)
+    return out[["s_acctbal", "s_name", "n_name", "l_partkey", "p_name",
+                "cost_c"]]
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit): profit per (supplier
+    nation, order year) over parts named '.. gear', where profit =
+    extendedprice*(1-discount) in exact integer cents×pct (no partsupp
+    table, so the supply-cost term is out of scope — documented
+    adaptation). part filter + supplier→nation are broadcast map-side
+    prunes; lineitem⋈orders is the one partitioned big-big hash join;
+    per-batch partials precede the bounded (25 nations × 7 years)
+    final groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    _, nation_names = _nation_region_lookup(sf_dir, "EUROPE")
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    part = part.filter(pc.match_substring(part.column("p_name"), "gear"))
+    pkeys = part.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    part_ok = np.zeros(int(pkeys.max()) + 2, dtype=bool)
+    part_ok[pkeys] = True
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = sup.column("s_suppkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sup_nat = np.full(int(skeys.max()) + 1, -1, dtype=np.int64)
+    sup_nat[skeys] = sup.column("s_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    part_ref = ray.put(part_ok)
+    sup_ref = ray.put(sup_nat)
+
+    def li_side(t: pa.Table) -> pa.Table:
+        pok = ray.get(part_ref)
+        sn = ray.get(sup_ref)
+        pk = t.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nk = np.where((sk >= 0) & (sk < len(sn)),
+                      sn[np.clip(sk, 0, len(sn) - 1)], -1)
+        keep = (pk < len(pok)) & pok[np.clip(pk, 0, len(pok) - 1)] & \
+            (nk >= 0)
+        t = t.filter(pa.array(keep))
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+            pa.scalar(1.0), t.column("l_discount")), 100)), pa.int64())
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "s_nat": pa.array(nk[keep], pa.int64()),
+            "profit_c4": pc.multiply(price_c, disc_pct),
+        })
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        # exact calendar year via numpy datetime64 (no tz, us precision)
+        years = t.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[Y]").astype(
+            np.int64) + 1970
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_year": pa.array(years, pa.int64()),
+        })
+
+    i64 = pa.int64()
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"]
+                  ).map_batches(li_side, batch_format="pyarrow")
+    ords = _read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderdate"]
+                    ).map_batches(ord_side, batch_format="pyarrow")
+    j = hash_join(li, ords, key="l_orderkey",
+                  left_cols=["s_nat", "profit_c4"],
+                  right_cols=["o_year"],
+                  left_types={"l_orderkey": i64, "s_nat": i64,
+                              "profit_c4": i64},
+                  right_types={"l_orderkey": i64, "o_year": i64})
+
+    name_ref = ray.put(nation_names)
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = ray.get(name_ref)
+        nk = t.column("s_nat").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = pa.table({
+            "n_name": pa.array(names[nk].astype(str)),
+            "o_year": t.column("o_year"),
+            "profit_c4": t.column("profit_c4"),
+        }).group_by(["n_name", "o_year"]).aggregate([("profit_c4", "sum")])
+        return pa.table({"n_name": g.column("n_name"),
+                         "o_year": g.column("o_year"),
+                         "profit_c4": g.column("profit_c4_sum")})
+
+    return j.map_batches(finish, batch_format="pyarrow").groupby(
+        ["n_name", "o_year"]).aggregate(
+        Sum("profit_c4", alias_name="profit_c4")).sort(
+        ["n_name", "o_year"], descending=[False, True])
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (important stock): parts whose revenue exceeds
+    0.1% of TOTAL revenue. Per-part revenue via one hash_agg; the
+    global total is the sum of the per-part rows (a second, tiny
+    aggregate); the HAVING threshold (Q11's fraction = 0.0001) is the
+    exact integer cross-multiply rev*10000 > total, rewritten as
+    rev > total//10000 (equivalent for integer rev — avoids the int64
+    overflow of the product form at corpus scale) and applied
+    DISTRIBUTED with the floor-divided total as a broadcast scalar —
+    only qualifying parts reach the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(pc.subtract(
+            pa.scalar(1.0), t.column("l_discount")), 100)), pa.int64())
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "rev": pc.multiply(price_c, disc_pct),
+        })
+
+    per_part = hash_sum(
+        _read_pq(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_partkey", "l_extendedprice", "l_discount"]
+                 ).map_batches(prep, batch_format="pyarrow"),
+        "l_partkey", "rev", "value_c4").materialize()
+    total = int(per_part.map_batches(
+        lambda t: pa.table({"s": [pc.sum(t.column("value_c4")).as_py()
+                                  or 0]}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+
+    def thresh(t: pa.Table, *, _floor=total // 10_000) -> pa.Table:
+        keep = pc.greater(pc.cast(t.column("value_c4"), pa.int64()),
+                          pa.scalar(_floor, pa.int64()))
+        return t.filter(keep)
+
+    import pandas as pd
+
+    out = per_part.map_batches(
+        thresh, batch_format="pyarrow").to_pandas()
+    if out.empty:  # to_pandas() on an all-empty Dataset drops columns
+        out = pd.DataFrame({"l_partkey": pd.Series(dtype="int64"),
+                            "value_c4": pd.Series(dtype="int64")})
+    out = out.sort_values(
+        ["value_c4", "l_partkey"], ascending=[False, True]).reset_index(
+        drop=True)
+    out["value_c4"] = out["value_c4"].astype("int64")
+    return out[["l_partkey", "value_c4"]]
+
+
+def q_shipmode_priority(sf_dir: str):
+    """TPC-H Q12 shape (late shipments by priority class): among
+    lineitems shipped >= 60 days after the order date, per ship YEAR
+    the count of high-priority (1-URGENT / 2-HIGH) vs lower-priority
+    lines. No shipmode/commit/receipt columns in this corpus, so the
+    'late' predicate is shipdate - orderdate >= 60 days (documented
+    adaptation). lineitem⋈orders is the one partitioned hash join;
+    the (year, is_high) group is bounded, so per-batch partials fold
+    before a tiny final groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    def li_side(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "ship_day": pa.array(ts_us(t.column("l_shipdate"))
+                                 // 86_400_000_000, pa.int64()),
+            "ship_year": pa.array(sd.astype("datetime64[Y]").astype(
+                np.int64) + 1970, pa.int64()),
+        })
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t.column("o_orderpriority"),
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "l_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "order_day": pa.array(ts_us(t.column("o_orderdate"))
+                                  // 86_400_000_000, pa.int64()),
+            "is_high": pc.cast(hi, pa.int64()),
+        })
+
+    i64 = pa.int64()
+    li = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_orderkey", "l_shipdate"]
+                  ).map_batches(li_side, batch_format="pyarrow")
+    ords = _read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderdate",
+                             "o_orderpriority"]
+                    ).map_batches(ord_side, batch_format="pyarrow")
+    j = hash_join(li, ords, key="l_orderkey",
+                  left_cols=["ship_day", "ship_year"],
+                  right_cols=["order_day", "is_high"],
+                  left_types={"l_orderkey": i64, "ship_day": i64,
+                              "ship_year": i64},
+                  right_types={"l_orderkey": i64, "order_day": i64,
+                               "is_high": i64})
+
+    def finish(t: pa.Table) -> pa.Table:
+        late = pc.greater_equal(
+            pc.subtract(t.column("ship_day"), t.column("order_day")),
+            pa.scalar(60, pa.int64()))
+        t = t.filter(late)
+        lo = pc.subtract(pa.scalar(1, pa.int64()), t.column("is_high"))
+        g = pa.table({"ship_year": t.column("ship_year"),
+                      "hi": t.column("is_high"), "lo": lo}).group_by(
+            "ship_year").aggregate([("hi", "sum"), ("lo", "sum")])
+        return pa.table({
+            "ship_year": g.column("ship_year"),
+            "high_line_count": pc.cast(g.column("hi_sum"), pa.int64()),
+            "low_line_count": pc.cast(g.column("lo_sum"), pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow").groupby(
+        "ship_year").aggregate(
+        Sum("high_line_count", alias_name="high_line_count"),
+        Sum("low_line_count", alias_name="low_line_count")).sort(
+        "ship_year")
+
+
+def q_part_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape (parts/supplier relationship): per (brand, type,
+    size) the count of DISTINCT suppliers that shipped such parts,
+    excluding negative-balance suppliers (the 'customer complaints'
+    exclusion analog — this corpus has no s_comment). Part attributes
+    are a broadcast lookup; the distinct is one hash_agg over the
+    composite (brand, type, size, suppkey) keyed by brand (composite
+    groups never straddle partitions); the per-cell count is a second
+    per-partition pass over the SAME partitioning (no extra shuffle).
+    Top 40 by supplier_cnt."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    part = part.filter(pc.not_equal(part.column("p_type"), "PROMO"))
+    pkeys = part.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n = int(pkeys.max()) + 2
+    brand = np.array([""] * n, dtype=object)
+    brand[pkeys] = part.column("p_brand").to_pylist()
+    ptype = np.array([""] * n, dtype=object)
+    ptype[pkeys] = part.column("p_type").to_pylist()
+    psize = np.full(n, -1, dtype=np.int64)
+    psize[pkeys] = part.column("p_size").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    bad = set(sup.filter(pc.less(sup.column("s_acctbal"), 0)).column(
+        "s_suppkey").to_pylist())
+    part_ref = ray.put((brand, ptype, psize))
+    bad_ref = ray.put(np.array(sorted(bad), dtype=np.int64))
+
+    def prep(t: pa.Table) -> pa.Table:
+        br, ty, sz = ray.get(part_ref)
+        badk = ray.get(bad_ref)
+        pk = t.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = (pk < len(sz)) & (sz[np.clip(pk, 0, len(sz) - 1)] >= 0)
+        if len(badk):
+            keep &= ~np.isin(sk, badk)
+        pk, sk = pk[keep], sk[keep]
+        out = pa.table({
+            "p_brand": pa.array(br[pk].astype(str)),
+            "p_type": pa.array(ty[pk].astype(str)),
+            "p_size": pa.array(sz[pk], pa.int64()),
+            "l_suppkey": pa.array(sk, pa.int64()),
+        })
+        # map-side distinct shrinks the shuffle
+        return out.group_by(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate([])
+
+    distinct = hash_agg(
+        _read_pq(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_partkey", "l_suppkey"]
+                 ).map_batches(prep, batch_format="pyarrow"),
+        "p_brand", [("p_size", "count_all", "one")],
+        group_cols=["p_brand", "p_type", "p_size", "l_suppkey"])
+
+    def count_cells(t: pa.Table) -> pa.Table:
+        g = t.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "p_brand": g.column("p_brand"),
+            "p_type": g.column("p_type"),
+            "p_size": g.column("p_size"),
+            "supplier_cnt": pc.cast(g.column("count_all"), pa.int64())})
+
+    out = map_key_partitions(distinct, "p_brand",
+                             count_cells).to_pandas().sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).head(40).reset_index(
+        drop=True)
+    return out[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -8147,6 +8585,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncation_twins": q_truncation_twins,
         "last_touch_attribution": q_last_touch_attribution,
         "upsert_orders": q_upsert_orders,
+        "cheapest_supplier": q_cheapest_supplier,
+        "product_profit": q_product_profit,
+        "important_parts": q_important_parts,
+        "shipmode_priority": q_shipmode_priority,
+        "part_supplier_variety": q_part_supplier_variety,
     }
 
 
@@ -10162,4 +10605,70 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, "
             "CAST(sum(cents) AS BIGINT) AS revenue_cents "
             "FROM w WHERE rn = 1 GROUP BY 1 ORDER BY 1"),
+        "cheapest_supplier": (
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c "
+            "FROM lineitem "
+            "JOIN part p ON p.p_partkey = l_partkey "
+            "AND p.p_type = 'SMALL' AND p.p_size <= 15 "
+            "JOIN supplier s ON s.s_suppkey = l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN region r ON r.r_regionkey = n.n_regionkey "
+            "WHERE r.r_name = 'EUROPE' GROUP BY 1, 2), "
+            "m AS (SELECT *, min(cost_c) OVER (PARTITION BY l_partkey) "
+            "AS cmin FROM ps) "
+            "SELECT s.s_acctbal, s.s_name, n.n_name, m.l_partkey, "
+            "p.p_name, m.cost_c "
+            "FROM m JOIN supplier s ON s.s_suppkey = m.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN part p ON p.p_partkey = m.l_partkey "
+            "WHERE m.cost_c = m.cmin "
+            "ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, m.l_partkey "
+            "LIMIT 100"),
+        "product_profit": (
+            "SELECT n.n_name AS n_name, "
+            "CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS profit_c4 "
+            "FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "WHERE p.p_name LIKE '%gear%' "
+            "GROUP BY 1, 2 ORDER BY n_name, o_year DESC"),
+        "important_parts": (
+            "WITH pr AS (SELECT l_partkey, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS value_c4 FROM lineitem GROUP BY 1) "
+            "SELECT l_partkey, value_c4 FROM pr "
+            "WHERE value_c4 * 10000 > (SELECT sum(value_c4) FROM pr) "
+            "ORDER BY value_c4 DESC, l_partkey"),
+        "shipmode_priority": (
+            "SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS high_line_count, "
+            "CAST(sum(CASE WHEN o.o_orderpriority IN "
+            "('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS low_line_count "
+            "FROM lineitem l JOIN orders o "
+            "ON o.o_orderkey = l.l_orderkey "
+            "WHERE CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT) "
+            "- CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) "
+            ">= 60 "
+            "GROUP BY 1 ORDER BY 1"),
+        "part_supplier_variety": (
+            "WITH d AS (SELECT DISTINCT p.p_brand, p.p_type, p.p_size, "
+            "l.l_suppkey FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "WHERE p.p_type <> 'PROMO' AND s.s_acctbal >= 0) "
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(*) AS BIGINT) AS supplier_cnt "
+            "FROM d GROUP BY 1, 2, 3 "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size "
+            "LIMIT 40"),
     }

@@ -204,7 +204,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "slow_suppliers", "user_entropy", "vocab_growth",
              "embedding_covariance", "fk_violations", "doc_novelty",
              "term_keyness", "bpe_train", "truncation_twins",
-             "last_touch_attribution", "upsert_orders"]
+             "last_touch_attribution", "upsert_orders",
+             # round-4 fifth-session: TPC-H Q2/Q9/Q11/Q12/Q16 shapes
+             "cheapest_supplier", "product_profit", "important_parts",
+             "shipmode_priority", "part_supplier_variety"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
