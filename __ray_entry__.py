@@ -8393,6 +8393,317 @@ def q_part_supplier_variety(sf_dir: str):
     return out[["p_brand", "p_type", "p_size", "supplier_cnt"]]
 
 
+def q_promotion_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (potential part promotion): suppliers who in 1996
+    shipped MORE THAN HALF of a 'bolt' part's total 1996 quantity — the
+    nested-semi-join chain of Q20 with the availqty>0.5*sum(qty)
+    correlated subquery re-expressed on shipped quantities (no partsupp
+    table; documented adaptation). Part filter is a broadcast bitmap
+    applied map-side; one hash_agg per (part, supplier); the correlated
+    per-part total + the >50% filter run inside per-part hash
+    partitions (exact locally — every (part, supplier) row of a part is
+    co-located); only the distinct supplier ids (bounded by the
+    supplier dimension) reach the driver for the name/nation decorate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    part = part.filter(pc.match_substring(part.column("p_name"), "bolt"))
+    pkeys = part.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    part_ok = np.zeros(int(pkeys.max()) + 2, dtype=bool)
+    part_ok[pkeys] = True
+    part_ref = ray.put(part_ok)
+
+    def prep(t: pa.Table) -> pa.Table:
+        pok = ray.get(part_ref)
+        pk = t.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        years = t.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[Y]").astype(
+            np.int64) + 1970
+        keep = (years == 1996) & (pk < len(pok)) & \
+            pok[np.clip(pk, 0, len(pok) - 1)]
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+            "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+        })
+
+    per_ps = hash_agg(
+        _read_pq(f"{sf_dir}/lineitem.parquet",
+                 columns=["l_partkey", "l_suppkey", "l_quantity",
+                          "l_shipdate"]
+                 ).map_batches(prep, batch_format="pyarrow"),
+        "l_partkey", [("qty", "sum", "qty")],
+        group_cols=["l_partkey", "l_suppkey"])
+
+    def majority(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = t.column("qty").to_numpy(zero_copy_only=False)
+        if not len(p):
+            return pa.table({"l_suppkey": pa.array([], pa.int64())})
+        starts = segment_starts(p)
+        lens = segment_lengths(starts, len(p))
+        tot = np.add.reduceat(q, starts)
+        keep = 2 * q > np.repeat(tot, lens)
+        sk = np.unique(t.column("l_suppkey").to_numpy(
+            zero_copy_only=False)[keep])
+        return pa.table({"l_suppkey": pa.array(sk, pa.int64())})
+
+    sel = map_key_partitions(per_ps, "l_partkey", majority).to_pandas()
+    supp_ids = sorted(set(sel["l_suppkey"])) if len(sel) else []
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nnames = dict(zip(nat.column("n_nationkey").to_pylist(),
+                      nat.column("n_name").to_pylist()))
+    import pandas as pd
+
+    supdf = sup.to_pandas()
+    out = supdf[supdf["s_suppkey"].isin(supp_ids)].copy()
+    out["n_name"] = out["s_nationkey"].map(nnames)
+    out = out.sort_values(["s_name", "s_suppkey"]).reset_index(drop=True)
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out[["s_suppkey", "s_name", "n_name"]]
+
+
+def q_qty_price_slope(sf_dir: str):
+    """Grouped OLS regression slope, exact: per brand, the slope of
+    extendedprice (cents) on quantity as the EXACT RATIONAL
+    num/den = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), emitted as decimal
+    strings so no float rounding can diverge from the oracle. Per-batch
+    int64 partial sums per brand (bounded group set, safe at batch
+    scale), merged on the driver with arbitrary-precision Python ints —
+    the embedding_covariance policy: int64 would overflow the CROSS
+    TERMS (n·Σxy) at corpus scale, the driver merge is O(brands ×
+    blocks)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    pkeys = part.column("p_partkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    brands = np.array([""] * (int(pkeys.max()) + 2), dtype=object)
+    brands[pkeys] = part.column("p_brand").to_pylist()
+    brand_ref = ray.put(brands)
+
+    def partial(t: pa.Table) -> pa.Table:
+        br = ray.get(brand_ref)
+        pk = t.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = pc.cast(pc.round(t.column("l_quantity")),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "p_brand": pa.array(br[pk].astype(str)),
+            "n": pa.array(np.ones(len(pk), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+        }).group_by("p_brand").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")])
+        return g.rename_columns(
+            ["p_brand", "n", "sx", "sy", "sxy", "sxx"])
+
+    parts = _read_pq(f"{sf_dir}/lineitem.parquet",
+                     columns=["l_partkey", "l_quantity",
+                              "l_extendedprice"]
+                     ).map_batches(partial,
+                                   batch_format="pyarrow").to_pandas()
+    acc: dict[str, list[int]] = {}
+    for row in parts.itertuples(index=False):
+        a = acc.setdefault(row.p_brand, [0, 0, 0, 0, 0])
+        a[0] += int(row.n); a[1] += int(row.sx); a[2] += int(row.sy)
+        a[3] += int(row.sxy); a[4] += int(row.sxx)
+    import pandas as pd
+
+    rows = []
+    for brand in sorted(acc):
+        n, sx, sy, sxy, sxx = acc[brand]
+        rows.append({"p_brand": brand, "n": n,
+                     "slope_num": str(n * sxy - sx * sy),
+                     "slope_den": str(n * sxx - sx * sx)})
+    out = pd.DataFrame(rows, columns=["p_brand", "n", "slope_num",
+                                      "slope_den"])
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_k_anonymity(sf_dir: str):
+    """Privacy audit: k-anonymity over the quasi-identifier pair
+    (nation, market segment) — cells with fewer than k=10 customers,
+    i.e. the combinations whose members are re-identifiable. Per-batch
+    partial counts fold the row-scale input into one bounded
+    (nations × segments) cell table per block; the final groupby and
+    the k filter touch only cell rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+        }).group_by(["c_nationkey", "c_mktsegment"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"c_nationkey": g.column("c_nationkey"),
+                         "c_mktsegment": g.column("c_mktsegment"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/customer.parquet",
+                     columns=["c_nationkey", "c_mktsegment"]
+                     ).map_batches(partial,
+                                   batch_format="pyarrow").to_pandas()
+    out = cells.groupby(["c_nationkey", "c_mktsegment"], as_index=False)[
+        "n"].sum()
+    out = out[out["n"] < 10].sort_values(
+        ["c_nationkey", "c_mktsegment"]).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["c_nationkey", "c_mktsegment", "n"]]
+
+
+def q_segment_ttest(sf_dir: str):
+    """Welch's t-statistic between every pair of market segments on
+    account balance (cents). One pass of per-batch integer partials
+    (n, Σx, Σx²) per segment — bounded group set — merged on the driver
+    with Python ints (int64-overflow-safe at corpus scale); the t for
+    each of the 10 segment pairs is then derived with an op sequence
+    EXACTLY mirroring the oracle SQL's double arithmetic (same casts,
+    same order — IEEE doubles are deterministic, so the hashes agree
+    without any rounding fudge; the embedding_covariance precedent)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "seg": t.column("c_mktsegment"),
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "s": pa.array(x), "ss": pa.array(x * x),
+        }).group_by("seg").aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["seg", "n", "s", "ss"])
+
+    parts = _read_pq(f"{sf_dir}/customer.parquet",
+                     columns=["c_mktsegment", "c_acctbal"]
+                     ).map_batches(partial,
+                                   batch_format="pyarrow").to_pandas()
+    acc: dict[str, list[int]] = {}
+    for row in parts.itertuples(index=False):
+        a = acc.setdefault(row.seg, [0, 0, 0])
+        a[0] += int(row.n); a[1] += int(row.s); a[2] += int(row.ss)
+
+    def stats(seg):
+        n, s, ss = acc[seg]
+        m = float(s) / float(n)
+        v = (float(ss) - float(s) * float(s) / float(n)) / float(n - 1)
+        return n, m, v
+
+    import pandas as pd
+
+    rows = []
+    for a in sorted(acc):
+        for b in sorted(acc):
+            if a >= b:
+                continue
+            na, ma, va = stats(a)
+            nb, mb, vb = stats(b)
+            t = (ma - mb) / math.sqrt(va / float(na) + vb / float(nb))
+            rows.append({"seg_a": a, "seg_b": b, "n_a": na, "n_b": nb,
+                         "t_stat": t})
+    out = pd.DataFrame(rows, columns=["seg_a", "seg_b", "n_a", "n_b",
+                                      "t_stat"])
+    out["n_a"] = out["n_a"].astype("int64")
+    out["n_b"] = out["n_b"].astype("int64")
+    return out
+
+
+def q_event_bursts(sf_dir: str):
+    """Burst detection: per user, the MAXIMUM number of events inside
+    any 60-second window [t, t+60s] anchored at an event (the SQL RANGE
+    CURRENT ROW .. 60s FOLLOWING frame, maxed per user). One hash
+    partitioning by user; inside each partition the window counts for
+    ALL users are computed by TWO vectorized searchsorted calls over a
+    composite (user-rank × span + ts) key — no per-user Python loop —
+    then a per-segment reduceat max. Falls back to a per-user slice
+    loop only if the composite key would overflow int64 (≳10⁶ distinct
+    users × the corpus time span in one partition; raise num_buckets
+    long before that)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    WIN = 60_000_000  # 60 s in microseconds
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "t": pa.array(ts_us(t.column("ts")), pa.int64()),
+        })
+
+    def bursts(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "max_burst": pa.array([], pa.int64())})
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, len(u))
+        nseg = len(starts)
+        base = ts - ts.min()
+        span = int(base.max()) + WIN + 1
+        if nseg * span < (1 << 62):
+            seg_id = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+            k = seg_id * span + base
+            lo = np.searchsorted(k, k, side="left")
+            hi = np.searchsorted(k, k + WIN, side="right")
+            counts = hi - lo
+        else:  # composite key would overflow: per-user slices
+            counts = np.empty(len(u), dtype=np.int64)
+            for s, ln in zip(starts, lens):
+                seg = ts[s:s + ln]
+                counts[s:s + ln] = (
+                    np.searchsorted(seg, seg + WIN, side="right")
+                    - np.searchsorted(seg, seg, side="left"))
+        return pa.table({
+            "user_id": pa.array(u[starts], pa.int64()),
+            "max_burst": pa.array(
+                np.maximum.reduceat(counts, starts), pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ev, "user_id", bursts,
+                             sort_cols=["t"]).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -8590,6 +8901,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": q_important_parts,
         "shipmode_priority": q_shipmode_priority,
         "part_supplier_variety": q_part_supplier_variety,
+        "promotion_suppliers": q_promotion_suppliers,
+        "qty_price_slope": q_qty_price_slope,
+        "k_anonymity": q_k_anonymity,
+        "segment_ttest": q_segment_ttest,
+        "event_bursts": q_event_bursts,
     }
 
 
@@ -10671,4 +10987,65 @@ def oracle_sql() -> dict[str, str]:
             "FROM d GROUP BY 1, 2, 3 "
             "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size "
             "LIMIT 40"),
+        "promotion_suppliers": (
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS qty FROM lineitem "
+            "JOIN part p ON p.p_partkey = l_partkey "
+            "WHERE p.p_name LIKE '%bolt%' AND year(l_shipdate) = 1996 "
+            "GROUP BY 1, 2), "
+            "w AS (SELECT *, sum(qty) OVER (PARTITION BY l_partkey) "
+            "AS tot FROM ps) "
+            "SELECT s.s_suppkey, s.s_name, n.n_name "
+            "FROM supplier s JOIN nation n "
+            "ON n.n_nationkey = s.s_nationkey "
+            "WHERE s.s_suppkey IN "
+            "(SELECT DISTINCT l_suppkey FROM w WHERE 2 * qty > tot) "
+            "ORDER BY s.s_name, s.s_suppkey"),
+        "qty_price_slope": (
+            "WITH b AS (SELECT p.p_brand AS p_brand, "
+            "CAST(round(l_quantity) AS BIGINT) AS x, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS y "
+            "FROM lineitem JOIN part p ON p.p_partkey = l_partkey), "
+            "s AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(x) AS HUGEINT) AS sx, "
+            "CAST(sum(y) AS HUGEINT) AS sy, "
+            "CAST(sum(x * y) AS HUGEINT) AS sxy, "
+            "CAST(sum(x * x) AS HUGEINT) AS sxx "
+            "FROM b GROUP BY 1) "
+            "SELECT p_brand, CAST(n AS BIGINT) AS n, "
+            "CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num, "
+            "CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den "
+            "FROM s ORDER BY p_brand"),
+        "k_anonymity": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "c_mktsegment, CAST(count(*) AS BIGINT) AS n "
+            "FROM customer GROUP BY 1, 2 HAVING count(*) < 10 "
+            "ORDER BY 1, 2"),
+        "segment_ttest": (
+            "WITH x AS (SELECT c_mktsegment AS seg, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS c "
+            "FROM customer), "
+            "s AS (SELECT seg, count(*) AS n, "
+            "CAST(sum(c) AS HUGEINT) AS s, "
+            "CAST(sum(c * c) AS HUGEINT) AS ss FROM x GROUP BY 1), "
+            "d AS (SELECT seg, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
+            "AS m, (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * "
+            "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / "
+            "CAST(n - 1 AS DOUBLE) AS v FROM s) "
+            "SELECT a.seg AS seg_a, b.seg AS seg_b, "
+            "CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b, "
+            "(a.m - b.m) / sqrt(a.v / CAST(a.n AS DOUBLE) + "
+            "b.v / CAST(b.n AS DOUBLE)) AS t_stat "
+            "FROM d a JOIN d b ON a.seg < b.seg "
+            "ORDER BY seg_a, seg_b"),
+        "event_bursts": (
+            "WITH e AS (SELECT user_id, "
+            "CAST(epoch_us(ts) AS BIGINT) AS t FROM events), "
+            "w AS (SELECT user_id, count(*) OVER (PARTITION BY user_id "
+            "ORDER BY t RANGE BETWEEN CURRENT ROW "
+            "AND 60000000 FOLLOWING) AS c FROM e) "
+            "SELECT CAST(user_id AS BIGINT) AS user_id, "
+            "CAST(max(c) AS BIGINT) AS max_burst "
+            "FROM w GROUP BY 1 ORDER BY 1"),
     }

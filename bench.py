@@ -207,7 +207,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "last_touch_attribution", "upsert_orders",
              # round-4 fifth-session: TPC-H Q2/Q9/Q11/Q12/Q16 shapes
              "cheapest_supplier", "product_profit", "important_parts",
-             "shipmode_priority", "part_supplier_variety"]
+             "shipmode_priority", "part_supplier_variety",
+             "promotion_suppliers", "qty_price_slope", "k_anonymity",
+             "segment_ttest", "event_bursts"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -32,7 +32,11 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "dedup_overlap", "benford_digits", "stickiness",
         "revenue_autocorr", "lang_source_chi2", "small_qty_revenue", "brand_band_revenue",
         "item_neighbors", "session_bounds", "revenue_concentration",
-        "item_components"]
+        "item_components",
+        "cheapest_supplier", "product_profit", "important_parts",
+        "shipmode_priority", "part_supplier_variety",
+        "promotion_suppliers", "qty_price_slope", "k_anonymity",
+        "segment_ttest", "event_bursts"]
 
 
 @pytest.fixture(scope="module")
@@ -360,3 +364,44 @@ def test_stickiness_multimonth(ray_session, tmp_path):
     assert got["n_days"].tolist() == [2, 1, 3]
     assert got["mau"].tolist() == [2, 3, 2]
     assert got["stickiness_ppm"].tolist() == [750000, 1000000, 666666]
+
+
+def test_event_bursts_kernel_differential(ray_session, tmp_path):
+    """The composite-key two-searchsorted burst kernel matches an O(n²)
+    brute force on random multi-user traffic (ties included), and the
+    window endpoint is inclusive (an event exactly 60 s later counts)."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(7)
+    base = dt.datetime(2024, 5, 1)
+    ev = []
+    truth = {}
+    for user in range(1, 9):
+        n = int(rng.integers(3, 40))
+        # second-resolution offsets force ties and exact-60s boundaries
+        offs = np.sort(rng.integers(0, 300, size=n))
+        best = 0
+        for t in offs:
+            best = max(best, int(((offs >= t) & (offs <= t + 60)).sum()))
+        truth[user] = best
+        for o in offs:
+            ev.append({"event_id": len(ev), "user_id": user,
+                       "ts": base + dt.timedelta(seconds=int(o)),
+                       "event_type": "view", "value": 1.0, "props": "{}"})
+    # u9: exactly-60s pair -> inclusive frame counts both
+    for o in (0, 60):
+        ev.append({"event_id": len(ev), "user_id": 9,
+                   "ts": base + dt.timedelta(seconds=o),
+                   "event_type": "view", "value": 1.0, "props": "{}"})
+    truth[9] = 2
+    sf = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(ev), f"{sf}/events.parquet")
+
+    got = entrymod.queries()["event_bursts"](sf)
+    assert dict(zip(got["user_id"], got["max_burst"])) == truth
