@@ -8704,6 +8704,73 @@ def q_event_bursts(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_sorted_neighbor_dups(sf_dir: str):
+    """Sorted-neighborhood near-dup mining (Hernández–Stolfo blocking):
+    global sort by a 16-char lowercased prefix key WITHOUT a global
+    sort — per-prefix-bucket counts give driver-side rank offsets —
+    then a 4-row sliding window over the rank order with boundary-
+    replica groups, and exact word-set Jaccard >= 0.5 verification
+    vectorized inside each rank-range task (one sorted-membership probe
+    per window shift). See stages/dedup.sorted_neighborhood_dups."""
+    from magic_content_extractor_ray.stages.dedup import (
+        sorted_neighborhood_dups)
+
+    pairs = sorted_neighborhood_dups(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["doc_id", "text"]))
+    return pairs.to_pandas().sort_values(
+        ["left_id", "right_id"]).reset_index(drop=True)
+
+
+def q_winsorized_chars(sf_dir: str):
+    """Per-language winsorized length statistics: p5/p95 cutpoints as
+    EXACT order statistics (1-based rank ceil(n·p/100), pure integer
+    arithmetic — no float quantile ambiguity) from the mergeable
+    (lang, value) histogram, then the winsorized sum with every value
+    clipped to the cutpoints — all from histogram counts, no second
+    data pass and nothing row-scale at the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": t.column("lang"),
+            "v": pc.cast(t.column("n_chars"), pa.int64()),
+        }).group_by(["lang", "v"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"), "v": g.column("v"),
+                         "cnt": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    hist = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["lang", "n_chars"]
+                 ).map_batches(partial, batch_format="pyarrow"),
+        "lang", [("cnt", "sum", "cnt")], group_cols=["lang", "v"])
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(dtype="int64")
+        cnt = g["cnt"].to_numpy(dtype="int64")
+        cum = cnt.cumsum()
+        n = int(cum[-1])
+        lo_rank = (n * 5 + 99) // 100    # 1-based ceil(n*0.05)
+        hi_rank = (n * 95 + 99) // 100
+        lo = int(v[np.searchsorted(cum, lo_rank)])
+        hi = int(v[np.searchsorted(cum, hi_rank)])
+        wsum = int((np.clip(v, lo, hi) * cnt).sum())
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "n": [n],
+                             "lo_cut": [lo], "hi_cut": [hi],
+                             "win_sum": [wsum]})
+
+    out = hist.groupby("lang").map_groups(
+        per_lang, batch_format="pandas").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -8906,6 +8973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": q_k_anonymity,
         "segment_ttest": q_segment_ttest,
         "event_bursts": q_event_bursts,
+        "sorted_neighbor_dups": q_sorted_neighbor_dups,
+        "winsorized_chars": q_winsorized_chars,
     }
 
 
@@ -11048,4 +11117,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(user_id AS BIGINT) AS user_id, "
             "CAST(max(c) AS BIGINT) AS max_burst "
             "FROM w GROUP BY 1 ORDER BY 1"),
+        "sorted_neighbor_dups": (
+            "WITH t AS (SELECT doc_id, lower(text) AS lt, "
+            "substr(lower(text), 1, 16) AS k FROM documents), "
+            "r AS (SELECT doc_id, lt, "
+            "row_number() OVER (ORDER BY k, doc_id) AS rn FROM t), "
+            "p AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+            "a.lt AS ta, b.lt AS tb FROM r a JOIN r b "
+            "ON b.rn - a.rn BETWEEN 1 AND 3), "
+            "j AS (SELECT left_id, right_id, "
+            "len(list_intersect("
+            "list_filter(list_distinct(string_split_regex(ta, '\\s+')), "
+            "x -> x <> ''), "
+            "list_filter(list_distinct(string_split_regex(tb, '\\s+')), "
+            "x -> x <> ''))) AS c, "
+            "len(list_filter(list_distinct(string_split_regex(ta, "
+            "'\\s+')), x -> x <> '')) AS na, "
+            "len(list_filter(list_distinct(string_split_regex(tb, "
+            "'\\s+')), x -> x <> '')) AS nb FROM p) "
+            "SELECT left_id, right_id, CAST(c AS BIGINT) AS n_common "
+            "FROM j WHERE c > 0 AND 2 * c >= na + nb - c "
+            "ORDER BY 1, 2"),
+        "winsorized_chars": (
+            "WITH c AS (SELECT lang, CAST(n_chars AS BIGINT) AS v "
+            "FROM documents), "
+            "r AS (SELECT lang, v, "
+            "row_number() OVER (PARTITION BY lang ORDER BY v) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM c), "
+            "cuts AS (SELECT lang, CAST(max(n) AS BIGINT) AS n, "
+            "max(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) "
+            "AS lo_cut, "
+            "max(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) "
+            "AS hi_cut FROM r GROUP BY 1) "
+            "SELECT c.lang, cuts.n, cuts.lo_cut, cuts.hi_cut, "
+            "CAST(sum(least(greatest(c.v, cuts.lo_cut), cuts.hi_cut)) "
+            "AS BIGINT) AS win_sum "
+            "FROM c JOIN cuts ON cuts.lang = c.lang "
+            "GROUP BY 1, 2, 3, 4 ORDER BY 1"),
     }
