@@ -8771,6 +8771,261 @@ def q_winsorized_chars(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_assoc_rules(sf_dir: str):
+    """Association-rule mining (market basket): top-50 co-view item
+    pairs by support, with EXACT integer-ppm confidence in both
+    directions. Pair supports come from the shared _covis_pair_counts
+    pipeline (hub-capped, hash_sum combiner); per-item user counts are
+    a catalog-sized aggregate broadcast once; confidences are computed
+    only on the 50 winning rows. Everything stays int64-exact:
+    conf_ppm = (10^6 · n_both) // n_item (floor), mirrored by DuckDB's
+    // integer division."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_sum
+
+    K = 50
+
+    def ui_prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.cast(pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"), pa.int64())
+        out = pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "item": ks,
+        })
+        return out.group_by(["user_id", "item"]).aggregate([])
+
+    ui = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "props"]
+                  ).map_batches(ui_prep, batch_format="pyarrow")
+
+    # the (user, item) pre-dedup above is per-BATCH; finish the exact
+    # distinct with one composite-key hash_agg, then take per-item user
+    # counts (catalog = dimension-sized) to the driver for the
+    # confidence denominators
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(
+            np.ones(len(t), np.int64)))
+
+    distinct_ui = hash_agg(ui.map_batches(one, batch_format="pyarrow"),
+                           "user_id", [("one", "max", "one")],
+                           group_cols=["user_id", "item"])
+    item_counts = hash_sum(distinct_ui, "item", "one", "n_item"
+                           ).to_pandas()
+    ca = dict(zip(item_counts["item"].astype("int64"),
+                  item_counts["n_item"].astype("int64")))
+
+    pairs = _covis_pair_counts(sf_dir)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        return _batch_topk(batch, [("n_users", "descending"),
+                                   ("pk", "ascending")], k=K)
+
+    cands = pairs.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=8192)
+    df = cands.to_pandas().sort_values(
+        ["n_users", "pk"], ascending=[False, True]).head(K)
+    pk = df["pk"].to_numpy(dtype=np.int64)
+    a = pk >> np.int64(31)
+    b = pk & np.int64((1 << 31) - 1)
+    nb = df["n_users"].to_numpy(dtype=np.int64)
+    na_ = np.array([ca[int(x)] for x in a], dtype=np.int64)
+    nb_ = np.array([ca[int(x)] for x in b], dtype=np.int64)
+    out = pd.DataFrame({
+        "item_a": a, "item_b": b, "n_both": nb,
+        "n_a": na_, "n_b": nb_,
+        "conf_ab_ppm": (1_000_000 * nb) // na_,
+        "conf_ba_ppm": (1_000_000 * nb) // nb_,
+    })
+    return out.sort_values(["n_both", "item_a", "item_b"],
+                           ascending=[False, True, True]
+                           ).reset_index(drop=True)
+
+
+def q_geo_mean_chars(sf_dir: str):
+    """Per-language geometric-mean document length, exactly: Σ ln(v)
+    accumulated as integer NANO-NATS with each distinct value's log
+    half-up-rounded BEFORE the count-weighted sum (order-independent —
+    the term_keyness/user_entropy precedent; math.log == libm == DuckDB
+    ln). The derived gm_micro mirrors the oracle's double op sequence
+    exactly: exp((s/1e9)/n) then floor(x·1e6 + 0.5)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_chars"), 1))
+        g = pa.table({
+            "lang": t.column("lang"),
+            "v": pc.cast(t.column("n_chars"), pa.int64()),
+        }).group_by(["lang", "v"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"), "v": g.column("v"),
+                         "cnt": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    hist = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["lang", "n_chars"]
+                 ).map_batches(partial, batch_format="pyarrow"),
+        "lang", [("cnt", "sum", "cnt")], group_cols=["lang", "v"])
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy(dtype="int64")
+        cnt = g["cnt"].to_numpy(dtype="int64")
+        n = int(cnt.sum())
+        ln_nano = np.array(
+            [math.floor(math.log(float(x)) * 1e9 + 0.5) for x in v],
+            dtype=np.int64)
+        s = int((ln_nano * cnt).sum())
+        gm = math.floor(
+            math.exp(float(s) / 1e9 / float(n)) * 1e6 + 0.5)
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "n": [n],
+                             "sum_ln_nano": [s], "gm_micro": [gm]})
+
+    out = hist.groupby("lang").map_groups(
+        per_lang, batch_format="pandas").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_time_weighted_value(sf_dir: str):
+    """Per-user TIME-WEIGHTED average event value (the telemetry/IoT
+    staple): each event's value (exact cents) holds until the user's
+    next event; weights are whole seconds between consecutive events
+    (floor), the last event carries no weight. One hash partitioning by
+    user sorted by (ts, event_id); numerator/denominator are exact
+    int64 segment sums (reduceat — no per-user Python), and the ratio
+    is floor centi-cents (100·num // den), DuckDB-mirrorable."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "t": pa.array(ts_us(t.column("ts")), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100)), pa.int64()),
+        })
+
+    def twa(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_intervals": pa.array([], pa.int64()),
+                             "sum_dt_sec": pa.array([], pa.int64()),
+                             "twa_centi": pa.array([], pa.int64())})
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, len(u))
+        # interval i: [ts_i, ts_{i+1}) within the user; mask off each
+        # segment's last row
+        dt = np.zeros(len(u), dtype=np.int64)
+        dt[:-1] = (ts[1:] - ts[:-1]) // 1_000_000
+        last = starts + lens - 1
+        dt[last] = 0
+        w = cents * dt
+        num = np.add.reduceat(w, starts)
+        den = np.add.reduceat(dt, starts)
+        nin = lens - 1
+        keep = den > 0
+        return pa.table({
+            "user_id": pa.array(u[starts][keep], pa.int64()),
+            "n_intervals": pa.array(nin[keep], pa.int64()),
+            "sum_dt_sec": pa.array(den[keep], pa.int64()),
+            "twa_centi": pa.array(
+                (100 * num[keep]) // den[keep], pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_id", "ts", "value"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ev, "user_id", twa,
+                             sort_cols=["t", "event_id"]).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_bounce_rate(sf_dir: str):
+    """Bounce rate by session ENTRY event type: sessionize (30-min
+    inactivity gap, the user_sessions definition, ties broken by
+    event_id), take each session's first event type, and report
+    sessions / single-event bounces / floor-ppm bounce rate per entry
+    type. Per-partition counts are (entry_type)-keyed partials — only a
+    handful of rows per partition reach the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, ts_us)
+
+    GAP_US = 1800 * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "t": pa.array(ts_us(t.column("ts")), pa.int64()),
+            "event_type": t.column("event_type"),
+        })
+
+    def bounces(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table({"entry_type": pa.array([], pa.string()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_bounces": pa.array([], pa.int64())})
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        new = np.empty(len(u), dtype=bool)
+        new[0] = True
+        new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
+        s_start = np.nonzero(new)[0]
+        s_len = np.diff(np.append(s_start, len(u)))
+        entry = et[s_start]
+        bounce = (s_len == 1).astype(np.int64)
+        df = pd.DataFrame({"entry_type": entry, "b": bounce})
+        g = df.groupby("entry_type", as_index=False).agg(
+            n_sessions=("b", "size"), n_bounces=("b", "sum"))
+        return pa.table({
+            "entry_type": pa.array(g["entry_type"], pa.string()),
+            "n_sessions": pa.array(
+                g["n_sessions"].to_numpy(dtype="int64"), pa.int64()),
+            "n_bounces": pa.array(
+                g["n_bounces"].to_numpy(dtype="int64"), pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_id", "ts", "event_type"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    parts = map_key_partitions(ev, "user_id", bounces,
+                               sort_cols=["t", "event_id"]).to_pandas()
+    out = parts.groupby("entry_type", as_index=False)[
+        ["n_sessions", "n_bounces"]].sum()
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_bounces"] = out["n_bounces"].astype("int64")
+    out["bounce_ppm"] = (
+        1_000_000 * out["n_bounces"]) // out["n_sessions"]
+    return out.sort_values("entry_type").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -8975,6 +9230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_bursts": q_event_bursts,
         "sorted_neighbor_dups": q_sorted_neighbor_dups,
         "winsorized_chars": q_winsorized_chars,
+        "assoc_rules": q_assoc_rules,
+        "geo_mean_chars": q_geo_mean_chars,
+        "time_weighted_value": q_time_weighted_value,
+        "bounce_rate": q_bounce_rate,
     }
 
 
@@ -11154,4 +11413,72 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS win_sum "
             "FROM c JOIN cuts ON cuts.lang = c.lang "
             "GROUP BY 1, 2, 3, 4 ORDER BY 1"),
+        "assoc_rules": (
+            "WITH ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c "
+            "FROM ui GROUP BY 1), "
+            "p AS (SELECT a.item AS item_a, b.item AS item_b, "
+            "CAST(count(*) AS BIGINT) AS n_both FROM ui a "
+            "JOIN ui b ON a.user_id = b.user_id AND a.item < b.item "
+            "GROUP BY 1, 2), "
+            "top AS (SELECT * FROM p "
+            "ORDER BY n_both DESC, item_a, item_b LIMIT 50) "
+            "SELECT t.item_a, t.item_b, t.n_both, "
+            "ia.c AS n_a, ib.c AS n_b, "
+            "CAST((1000000 * t.n_both) // ia.c AS BIGINT) "
+            "AS conf_ab_ppm, "
+            "CAST((1000000 * t.n_both) // ib.c AS BIGINT) "
+            "AS conf_ba_ppm "
+            "FROM top t JOIN ic ia ON ia.item = t.item_a "
+            "JOIN ic ib ON ib.item = t.item_b "
+            "ORDER BY t.n_both DESC, t.item_a, t.item_b"),
+        "geo_mean_chars": (
+            "WITH c AS (SELECT lang, CAST(n_chars AS BIGINT) AS v "
+            "FROM documents WHERE n_chars >= 1), "
+            "s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(ln(CAST(v AS DOUBLE)) * 1e9 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS sum_ln_nano FROM c GROUP BY 1) "
+            "SELECT lang, n, sum_ln_nano, "
+            "CAST(floor(exp(CAST(sum_ln_nano AS DOUBLE) / 1e9 "
+            "/ CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS gm_micro "
+            "FROM s ORDER BY lang"),
+        "time_weighted_value": (
+            "WITH o AS (SELECT user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "epoch_us(ts) AS t, "
+            "lead(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS nt FROM events), "
+            "i AS (SELECT user_id, cents, (nt - t) // 1000000 AS dt "
+            "FROM o WHERE nt IS NOT NULL), "
+            "g AS (SELECT user_id, CAST(count(*) AS BIGINT) "
+            "AS n_intervals, CAST(sum(dt) AS BIGINT) AS sum_dt_sec, "
+            "CAST(sum(cents * dt) AS BIGINT) AS num FROM i "
+            "GROUP BY 1) "
+            "SELECT user_id, n_intervals, sum_dt_sec, "
+            "CAST((100 * num) // sum_dt_sec AS BIGINT) AS twa_centi "
+            "FROM g WHERE sum_dt_sec > 0 ORDER BY user_id"),
+        "bounce_rate": (
+            "WITH o AS (SELECT user_id, event_type, ts, event_id, "
+            "lag(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS pts FROM events), "
+            "m AS (SELECT *, CASE WHEN pts IS NULL OR "
+            "epoch_us(ts) - epoch_us(pts) > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM o), "
+            "s AS (SELECT user_id, event_type, "
+            "sum(is_new) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM m), "
+            "g AS (SELECT user_id, sid, "
+            "CAST(count(*) AS BIGINT) AS ne, "
+            "arg_min(event_type, rn) AS entry_type FROM s "
+            "GROUP BY 1, 2) "
+            "SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_bounces, "
+            "CAST((1000000 * sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)) "
+            "// count(*) AS BIGINT) AS bounce_ppm "
+            "FROM g GROUP BY 1 ORDER BY 1"),
     }
