@@ -9026,6 +9026,153 @@ def q_bounce_rate(sf_dir: str):
     return out.sort_values("entry_type").reset_index(drop=True)
 
 
+def q_vocab_jaccard_langs(sf_dir: str):
+    """Pairwise VOCABULARY Jaccard between languages (corpus-drift /
+    contamination diagnostic): distinct (token, lang) via one
+    composite-key hash_agg, per-token language bitmask via one more
+    keyed sum (each lang contributes its bit exactly once), then the
+    bounded mask histogram (≤ 2^n_langs rows) comes to the driver where
+    every pair's |∩| / |∪| is an exact integer fold over mask counts.
+    The corpus never passes through the driver; two shuffles total."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, hash_sum)
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        langs = t.column("lang").take(parent)
+        g = pa.table({"token": flat, "lang": langs}).group_by(
+            ["token", "lang"]).aggregate([])
+        return g.append_column(
+            "one", pa.array(np.ones(len(g), np.int64)))
+
+    toks = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "text"]
+                    ).map_batches(tok_partial, batch_format="pyarrow")
+    distinct = hash_agg(toks, "token", [("one", "max", "one")],
+                        group_cols=["token", "lang"],
+                        producer_expands=True)
+
+    # tiny bounded aggregate: the language list
+    langs = sorted(distinct.groupby("lang").count(
+    ).to_pandas()["lang"].tolist())
+    bit = {l: 1 << i for i, l in enumerate(langs)}
+    bit_ref = ray.put(bit)
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        bits = ray.get(bit_ref)
+        lv = np.array([bits[x] for x in t.column("lang").to_pylist()],
+                      dtype=np.int64)
+        return pa.table({"token": t.column("token"),
+                         "b": pa.array(lv, pa.int64())})
+
+    masks = hash_sum(distinct.map_batches(to_bits,
+                                          batch_format="pyarrow"),
+                     "token", "b", "mask")
+
+    def mask_hist(t: pa.Table) -> pa.Table:
+        m = t.column("mask").to_numpy(zero_copy_only=False)
+        mu, cnt = np.unique(m, return_counts=True)
+        return pa.table({"mask": pa.array(mu, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64),
+                                         pa.int64())})
+
+    hist = masks.map_batches(
+        mask_hist, batch_format="pyarrow").to_pandas()
+    hist = hist.groupby("mask")["cnt"].sum()
+    mvals = hist.index.to_numpy(dtype=np.int64)
+    mcnts = hist.to_numpy(dtype=np.int64)
+
+    rows = []
+    for i, la in enumerate(langs):
+        for j in range(i + 1, len(langs)):
+            lb = langs[j]
+            ba, bb = 1 << i, 1 << j
+            has_a = (mvals & ba) > 0
+            has_b = (mvals & bb) > 0
+            inter = int(mcnts[has_a & has_b].sum())
+            n_a = int(mcnts[has_a].sum())
+            n_b = int(mcnts[has_b].sum())
+            if inter == 0:
+                continue
+            rows.append({
+                "lang_a": la, "lang_b": lb, "n_a": n_a, "n_b": n_b,
+                "n_common": inter,
+                "jaccard_ppm": (1_000_000 * inter)
+                // (n_a + n_b - inter)})
+    return pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_a",
+                                       "n_b", "n_common",
+                                       "jaccard_ppm"])
+
+
+def q_score_calibration(sf_dir: str):
+    """Decile calibration curve (classifier-eval staple): global
+    NTILE(10) bins over (value-cents, event_id) — exact SQL NTILE
+    semantics (first n%10 bins take one extra row), ranks from the
+    distributed two-phase prefix-sum (no global sort) — and the
+    purchase rate per bin in floor ppm."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "event_type", "value"])
+    n_total = ev.count()
+    q, r = divmod(n_total, 10)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100)), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "pos": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                           pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64)),
+        })
+
+    ranked = keyed_prefix_sum(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_column="cents", value_column="one",
+        tie_column="event_id", out_column="rk")
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        rank = df["rk"].to_numpy(dtype="int64") + 1  # 1-based
+        cut = r * (q + 1)
+        first = rank <= cut
+        bins = np.where(first, 1 + (rank - 1) // max(q + 1, 1),
+                        r + 1 + (rank - cut - 1) // max(q, 1))
+        out = pd.DataFrame({"bin": bins.astype("int64"),
+                            "pos": df["pos"].to_numpy(dtype="int64")})
+        g = out.groupby("bin", as_index=False).agg(
+            n=("pos", "size"), n_pos=("pos", "sum"))
+        return g
+
+    parts = ranked.map_batches(binify, batch_format="pandas"
+                               ).to_pandas()
+    out = parts.groupby("bin", as_index=False)[["n", "n_pos"]].sum()
+    out["n"] = out["n"].astype("int64")
+    out["n_pos"] = out["n_pos"].astype("int64")
+    out["pos_rate_ppm"] = (1_000_000 * out["n_pos"]) // out["n"]
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -9234,6 +9381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_mean_chars": q_geo_mean_chars,
         "time_weighted_value": q_time_weighted_value,
         "bounce_rate": q_bounce_rate,
+        "vocab_jaccard_langs": q_vocab_jaccard_langs,
+        "score_calibration": q_score_calibration,
     }
 
 
@@ -11481,4 +11630,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST((1000000 * sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)) "
             "// count(*) AS BIGINT) AS bounce_ppm "
             "FROM g GROUP BY 1 ORDER BY 1"),
+        "vocab_jaccard_langs": (
+            "WITH v AS (SELECT DISTINCT lang, tok FROM ("
+            "SELECT lang, unnest(regexp_extract_all(lower(text), "
+            "'\\S+')) AS tok FROM documents)), "
+            "c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n "
+            "FROM v GROUP BY 1), "
+            "p AS (SELECT a.lang AS la, b.lang AS lb, "
+            "CAST(count(*) AS BIGINT) AS cmn FROM v a "
+            "JOIN v b ON a.tok = b.tok AND a.lang < b.lang "
+            "GROUP BY 1, 2) "
+            "SELECT p.la AS lang_a, p.lb AS lang_b, "
+            "ca.n AS n_a, cb.n AS n_b, p.cmn AS n_common, "
+            "CAST((1000000 * p.cmn) // (ca.n + cb.n - p.cmn) "
+            "AS BIGINT) AS jaccard_ppm "
+            "FROM p JOIN c ca ON ca.lang = p.la "
+            "JOIN c cb ON cb.lang = p.lb ORDER BY 1, 2"),
+        "score_calibration": (
+            "WITH o AS (SELECT "
+            "CAST(round(value * 100) AS BIGINT) AS c, event_id, "
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p "
+            "FROM events), "
+            "b AS (SELECT ntile(10) OVER (ORDER BY c, event_id) "
+            "AS bin, p FROM o) "
+            "SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n, "
+            "CAST(sum(p) AS BIGINT) AS n_pos, "
+            "CAST((1000000 * sum(p)) // count(*) AS BIGINT) "
+            "AS pos_rate_ppm FROM b GROUP BY 1 ORDER BY 1"),
     }
