@@ -2933,3 +2933,54 @@ def test_upsert_orders_last_writer_wins(ray_session, tmp_path):
     assert int(got["n_orders"].iloc[0]) == 4
     # 2 base (1, 20) + 2 upserted (7, 14): 4*10000 + 2*1000 cents
     assert int(got["revenue_cents"].iloc[0]) == 42000
+
+
+def test_sorted_neighborhood_boundary_replicas(ray_session):
+    """Brute-force differential for sorted_neighborhood_dups with a tiny
+    group_ranks so rank-range group BOUNDARIES fall inside windows: every
+    window pair must be found exactly once (boundary replicas), none
+    duplicated. Texts share prefixes so the sort order interleaves
+    near-dups with distinct docs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from magic_content_extractor_ray.stages.dedup import (
+        sorted_neighborhood_dups)
+
+    rng = np.random.default_rng(7)
+    base = ["alpha beta gamma delta", "alpha beta gamma epsilon",
+            "zeta eta theta iota", "kappa lambda mu nu xi",
+            "alpha beta gamma delta extra"]
+    texts, ids = [], []
+    for i in range(60):
+        t = base[int(rng.integers(len(base)))]
+        if rng.random() < 0.4:
+            t = t + " " + str(int(rng.integers(5)))
+        texts.append(t)
+        ids.append(i)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+
+    window, kc = 4, 16
+    got = sorted_neighborhood_dups(
+        ds, window=window, key_chars=kc, group_ranks=8,
+        num_buckets=4).to_pandas()
+    got_pairs = sorted(zip(got["left_id"], got["right_id"],
+                           got["n_common"]))
+
+    # brute-force reference over the global (key, id) sort order
+    order = sorted(range(60), key=lambda i: (texts[i].lower()[:kc], i))
+    want = []
+    for p in range(60):
+        for k in range(1, window):
+            if p + k >= 60:
+                continue
+            a, b = order[p], order[p + k]
+            sa = {w for w in texts[a].lower().split() if w}
+            sb = {w for w in texts[b].lower().split() if w}
+            c = len(sa & sb)
+            if c > 0 and 2 * c >= len(sa) + len(sb) - c:
+                want.append((a, b, c))
+    assert got_pairs == sorted(want)
