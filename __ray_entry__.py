@@ -9030,63 +9030,50 @@ def q_bounce_rate(sf_dir: str):
     return out.sort_values("entry_type").reset_index(drop=True)
 
 
-def q_vocab_jaccard_langs(sf_dir: str):
-    """Pairwise VOCABULARY Jaccard between languages (corpus-drift /
-    contamination diagnostic): distinct (token, lang) via one
-    composite-key hash_agg, per-token language bitmask via one more
-    keyed sum (each lang contributes its bit exactly once), then the
-    bounded mask histogram (≤ 2^n_langs rows) comes to the driver where
+def _tag_set_overlap(keyed, *, key: str, tag: str, prefix: str,
+                     producer_expands: bool = False):
+    """Pairwise SET overlap between tags over distinct (key, tag) pairs
+    — the shared machinery of vocab_jaccard_langs / cross_source_dups:
+    distinct via one composite-key hash_agg, per-key tag BITMASK via one
+    keyed sum (each tag contributes its bit exactly once), then the
+    bounded mask histogram (≤ 2^n_tags rows) comes to the driver where
     every pair's |∩| / |∪| is an exact integer fold over mask counts.
-    The corpus never passes through the driver; two shuffles total."""
+    The key set never passes through the driver; two shuffles total.
+    Returns a pandas frame ({prefix}_a, {prefix}_b, n_a, n_b, n_common,
+    jaccard_ppm) for pairs with a non-empty intersection."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray
 
     from magic_content_extractor_ray.stages.window import (
         hash_agg, hash_sum)
 
-    def tok_partial(t: pa.Table) -> pa.Table:
-        texts = t.column("text")
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
-                                       pattern=r"\s+")
-        flat = pc.list_flatten(lists)
-        parent = pc.list_parent_indices(lists)
-        keep = pc.not_equal(flat, "")
-        flat = flat.filter(keep)
-        parent = parent.filter(keep)
-        langs = t.column("lang").take(parent)
-        g = pa.table({"token": flat, "lang": langs}).group_by(
-            ["token", "lang"]).aggregate([])
-        return g.append_column(
-            "one", pa.array(np.ones(len(g), np.int64)))
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(
+            np.ones(len(t), np.int64)))
 
-    toks = _read_pq(f"{sf_dir}/documents.parquet",
-                    columns=["lang", "text"]
-                    ).map_batches(tok_partial, batch_format="pyarrow")
-    distinct = hash_agg(toks, "token", [("one", "max", "one")],
-                        group_cols=["token", "lang"],
-                        producer_expands=True)
+    distinct = hash_agg(keyed.map_batches(one, batch_format="pyarrow"),
+                        key, [("one", "max", "one")],
+                        group_cols=[key, tag],
+                        producer_expands=producer_expands)
 
-    # tiny bounded aggregate: the language list
-    langs = sorted(distinct.groupby("lang").count(
-    ).to_pandas()["lang"].tolist())
-    bit = {l: 1 << i for i, l in enumerate(langs)}
+    # tiny bounded aggregate: the tag list
+    tags = sorted(distinct.groupby(tag).count(
+    ).to_pandas()[tag].tolist())
+    bit = {t_: 1 << i for i, t_ in enumerate(tags)}
     bit_ref = ray.put(bit)
 
     def to_bits(t: pa.Table) -> pa.Table:
         bits = ray.get(bit_ref)
-        lv = np.array([bits[x] for x in t.column("lang").to_pylist()],
+        lv = np.array([bits[x] for x in t.column(tag).to_pylist()],
                       dtype=np.int64)
-        return pa.table({"token": t.column("token"),
+        return pa.table({key: t.column(key),
                          "b": pa.array(lv, pa.int64())})
 
     masks = hash_sum(distinct.map_batches(to_bits,
                                           batch_format="pyarrow"),
-                     "token", "b", "mask")
+                     key, "b", "mask")
 
     def mask_hist(t: pa.Table) -> pa.Table:
         m = t.column("mask").to_numpy(zero_copy_only=False)
@@ -9102,25 +9089,201 @@ def q_vocab_jaccard_langs(sf_dir: str):
     mcnts = hist.to_numpy(dtype=np.int64)
 
     rows = []
-    for i, la in enumerate(langs):
-        for j in range(i + 1, len(langs)):
-            lb = langs[j]
-            ba, bb = 1 << i, 1 << j
-            has_a = (mvals & ba) > 0
-            has_b = (mvals & bb) > 0
+    for i, ta in enumerate(tags):
+        for j in range(i + 1, len(tags)):
+            tb = tags[j]
+            has_a = (mvals & (1 << i)) > 0
+            has_b = (mvals & (1 << j)) > 0
             inter = int(mcnts[has_a & has_b].sum())
             n_a = int(mcnts[has_a].sum())
             n_b = int(mcnts[has_b].sum())
             if inter == 0:
                 continue
             rows.append({
-                "lang_a": la, "lang_b": lb, "n_a": n_a, "n_b": n_b,
-                "n_common": inter,
+                f"{prefix}_a": ta, f"{prefix}_b": tb,
+                "n_a": n_a, "n_b": n_b, "n_common": inter,
                 "jaccard_ppm": (1_000_000 * inter)
                 // (n_a + n_b - inter)})
-    return pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_a",
-                                       "n_b", "n_common",
+    return pd.DataFrame(rows, columns=[f"{prefix}_a", f"{prefix}_b",
+                                       "n_a", "n_b", "n_common",
                                        "jaccard_ppm"])
+
+
+def q_vocab_jaccard_langs(sf_dir: str):
+    """Pairwise VOCABULARY Jaccard between languages (corpus-drift /
+    contamination diagnostic) — the _tag_set_overlap bitmask machinery
+    over distinct (token, lang)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        langs = t.column("lang").take(parent)
+        return pa.table({"token": flat, "lang": langs}).group_by(
+            ["token", "lang"]).aggregate([])
+
+    toks = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "text"]
+                    ).map_batches(tok_partial, batch_format="pyarrow")
+    return _tag_set_overlap(toks, key="token", tag="lang",
+                            prefix="lang", producer_expands=True)
+
+
+def q_cross_source_dups(sf_dir: str):
+    """Cross-SOURCE duplicate-content contamination matrix (mirror /
+    re-crawl detection): for every source pair, how many distinct
+    LEADING-CONTENT signatures (md5 of the first 200 chars — the
+    truncation-twin key at fixed length; full-text md5 finds nothing
+    because re-crawls are cut at different depths) appear in BOTH —
+    the _tag_set_overlap bitmask machinery over distinct
+    (signature, source)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.dedup import add_text_hash
+
+    P = 200
+
+    def prep(t: pa.Table) -> pa.Table:
+        pre = pa.table({
+            "text": pc.utf8_slice_codeunits(t.column("text"), 0, P),
+            "source": t.column("source")})
+        h = add_text_hash(pre)
+        return pa.table({"h": h.column("text_hash"),
+                         "source": t.column("source")}).group_by(
+            ["h", "source"]).aggregate([])
+
+    hs = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["text", "source"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    return _tag_set_overlap(hs, key="h", tag="source", prefix="source")
+
+
+def q_user_recs(sf_dir: str):
+    """Item-based collaborative-filtering recommendations: each user's
+    top-3 unseen items scored by Σ co-view counts between the user's
+    viewed items and each item's TOP-5 neighbor list. The neighbor
+    lists are catalog-sized (≤ 5/item) — broadcast once as flat sorted
+    arrays; scoring is one hash partitioning by user with vectorized
+    expansion (searchsorted lookups, packed-key seen-filter, segment
+    top-3) — no per-user Python. Ties break (score desc, item asc) in
+    both engines."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions)
+
+    K = 3
+    nbrs = q_item_neighbors(sf_dir)
+    nb_df = nbrs.to_pandas() if not isinstance(nbrs, pd.DataFrame) \
+        else nbrs
+    nb_df = nb_df.sort_values(["item", "nbr"]).reset_index(drop=True)
+    items_sorted = nb_df["item"].to_numpy(dtype=np.int64)
+    flat_nbr = nb_df["nbr"].to_numpy(dtype=np.int64)
+    flat_cnt = nb_df["n_users"].to_numpy(dtype=np.int64)
+    ref = ray.put({"items": items_sorted, "nbr": flat_nbr,
+                   "cnt": flat_cnt})
+
+    def ui_prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.cast(pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"), pa.int64())
+        out = pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "item": ks,
+        })
+        return out.group_by(["user_id", "item"]).aggregate([])
+
+    ui = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "props"]
+                  ).map_batches(ui_prep, batch_format="pyarrow")
+
+    def recs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "rnk": pa.array([], pa.int64()),
+                          "item": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        it = t.column("item").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return empty
+        if it.min() < 0 or it.max() >= (1 << 31) or u.min() < 0 \
+                or u.max() >= (1 << 32):
+            raise ValueError("user_recs packs (user, item) into one "
+                             "int64; item ids must be in [0, 2^31) and "
+                             "user ids in [0, 2^32)")
+        keep = np.ones(len(u), dtype=bool)  # exact (user,item) distinct
+        keep[1:] = (u[1:] != u[:-1]) | (it[1:] != it[:-1])
+        u, it = u[keep], it[keep]
+        lk = ray.get(ref)
+        # expand each (user, item) row into the item's neighbor run
+        lo = np.searchsorted(lk["items"], it, side="left")
+        hi = np.searchsorted(lk["items"], it, side="right")
+        runs = hi - lo
+        total = int(runs.sum())
+        if total == 0:
+            return empty
+        row = np.repeat(np.arange(len(u)), runs)
+        offs = np.concatenate(([0], np.cumsum(runs)[:-1]))
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(offs, runs) + lo[row])
+        cu = u[row]
+        cand = lk["nbr"][idx]
+        sc = lk["cnt"][idx]
+        # drop candidates the user has already seen: packed-key probe
+        # against the partition's own (user, item) rows
+        seen = np.sort((u.astype(np.int64) << np.int64(31)) | it)
+        ck = (cu.astype(np.int64) << np.int64(31)) | cand
+        pos = np.searchsorted(seen, ck)
+        pos[pos >= len(seen)] = 0
+        unseen = seen[pos] != ck
+        cu, cand, sc = cu[unseen], cand[unseen], sc[unseen]
+        if not len(cu):
+            return empty
+        # sum scores per (user, candidate): sort + segmented reduce
+        order = np.lexsort((cand, cu))
+        cu, cand, sc = cu[order], cand[order], sc[order]
+        new = np.empty(len(cu), dtype=bool)
+        new[0] = True
+        new[1:] = (cu[1:] != cu[:-1]) | (cand[1:] != cand[:-1])
+        starts = np.nonzero(new)[0]
+        gu, gc = cu[starts], cand[starts]
+        gs = np.add.reduceat(sc, starts)
+        # per-user top-3 by (score desc, item asc)
+        order2 = np.lexsort((gc, -gs, gu))
+        gu, gc, gs = gu[order2], gc[order2], gs[order2]
+        ng = np.empty(len(gu), dtype=bool)
+        ng[0] = True
+        ng[1:] = gu[1:] != gu[:-1]
+        gstart = np.nonzero(ng)[0]
+        rnk = np.arange(len(gu), dtype=np.int64) - np.repeat(
+            gstart, np.diff(np.append(gstart, len(gu)))) + 1
+        m = rnk <= K
+        return pa.table({
+            "user_id": pa.array(gu[m], pa.int64()),
+            "rnk": pa.array(rnk[m], pa.int64()),
+            "item": pa.array(gc[m], pa.int64()),
+            "score": pa.array(gs[m], pa.int64())})
+
+    out = map_key_partitions(ui, "user_id", recs,
+                             sort_cols=["item"]).to_pandas()
+    return out.sort_values(["user_id", "rnk"]).reset_index(drop=True)
 
 
 def q_score_calibration(sf_dir: str):
@@ -9387,6 +9550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": q_bounce_rate,
         "vocab_jaccard_langs": q_vocab_jaccard_langs,
         "score_calibration": q_score_calibration,
+        "cross_source_dups": q_cross_source_dups,
+        "user_recs": q_user_recs,
     }
 
 
@@ -11661,4 +11826,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(p) AS BIGINT) AS n_pos, "
             "CAST((1000000 * sum(p)) // count(*) AS BIGINT) "
             "AS pos_rate_ppm FROM b GROUP BY 1 ORDER BY 1"),
+        "cross_source_dups": (
+            "WITH v AS (SELECT DISTINCT source, "
+            "md5(substr(text, 1, 200)) AS h FROM documents), "
+            "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n "
+            "FROM v GROUP BY 1), "
+            "p AS (SELECT a.source AS sa, b.source AS sb, "
+            "CAST(count(*) AS BIGINT) AS cmn FROM v a "
+            "JOIN v b ON a.h = b.h AND a.source < b.source "
+            "GROUP BY 1, 2) "
+            "SELECT p.sa AS source_a, p.sb AS source_b, "
+            "ca.n AS n_a, cb.n AS n_b, p.cmn AS n_common, "
+            "CAST((1000000 * p.cmn) // (ca.n + cb.n - p.cmn) "
+            "AS BIGINT) AS jaccard_ppm "
+            "FROM p JOIN c ca ON ca.source = p.sa "
+            "JOIN c cb ON cb.source = p.sb ORDER BY 1, 2"),
+        "user_recs": (
+            "WITH ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "pairs AS (SELECT a.item AS ia, b.item AS ib, "
+            "count(*) AS c FROM ui a JOIN ui b "
+            "ON a.user_id = b.user_id AND a.item < b.item "
+            "GROUP BY 1, 2), "
+            "d AS (SELECT ia AS item, ib AS nbr, c FROM pairs "
+            "UNION ALL SELECT ib, ia, c FROM pairs), "
+            "nb AS (SELECT item, nbr, c FROM (SELECT item, nbr, c, "
+            "row_number() OVER (PARTITION BY item "
+            "ORDER BY c DESC, nbr) AS rnk FROM d) WHERE rnk <= 5), "
+            "cand AS (SELECT u.user_id, nb.nbr AS item, "
+            "CAST(sum(nb.c) AS BIGINT) AS score FROM ui u "
+            "JOIN nb ON nb.item = u.item GROUP BY 1, 2), "
+            "unseen AS (SELECT c.* FROM cand c "
+            "LEFT JOIN ui s ON s.user_id = c.user_id "
+            "AND s.item = c.item WHERE s.item IS NULL), "
+            "r AS (SELECT user_id, item, score, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY score DESC, item) AS BIGINT) AS rnk "
+            "FROM unseen) "
+            "SELECT user_id, rnk, item, score FROM r WHERE rnk <= 3 "
+            "ORDER BY user_id, rnk"),
     }
