@@ -96,7 +96,13 @@ def bpe_train(ds, *, column: str = "text", num_merges: int = 30,
             "syms": pa.array(syms, pa.list_(pa.string())),
             "cnt": t.column("cnt")})
 
-    table = types.map_batches(seed, batch_format="pyarrow").materialize()
+    # the word-TYPE table is vocab-scale (≪ corpus): compact the 64
+    # hash_agg output blocks to a handful before the per-round loop, so
+    # each of the num_merges rounds launches ~8 map tasks instead of 64
+    # (per-round wall is fixed-cost-dominated at this size; 0.9 → 0.35
+    # s/round at sf0.1)
+    table = types.map_batches(seed, batch_format="pyarrow"
+                              ).repartition(8).materialize()
 
     merges: list[dict] = []
     for rank in range(num_merges):
@@ -110,7 +116,9 @@ def bpe_train(ds, *, column: str = "text", num_merges: int = 30,
 
         sums = hash_agg(
             table.map_batches(pair_partial, batch_format="pyarrow"),
-            "pair", [("n", "sum", "n")], producer_expands=True)
+            "pair", [("n", "sum", "n")], producer_expands=True,
+            num_buckets=8)  # pair vocabulary is tiny; 64 buckets is
+        # all fixed cost at this size
 
         def top1(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
