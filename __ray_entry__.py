@@ -9340,6 +9340,175 @@ def q_score_calibration(sf_dir: str):
     return out.sort_values("bin").reset_index(drop=True)
 
 
+def q_embedding_dim_median(sf_dir: str):
+    """Per-DIMENSION median of the embedding distribution (robust-scaler
+    fit over a vector column): values micro-quantized half-away (DuckDB
+    round), per-batch (dim, value) count partials, one bounded shuffle
+    of histogram cells, and the exact lower weighted-median rule
+    (min v with 2·cumweight ≥ total — the weighted_median precedent)
+    inside a per-dim segment kernel. Raw vectors never shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        lengths = pc.list_value_length(emb).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.cumsum(lengths) - lengths
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            starts, lengths) + 1
+        v = flat * 1e6
+        micro = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        g = pa.table({"dim": pa.array(pos, pa.int64()),
+                      "v": pa.array(micro, pa.int64())}).group_by(
+            ["dim", "v"]).aggregate([([], "count_all")])
+        return pa.table({"dim": g.column("dim"), "v": g.column("v"),
+                         "cnt": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    hist = hash_agg(
+        _read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+                 ).map_batches(partial, batch_format="pyarrow"),
+        "dim", [("cnt", "sum", "cnt")], group_cols=["dim", "v"])
+
+    def per_dim(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v")
+        cnt = g["cnt"].to_numpy(dtype="int64")
+        v = g["v"].to_numpy(dtype="int64")
+        cum = cnt.cumsum()
+        tot = int(cum[-1])
+        med = int(v[np.searchsorted(2 * cum, tot)])
+        return pd.DataFrame({"dim": [int(g["dim"].iloc[0])],
+                             "n": [tot], "median_micro": [med]})
+
+    out = hist.groupby("dim").map_groups(
+        per_dim, batch_format="pandas").to_pandas()
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+def q_improving_users(sf_dir: str):
+    """Monotone-engagement cohort: users whose WEEKLY purchase counts
+    never decrease over their active weeks (weeks with ≥1 purchase;
+    ≥3 such weeks — the fixture's events span ~4 weeks, so weekly is
+    the granularity where the monotone screen has teeth: 16/150 users
+    at sf0.01). Per-batch (user, week) count partials → one
+    composite-key hash_agg → a per-user segment kernel (vectorized
+    diff over week-sorted runs). Only (user, week, count) cells ever
+    shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts,
+        ts_us)
+
+    WEEK_US = 7 * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        week = pa.array(ts_us(t.column("ts")) // WEEK_US, pa.int64())
+        g = pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "week": week,
+        }).group_by(["user_id", "week"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "week": g.column("week"),
+                         "cnt": pc.cast(g.column("count_all"),
+                                        pa.int64())})
+
+    cells = hash_agg(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "event_type", "ts"]
+                 ).map_batches(partial, batch_format="pyarrow"),
+        "user_id", [("cnt", "sum", "cnt")],
+        group_cols=["user_id", "week"])
+
+    def screen(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_weeks": pa.array([], pa.int64()),
+                             "first_cnt": pa.array([], pa.int64()),
+                             "last_cnt": pa.array([], pa.int64())})
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, len(u))
+        # rows sorted (user, week): non-decreasing = every in-segment
+        # diff >= 0
+        inc = np.ones(len(u), dtype=bool)
+        inc[1:] = c[1:] >= c[:-1]
+        inc[starts] = True
+        ok_inc = np.logical_and.reduceat(inc, starts)
+        keep = (lens >= 3) & ok_inc
+        last = starts + lens - 1
+        return pa.table({
+            "user_id": pa.array(u[starts][keep], pa.int64()),
+            "n_weeks": pa.array(lens[keep], pa.int64()),
+            "first_cnt": pa.array(c[starts][keep], pa.int64()),
+            "last_cnt": pa.array(c[last][keep], pa.int64())})
+
+    out = map_key_partitions(cells, "user_id", screen,
+                             sort_cols=["week"]).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_revenue_changepoint(sf_dir: str):
+    """CUSUM change-point over the daily order-revenue series: the day
+    k maximizing |n·P_k − k·S| (the mean-shift CUSUM statistic kept in
+    EXACT integers — n·prefix − k·total avoids the mean division;
+    ties → earliest day). The distributed part is the bounded daily
+    aggregate; the CUSUM fold runs on the driver over n_days rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100)), pa.int64())
+        ts = t.column("o_orderdate")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = pa.array(ts.to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64) // 86_400_000_000,
+            pa.int64())
+        g = pa.table({"day": day, "cents": cents}).group_by(
+            "day").aggregate([("cents", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "cents": pc.cast(g.column("cents_sum"),
+                                          pa.int64())})
+
+    daily = _read_pq(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderdate", "o_totalprice"]
+                     ).map_batches(partial, batch_format="pyarrow"
+                                   ).groupby("day").aggregate(
+        Sum("cents", alias_name="cents")).to_pandas()
+    daily = daily.sort_values("day").reset_index(drop=True)
+    x = [int(v) for v in daily["cents"]]  # exact Python ints: n·P can
+    n = len(x)                            # exceed int64 at corpus scale
+    s = sum(x)
+    best_k, best_val, p = 0, -1, 0
+    for k in range(1, n + 1):
+        p += x[k - 1]
+        val = abs(n * p - k * s)
+        if val > best_val:
+            best_k, best_val = k, val
+    return pd.DataFrame({
+        "day": [int(daily["day"].iloc[best_k - 1])],
+        "k": [best_k], "n_days": [n],
+        "cusum_abs": [best_val]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -9552,6 +9721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_calibration": q_score_calibration,
         "cross_source_dups": q_cross_source_dups,
         "user_recs": q_user_recs,
+        "embedding_dim_median": q_embedding_dim_median,
+        "improving_users": q_improving_users,
+        "revenue_changepoint": q_revenue_changepoint,
     }
 
 
@@ -11866,4 +12038,48 @@ def oracle_sql() -> dict[str, str]:
             "FROM unseen) "
             "SELECT user_id, rnk, item, score FROM r WHERE rnk <= 3 "
             "ORDER BY user_id, rnk"),
+        "embedding_dim_median": (
+            "WITH q AS (SELECT CAST(t.i + 1 AS BIGINT) AS dim, "
+            "CAST(round(CAST(embedding[CAST(t.i AS INTEGER) + 1] "
+            "AS DOUBLE) * 1000000) AS BIGINT) AS v "
+            "FROM embeddings, range(64) t(i)), "
+            "c AS (SELECT dim, v, CAST(count(*) AS BIGINT) AS w "
+            "FROM q GROUP BY 1, 2), "
+            "s AS (SELECT dim, v, "
+            "sum(w) OVER (PARTITION BY dim ORDER BY v) AS cw, "
+            "sum(w) OVER (PARTITION BY dim) AS tot FROM c) "
+            "SELECT dim, CAST(min(tot) AS BIGINT) AS n, "
+            "CAST(min(v) AS BIGINT) AS median_micro FROM s "
+            "WHERE 2 * cw >= tot GROUP BY dim ORDER BY dim"),
+        "improving_users": (
+            "WITH p AS (SELECT user_id, "
+            "epoch_us(ts) // 604800000000 AS wk, "
+            "CAST(count(*) AS BIGINT) AS c FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2), "
+            "w AS (SELECT user_id, wk, c, "
+            "lag(c) OVER (PARTITION BY user_id ORDER BY wk) AS pc "
+            "FROM p), "
+            "g AS (SELECT user_id, CAST(count(*) AS BIGINT) "
+            "AS n_weeks, CAST(arg_min(c, wk) AS BIGINT) AS first_cnt, "
+            "CAST(arg_max(c, wk) AS BIGINT) AS last_cnt, "
+            "bool_and(pc IS NULL OR c >= pc) AS ok FROM w GROUP BY 1) "
+            "SELECT user_id, n_weeks, first_cnt, last_cnt FROM g "
+            "WHERE ok AND n_weeks >= 3 ORDER BY user_id"),
+        "revenue_changepoint": (
+            "WITH d AS (SELECT "
+            "epoch_us(o_orderdate) // 86400000000 AS day, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS cents FROM orders GROUP BY 1), "
+            "s AS (SELECT day, cents, "
+            "row_number() OVER (ORDER BY day) AS k, "
+            "sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) "
+            "AS p, count(*) OVER () AS n, sum(cents) OVER () AS tot "
+            "FROM d), "
+            "v AS (SELECT day, k, n, "
+            "abs(CAST(n AS HUGEINT) * p - CAST(k AS HUGEINT) * tot) "
+            "AS val FROM s) "
+            "SELECT CAST(day AS BIGINT) AS day, CAST(k AS BIGINT) AS k, "
+            "CAST(n AS BIGINT) AS n_days, "
+            "CAST(val AS BIGINT) AS cusum_abs FROM v "
+            "ORDER BY val DESC, k LIMIT 1"),
     }
