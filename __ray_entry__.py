@@ -9509,6 +9509,70 @@ def q_revenue_changepoint(sf_dir: str):
         "cusum_abs": [best_val]})
 
 
+def q_source_ttr(sf_dir: str):
+    """Type-token ratio + mean token length per source (lexical-richness
+    screens for machine-generated / template text): per-batch
+    (source, token) count partials, one composite-key hash_agg to make
+    counts exact-distinct, then a per-batch fold to per-source partials
+    (sources are bounded) merged on the driver. ttr/char stats are
+    floor-ppm integers."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        srcs = t.column("source").take(parent)
+        g = pa.table({"token": flat, "source": srcs}).group_by(
+            ["token", "source"]).aggregate([([], "count_all")])
+        return pa.table({"token": g.column("token"),
+                         "source": g.column("source"),
+                         "c": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["source", "text"]
+                 ).map_batches(tok_partial, batch_format="pyarrow"),
+        "token", [("c", "sum", "c")], group_cols=["token", "source"],
+        producer_expands=True)
+
+    def fold(t: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(t.column("token")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "source": t.column("source"),
+            "n_types": pa.array(np.ones(len(c), np.int64)),
+            "n_tokens": pa.array(c),
+            "sum_chars": pa.array(ln * c),
+        }).group_by("source").aggregate(
+            [("n_types", "sum"), ("n_tokens", "sum"),
+             ("sum_chars", "sum")])
+        return g.rename_columns(["source", "n_types", "n_tokens",
+                                 "sum_chars"])
+
+    parts = counts.map_batches(fold, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("source", as_index=False)[
+        ["n_types", "n_tokens", "sum_chars"]].sum()
+    for col in ("n_types", "n_tokens", "sum_chars"):
+        out[col] = out[col].astype("int64")
+    out["ttr_ppm"] = (1_000_000 * out["n_types"]) // out["n_tokens"]
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -9724,6 +9788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_median": q_embedding_dim_median,
         "improving_users": q_improving_users,
         "revenue_changepoint": q_revenue_changepoint,
+        "source_ttr": q_source_ttr,
     }
 
 
@@ -12082,4 +12147,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n AS BIGINT) AS n_days, "
             "CAST(val AS BIGINT) AS cusum_abs FROM v "
             "ORDER BY val DESC, k LIMIT 1"),
+        "source_ttr": (
+            "WITH w AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '\\S+')) AS tok "
+            "FROM documents), "
+            "g AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c "
+            "FROM w GROUP BY 1, 2) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_types, "
+            "CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(sum(length(tok) * c) AS BIGINT) AS sum_chars, "
+            "CAST((1000000 * count(*)) // sum(c) AS BIGINT) AS ttr_ppm "
+            "FROM g GROUP BY 1 ORDER BY 1"),
     }
