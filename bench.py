@@ -209,7 +209,14 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "cheapest_supplier", "product_profit", "important_parts",
              "shipmode_priority", "part_supplier_variety",
              "promotion_suppliers", "qty_price_slope", "k_anonymity",
-             "segment_ttest", "event_bursts"]
+             "segment_ttest", "event_bursts",
+             # round-4 sixth-session: blocking dedup, basket rules,
+             # CF recs, calibration, set-overlap matrices, robust stats
+             "sorted_neighbor_dups", "winsorized_chars", "assoc_rules",
+             "geo_mean_chars", "time_weighted_value", "bounce_rate",
+             "vocab_jaccard_langs", "score_calibration",
+             "cross_source_dups", "user_recs", "embedding_dim_median",
+             "improving_users", "revenue_changepoint", "source_ttr"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
