@@ -9314,10 +9314,13 @@ def q_score_calibration(sf_dir: str):
             "one": pa.array(np.ones(len(t), np.int64)),
         })
 
+    # bucket_width must partition the KEY DOMAIN (cents ~ [0, 5e4]) —
+    # the default 100_000 would put every row in bucket 0 and serialize
+    # the rank pass into one task
     ranked = keyed_prefix_sum(
         ev.map_batches(prep, batch_format="pyarrow"),
         key_column="cents", value_column="one",
-        tie_column="event_id", out_column="rk")
+        tie_column="event_id", out_column="rk", bucket_width=256)
 
     def binify(df: pd.DataFrame) -> pd.DataFrame:
         rank = df["rk"].to_numpy(dtype="int64") + 1  # 1-based
@@ -9573,6 +9576,132 @@ def q_source_ttr(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_trailing_spend(sf_dir: str):
+    """Per-event TRAILING 1-hour spend (the time-RANGE window family:
+    SUM OVER RANGE INTERVAL 1 HOUR PRECEDING AND CURRENT ROW per user,
+    purchases only): one hash partitioning by user; inside each
+    partition every user's trailing sums come from ONE prefix-sum +
+    two searchsorted calls over a composite (user-rank × span + ts)
+    key — the event_bursts kernel shape, summing instead of counting.
+    RANGE semantics (all ties at the same ts included) fall out of the
+    side='right' upper bound."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    WIN = 3_600_000_000  # 1 h in microseconds
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "t": pa.array(ts_us(t.column("ts")), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t.column("value"), 100)), pa.int64()),
+        })
+
+    def trailing(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "spend_1h_c": pa.array([], pa.int64())})
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, len(u))
+        nseg = len(starts)
+        base = ts - ts.min()
+        span = int(base.max()) + WIN + 1
+        pref = np.concatenate(([0], np.cumsum(cents)))
+        if nseg * span < (1 << 62):
+            seg_id = np.repeat(np.arange(nseg, dtype=np.int64), lens)
+            k = seg_id * span + base
+            lo = np.searchsorted(k, k - WIN, side="left")
+            # clamp window starts to the segment start (k - WIN can
+            # reach into the previous user's key range)
+            lo = np.maximum(lo, np.repeat(starts, lens))
+            hi = np.searchsorted(k, k, side="right")
+            sums = pref[hi] - pref[lo]
+        else:  # composite key would overflow: per-user slices
+            sums = np.empty(len(u), dtype=np.int64)
+            for s, ln in zip(starts, lens):
+                seg = ts[s:s + ln]
+                p = np.concatenate(([0], np.cumsum(cents[s:s + ln])))
+                lo = np.searchsorted(seg, seg - WIN, side="left")
+                hi = np.searchsorted(seg, seg, side="right")
+                sums[s:s + ln] = p[hi] - p[lo]
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
+            "spend_1h_c": pa.array(sums, pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_id", "ts", "event_type",
+                           "value"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ev, "user_id", trailing,
+                             sort_cols=["t", "event_id"]).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_merge_orders(sf_dir: str):
+    """MERGE INTO semantics (warehouse DML completeness): a
+    deterministic synthetic change feed — keys ≡0 (mod 11) update
+    price +10.00, keys ≡0 (mod 13) delete, and every key ≡0 (mod 17)
+    re-inserts under key+10^9 — merged into orders. Because the feed
+    is key-derived, the merge is a pure map (zero shuffle); the
+    join-backed merge path (change feed as a second table) is
+    exercised by upsert_orders / hash_join's anti mode. Verification
+    collapses the merged table to per-status (n_orders,
+    revenue_cents)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def merge_batch(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100)), pa.int64()).to_numpy(
+            zero_copy_only=False).copy()
+        status = t.column("o_orderstatus")
+        # WHEN MATCHED AND k%13==0 THEN DELETE
+        keep = (k % 13) != 0
+        # WHEN MATCHED AND k%11==0 THEN UPDATE price += 10.00
+        cents = np.where((k % 11) == 0, cents + 1000, cents)
+        # WHEN NOT MATCHED (change rows keyed k+1e9 for k%17==0)
+        # THEN INSERT with price 50.00 and status 'N'
+        ins = (k % 17) == 0
+        out_k = np.concatenate([k[keep], k[ins] + 1_000_000_000])
+        out_c = np.concatenate(
+            [cents[keep], np.full(int(ins.sum()), 5000, np.int64)])
+        out_s = pa.concat_arrays(
+            [status.filter(pa.array(keep)).combine_chunks(),
+             pa.array(["N"] * int(ins.sum()), pa.string())])
+        g = pa.table({"o_orderstatus": out_s,
+                      "n": pa.array(np.ones(len(out_k), np.int64)),
+                      "cents": pa.array(out_c)}).group_by(
+            "o_orderstatus").aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["o_orderstatus", "n_orders",
+                                 "revenue_cents"])
+
+    return _read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderkey", "o_orderstatus",
+                             "o_totalprice"]
+                    ).map_batches(merge_batch, batch_format="pyarrow"
+                                  ).groupby("o_orderstatus").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents")).sort(
+        "o_orderstatus")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -9789,6 +9918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "improving_users": q_improving_users,
         "revenue_changepoint": q_revenue_changepoint,
         "source_ttr": q_source_ttr,
+        "trailing_spend": q_trailing_spend,
+        "merge_orders": q_merge_orders,
     }
 
 
@@ -12158,4 +12289,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(length(tok) * c) AS BIGINT) AS sum_chars, "
             "CAST((1000000 * count(*)) // sum(c) AS BIGINT) AS ttr_ppm "
             "FROM g GROUP BY 1 ORDER BY 1"),
+        "trailing_spend": (
+            "WITH p AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT event_id, user_id, "
+            "CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS spend_1h_c FROM p ORDER BY event_id"),
+        "merge_orders": (
+            "WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS s, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS c "
+            "FROM orders), "
+            "kept AS (SELECT k, s, CASE WHEN k % 11 = 0 THEN c + 1000 "
+            "ELSE c END AS c FROM base WHERE k % 13 <> 0), "
+            "ins AS (SELECT k + 1000000000 AS k, 'N' AS s, "
+            "CAST(5000 AS BIGINT) AS c FROM base WHERE k % 17 = 0), "
+            "m AS (SELECT * FROM kept UNION ALL SELECT * FROM ins) "
+            "SELECT s AS o_orderstatus, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(c) AS BIGINT) AS revenue_cents FROM m "
+            "GROUP BY 1 ORDER BY 1"),
     }
