@@ -9702,6 +9702,183 @@ def q_merge_orders(sf_dir: str):
         "o_orderstatus")
 
 
+def q_smb_join_revenue(sf_dir: str):
+    """SHUFFLE-FREE big-big join via a sort-merge-bucket layout
+    (stages/join.smb_write / smb_join): orders and customer are
+    persisted ONCE per corpus as co-partitioned Hive buckets
+    (custkey % 32), after which every join is bucket-local — one Ray
+    task per bucket opens exactly its two partition directories; no
+    all-to-all exchange at any scale (the layout cost is paid at write
+    time and amortized over every subsequent join). Result: per-segment
+    order counts + revenue cents, oracle-checked against the plain
+    join."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.join import (
+        smb_join, smb_write)
+
+    B = 32
+    base = f"/tmp/mce_smb_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(f"{base}/_DONE"):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+
+        def o_prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "cents": pc.cast(pc.round(pc.multiply(
+                    t.column("o_totalprice"), 100)), pa.int64())})
+
+        def c_prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_mktsegment": t.column("c_mktsegment")})
+
+        smb_write(_read_pq(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]
+                           ).map_batches(o_prep, batch_format="pyarrow"),
+                  f"{base}/orders", key="custkey", num_buckets=B)
+        smb_write(_read_pq(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]
+                           ).map_batches(c_prep, batch_format="pyarrow"),
+                  f"{base}/customer", key="custkey", num_buckets=B)
+        open(f"{base}/_DONE", "w").close()
+
+    joined = smb_join(f"{base}/orders", f"{base}/customer",
+                      key="custkey", num_buckets=B,
+                      left_cols=["cents"], right_cols=["c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = pa.table({
+            "c_mktsegment": t.column("c_mktsegment"),
+            "n": pa.array(np.ones(len(t), np.int64)),
+            "cents": t.column("cents"),
+        }).group_by("c_mktsegment").aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["c_mktsegment", "n_orders",
+                                 "revenue_cents"])
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents")).sort(
+        "c_mktsegment")
+
+
+def q_rapid_reorders(sf_dir: str):
+    """Rapid-reorder screen on the ORDERS fact: per customer, how many
+    consecutive order pairs (date order, orderkey tie-break) were
+    placed within 24 hours — plus the customer's order count. One hash
+    partitioning by custkey; diffs are a vectorized segment kernel.
+    Customers with ≥1 rapid pair only."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    DAY_US = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "okey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "t": pa.array(ts_us(t.column("o_orderdate")), pa.int64()),
+        })
+
+    def rapid(t: pa.Table) -> pa.Table:
+        c = t.column("custkey").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        if not len(c):
+            return pa.table({"custkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "n_rapid": pa.array([], pa.int64())})
+        starts = segment_starts(c)
+        lens = segment_lengths(starts, len(c))
+        quick = np.zeros(len(c), dtype=np.int64)
+        quick[1:] = (ts[1:] - ts[:-1] <= DAY_US).astype(np.int64)
+        quick[starts] = 0
+        n_rapid = np.add.reduceat(quick, starts)
+        keep = n_rapid >= 1
+        return pa.table({
+            "custkey": pa.array(c[starts][keep], pa.int64()),
+            "n_orders": pa.array(lens[keep], pa.int64()),
+            "n_rapid": pa.array(n_rapid[keep], pa.int64())})
+
+    ords = _read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_custkey", "o_orderkey", "o_orderdate"]
+                    ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ords, "custkey", rapid,
+                             sort_cols=["t", "okey"]).to_pandas()
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+def q_item_abandonment(sf_dir: str):
+    """Per-item view→purchase ABANDONMENT: distinct viewers vs distinct
+    buyers per item and the floor-ppm conversion — the per-item funnel
+    twin of the user-level funnel_counts. Distinct (item, type, user)
+    via per-batch pre-dedup + one composite hash_agg; per-item counts
+    via one more keyed sum."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(batch.column("event_type"), "view"),
+                   pc.equal(batch.column("event_type"), "purchase"))
+        t = batch.filter(m)
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.cast(pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"), pa.int64())
+        out = pa.table({
+            "item": ks,
+            "etype": t.column("event_type"),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+        }).group_by(["item", "etype", "user_id"]).aggregate([])
+        return out.append_column(
+            "one", pa.array(np.ones(len(out), np.int64)))
+
+    triples = hash_agg(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["user_id", "event_type", "props"]
+                 ).map_batches(prep, batch_format="pyarrow"),
+        "item", [("one", "max", "one")],
+        group_cols=["item", "etype", "user_id"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        is_v = pc.cast(pc.equal(t.column("etype"), "view"),
+                       pa.int64())
+        is_p = pc.cast(pc.equal(t.column("etype"), "purchase"),
+                       pa.int64())
+        g = pa.table({"item": t.column("item"),
+                      "viewers": is_v, "buyers": is_p}).group_by(
+            "item").aggregate([("viewers", "sum"), ("buyers", "sum")])
+        return g.rename_columns(["item", "viewers", "buyers"])
+
+    counts = hash_agg(triples.map_batches(fold, batch_format="pyarrow"),
+                      "item", [("viewers", "sum", "viewers"),
+                               ("buyers", "sum", "buyers")]).to_pandas()
+    out = counts[counts["viewers"] > 0].copy()
+    out["viewers"] = out["viewers"].astype("int64")
+    out["buyers"] = out["buyers"].astype("int64")
+    out["conv_ppm"] = (1_000_000 * out["buyers"]) // out["viewers"]
+    return out.sort_values("item").reset_index(drop=True)[
+        ["item", "viewers", "buyers", "conv_ppm"]]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -9920,6 +10097,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ttr": q_source_ttr,
         "trailing_spend": q_trailing_spend,
         "merge_orders": q_merge_orders,
+        "smb_join_revenue": q_smb_join_revenue,
+        "rapid_reorders": q_rapid_reorders,
+        "item_abandonment": q_item_abandonment,
     }
 
 
@@ -12310,4 +12490,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_orders, "
             "CAST(sum(c) AS BIGINT) AS revenue_cents FROM m "
             "GROUP BY 1 ORDER BY 1"),
+        "smb_join_revenue": (
+            "SELECT c.c_mktsegment, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM orders o JOIN customer c "
+            "ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1 ORDER BY 1"),
+        "rapid_reorders": (
+            "WITH o AS (SELECT o_custkey AS custkey, o_orderkey, "
+            "o_orderdate, lag(o_orderdate) OVER (PARTITION BY "
+            "o_custkey ORDER BY o_orderdate, o_orderkey) AS pd "
+            "FROM orders), "
+            "g AS (SELECT custkey, CAST(count(*) AS BIGINT) "
+            "AS n_orders, CAST(sum(CASE WHEN pd IS NOT NULL AND "
+            "epoch_us(o_orderdate) - epoch_us(pd) <= 86400000000 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_rapid FROM o "
+            "GROUP BY 1) "
+            "SELECT custkey, n_orders, n_rapid FROM g "
+            "WHERE n_rapid >= 1 ORDER BY custkey"),
+        "item_abandonment": (
+            "WITH u AS (SELECT DISTINCT "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item, "
+            "event_type AS etype, user_id FROM events "
+            "WHERE event_type IN ('view', 'purchase')), "
+            "g AS (SELECT item, "
+            "CAST(sum(CASE WHEN etype = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS viewers, "
+            "CAST(sum(CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS buyers FROM u GROUP BY 1) "
+            "SELECT item, viewers, buyers, "
+            "CAST((1000000 * buyers) // viewers AS BIGINT) AS conv_ppm "
+            "FROM g WHERE viewers > 0 ORDER BY item"),
     }

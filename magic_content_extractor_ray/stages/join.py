@@ -322,3 +322,74 @@ def hash_join(left, right, *, key: str, left_cols: list[str],
 
     return packed_l.union(packed_r).groupby("bucket").map_groups(
         join_bucket, batch_format="pyarrow")
+
+
+def smb_write(ds, path: str, *, key: str, num_buckets: int = 32,
+              **kwargs) -> None:
+    """Persist ``ds`` in a sort-merge-bucket (SMB) layout: Hive
+    partitions ``path/_smb_bucket=i/`` with bucket = key % num_buckets
+    (an EXPLICIT persisted rule, deliberately not _bucket_array's
+    xxhash — persisted layouts must be re-derivable across library
+    versions). Two tables written with the same (key, num_buckets) are
+    co-partitioned: every join key lives in the same bucket index on
+    both sides, so joins become bucket-local — no shuffle, ever, at any
+    scale. Integer keys only."""
+    import pyarrow.compute as pc
+
+    from ..sources.io import write_partitioned
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        b = k.to_numpy(zero_copy_only=False).astype(np.int64) \
+            % num_buckets
+        return batch.append_column("_smb_bucket", pa.array(b, pa.int64()))
+
+    write_partitioned(ds.map_batches(tag, batch_format="pyarrow"),
+                      path, partition_cols=["_smb_bucket"], **kwargs)
+
+
+def smb_join(path_a: str, path_b: str, *, key: str,
+             num_buckets: int = 32,
+             left_cols: list[str] | None = None,
+             right_cols: list[str] | None = None,
+             join_type: str = "inner"):
+    """SHUFFLE-FREE join of two SMB layouts written by ``smb_write``
+    with the same (key, num_buckets): one Ray task per bucket index
+    opens exactly its own partition directory on each side (storage
+    co-partitioning replaces the all-to-all exchange — the layout cost
+    was paid once at write time and is amortized over every subsequent
+    join). Missing partition directories are empty buckets."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        tables = []
+        for b in batch.column("b").to_pylist():
+            try:
+                ta = pq.read_table(f"{path_a}/_smb_bucket={b}",
+                                   columns=(([key] + left_cols)
+                                            if left_cols else None))
+            except FileNotFoundError:
+                continue
+            try:
+                tb = pq.read_table(f"{path_b}/_smb_bucket={b}",
+                                   columns=(([key] + right_cols)
+                                            if right_cols else None))
+            except FileNotFoundError:
+                if join_type == "inner":
+                    continue
+                tb = None
+            if tb is None:
+                tb = pa.table({key: pa.array([], ta.schema.field(
+                    key).type)})
+            tables.append(ta.join(tb, keys=key, join_type=join_type))
+        if not tables:
+            return None
+        return pa.concat_tables(tables, promote_options="default")
+
+    buckets = rd.from_items([{"b": i} for i in range(num_buckets)])
+    out = buckets.map_batches(join_bucket, batch_size=1,
+                              batch_format="pyarrow")
+    return out
