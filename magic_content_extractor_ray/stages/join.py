@@ -361,32 +361,52 @@ def smb_join(path_a: str, path_b: str, *, key: str,
     co-partitioning replaces the all-to-all exchange — the layout cost
     was paid once at write time and is amortized over every subsequent
     join). Missing partition directories are empty buckets."""
+    import glob
+
     import pyarrow.parquet as pq
     import ray.data as rd
+
+    def _side_schema(root: str, cols):
+        f = sorted(glob.glob(f"{root}/_smb_bucket=*/*.parquet"))[0]
+        s = pq.read_schema(f)
+        names = cols if cols is not None else [
+            n for n in s.names if n != "_smb_bucket"]
+        return pa.schema([s.field(n) for n in names])
+
+    def _empty(root: str, cols):
+        return pa.Table.from_pylist([], schema=_side_schema(root, cols))
+
+    lcols = ([key] + left_cols) if left_cols is not None else None
+    rcols = ([key] + right_cols) if right_cols is not None else None
 
     def join_bucket(batch: pa.Table) -> pa.Table:
         tables = []
         for b in batch.column("b").to_pylist():
             try:
                 ta = pq.read_table(f"{path_a}/_smb_bucket={b}",
-                                   columns=(([key] + left_cols)
-                                            if left_cols else None))
+                                   columns=lcols)
             except FileNotFoundError:
-                continue
+                ta = None
             try:
                 tb = pq.read_table(f"{path_b}/_smb_bucket={b}",
-                                   columns=(([key] + right_cols)
-                                            if right_cols else None))
+                                   columns=rcols)
             except FileNotFoundError:
-                if join_type == "inner":
-                    continue
                 tb = None
+            if ta is None and join_type in ("inner", "left"):
+                continue
+            if tb is None and join_type == "inner":
+                continue
+            if ta is None:
+                ta = _empty(path_a, lcols)
             if tb is None:
-                tb = pa.table({key: pa.array([], ta.schema.field(
-                    key).type)})
+                tb = _empty(path_b, rcols)
             tables.append(ta.join(tb, keys=key, join_type=join_type))
         if not tables:
-            return None
+            # schema-correct empty output so Ray's batch validation and
+            # downstream schema unification both hold
+            e = _empty(path_a, lcols).join(_empty(path_b, rcols),
+                                           keys=key, join_type=join_type)
+            return e
         return pa.concat_tables(tables, promote_options="default")
 
     buckets = rd.from_items([{"b": i} for i in range(num_buckets)])

@@ -2984,3 +2984,63 @@ def test_sorted_neighborhood_boundary_replicas(ray_session):
             if c > 0 and 2 * c >= len(sa) + len(sb) - c:
                 want.append((a, b, c))
     assert got_pairs == sorted(want)
+
+
+def test_smb_join_empty_buckets_and_copartitioning(ray_session, tmp_path):
+    """Keys chosen so several of the 8 buckets are empty on one or both
+    sides; the bucket-local join must equal a plain join exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from magic_content_extractor_ray.stages.join import (
+        smb_join, smb_write)
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([0, 8, 16, 3, 11, 5], pa.int64()),
+        "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([8, 16, 3, 3, 7], pa.int64()),
+        "w": pa.array([10, 20, 30, 31, 40], pa.int64())}))
+    smb_write(left, f"{tmp_path}/l", key="k", num_buckets=8)
+    smb_write(right, f"{tmp_path}/r", key="k", num_buckets=8)
+
+    got = smb_join(f"{tmp_path}/l", f"{tmp_path}/r", key="k",
+                   num_buckets=8, left_cols=["v"], right_cols=["w"]
+                   ).to_pandas().sort_values(["k", "v", "w"]
+                                             ).reset_index(drop=True)
+    want = sorted([(8, 2, 10), (16, 3, 20), (3, 4, 30), (3, 4, 31)])
+    assert list(map(tuple, got[["k", "v", "w"]].to_numpy())) == want
+
+
+def test_trailing_spend_window_clamped_to_user(ray_session, tmp_path):
+    """Two users with interleaved timestamps: user B's event 30 min
+    after user A's must NOT absorb A's spend (the composite-key window
+    start is clamped to the user's segment)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        {"event_id": 1, "ts": t0, "user_id": 1,
+         "event_type": "purchase", "value": 10.0, "props": "{}"},
+        {"event_id": 2, "ts": t0 + dt.timedelta(minutes=30),
+         "user_id": 2, "event_type": "purchase", "value": 5.0,
+         "props": "{}"},
+        {"event_id": 3, "ts": t0 + dt.timedelta(minutes=45),
+         "user_id": 1, "event_type": "purchase", "value": 2.0,
+         "props": "{}"},
+        {"event_id": 4, "ts": t0 + dt.timedelta(hours=3),
+         "user_id": 1, "event_type": "purchase", "value": 1.0,
+         "props": "{}"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["trailing_spend"](str(tmp_path))
+    by = dict(zip(got["event_id"], got["spend_1h_c"]))
+    # user 1: 1000; user 2 must not see user 1's 1000 → 500;
+    # event 3 trails event 1 within the hour → 1200; event 4 alone
+    assert by == {1: 1000, 2: 500, 3: 1200, 4: 100}
