@@ -9879,6 +9879,48 @@ def q_item_abandonment(sf_dir: str):
         ["item", "viewers", "buyers", "conv_ppm"]]
 
 
+def q_events_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((type), (hour), (type, hour), ()) in one
+    input pass: each batch emits all four grouping-set partials (null
+    dimensions as 'ALL'/-1 sentinels so one composite hash_agg merges
+    every set — no per-set re-scan, no rollup shuffle chain)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        base = pa.table({
+            "etype": t.column("event_type"),
+            "hour": pc.cast(pc.hour(ts), pa.int64()),
+        })
+        n = len(base)
+        outs = []
+        for keep_t, keep_h in ((True, False), (False, True),
+                               (True, True), (False, False)):
+            g = pa.table({
+                "etype": base.column("etype") if keep_t
+                else pa.array(["ALL"] * n, pa.string()),
+                "hour": base.column("hour") if keep_h
+                else pa.array([-1] * n, pa.int64()),
+            }).group_by(["etype", "hour"]).aggregate([([], "count_all")])
+            outs.append(pa.table({
+                "etype": g.column("etype"), "hour": g.column("hour"),
+                "n": pc.cast(g.column("count_all"), pa.int64())}))
+        return pa.concat_tables(outs)
+
+    out = hash_agg(
+        _read_pq(f"{sf_dir}/events.parquet",
+                 columns=["event_type", "ts"]
+                 ).map_batches(partial, batch_format="pyarrow"),
+        "etype", [("n", "sum", "n")],
+        group_cols=["etype", "hour"]).to_pandas()
+    return out.sort_values(["etype", "hour"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10100,6 +10142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "smb_join_revenue": q_smb_join_revenue,
         "rapid_reorders": q_rapid_reorders,
         "item_abandonment": q_item_abandonment,
+        "events_grouping_sets": q_events_grouping_sets,
     }
 
 
@@ -12523,4 +12566,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT item, viewers, buyers, "
             "CAST((1000000 * buyers) // viewers AS BIGINT) AS conv_ppm "
             "FROM g WHERE viewers > 0 ORDER BY item"),
+        "events_grouping_sets": (
+            "SELECT COALESCE(event_type, 'ALL') AS etype, "
+            "COALESCE(h, -1) AS hour, count(*) AS n FROM ("
+            "SELECT event_type, "
+            "CAST(extract(hour FROM ts) AS BIGINT) AS h FROM events) "
+            "GROUP BY GROUPING SETS ((event_type), (h), "
+            "(event_type, h), ()) ORDER BY 1, 2"),
     }

@@ -216,7 +216,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "geo_mean_chars", "time_weighted_value", "bounce_rate",
              "vocab_jaccard_langs", "score_calibration",
              "cross_source_dups", "user_recs", "embedding_dim_median",
-             "improving_users", "revenue_changepoint", "source_ttr"]
+             "improving_users", "revenue_changepoint", "source_ttr",
+             "trailing_spend", "merge_orders", "smb_join_revenue",
+             "rapid_reorders", "item_abandonment"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
