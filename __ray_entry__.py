@@ -9921,6 +9921,37 @@ def q_events_grouping_sets(sf_dir: str):
     return out.sort_values(["etype", "hour"]).reset_index(drop=True)
 
 
+def q_weekday_revenue(sf_dir: str):
+    """Order volume + revenue by ISO weekday (calendar-dimension
+    rollup): pyarrow day_of_week (Mon=0) shifted to DuckDB's isodow
+    (Mon=1); exact-cents combiner partials, 7-row output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = t.column("o_orderdate")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        dow = pc.add(pc.cast(pc.day_of_week(ts), pa.int64()), 1)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"isodow": dow,
+                      "n": pa.array(np.ones(len(t), np.int64)),
+                      "cents": cents}).group_by("isodow").aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["isodow", "n_orders", "revenue_cents"])
+
+    return _read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderdate", "o_totalprice"]
+                    ).map_batches(partial, batch_format="pyarrow"
+                                  ).groupby("isodow").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents")).sort("isodow")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10143,6 +10174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rapid_reorders": q_rapid_reorders,
         "item_abandonment": q_item_abandonment,
         "events_grouping_sets": q_events_grouping_sets,
+        "weekday_revenue": q_weekday_revenue,
     }
 
 
@@ -12573,4 +12605,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(extract(hour FROM ts) AS BIGINT) AS h FROM events) "
             "GROUP BY GROUPING SETS ((event_type), (h), "
             "(event_type, h), ()) ORDER BY 1, 2"),
+        "weekday_revenue": (
+            "SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow, "
+            "count(*) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents FROM orders "
+            "GROUP BY 1 ORDER BY 1"),
     }
