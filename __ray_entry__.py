@@ -9952,6 +9952,52 @@ def q_weekday_revenue(sf_dir: str):
         Sum("revenue_cents", alias_name="revenue_cents")).sort("isodow")
 
 
+def q_fim_split(sf_dir: str):
+    """Fill-in-the-middle transform (code-model data prep): two
+    deterministic md5-derived cut points per doc split it into
+    prefix/middle/suffix, re-emitted in SPM order (suffix‖prefix‖
+    middle) and fingerprinted. Cut points are a pure function of
+    doc_id (the stratified_sample md5 idiom), so the transform is
+    resumable and SQL-twinnable; the per-doc slicing is inherently
+    per-document work. Docs with < 3 chars are excluded."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def split(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        out_id, out_n, out_p1, out_p2, out_h = [], [], [], [], []
+        for d, txt in zip(ids, texts):
+            n = len(txt)
+            if n < 3:
+                continue
+            a = int(hashlib.md5(f"{d}:1".encode()).hexdigest()[:8],
+                    16) % (n - 1) + 1
+            b = int(hashlib.md5(f"{d}:2".encode()).hexdigest()[:8],
+                    16) % (n - 1) + 1
+            p1, p2 = min(a, b), max(a, b)
+            spm = txt[p2:] + txt[:p1] + txt[p1:p2]
+            out_id.append(d)
+            out_n.append(n)
+            out_p1.append(p1)
+            out_p2.append(p2)
+            out_h.append(hashlib.md5(spm.encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_chars": pa.array(out_n, pa.int64()),
+            "p1": pa.array(out_p1, pa.int64()),
+            "p2": pa.array(out_p2, pa.int64()),
+            "spm_md5": pa.array(out_h, pa.string())})
+
+    out = _read_pq(f"{sf_dir}/documents.parquet",
+                   columns=["doc_id", "text"]
+                   ).map_batches(split,
+                                 batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10175,6 +10221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_abandonment": q_item_abandonment,
         "events_grouping_sets": q_events_grouping_sets,
         "weekday_revenue": q_weekday_revenue,
+        "fim_split": q_fim_split,
     }
 
 
@@ -12611,4 +12658,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
             "AS BIGINT) AS revenue_cents FROM orders "
             "GROUP BY 1 ORDER BY 1"),
+        "fim_split": (
+            "WITH d AS (SELECT doc_id, text, length(text) AS n "
+            "FROM documents WHERE length(text) >= 3), "
+            "c AS (SELECT doc_id, text, n, "
+            "CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id "
+            "AS VARCHAR), ':1')), 1, 8)) AS UBIGINT) "
+            "% CAST(n - 1 AS UBIGINT) + 1 AS BIGINT) AS a, "
+            "CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id "
+            "AS VARCHAR), ':2')), 1, 8)) AS UBIGINT) "
+            "% CAST(n - 1 AS UBIGINT) + 1 AS BIGINT) AS b FROM d), "
+            "p AS (SELECT doc_id, text, n, least(a, b) AS p1, "
+            "greatest(a, b) AS p2 FROM c) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_chars, p1, p2, "
+            "md5(concat(substr(text, p2 + 1), substr(text, 1, p1), "
+            "substr(text, p1 + 1, p2 - p1))) AS spm_md5 "
+            "FROM p ORDER BY doc_id"),
     }
