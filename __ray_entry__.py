@@ -9998,6 +9998,137 @@ def q_fim_split(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_exact_median_price(sf_dir: str):
+    """Exact lower-median of lineitem extendedprice (cents) via the
+    DISTRIBUTED QUICKSELECT (stages/stats.kth_smallest_int) — the
+    unbounded-distinct-cardinality answer where the value-histogram
+    quantile path would carry O(distinct) state: a sample brackets the
+    rank, then counting passes + one ≤1M-value window reach the driver.
+    k = (n+1)//2 (lower median, deterministic for even n)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.stats import kth_smallest_int
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({"v": pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100)), pa.int64())})
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet",
+                  columns=["l_extendedprice"]
+                  ).map_batches(cents, batch_format="pyarrow")
+    n = ds.count()
+    k = (n + 1) // 2
+    med, n_total = kth_smallest_int(ds, value_column="v", k=k)
+    return pd.DataFrame({"n": [n_total], "k": [k],
+                         "median_cents": [med]})
+
+
+def q_linear_attribution(sf_dir: str):
+    """LINEAR multi-touch attribution with a 24 h window: every
+    purchase splits 1e6 ppm of credit EQUALLY (floor) over all clicks
+    strictly preceding it (ts, event_id order) within 24 h; per-item
+    totals, top-20. One per-user hash partition pass: window bounds
+    via the composite-key searchsorted (event_bursts shape), then a
+    vectorized range expansion over click-index space — expansion is
+    bounded by each user's 24 h click volume."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts,
+        ts_us)
+
+    HORIZON_US = 24 * 3600 * 1_000_000
+    K = 20
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(mask)
+        items = pc.cast(pc.struct_field(pc.extract_regex(
+            t.column("props"), r'"k":\s*(?P<k>-?\d+)'), "k"),
+            pa.int64()) if t.num_rows else pa.array([], pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "t": pa.array(ts_us(t.column("ts")), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "is_click": pc.equal(t.column("event_type"), "click"),
+            "item": items})
+
+    def credit(t: pa.Table) -> pa.Table:
+        empty = pa.table({"item": pa.array([], pa.int64()),
+                          "n_touches": pa.array([], pa.int64()),
+                          "credit_ppm": pa.array([], pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        isc = t.column("is_click").to_numpy(zero_copy_only=False)
+        it = t.column("item").to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return empty
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, n)
+        seg_start = np.repeat(starts, lens)
+        # first in-segment index with ts >= t_i - HORIZON
+        base = ts - ts.min()
+        span = int(base.max()) + HORIZON_US + 1
+        seg_id = np.repeat(np.arange(len(starts), dtype=np.int64),
+                           lens)
+        key = seg_id * span + base
+        lo = np.searchsorted(key, key - HORIZON_US, side="left")
+        lo = np.maximum(lo, seg_start)
+        # map position space -> click-index space
+        cpos = np.nonzero(isc)[0]
+        pidx = np.nonzero(~isc)[0]
+        cl_lo = np.searchsorted(cpos, lo[pidx])
+        cl_hi = np.searchsorted(cpos, pidx)
+        counts = cl_hi - cl_lo
+        sel = counts > 0
+        pidx, cl_lo, counts = pidx[sel], cl_lo[sel], counts[sel]
+        if not len(pidx):
+            return empty
+        total = int(counts.sum())
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        j = (np.arange(total, dtype=np.int64)
+             - np.repeat(offs, counts)
+             + np.repeat(cl_lo, counts))
+        items = it[cpos[j]]
+        cr = np.repeat(1_000_000 // counts, counts)
+        iu, inv = np.unique(items, return_inverse=True)
+        return pa.table({
+            "item": pa.array(iu, pa.int64()),
+            "n_touches": pa.array(np.bincount(
+                inv, minlength=len(iu)).astype(np.int64), pa.int64()),
+            "credit_ppm": pa.array(np.bincount(
+                inv, weights=cr, minlength=len(iu)).astype(np.int64),
+                pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type",
+                           "props"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    counts = hash_agg(
+        map_key_partitions(ev, "user_id", credit,
+                           sort_cols=["t", "event_id"]),
+        "item", [("n_touches", "sum", "n_touches"),
+                 ("credit_ppm", "sum", "credit_ppm")])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        return _batch_topk(batch, [("credit_ppm", "descending"),
+                                   ("item", "ascending")], k=K)
+
+    df = counts.map_batches(partial_topk, batch_format="pyarrow"
+                            ).to_pandas()
+    return df.sort_values(["credit_ppm", "item"],
+                          ascending=[False, True]).head(K
+                                                        ).reset_index(
+        drop=True)[["item", "n_touches", "credit_ppm"]]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10222,6 +10353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": q_events_grouping_sets,
         "weekday_revenue": q_weekday_revenue,
         "fim_split": q_fim_split,
+        "exact_median_price": q_exact_median_price,
+        "linear_attribution": q_linear_attribution,
     }
 
 
@@ -12674,4 +12807,32 @@ def oracle_sql() -> dict[str, str]:
             "md5(concat(substr(text, p2 + 1), substr(text, 1, p1), "
             "substr(text, p1 + 1, p2 - p1))) AS spm_md5 "
             "FROM p ORDER BY doc_id"),
+        "exact_median_price": (
+            "WITH v AS (SELECT CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) AS c FROM lineitem), "
+            "n AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST((count(*) + 1) // 2 AS BIGINT) AS k FROM v) "
+            "SELECT n.n, n.k, (SELECT c FROM v ORDER BY c "
+            "LIMIT 1 OFFSET (SELECT k - 1 FROM n)) AS median_cents "
+            "FROM n"),
+        "linear_attribution": (
+            "WITH e AS (SELECT user_id, ts, event_id, event_type, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS rn FROM events "
+            "WHERE event_type IN ('click', 'purchase')), "
+            "p AS (SELECT user_id, ts, rn FROM e "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, rn, item FROM e "
+            "WHERE event_type = 'click'), "
+            "j AS (SELECT p.user_id, p.rn AS prn, c.item FROM p "
+            "JOIN c ON c.user_id = p.user_id AND c.rn < p.rn "
+            "AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000), "
+            "g AS (SELECT item, 1000000 // (count(*) OVER "
+            "(PARTITION BY user_id, prn)) AS cr FROM j), "
+            "a AS (SELECT item, CAST(count(*) AS BIGINT) "
+            "AS n_touches, CAST(sum(cr) AS BIGINT) AS credit_ppm "
+            "FROM g GROUP BY 1) "
+            "SELECT item, n_touches, credit_ppm FROM a "
+            "ORDER BY credit_ppm DESC, item LIMIT 20"),
     }

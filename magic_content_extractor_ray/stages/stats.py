@@ -477,3 +477,102 @@ def grouped_weighted_median(ds, *, key_column: str, value_column: str,
     from .window import map_key_partitions
 
     return map_key_partitions(hist, key_column, per_key)
+
+
+def kth_smallest_int(ds, *, value_column: str, k: int,
+                     window_cap: int = 1 << 20, max_rounds: int = 40):
+    """EXACT k-th smallest (1-based) of an int64 column at UNBOUNDED
+    distinct cardinality — distributed quickselect. The value-histogram
+    quantile path (`grouped_quantiles`) carries O(distinct values)
+    state; this instead runs counting passes:
+
+    1. a sample brackets the target rank with a generous margin (pivot
+       quality affects PASS COUNT only, never the result);
+    2. each round, one pass counts rows below/inside the bracket and
+       collects in-bracket values when they fit ``window_cap``;
+    3. the exact k-th is read out of the collected window; a missed
+       bracket widens toward the miss side, an over-dense bracket
+       binary-narrows on the midpoint — both with exact counts.
+
+    Returns (value, n_total). Scale contract: only counts and ONE
+    ≤ window_cap value window ever reach the driver.
+    """
+    import numpy as np
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(value_column), Max(value_column))
+    lo_all = int(stats[f"min({value_column})"])
+    hi_all = int(stats[f"max({value_column})"])
+    n_total = ds.count()
+    if not (1 <= k <= n_total):
+        raise ValueError(f"k={k} outside [1, {n_total}]")
+
+    samp = ds.random_sample(min(1.0, 200_000 / max(n_total, 1)),
+                            seed=7).take_all()
+    svals = sorted(int(r[value_column]) for r in samp)
+    if svals:
+        pos = int(len(svals) * (k / n_total))
+        margin = max(3, int(4 * (len(svals) ** 0.5)))
+        lo = svals[max(0, pos - margin)]
+        hi = svals[min(len(svals) - 1, pos + margin)]
+    else:
+        lo, hi = lo_all, hi_all
+
+    per_block_cap = window_cap  # a block over this is "dense": count only
+
+    for _ in range(max_rounds):
+        lo_ref, hi_ref = lo, hi
+
+        def probe(t, *, _lo=lo_ref, _hi=hi_ref):
+            import numpy as np
+            import pyarrow as pa
+
+            v = t.column(value_column).to_numpy(zero_copy_only=False)
+            below = int((v < _lo).sum())
+            inside = v[(v >= _lo) & (v <= _hi)]
+            n_in = len(inside)
+            payload = (np.sort(inside).tobytes()
+                       if n_in <= per_block_cap else b"")
+            return pa.table({
+                "below": pa.array([below], pa.int64()),
+                "n_in": pa.array([n_in], pa.int64()),
+                "win": pa.array([payload], pa.binary())})
+
+        parts = ds.map_batches(probe, batch_format="pyarrow").take_all()
+        below = sum(int(r["below"]) for r in parts)
+        n_in = sum(int(r["n_in"]) for r in parts)
+        collected = all(len(r["win"]) == 8 * int(r["n_in"])
+                        for r in parts)
+        if below < k <= below + n_in and collected \
+                and n_in <= window_cap:
+            win = np.sort(np.concatenate(
+                [np.frombuffer(r["win"], dtype=np.int64)
+                 for r in parts]))
+            return int(win[k - below - 1]), n_total
+        if k <= below:                      # bracket too high
+            lo, hi = lo_all, lo
+        elif k > below + n_in:              # bracket too low
+            lo, hi = hi, hi_all
+        else:                               # dense: binary narrow
+            if lo == hi:
+                return lo, n_total          # single value, k inside
+            mid = (lo + hi) // 2
+
+            def le_mid(t, *, _mid=mid, _lo=lo_ref):
+                import pyarrow as pa
+
+                v = t.column(value_column).to_numpy(
+                    zero_copy_only=False)
+                return pa.table({"c": pa.array(
+                    [int(((v >= _lo) & (v <= _mid)).sum())],
+                    pa.int64())})
+
+            c = sum(int(r["c"]) for r in
+                    ds.map_batches(le_mid,
+                                   batch_format="pyarrow").take_all())
+            if below + c >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+    raise RuntimeError("kth_smallest_int failed to converge "
+                       f"(lo={lo}, hi={hi}, k={k})")

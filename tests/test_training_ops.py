@@ -3044,3 +3044,32 @@ def test_trailing_spend_window_clamped_to_user(ray_session, tmp_path):
     # user 1: 1000; user 2 must not see user 1's 1000 → 500;
     # event 3 trails event 1 within the hour → 1200; event 4 alone
     assert by == {1: 1000, 2: 500, 3: 1200, 4: 100}
+
+
+def test_kth_smallest_int_quickselect(ray_session):
+    """Distributed quickselect == numpy sort selection, on a
+    duplicate-heavy skewed distribution (dense brackets force the
+    binary-narrow branch) and at extreme ranks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from magic_content_extractor_ray.stages.stats import (
+        kth_smallest_int)
+
+    rng = np.random.default_rng(11)
+    # lognormal ints + a huge tie block at one value
+    v = np.concatenate([
+        (rng.lognormal(8, 1.2, 20_000)).astype(np.int64),
+        np.full(15_000, 2981, np.int64),
+        rng.integers(0, 50, 5_000).astype(np.int64)])
+    rng.shuffle(v)
+    ds = rd.from_arrow(pa.table({"v": pa.array(v, pa.int64())})
+                       ).repartition(8)
+    ref = np.sort(v)
+    n = len(v)
+    for k in (1, n, (n + 1) // 2, n // 4, 17_000):
+        got, n_total = kth_smallest_int(ds, value_column="v", k=k,
+                                        window_cap=4096)
+        assert n_total == n
+        assert got == int(ref[k - 1]), (k, got, int(ref[k - 1]))
