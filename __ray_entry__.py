@@ -10129,6 +10129,50 @@ def q_linear_attribution(sf_dir: str):
         drop=True)[["item", "n_touches", "credit_ppm"]]
 
 
+def q_dp_lang_counts(sf_dir: str):
+    """Differentially-private per-language doc counts (ε=1 Laplace,
+    sensitivity 1) with SEEDED noise: the Laplace draw is the inverse
+    CDF of an md5-derived uniform (u from the first 8 hex of
+    md5('dp:'+lang)), so the release is reproducible and
+    SQL-twinnable — the oracle replays the identical double op
+    sequence (IEEE determinism, the segment_ttest precedent). True
+    counts are exact combiner partials; only the bounded lang table
+    reaches the driver."""
+    import hashlib
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = pa.table({"lang": t.column("lang"),
+                      "n": pa.array(np.ones(len(t), np.int64))}
+                     ).group_by("lang").aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "n"])
+
+    counts = _read_pq(f"{sf_dir}/documents.parquet", columns=["lang"]
+                      ).map_batches(partial, batch_format="pyarrow"
+                                    ).groupby("lang").aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+
+    rows = []
+    for lang, c in zip(counts["lang"], counts["n"]):
+        h = int(hashlib.md5(f"dp:{lang}".encode()).hexdigest()[:8], 16)
+        u = (float(h) + 0.5) / 4294967296.0
+        s = u - 0.5
+        noise = -1.0 * math.copysign(1.0, s) * math.log(
+            1.0 - 2.0 * abs(s))
+        rows.append({"lang": lang, "n_true": int(c),
+                     "n_dp": math.floor(float(int(c)) + noise)})
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    out["n_dp"] = out["n_dp"].astype("int64")
+    return out
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10355,6 +10399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_split": q_fim_split,
         "exact_median_price": q_exact_median_price,
         "linear_attribution": q_linear_attribution,
+        "dp_lang_counts": q_dp_lang_counts,
     }
 
 
@@ -12835,4 +12880,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM g GROUP BY 1) "
             "SELECT item, n_touches, credit_ppm FROM a "
             "ORDER BY credit_ppm DESC, item LIMIT 20"),
+        "dp_lang_counts": (
+            "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY 1), "
+            "u AS (SELECT lang, n, (CAST(CAST(concat('0x', "
+            "substr(md5(concat('dp:', lang)), 1, 8)) AS UBIGINT) "
+            "AS DOUBLE) + 0.5) / 4294967296.0 AS uu FROM c), "
+            "s AS (SELECT lang, n, uu - 0.5 AS sv FROM u) "
+            "SELECT lang, n AS n_true, "
+            "CAST(floor(CAST(n AS DOUBLE) + "
+            "(-1.0 * (CASE WHEN sv >= 0 THEN 1.0 ELSE -1.0 END) * "
+            "ln(1.0 - 2.0 * abs(sv)))) AS BIGINT) AS n_dp "
+            "FROM s ORDER BY lang"),
     }
