@@ -10173,6 +10173,72 @@ def q_dp_lang_counts(sf_dir: str):
     return out
 
 
+def q_event_debounce(sf_dir: str):
+    """Streaming window dedup (debounce): per (user_id, event_type),
+    events ordered by (ts, event_id); an event is KEPT iff it is the
+    group's first or its timestamp is >= 24 h after the LAST KEPT
+    event. This is the greedy anchor chain — NOT sessionization:
+    closely spaced events over a long span re-arm once the window
+    from the last kept anchor expires (0, 5, 12 with W=10 keeps
+    {0, 12}; gap-sessionization would keep only {0}). One hash
+    partition pass by user; inside each (user, type) segment the
+    chain is walked with searchsorted JUMPS — O(kept · log n) work,
+    no per-event Python step. The SQL twin follows the same chain
+    with a recursive CTE."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, ts_us)
+
+    W = 86_400_000_000  # 24 h in microseconds
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_type": t.column("event_type"),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "t": pa.array(ts_us(t.column("ts")), pa.int64()),
+        })
+
+    def debounce(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "event_id": pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64())})
+        codes = pc.dictionary_encode(
+            t.column("event_type").combine_chunks()).indices.to_numpy(
+            zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        change = (u[1:] != u[:-1]) | (codes[1:] != codes[:-1])
+        starts = np.flatnonzero(np.r_[True, change])
+        ends = np.r_[starts[1:], len(u)]
+        keep = np.zeros(len(u), dtype=bool)
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            i = 0
+            while i < e - s:
+                keep[s + i] = True
+                i = int(np.searchsorted(seg, seg[i] + W, side="left"))
+        kept = t.filter(pa.array(keep))
+        return pa.table({"user_id": kept.column("user_id"),
+                         "event_type": kept.column("event_type"),
+                         "event_id": kept.column("event_id"),
+                         "ts_us": kept.column("t")})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "event_id", "ts"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ev, "user_id", debounce,
+                             sort_cols=["event_type", "t", "event_id"]
+                             ).to_pandas()
+    return out.sort_values(["user_id", "event_type", "ts_us"]
+                           ).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10400,6 +10466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_median_price": q_exact_median_price,
         "linear_attribution": q_linear_attribution,
         "dp_lang_counts": q_dp_lang_counts,
+        "event_debounce": q_event_debounce,
     }
 
 
@@ -12892,4 +12959,22 @@ def oracle_sql() -> dict[str, str]:
             "(-1.0 * (CASE WHEN sv >= 0 THEN 1.0 ELSE -1.0 END) * "
             "ln(1.0 - 2.0 * abs(sv)))) AS BIGINT) AS n_dp "
             "FROM s ORDER BY lang"),
+        "event_debounce": (
+            "WITH RECURSIVE e AS (SELECT user_id, event_type, "
+            "event_id, epoch_us(ts) AS t, row_number() OVER "
+            "(PARTITION BY user_id, event_type ORDER BY ts, event_id) "
+            "AS rn FROM events), "
+            "k AS (SELECT user_id, event_type, event_id, t, rn "
+            "FROM e WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT n1.user_id, n1.event_type, n1.event_id, n1.t, "
+            "n1.rn FROM k JOIN e n1 ON n1.user_id = k.user_id "
+            "AND n1.event_type = k.event_type AND n1.rn > k.rn "
+            "AND n1.t >= k.t + 86400000000 "
+            "WHERE NOT EXISTS (SELECT 1 FROM e n2 "
+            "WHERE n2.user_id = n1.user_id "
+            "AND n2.event_type = n1.event_type AND n2.rn > k.rn "
+            "AND n2.t >= k.t + 86400000000 AND n2.rn < n1.rn)) "
+            "SELECT user_id, event_type, event_id, t AS ts_us "
+            "FROM k ORDER BY user_id, event_type, ts_us"),
     }

@@ -3046,6 +3046,46 @@ def test_trailing_spend_window_clamped_to_user(ray_session, tmp_path):
     assert by == {1: 1000, 2: 500, 3: 1200, 4: 100}
 
 
+def test_event_debounce_rearm_not_sessionization(ray_session, tmp_path):
+    """The greedy anchor chain re-arms from the LAST KEPT event, not
+    the previous event: clicks at +0h/+20h/+40h keep {0h, 40h} (gap
+    sessionization would merge all three, 20 h gaps < 24 h window).
+    Chains are per (user, event_type) — a second type and a second
+    user with identical timestamps are independent."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for hours in (0, 20, 40):
+        eid += 1
+        rows.append({"event_id": eid, "ts": t0 + dt.timedelta(hours=hours),
+                     "user_id": 1, "event_type": "click", "value": 0.0,
+                     "props": "{}"})
+    # same user, other type: +0h/+5h/+26h/+30h/+51h keeps 0h, 26h, 51h
+    for hours in (0, 5, 26, 30, 51):
+        eid += 1
+        rows.append({"event_id": eid, "ts": t0 + dt.timedelta(hours=hours),
+                     "user_id": 1, "event_type": "view", "value": 0.0,
+                     "props": "{}"})
+    # second user shadowing user 1's click times: independent chain
+    for hours in (0, 20, 40):
+        eid += 1
+        rows.append({"event_id": eid, "ts": t0 + dt.timedelta(hours=hours),
+                     "user_id": 2, "event_type": "click", "value": 0.0,
+                     "props": "{}"})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["event_debounce"](str(tmp_path))
+    kept = set(got["event_id"])
+    assert kept == {1, 3, 4, 6, 8, 9, 11}
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
