@@ -10239,6 +10239,122 @@ def q_event_debounce(sf_dir: str):
                            ).reset_index(drop=True)
 
 
+def q_link_prediction(sf_dir: str):
+    """Adamic-Adar link prediction over the co-view item graph: edges
+    are item pairs co-viewed by >= 2 distinct users (from the shared
+    _covis_pair_counts pipeline); for every NON-edge pair (a, b) the
+    score is sum over common neighbors c of 1/ln(deg(c)), in half-up
+    integer nano-units so the sum is order-independent. Wedges are
+    generated per NODE inside one hash partition (the node's full
+    neighbor list is co-located, so deg(c) and the pair fan-out come
+    from segment lengths — no separate degree pass); existing edges
+    are removed by a TAGGED-UNION exchange, not a driver-side set
+    (edge sets at corpus scale exceed driver memory). Per-node
+    fan-out is bounded by the same hub cap as covisitation. ln via
+    math.log per DISTINCT degree (libm, matches DuckDB's ln — np.log's
+    SIMD path is not guaranteed last-bit-identical). Top-20 by
+    (score desc, item_a, item_b)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts)
+
+    MIN_USERS = 2
+    K = 20
+
+    edges = _covis_pair_counts(sf_dir).filter(
+        lambda r: r["n_users"] >= MIN_USERS)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        a = pk >> np.int64(31)
+        b = pk & np.int64((1 << 31) - 1)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    def wedges(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nbr = t.column("nbr").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        node, nbr = _cap_user_items(node, nbr)
+        starts = segment_starts(node)
+        lens = segment_lengths(starts, len(node))
+        sel = lens >= 2
+        starts, lens = starts[sel], lens[sel]
+        counts = lens * (lens - 1) // 2
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "nc": pa.array([], pa.int64()),
+                             "is_edge": pa.array([], pa.int64())})
+        # half-up nano-unit weight per DISTINCT degree, libm ln
+        wmap = {int(d): int(math.floor(1e9 / math.log(float(d)) + 0.5))
+                for d in np.unique(lens)}
+        seg = np.repeat(np.arange(len(lens)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        tloc = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+        length = lens[seg]
+        a = (length - 2 - np.floor(
+            (np.sqrt(-8.0 * tloc + 4.0 * length * (length - 1) - 7.0)
+             - 1.0) / 2.0)).astype(np.int64)
+        b = tloc + a + 1 - length * (length - 1) // 2 \
+            + (length - a) * (length - a - 1) // 2
+        base = starts[seg]
+        x, y = nbr[base + a], nbr[base + b]
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        pk = (lo << np.int64(31)) | hi
+        w = np.array([wmap[int(d)] for d in np.unique(lens)],
+                     np.int64)[np.searchsorted(np.unique(lens), length)]
+        pku, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "pk": pa.array(pku, pa.int64()),
+            "w": pa.array(np.bincount(inv, weights=w).astype(np.int64),
+                          pa.int64()),
+            "nc": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "is_edge": pa.array(np.zeros(len(pku), np.int64), pa.int64())})
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = len(t)
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({"pk": t.column("pk"), "w": z, "nc": z,
+                         "is_edge": pa.array(np.ones(n, np.int64),
+                                             pa.int64())})
+
+    adj = edges.map_batches(symmetrize, batch_format="pyarrow")
+    wedge_counts = map_key_partitions(adj, "node", wedges,
+                                      sort_cols=["nbr"])
+    edge_rows = edges.map_batches(tag_edges, batch_format="pyarrow")
+    merged = hash_agg(wedge_counts.union(edge_rows), "pk",
+                      [("w", "sum", "score_nano"),
+                       ("nc", "sum", "n_common"),
+                       ("is_edge", "sum", "is_edge")])
+    cand = merged.filter(lambda r: r["is_edge"] == 0)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        return _batch_topk(batch, [("score_nano", "descending"),
+                                   ("pk", "ascending")], k=K)
+
+    df = cand.map_batches(partial_topk, batch_format="pyarrow",
+                          batch_size=8192).to_pandas()
+    df = df.sort_values(["score_nano", "pk"],
+                        ascending=[False, True]).head(K)
+    pk = df["pk"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "item_a": pa.array(pk >> np.int64(31), pa.int64()),
+        "item_b": pa.array(pk & np.int64((1 << 31) - 1), pa.int64()),
+        "n_common": pa.array(df["n_common"].to_numpy(dtype=np.int64),
+                             pa.int64()),
+        "score_nano": pa.array(df["score_nano"].to_numpy(dtype=np.int64),
+                               pa.int64())})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10467,6 +10583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": q_linear_attribution,
         "dp_lang_counts": q_dp_lang_counts,
         "event_debounce": q_event_debounce,
+        "link_prediction": q_link_prediction,
     }
 
 
@@ -12977,4 +13094,29 @@ def oracle_sql() -> dict[str, str]:
             "AND n2.t >= k.t + 86400000000 AND n2.rn < n1.rn)) "
             "SELECT user_id, event_type, event_id, t AS ts_us "
             "FROM k ORDER BY user_id, event_type, ts_us"),
+        "link_prediction": (
+            "WITH ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "pairs AS (SELECT a.item AS ia, b.item AS ib, "
+            "count(*) AS n FROM ui a JOIN ui b "
+            "ON a.user_id = b.user_id AND a.item < b.item "
+            "GROUP BY 1, 2), "
+            "edges AS (SELECT ia, ib FROM pairs WHERE n >= 2), "
+            "adj AS (SELECT ia AS node, ib AS nbr FROM edges "
+            "UNION ALL SELECT ib, ia FROM edges), "
+            "w AS (SELECT node, CAST(floor(1000000000.0 / "
+            "ln(CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT) AS wn "
+            "FROM adj GROUP BY 1), "
+            "wedge AS (SELECT a.nbr AS x, b.nbr AS y, w.wn FROM adj a "
+            "JOIN adj b ON a.node = b.node AND a.nbr < b.nbr "
+            "JOIN w ON w.node = a.node), "
+            "cand AS (SELECT x, y, CAST(sum(wn) AS BIGINT) "
+            "AS score_nano, CAST(count(*) AS BIGINT) AS n_common "
+            "FROM wedge GROUP BY 1, 2), "
+            "nonedge AS (SELECT c.* FROM cand c LEFT JOIN edges e "
+            "ON e.ia = c.x AND e.ib = c.y WHERE e.ia IS NULL) "
+            "SELECT x AS item_a, y AS item_b, n_common, score_nano "
+            "FROM nonedge ORDER BY score_nano DESC, item_a, item_b "
+            "LIMIT 20"),
     }

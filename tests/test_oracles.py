@@ -36,7 +36,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "cheapest_supplier", "product_profit", "important_parts",
         "shipmode_priority", "part_supplier_variety",
         "promotion_suppliers", "qty_price_slope", "k_anonymity",
-        "segment_ttest", "event_bursts", "event_debounce"]
+        "segment_ttest", "event_bursts", "event_debounce",
+        "link_prediction"]
 
 
 @pytest.fixture(scope="module")

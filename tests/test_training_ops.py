@@ -3086,6 +3086,40 @@ def test_event_debounce_rearm_not_sessionization(ray_session, tmp_path):
     assert kept == {1, 3, 4, 6, 8, 9, 11}
 
 
+def test_link_prediction_planted_wedge(ray_session, tmp_path):
+    """Planted graph: edges (1,2) and (1,3), each co-viewed by two
+    users; (2,3) is the only non-edge wedge pair, scored through the
+    degree-2 hub → exactly floor(1e9/ln(2) + 0.5) nano-units with one
+    common neighbor."""
+    import datetime as dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user, items in ((10, (1, 2)), (11, (1, 2)),
+                        (12, (1, 3)), (13, (1, 3))):
+        for it in items:
+            eid += 1
+            rows.append({"event_id": eid,
+                         "ts": t0 + dt.timedelta(minutes=eid),
+                         "user_id": user, "event_type": "view",
+                         "value": 0.0, "props": '{"k": %d}' % it})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["link_prediction"](str(tmp_path)
+                                                ).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["item_a"], r["item_b"], r["n_common"]) == (2, 3, 1)
+    assert r["score_nano"] == math.floor(1e9 / math.log(2.0) + 0.5)
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
