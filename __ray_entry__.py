@@ -10355,6 +10355,83 @@ def q_link_prediction(sf_dir: str):
                                pa.int64())})
 
 
+def _daily_rev_cents(sf_dir: str):
+    """Daily order revenue in exact cents: per-batch combiner partials
+    → one Sum groupby; one row per calendar day (driver-small by
+    construction — years of data is thousands of rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pa.array(ts_us(batch.column("o_orderdate"))
+                       // 86_400_000_000, pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"day": day, "rev_c": cents}).group_by(
+            ["day"]).aggregate([("rev_c", "sum")])
+        return pa.table({"day": g.column("day"),
+                         "rev_c": pc.cast(g.column("rev_c_sum"),
+                                          pa.int64())})
+
+    return _read_pq(f"{sf_dir}/orders.parquet",
+                    columns=["o_orderdate", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow").groupby("day").aggregate(
+        Sum("rev_c", alias_name="rev_c"))
+
+
+def q_revenue_trend_mk(sf_dir: str):
+    """Non-parametric trend tests on the daily revenue series:
+    Mann-Kendall S (sum over ordered day pairs of sign(Δrev) — exact
+    integer) and the Theil-Sen slope (LOWER median of all pairwise
+    slopes, the quantile_disc(0.5) rule DuckDB uses, slopes as
+    CAST(Δcents AS DOUBLE)/Δdays in both engines). The heavy part —
+    the daily aggregate — is distributed; the O(days²) pair pass runs
+    on the driver because the series is CALENDAR-bounded (a decade is
+    ~3.6k rows → 13M numpy pairs), not data-scale."""
+    import numpy as np
+    import pandas as pd
+
+    d = _daily_rev_cents(sf_dir).to_pandas().sort_values(
+        "day").reset_index(drop=True)
+    day = d["day"].to_numpy(dtype=np.int64)
+    rev = d["rev_c"].to_numpy(dtype=np.int64)
+    n = len(day)
+    iu, ju = np.triu_indices(n, k=1)
+    dy = rev[ju] - rev[iu]
+    dx = day[ju] - day[iu]
+    s_stat = int(np.sign(dy).sum())
+    slopes = np.sort(dy.astype(np.float64) / dx)
+    med = float(slopes[(len(slopes) - 1) // 2]) if len(slopes) else None
+    return pd.DataFrame({"n_days": [n], "n_pairs": [len(dy)],
+                         "s_stat": [s_stat], "theil_sen": [med]})
+
+
+def q_revenue_ewma(sf_dir: str):
+    """Exponentially weighted moving average (alpha=0.2) over the daily
+    revenue series, via the exact recurrence s_t = 0.2·x_t + 0.8·s_{t-1}
+    (s_0 = x_0) — the same C-double operation order the SQL twin's
+    RECURSIVE CTE executes, so the floats match bit-for-bit. Daily
+    aggregate distributed; the recurrence is inherently sequential and
+    runs over the calendar-bounded series on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    d = _daily_rev_cents(sf_dir).to_pandas().sort_values(
+        "day").reset_index(drop=True)
+    rev = d["rev_c"].to_numpy(dtype=np.int64)
+    out = np.empty(len(rev), dtype=np.float64)
+    e = None
+    for i, x in enumerate(rev):
+        e = float(x) if e is None else 0.2 * float(x) + 0.8 * e
+        out[i] = e
+    return pd.DataFrame({"day": d["day"].astype("int64"),
+                         "rev_c": d["rev_c"].astype("int64"),
+                         "ewma": out})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10584,6 +10661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_lang_counts": q_dp_lang_counts,
         "event_debounce": q_event_debounce,
         "link_prediction": q_link_prediction,
+        "revenue_trend_mk": q_revenue_trend_mk,
+        "revenue_ewma": q_revenue_ewma,
     }
 
 
@@ -13119,4 +13198,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT x AS item_a, y AS item_b, n_common, score_nano "
             "FROM nonedge ORDER BY score_nano DESC, item_a, item_b "
             "LIMIT 20"),
+        "revenue_trend_mk": (
+            "WITH d AS (SELECT CAST(epoch_us(o_orderdate) // "
+            "86400000000 AS BIGINT) AS day, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS rev_c FROM orders GROUP BY 1), "
+            "p AS (SELECT b.day - a.day AS dx, b.rev_c - a.rev_c AS dy "
+            "FROM d a JOIN d b ON b.day > a.day) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days, "
+            "CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(sum(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 "
+            "ELSE 0 END) AS BIGINT) AS s_stat, "
+            "quantile_disc(CAST(dy AS DOUBLE) / dx, 0.5) AS theil_sen "
+            "FROM p"),
+        "revenue_ewma": (
+            "WITH RECURSIVE d AS (SELECT CAST(epoch_us(o_orderdate) // "
+            "86400000000 AS BIGINT) AS day, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS rev_c FROM orders GROUP BY 1), "
+            "r AS (SELECT row_number() OVER (ORDER BY day) AS rn, "
+            "day, rev_c FROM d), "
+            "s AS (SELECT rn, day, rev_c, CAST(rev_c AS DOUBLE) AS ewma "
+            "FROM r WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT r.rn, r.day, r.rev_c, "
+            "0.2 * CAST(r.rev_c AS DOUBLE) + 0.8 * s.ewma "
+            "FROM s JOIN r ON r.rn = s.rn + 1) "
+            "SELECT day, rev_c, ewma FROM s"),
     }

@@ -3120,6 +3120,38 @@ def test_link_prediction_planted_wedge(ray_session, tmp_path):
     assert r["score_nano"] == math.floor(1e9 / math.log(2.0) + 0.5)
 
 
+def test_revenue_trend_mk_hand_computed(ray_session, tmp_path):
+    """4-day series 100, 300, 200, 200 (cents): S = (+1+1+1) +
+    (-1-1) + 0 = 1; Theil-Sen = lower median of the 6 pairwise
+    slopes."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [{"o_orderkey": i + 1, "o_custkey": 1, "o_orderstatus": "F",
+             "o_totalprice": v, "o_orderdate": t0 + dt.timedelta(days=i),
+             "o_orderpriority": "1-URGENT"}
+            for i, v in enumerate([1.00, 3.00, 2.00, 2.00])]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/orders.parquet")
+    got = entrymod.queries()["revenue_trend_mk"](str(tmp_path))
+    r = got.iloc[0]
+    assert (r["n_days"], r["n_pairs"], r["s_stat"]) == (4, 6, 1)
+    slopes = sorted([200.0, 50.0, 100.0 / 3.0, -100.0, -50.0, 0.0])
+    assert r["theil_sen"] == slopes[(6 - 1) // 2]
+    # EWMA over the same series: exact recurrence
+    ew = entrymod.queries()["revenue_ewma"](str(tmp_path))
+    want = [100.0]
+    for x in [300.0, 200.0, 200.0]:
+        want.append(0.2 * x + 0.8 * want[-1])
+    assert np.allclose(ew["ewma"].to_numpy(), want, rtol=0, atol=0)
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
