@@ -10432,6 +10432,126 @@ def q_revenue_ewma(sf_dir: str):
                          "ewma": out})
 
 
+def q_event_trigrams(sf_dir: str):
+    """Second-order sequence mining: counts of CONSECUTIVE event-type
+    triples per user (ts, event_id order) — the Markov-2 analog of
+    event_transitions: two vectorized shifts + a boundary mask per
+    hash partition, partial counts combine in a |types|³-bounded
+    shuffle. SQL twin is the identical double-LEAD window."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, ts_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "ts_us": pa.array(ts_us(batch.column("ts")), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "event_type": batch.column("event_type")})
+
+    def trigrams(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "t3": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if n < 3:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        same = (u[2:] == u[:-2])  # same user across the whole triple
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        mask = pa.array(same)
+        tri = pa.table({"t1": et.slice(0, n - 2).filter(mask),
+                        "t2": et.slice(1, n - 2).filter(mask),
+                        "t3": et.slice(2, n - 2).filter(mask)})
+        g = tri.group_by(["t1", "t2", "t3"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"t1": g.column("t1"), "t2": g.column("t2"),
+                         "t3": g.column("t3"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ev, "user_id", trigrams,
+                             sort_cols=["ts_us", "event_id"]
+                             ).groupby(["t1", "t2", "t3"]).aggregate(
+        Sum("n", alias_name="n")).to_pandas()
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+def q_ltv_cohort_curve(sf_dir: str):
+    """Cohort LTV curve: users cohorted by FIRST-SEEN week; per
+    (cohort_week, age_week) exact-cent purchase revenue plus the
+    running cumulative along age. ONE per-user partition pass computes
+    the first-seen week AND the per-age purchase sums (no separate
+    first-week join); the (cohort × age) cell grid is CALENDAR-bounded,
+    so the age cumsum runs on the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, ts_us)
+
+    WEEK_US = 604_800_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "week": pa.array(ts_us(batch.column("ts")) // WEEK_US,
+                             pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch.column("value"), 100)), pa.int64()),
+            "is_p": pc.cast(pc.equal(batch.column("event_type"),
+                                     "purchase"), pa.int64())})
+
+    def cells(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "age_week": pa.array([], pa.int64()),
+                             "rev_c": pa.array([], pa.int64())})
+        wk = t.column("week").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        isp = t.column("is_p").to_numpy(
+            zero_copy_only=False).astype(bool)
+        starts = segment_starts(u)
+        seg = np.searchsorted(starts, np.arange(len(u)), side="right") - 1
+        fw = wk[starts][seg]  # rows sorted by (user, week): first week
+        m = isp
+        g = pa.table({"cohort_week": pa.array(fw[m], pa.int64()),
+                      "age_week": pa.array(wk[m] - fw[m], pa.int64()),
+                      "rev_c": pa.array(cents[m], pa.int64())}
+                     ).group_by(["cohort_week", "age_week"]).aggregate(
+            [("rev_c", "sum")])
+        return pa.table({"cohort_week": g.column("cohort_week"),
+                         "age_week": g.column("age_week"),
+                         "rev_c": pc.cast(g.column("rev_c_sum"),
+                                          pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type", "value"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    cell = map_key_partitions(ev, "user_id", cells,
+                              sort_cols=["week"]
+                              ).groupby(["cohort_week", "age_week"]
+                                        ).aggregate(
+        Sum("rev_c", alias_name="rev_c")).to_pandas()
+    cell = cell.sort_values(["cohort_week", "age_week"]
+                            ).reset_index(drop=True)
+    cell["cum_rev_c"] = cell.groupby("cohort_week")["rev_c"].cumsum(
+    ).astype("int64")
+    return cell
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10663,6 +10783,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": q_link_prediction,
         "revenue_trend_mk": q_revenue_trend_mk,
         "revenue_ewma": q_revenue_ewma,
+        "event_trigrams": q_event_trigrams,
+        "ltv_cohort_curve": q_ltv_cohort_curve,
     }
 
 
@@ -13225,4 +13347,27 @@ def oracle_sql() -> dict[str, str]:
             "0.2 * CAST(r.rev_c AS DOUBLE) + 0.8 * s.ewma "
             "FROM s JOIN r ON r.rn = s.rn + 1) "
             "SELECT day, rev_c, ewma FROM s"),
+        "event_trigrams": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "lead(event_type, 1) OVER w AS t2, "
+            "lead(event_type, 2) OVER w AS t3 FROM events "
+            "WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) "
+            "SELECT event_type AS t1, t2, t3, "
+            "CAST(count(*) AS BIGINT) AS n FROM s "
+            "WHERE t3 IS NOT NULL GROUP BY 1, 2, 3 "
+            "ORDER BY t1, t2, t3"),
+        "ltv_cohort_curve": (
+            "WITH fw AS (SELECT user_id, min(CAST(epoch_us(ts) // "
+            "604800000000 AS BIGINT)) AS cw FROM events GROUP BY 1), "
+            "p AS (SELECT user_id, CAST(epoch_us(ts) // 604800000000 "
+            "AS BIGINT) AS w, CAST(round(value * 100) AS BIGINT) AS c "
+            "FROM events WHERE event_type = 'purchase'), "
+            "cell AS (SELECT fw.cw AS cohort_week, p.w - fw.cw "
+            "AS age_week, CAST(sum(p.c) AS BIGINT) AS rev_c "
+            "FROM p JOIN fw ON p.user_id = fw.user_id GROUP BY 1, 2) "
+            "SELECT cohort_week, age_week, rev_c, "
+            "CAST(sum(rev_c) OVER (PARTITION BY cohort_week "
+            "ORDER BY age_week) AS BIGINT) AS cum_rev_c FROM cell "
+            "ORDER BY cohort_week, age_week"),
     }

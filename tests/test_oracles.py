@@ -37,7 +37,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "shipmode_priority", "part_supplier_variety",
         "promotion_suppliers", "qty_price_slope", "k_anonymity",
         "segment_ttest", "event_bursts", "event_debounce",
-        "link_prediction", "revenue_trend_mk", "revenue_ewma"]
+        "link_prediction", "revenue_trend_mk", "revenue_ewma",
+        "event_trigrams", "ltv_cohort_curve"]
 
 
 @pytest.fixture(scope="module")

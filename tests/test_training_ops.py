@@ -3152,6 +3152,42 @@ def test_revenue_trend_mk_hand_computed(ray_session, tmp_path):
     assert np.allclose(ew["ewma"].to_numpy(), want, rtol=0, atol=0)
 
 
+def test_ltv_cohort_curve_two_cohorts(ray_session, tmp_path):
+    """User A first seen week 0 (non-purchase view), buys in weeks 0
+    and 2; user B first seen week 1, buys in week 1. Cohorts pin to
+    FIRST-SEEN week (any event type), ages to purchase week − cohort,
+    cumulative along age."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    wk = dt.timedelta(weeks=1)
+    # epoch-aligned week boundary so synthetic weeks don't straddle
+    t0 = dt.datetime(2024, 1, 4)  # Thursday = epoch week boundary
+    rows = [
+        {"event_id": 1, "ts": t0, "user_id": 1, "event_type": "view",
+         "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": t0 + dt.timedelta(days=1), "user_id": 1,
+         "event_type": "purchase", "value": 10.0, "props": "{}"},
+        {"event_id": 3, "ts": t0 + 2 * wk + dt.timedelta(days=1),
+         "user_id": 1, "event_type": "purchase", "value": 5.0,
+         "props": "{}"},
+        {"event_id": 4, "ts": t0 + wk, "user_id": 2,
+         "event_type": "purchase", "value": 7.0, "props": "{}"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["ltv_cohort_curve"](str(tmp_path))
+    w0 = got["cohort_week"].min()
+    rows_out = {(r.cohort_week - w0, r.age_week):
+                (r.rev_c, r.cum_rev_c) for r in got.itertuples()}
+    assert rows_out == {(0, 0): (1000, 1000), (0, 2): (500, 1500),
+                        (1, 0): (700, 700)}
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
