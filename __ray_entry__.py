@@ -10552,6 +10552,70 @@ def q_ltv_cohort_curve(sf_dir: str):
     return cell
 
 
+def q_lang_chars_moments(sf_dir: str):
+    """Grouped higher moments (skewness + excess kurtosis of doc length
+    per lang) from EXACT integer sufficient statistics: Σc³ and Σc⁴
+    overflow int64, so each is carried as SPLIT int64 pieces via
+    c² = a·2²⁰ + b (c³ = a·2²⁰·c + b·c; c⁴ = a²·2⁴⁰ + 2ab·2²⁰ + b²) —
+    every piece sums safely in int64 through one tiny groupby, and the
+    driver recombines them in arbitrary-precision Python ints. The SQL
+    twin sums in HUGEINT and both sides evaluate the identical
+    double-precision moment formula. Guard: raises if any doc exceeds
+    2²¹ chars (the per-piece bound)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    PIECES = ("n", "s1", "s2", "s3ac", "s3bc", "s4a2", "s4ab", "s4b2")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(c) and c.max() >= (1 << 21):
+            raise ValueError("split-int64 moment pieces require "
+                             "n_chars < 2^21")
+        c2 = c * c
+        a, b = c2 >> 20, c2 & ((1 << 20) - 1)
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n": pa.array(np.ones(len(c), np.int64)),
+            "s1": pa.array(c), "s2": pa.array(c2),
+            "s3ac": pa.array(a * c), "s3bc": pa.array(b * c),
+            "s4a2": pa.array(a * a), "s4ab": pa.array(a * b),
+            "s4b2": pa.array(b * b),
+        }).group_by(["lang"]).aggregate(
+            [(p, "sum") for p in PIECES]).rename_columns(
+            ["lang", *PIECES])
+
+    agg = _read_pq(f"{sf_dir}/documents.parquet",
+                   columns=["lang", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow").groupby("lang").aggregate(
+        *[Sum(p, alias_name=p) for p in PIECES]).to_pandas()
+
+    rows = []
+    for r in agg.itertuples():
+        n = int(r.n)
+        s1, s2 = int(r.s1), int(r.s2)
+        s3 = (int(r.s3ac) << 20) + int(r.s3bc)
+        s4 = (int(r.s4a2) << 40) + (int(r.s4ab) << 21) + int(r.s4b2)
+        # mirror the oracle's double arithmetic shape exactly
+        mean = float(s1) / n
+        r2, r3, r4 = float(s2) / n, float(s3) / n, float(s4) / n
+        m2 = r2 - mean * mean
+        m3 = r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean
+        m4 = (r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+              - 3.0 * mean * mean * mean * mean)
+        rows.append({"lang": r.lang, "n_docs": n, "mean_chars": mean,
+                     "var_chars": m2,
+                     "skew_chars": m3 / (math.sqrt(m2) * m2),
+                     "kurt_chars": m4 / (m2 * m2) - 3.0})
+    return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10785,6 +10849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_ewma": q_revenue_ewma,
         "event_trigrams": q_event_trigrams,
         "ltv_cohort_curve": q_ltv_cohort_curve,
+        "lang_chars_moments": q_lang_chars_moments,
     }
 
 
@@ -13370,4 +13435,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(rev_c) OVER (PARTITION BY cohort_week "
             "ORDER BY age_week) AS BIGINT) AS cum_rev_c FROM cell "
             "ORDER BY cohort_week, age_week"),
+        "lang_chars_moments": (
+            "WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "sum(CAST(n_chars AS HUGEINT)) AS s1, "
+            "sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2, "
+            "sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars) AS s3, "
+            "sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars "
+            "* n_chars) AS s4 FROM documents GROUP BY 1), "
+            "m AS (SELECT lang, n, CAST(s1 AS DOUBLE) / n AS mean, "
+            "CAST(s2 AS DOUBLE) / n AS r2, "
+            "CAST(s3 AS DOUBLE) / n AS r3, "
+            "CAST(s4 AS DOUBLE) / n AS r4 FROM s), "
+            "mm AS (SELECT lang, n, mean, r2 - mean * mean AS m2, "
+            "r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3, "
+            "r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2 "
+            "- 3.0 * mean * mean * mean * mean AS m4 FROM m) "
+            "SELECT lang, n AS n_docs, mean AS mean_chars, "
+            "m2 AS var_chars, m3 / (sqrt(m2) * m2) AS skew_chars, "
+            "m4 / (m2 * m2) - 3.0 AS kurt_chars FROM mm "
+            "ORDER BY lang"),
     }

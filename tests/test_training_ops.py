@@ -3188,6 +3188,43 @@ def test_ltv_cohort_curve_two_cohorts(ray_session, tmp_path):
                         (1, 0): (700, 700)}
 
 
+def test_lang_chars_moments_split_int_exact(ray_session, tmp_path):
+    """The split-int64 piece recombination (c³, c⁴ via c² = a·2²⁰ + b)
+    equals direct big-int moments on lengths big enough that Σc⁴
+    overflows int64 (c up to 10⁶ over 500 rows → Σc⁴ ≈ 5e26)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(7)
+    c = rng.integers(1, 1_000_000, size=500, dtype=np.int64)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(500), pa.int64()),
+        "text": pa.array([""] * 500, pa.string()),
+        "lang": pa.array(["xx"] * 500, pa.string()),
+        "source": pa.array(["s"] * 500, pa.string()),
+        "n_chars": pa.array(c, pa.int64())}),
+        f"{tmp_path}/documents.parquet")
+    got = entrymod.queries()["lang_chars_moments"](str(tmp_path))
+    n = 500
+    s = [int(sum(int(v) ** k for v in c)) for k in (1, 2, 3, 4)]
+    assert s[3] > (1 << 63)  # the overflow regime is actually exercised
+    mean = float(s[0]) / n
+    r2, r3, r4 = float(s[1]) / n, float(s[2]) / n, float(s[3]) / n
+    m2 = r2 - mean * mean
+    m3 = r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean
+    m4 = (r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+          - 3.0 * mean * mean * mean * mean)
+    row = got.iloc[0]
+    assert row["n_docs"] == n and row["mean_chars"] == mean
+    assert row["skew_chars"] == m3 / (math.sqrt(m2) * m2)
+    assert row["kurt_chars"] == m4 / (m2 * m2) - 3.0
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
