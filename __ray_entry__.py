@@ -10616,6 +10616,82 @@ def q_lang_chars_moments(sf_dir: str):
     return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
 
 
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the co-view item graph (Pearson r of
+    endpoint degrees over DIRECTED edges) — the standard Newman mixing
+    coefficient. Two keyed passes, both LINEAR in edges (no pair
+    expansion, so no hub cap needed): partition by node gives
+    deg(node) as the segment length and emits (nbr, deg_src) per edge;
+    partition by nbr gives deg(nbr) the same way and reduces each
+    partition to ONE exact int64 sufficient-stats row. The driver
+    mirrors the oracle's double formula (lineitem_corr shape)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    MIN_USERS = 2
+    edges = _covis_pair_counts(sf_dir).filter(
+        lambda r: r["n_users"] >= MIN_USERS)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        a = pk >> np.int64(31)
+        b = pk & np.int64((1 << 31) - 1)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    def emit_src_deg(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        if not len(node):
+            return pa.table({"nbr": pa.array([], pa.int64()),
+                             "deg_src": pa.array([], pa.int64())})
+        starts = segment_starts(node)
+        lens = segment_lengths(starts, len(node))
+        return pa.table({
+            "nbr": pa.array(nbr, pa.int64()),
+            "deg_src": pa.array(np.repeat(lens, lens), pa.int64())})
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        x = t.column("deg_src").to_numpy(zero_copy_only=False)
+        if not len(nbr):
+            z = pa.array([], pa.int64())
+            return pa.table({c: z for c in
+                             ("n", "sx", "sy", "sxx", "syy", "sxy")})
+        starts = segment_starts(nbr)
+        lens = segment_lengths(starts, len(nbr))
+        y = np.repeat(lens, lens)
+        return pa.table({
+            "n": pa.array([len(nbr)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    adj = edges.map_batches(symmetrize, batch_format="pyarrow")
+    deg_rows = map_key_partitions(adj, "node", emit_src_deg,
+                                  sort_cols=["nbr"])
+    st = map_key_partitions(deg_rows, "nbr", stats_partial).aggregate(
+        *[Sum(c, alias_name=c) for c in
+          ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    n, sx, sy = st["n"], st["sx"], st["sy"]
+    sxx, syy, sxy = st["sxx"], st["syy"], st["sxy"]
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = math.sqrt((float(n) * float(sxx) - float(sx) * float(sx))
+                    * (float(n) * float(syy) - float(sy) * float(sy)))
+    return pd.DataFrame({"n_edges": [int(n) // 2],
+                         "assortativity": [num / den]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10850,6 +10926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": q_event_trigrams,
         "ltv_cohort_curve": q_ltv_cohort_curve,
         "lang_chars_moments": q_lang_chars_moments,
+        "degree_assortativity": q_degree_assortativity,
     }
 
 
@@ -13454,4 +13531,31 @@ def oracle_sql() -> dict[str, str]:
             "m2 AS var_chars, m3 / (sqrt(m2) * m2) AS skew_chars, "
             "m4 / (m2 * m2) - 3.0 AS kurt_chars FROM mm "
             "ORDER BY lang"),
+        "degree_assortativity": (
+            "WITH ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "pairs AS (SELECT a.item AS ia, b.item AS ib, "
+            "count(*) AS cnt FROM ui a JOIN ui b "
+            "ON a.user_id = b.user_id AND a.item < b.item "
+            "GROUP BY 1, 2), "
+            "edges AS (SELECT ia, ib FROM pairs WHERE cnt >= 2), "
+            "adj AS (SELECT ia AS node, ib AS nbr FROM edges "
+            "UNION ALL SELECT ib, ia FROM edges), "
+            "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d "
+            "FROM adj GROUP BY 1), "
+            "de AS (SELECT da.d AS x, db.d AS y FROM adj a "
+            "JOIN deg da ON da.node = a.node "
+            "JOIN deg db ON db.node = a.nbr), "
+            "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(x) AS BIGINT) AS sx, "
+            "CAST(sum(y) AS BIGINT) AS sy, "
+            "CAST(sum(x * x) AS BIGINT) AS sxx, "
+            "CAST(sum(y * y) AS BIGINT) AS syy, "
+            "CAST(sum(x * y) AS BIGINT) AS sxy FROM de) "
+            "SELECT n // 2 AS n_edges, "
+            "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+            "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) "
+            "* (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) "
+            "AS assortativity FROM s"),
     }

@@ -38,7 +38,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "promotion_suppliers", "qty_price_slope", "k_anonymity",
         "segment_ttest", "event_bursts", "event_debounce",
         "link_prediction", "revenue_trend_mk", "revenue_ewma",
-        "event_trigrams", "ltv_cohort_curve", "lang_chars_moments"]
+        "event_trigrams", "ltv_cohort_curve", "lang_chars_moments",
+        "degree_assortativity"]
 
 
 @pytest.fixture(scope="module")

@@ -3225,6 +3225,34 @@ def test_lang_chars_moments_split_int_exact(ray_session, tmp_path):
     assert row["kurt_chars"] == m4 / (m2 * m2) - 3.0
 
 
+def test_degree_assortativity_star_graph(ray_session, tmp_path):
+    """A star K1,3 is maximally disassortative: r = −1 exactly (every
+    directed edge pairs degree 3 with degree 1)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for leaf, users in ((2, (10, 11)), (3, (12, 13)), (4, (14, 15))):
+        for user in users:
+            for it in (1, leaf):
+                eid += 1
+                rows.append({"event_id": eid,
+                             "ts": t0 + dt.timedelta(minutes=eid),
+                             "user_id": user, "event_type": "view",
+                             "value": 0.0, "props": '{"k": %d}' % it})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["degree_assortativity"](str(tmp_path))
+    assert got.iloc[0]["n_edges"] == 3
+    assert got.iloc[0]["assortativity"] == -1.0
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
