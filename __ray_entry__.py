@@ -10692,6 +10692,126 @@ def q_degree_assortativity(sf_dir: str):
                          "assortativity": [num / den]})
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD TYPE-2 history build: each user's purchase stream (ts,
+    event_id order) is a change stream of their "current item";
+    consecutive repeats COALESCE (true SCD-2, not one row per event)
+    and each change opens a validity interval [valid_from_us,
+    valid_to_us) closed by the next change (-1 sentinel = still open
+    — NULLs would force a lossy float path through the compare).
+    One per-user partition pass: change mask + shifted next-change
+    lookup, all vectorized. SQL twin: LAG change flag + LEAD close."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, ts_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"),
+                                  "purchase"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        item = pc.cast(pc.struct_field(pc.extract_regex(
+            col, r'"k":\s*(?P<k>-?\d+)'), "k"), pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "t": pa.array(ts_us(t.column("ts")), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "item": item})
+
+    def intervals(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "item": pa.array([], pa.int64()),
+                          "valid_from_us": pa.array([], pa.int64()),
+                          "valid_to_us": pa.array([], pa.int64())})
+        if not len(u):
+            return empty
+        it = t.column("item").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        change = np.r_[True, (u[1:] != u[:-1]) | (it[1:] != it[:-1])]
+        idx = np.flatnonzero(change)
+        cu, cit, cfrom = u[idx], it[idx], ts[idx]
+        cto = np.full(len(idx), -1, dtype=np.int64)
+        if len(idx) > 1:
+            same = cu[1:] == cu[:-1]
+            cto[:-1] = np.where(same, cfrom[1:], -1)
+        return pa.table({"user_id": pa.array(cu, pa.int64()),
+                         "item": pa.array(cit, pa.int64()),
+                         "valid_from_us": pa.array(cfrom, pa.int64()),
+                         "valid_to_us": pa.array(cto, pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type",
+                           "props"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ev, "user_id", intervals,
+                             sort_cols=["t", "event_id"]).to_pandas()
+    return out.sort_values(["user_id", "valid_from_us"]
+                           ).reset_index(drop=True)
+
+
+def q_event_rle(sf_dir: str):
+    """Run-length compaction of per-user event-type sequences (session
+    replay compression): per user the run count, longest run, and the
+    floor-ppm compression ratio n_runs/n_events. One per-user partition
+    pass (change mask + reduceat); |users| output rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "t": pa.array(ts_us(batch.column("ts")), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "event_type": batch.column("event_type")})
+
+    def rle(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_runs": pa.array([], pa.int64()),
+                             "longest_run": pa.array([], pa.int64()),
+                             "ratio_ppm": pa.array([], pa.int64())})
+        codes = pc.dictionary_encode(
+            t.column("event_type").combine_chunks()).indices.to_numpy(
+            zero_copy_only=False)
+        run_start = np.r_[True, (u[1:] != u[:-1])
+                          | (codes[1:] != codes[:-1])]
+        rs = np.flatnonzero(run_start)
+        rlen = segment_lengths(rs, len(u))
+        ustarts = segment_starts(u)
+        ulen = segment_lengths(ustarts, len(u))
+        # runs per user: count of run starts inside each user segment
+        runs_per_user = np.add.reduceat(
+            run_start.astype(np.int64), ustarts)
+        # longest run per user: max rlen over each user's runs
+        run_user_start = np.searchsorted(rs, ustarts)
+        longest = np.maximum.reduceat(rlen, run_user_start)
+        ratio = (1_000_000 * runs_per_user) // ulen
+        return pa.table({
+            "user_id": pa.array(u[ustarts], pa.int64()),
+            "n_events": pa.array(ulen, pa.int64()),
+            "n_runs": pa.array(runs_per_user, pa.int64()),
+            "longest_run": pa.array(longest, pa.int64()),
+            "ratio_ppm": pa.array(ratio, pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ev, "user_id", rle,
+                             sort_cols=["t", "event_id"]).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -10927,6 +11047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltv_cohort_curve": q_ltv_cohort_curve,
         "lang_chars_moments": q_lang_chars_moments,
         "degree_assortativity": q_degree_assortativity,
+        "scd2_history": q_scd2_history,
+        "event_rle": q_event_rle,
     }
 
 
@@ -13558,4 +13680,33 @@ def oracle_sql() -> dict[str, str]:
             "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) "
             "* (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) "
             "AS assortativity FROM s"),
+        "scd2_history": (
+            "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'purchase'), "
+            "o AS (SELECT user_id, t, item, lag(item) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id) AS pit "
+            "FROM p), "
+            "ch AS (SELECT user_id, item, t FROM o "
+            "WHERE pit IS NULL OR pit <> item) "
+            "SELECT user_id, item, t AS valid_from_us, "
+            "coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t), "
+            "-1) AS valid_to_us FROM ch "
+            "ORDER BY user_id, valid_from_us"),
+        "event_rle": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "lag(event_type) OVER w AS pt, row_number() OVER w AS rn "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)), "
+            "f AS (SELECT user_id, rn, CASE WHEN pt IS NULL OR "
+            "pt <> event_type THEN 1 ELSE 0 END AS st FROM o), "
+            "g AS (SELECT user_id, rn, sum(st) OVER "
+            "(PARTITION BY user_id ORDER BY rn) AS run_id FROM f), "
+            "r AS (SELECT user_id, run_id, CAST(count(*) AS BIGINT) "
+            "AS rl FROM g GROUP BY 1, 2) "
+            "SELECT user_id, CAST(sum(rl) AS BIGINT) AS n_events, "
+            "CAST(count(*) AS BIGINT) AS n_runs, "
+            "CAST(max(rl) AS BIGINT) AS longest_run, "
+            "CAST((1000000 * count(*)) // sum(rl) AS BIGINT) "
+            "AS ratio_ppm FROM r GROUP BY 1 ORDER BY 1"),
     }

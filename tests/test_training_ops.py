@@ -3253,6 +3253,37 @@ def test_degree_assortativity_star_graph(ray_session, tmp_path):
     assert got.iloc[0]["assortativity"] == -1.0
 
 
+def test_scd2_history_coalesces_repeats(ray_session, tmp_path):
+    """Purchase stream A A B A for one user → three intervals (the
+    repeated A coalesces; the later A re-opens a NEW interval), each
+    closed by the next change, last open (-1)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, item in enumerate([7, 7, 9, 7]):
+        rows.append({"event_id": i + 1,
+                     "ts": t0 + dt.timedelta(hours=i),
+                     "user_id": 1, "event_type": "purchase",
+                     "value": 1.0, "props": '{"k": %d}' % item})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["scd2_history"](str(tmp_path))
+    us = 3_600_000_000
+    t0us = int(t0.timestamp()) * 1_000_000
+    want = [(1, 7, t0us, t0us + 2 * us),
+            (1, 9, t0us + 2 * us, t0us + 3 * us),
+            (1, 7, t0us + 3 * us, -1)]
+    assert [tuple(r) for r in got[
+        ["user_id", "item", "valid_from_us", "valid_to_us"]
+    ].to_numpy()] == want
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
