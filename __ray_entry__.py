@@ -10812,6 +10812,62 @@ def q_event_rle(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_media_dimensions(sf_dir: str):
+    """Metadata extraction from REAL image bytes with an INDEPENDENT
+    oracle: one deterministic image ref per document → fetch_media_stub
+    synthesizes real PNG payloads (dims seeded from md5(ref)) → this
+    stage parses the IHDR chunk of the actual BYTES (not the carried
+    width column). The SQL twin re-derives the expected dims from
+    md5(ref) — so a decode that misreads the header fails the hash.
+    bit_depth/color_type pin the codec contract (8-bit RGB)."""
+    import struct
+
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.multimodal import (
+        fetch_media_stub)
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": pa.array(
+                [f"https://media.example/{i}/img-0.png" for i in ids],
+                pa.string()),
+            "kind": pa.array(["image"] * len(ids), pa.string())})
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        media = fetch_media_stub(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "media_ref": media.column("media_ref"),
+                         "payload": media.column("payload")})
+
+    def ihdr(batch: pa.Table) -> pa.Table:
+        ws, hs, depths, colors = [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            if p[12:16] != b"IHDR":
+                raise ValueError("payload is not an IHDR-first PNG")
+            w, h, depth, color = struct.unpack(">IIBB", p[16:26])
+            ws.append(w)
+            hs.append(h)
+            depths.append(depth)
+            colors.append(color)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "bit_depth": pa.array(depths, pa.int64()),
+            "color_type": pa.array(colors, pa.int64())})
+
+    out = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"]
+                   ).map_batches(to_refs, batch_format="pyarrow"
+                                 ).map_batches(
+        fetch, batch_format="pyarrow", batch_size=256
+    ).map_batches(ihdr, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11049,6 +11105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": q_degree_assortativity,
         "scd2_history": q_scd2_history,
         "event_rle": q_event_rle,
+        "media_dimensions": q_media_dimensions,
     }
 
 
@@ -13709,4 +13766,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(rl) AS BIGINT) AS longest_run, "
             "CAST((1000000 * count(*)) // sum(rl) AS BIGINT) "
             "AS ratio_ppm FROM r GROUP BY 1 ORDER BY 1"),
+        "media_dimensions": (
+            "WITH r AS (SELECT doc_id, 'https://media.example/' || "
+            "doc_id || '/img-0.png' AS media_ref FROM documents), "
+            "d AS (SELECT doc_id, media_ref, "
+            "CAST(concat('0x', substr(md5(media_ref), 1, 2)) "
+            "AS INTEGER) AS b0, "
+            "CAST(concat('0x', substr(md5(media_ref), 3, 2)) "
+            "AS INTEGER) AS b1 FROM r) "
+            "SELECT doc_id, media_ref, "
+            "CAST(64 + b0 % 192 AS BIGINT) AS width, "
+            "CAST(64 + b1 % 192 AS BIGINT) AS height, "
+            "CAST(8 AS BIGINT) AS bit_depth, "
+            "CAST(2 AS BIGINT) AS color_type FROM d ORDER BY doc_id"),
     }

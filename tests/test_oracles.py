@@ -39,7 +39,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "segment_ttest", "event_bursts", "event_debounce",
         "link_prediction", "revenue_trend_mk", "revenue_ewma",
         "event_trigrams", "ltv_cohort_curve", "lang_chars_moments",
-        "degree_assortativity", "scd2_history", "event_rle"]
+        "degree_assortativity", "scd2_history", "event_rle",
+        "media_dimensions"]
 
 
 @pytest.fixture(scope="module")
