@@ -10868,6 +10868,73 @@ def q_media_dimensions(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_zonemap_prune(sf_dir: str):
+    """Zone-map pruning via a PAY-ONCE sorted layout: orders are
+    range-sorted by day and persisted with SMALL row groups (one
+    global sort at layout-build time, amortized over every later
+    read, the smb_join_revenue precedent); a point-range query then
+    reads with a pushed pyarrow filter, so non-matching fragments
+    cost a footer read only — the row-group min/max stats (zone maps)
+    skip their data pages. Query: March-1998 order counts + exact
+    revenue by priority; the SQL twin filters the base table."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import ts_us
+
+    base = f"/tmp/mce_zone_{os.path.basename(os.path.normpath(sf_dir))}"
+    data = f"{base}/data"
+    if not os.path.exists(f"{base}/_DONE"):
+        if os.path.exists(base):
+            shutil.rmtree(base)
+
+        def prep(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pa.array(ts_us(t.column("o_orderdate"))
+                                // 86_400_000_000, pa.int64()),
+                "priority": t.column("o_orderpriority"),
+                "cents": pc.cast(pc.round(pc.multiply(
+                    t.column("o_totalprice"), 100)), pa.int64())})
+
+        _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderdate", "o_orderpriority",
+                          "o_totalprice"]
+                 ).map_batches(prep, batch_format="pyarrow").sort(
+            "day").write_parquet(data, row_group_size=2048)
+        with open(f"{base}/_DONE", "w") as f:
+            f.write("ok")
+
+    epoch = dt.datetime(1970, 1, 1)
+    lo = (dt.datetime(1998, 3, 1) - epoch).days
+    hi = (dt.datetime(1998, 4, 1) - epoch).days
+    import ray.data as rd
+
+    pruned = rd.read_parquet(
+        data, filter=(pds.field("day") >= lo) & (pds.field("day") < hi))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = pa.table({"priority": t.column("priority"),
+                      "n": pa.array(np.ones(len(t), np.int64)),
+                      "cents": t.column("cents")}).group_by(
+            "priority").aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["priority", "n_orders",
+                                 "revenue_cents"])
+
+    out = pruned.map_batches(partial, batch_format="pyarrow").groupby(
+        "priority").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents")).to_pandas()
+    return out.sort_values("priority").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11106,6 +11173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": q_scd2_history,
         "event_rle": q_event_rle,
         "media_dimensions": q_media_dimensions,
+        "zonemap_prune": q_zonemap_prune,
     }
 
 
@@ -13779,4 +13847,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(64 + b1 % 192 AS BIGINT) AS height, "
             "CAST(8 AS BIGINT) AS bit_depth, "
             "CAST(2 AS BIGINT) AS color_type FROM d ORDER BY doc_id"),
+        "zonemap_prune": (
+            "SELECT o_orderpriority AS priority, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents FROM orders "
+            "WHERE epoch_us(o_orderdate) // 86400000000 >= 10286 "
+            "AND epoch_us(o_orderdate) // 86400000000 < 10317 "
+            "GROUP BY 1 ORDER BY 1"),
     }

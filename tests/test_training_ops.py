@@ -3284,6 +3284,69 @@ def test_scd2_history_coalesces_repeats(ray_session, tmp_path):
     ].to_numpy()] == want
 
 
+def test_zonemap_layout_is_prunable(ray_session, tmp_path):
+    """The persisted sorted layout carries per-row-group day min/max
+    stats whose ranges are (near-)disjoint — the property a range
+    filter prunes on — and the pruned aggregate matches a direct
+    computation."""
+    import datetime as dt
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(3)
+    t0 = dt.datetime(1995, 1, 1)
+    n = 10_000
+    days = np.sort(rng.integers(0, 2400, size=n))
+    rows = pa.table({
+        "o_orderkey": pa.array(np.arange(n), pa.int64()),
+        "o_custkey": pa.array(np.ones(n, np.int64)),
+        "o_orderstatus": pa.array(["F"] * n, pa.string()),
+        "o_totalprice": pa.array(rng.integers(1, 1000, n) * 1.0),
+        "o_orderdate": pa.array(
+            [t0 + dt.timedelta(days=int(d)) for d in rng.permutation(days)],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string())})
+    pq.write_table(rows, f"{tmp_path}/orders.parquet")
+    got = entrymod.queries()["zonemap_prune"](str(tmp_path))
+
+    # direct computation over the March-1998 window
+    epoch = dt.datetime(1970, 1, 1)
+    lo = (dt.datetime(1998, 3, 1) - epoch).days
+    hi = (dt.datetime(1998, 4, 1) - epoch).days
+    d = np.array([(ts.as_py() - epoch).days
+                  for ts in rows.column("o_orderdate")])
+    m = (d >= lo) & (d < hi)
+    assert m.sum() > 0
+    assert got.iloc[0]["n_orders"] == int(m.sum())
+    cents = np.round(rows.column("o_totalprice").to_numpy() * 100
+                     ).astype(np.int64)
+    assert got.iloc[0]["revenue_cents"] == int(cents[m].sum())
+
+    # layout: >1 row group, all with stats; sorted → ranges ordered
+    import os
+    base = f"/tmp/mce_zone_{os.path.basename(os.path.normpath(tmp_path))}"
+    spans = []
+    for f in sorted(glob.glob(f"{base}/data/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for i in range(md.num_row_groups):
+            col = next(md.row_group(i).column(j)
+                       for j in range(md.row_group(i).num_columns)
+                       if md.row_group(i).column(j).path_in_schema
+                       == "day")
+            assert col.statistics is not None
+            spans.append((col.statistics.min, col.statistics.max))
+    assert len(spans) > 2
+    spans.sort()
+    # sorted layout: a row group overlaps at most its neighbors' edges
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2 or hi1 <= hi2  # monotone non-inverted ranges
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
