@@ -10935,6 +10935,81 @@ def q_zonemap_prune(sf_dir: str):
     return out.sort_values("priority").reset_index(drop=True)
 
 
+def q_funnel_1h(sf_dir: str):
+    """WINDOWED funnel (vs funnel_counts' whole-history ordering): a
+    purchase converts iff some click precedes it within 1 h AND that
+    click itself follows a view within 1 h. Per-user partition pass
+    with the event_bursts composite-key trick — one searchsorted over
+    (segment × padded-span + ts) keys answers every per-user window
+    probe at once (no per-user Python loop); OK-click membership
+    turns into a prefix-sum range count. Output: per purchasing user,
+    total vs funnel-attributed purchases."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    H = 3_600_000_000  # 1 h in microseconds
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["view", "click",
+                                            "purchase"]))
+        t = batch.filter(mask)
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "t": pa.array(ts_us(t.column("ts")), pa.int64()),
+            "event_type": t.column("event_type")})
+
+    def funnel(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_purchases": pa.array([], pa.int64()),
+                          "n_attributed": pa.array([], pa.int64())})
+        if not len(u):
+            return empty
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        starts = segment_starts(u)
+        seg = np.searchsorted(starts, np.arange(len(u)),
+                              side="right") - 1
+        base = ts - ts.min()
+        span = int(base.max()) + 2 * H + 2
+        if len(starts) * span >= (1 << 62):
+            raise ValueError("composite funnel key would overflow "
+                             "int64; raise num_buckets")
+        k = seg.astype(np.int64) * span + base + H  # +H pads k-H probes
+        kv = k[et == "view"]
+        kc = k[et == "click"]
+        is_p = et == "purchase"
+        kp = k[is_p]
+        if not len(kp):
+            return empty
+        ok = (np.searchsorted(kv, kc - H, side="left")
+              < np.searchsorted(kv, kc, side="left")).astype(np.int64)
+        s = np.concatenate(([0], np.cumsum(ok)))
+        lo = np.searchsorted(kc, kp - H, side="left")
+        hi = np.searchsorted(kc, kp, side="left")
+        attributed = (s[hi] - s[lo]) > 0
+        pu = u[is_p]
+        pstarts = segment_starts(pu)
+        plens = segment_lengths(pstarts, len(pu))
+        n_attr = np.add.reduceat(attributed.astype(np.int64), pstarts)
+        return pa.table({
+            "user_id": pa.array(pu[pstarts], pa.int64()),
+            "n_purchases": pa.array(plens, pa.int64()),
+            "n_attributed": pa.array(n_attr, pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ev, "user_id", funnel,
+                             sort_cols=["t"]).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11174,6 +11249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_rle": q_event_rle,
         "media_dimensions": q_media_dimensions,
         "zonemap_prune": q_zonemap_prune,
+        "funnel_1h": q_funnel_1h,
     }
 
 
@@ -13855,4 +13931,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE epoch_us(o_orderdate) // 86400000000 >= 10286 "
             "AND epoch_us(o_orderdate) // 86400000000 < 10317 "
             "GROUP BY 1 ORDER BY 1"),
+        "funnel_1h": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t "
+            "FROM events), "
+            "p AS (SELECT user_id, t FROM e "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, t FROM e "
+            "WHERE event_type = 'click'), "
+            "v AS (SELECT user_id, t FROM e "
+            "WHERE event_type = 'view'), "
+            "okc AS (SELECT c.user_id, c.t FROM c "
+            "WHERE EXISTS (SELECT 1 FROM v "
+            "WHERE v.user_id = c.user_id AND v.t < c.t "
+            "AND c.t - v.t <= 3600000000)), "
+            "ap AS (SELECT p.user_id, p.t FROM p "
+            "WHERE EXISTS (SELECT 1 FROM okc "
+            "WHERE okc.user_id = p.user_id AND okc.t < p.t "
+            "AND p.t - okc.t <= 3600000000)) "
+            "SELECT pu.user_id, pu.np AS n_purchases, "
+            "coalesce(au.na, 0) AS n_attributed "
+            "FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS np "
+            "FROM p GROUP BY 1) pu "
+            "LEFT JOIN (SELECT user_id, CAST(count(*) AS BIGINT) "
+            "AS na FROM ap GROUP BY 1) au USING (user_id) "
+            "ORDER BY user_id"),
     }

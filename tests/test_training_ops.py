@@ -3347,6 +3347,32 @@ def test_zonemap_layout_is_prunable(ray_session, tmp_path):
         assert hi1 <= lo2 or hi1 <= hi2  # monotone non-inverted ranges
 
 
+def test_funnel_1h_window_chain(ray_session, tmp_path):
+    """view@0 → click@30m → purchase@80m converts (both hops ≤ 1 h);
+    purchase@100m does NOT — its only in-window click (@90m) has no
+    view within the preceding hour (the view is 90 m stale)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1)
+    evs = [("view", 0), ("click", 30), ("purchase", 80),
+           ("click", 90), ("purchase", 100)]
+    rows = [{"event_id": i + 1,
+             "ts": t0 + dt.timedelta(minutes=m), "user_id": 1,
+             "event_type": k, "value": 0.0, "props": "{}"}
+            for i, (k, m) in enumerate(evs)]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["funnel_1h"](str(tmp_path))
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["n_purchases"], r["n_attributed"]) == (2, 1)
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
