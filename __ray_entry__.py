@@ -11010,6 +11010,108 @@ def q_funnel_1h(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_kcore_items(sf_dir: str):
+    """Distributed K-CORE decomposition (k=5) of the co-view item
+    graph: iterative edge peeling — each round two LINEAR keyed passes
+    (partition by node → deg(node) rides each edge; partition by nbr →
+    deg(nbr) is the segment length) drop every edge with an endpoint
+    below k; rounds materialize like item_bfs/k-means and stop at the
+    fixpoint (count unchanged). The k-core is UNIQUE, so any peeling
+    order converges to the same set — the SQL twin's recursive CTE
+    peels in lockstep rounds and must agree exactly. Bounded at 64
+    rounds with a loud failure (real peel depths are far smaller;
+    each round strictly shrinks the edge set)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    K = 5
+    MAX_ROUNDS = 64
+    MIN_USERS = 2
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(pk >> np.int64(31), pa.int64()),
+            "b": pa.array(pk & np.int64((1 << 31) - 1), pa.int64())})
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    def emit_deg(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        if not len(node):
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "nbr": pa.array([], pa.int64()),
+                             "deg_src": pa.array([], pa.int64())})
+        starts = segment_starts(node)
+        lens = segment_lengths(starts, len(node))
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "nbr": pa.array(nbr, pa.int64()),
+            "deg_src": pa.array(np.repeat(lens, lens), pa.int64())})
+
+    def filter_k(t: pa.Table) -> pa.Table:
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if not len(nbr):
+            return empty
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        ds_ = t.column("deg_src").to_numpy(zero_copy_only=False)
+        starts = segment_starts(nbr)
+        lens = segment_lengths(starts, len(nbr))
+        deg_nbr = np.repeat(lens, lens)
+        keep = (ds_ >= K) & (deg_nbr >= K) & (node < nbr)
+        return pa.table({"a": pa.array(node[keep], pa.int64()),
+                         "b": pa.array(nbr[keep], pa.int64())})
+
+    edges = _covis_pair_counts(sf_dir).filter(
+        lambda r: r["n_users"] >= MIN_USERS).map_batches(
+        unpack, batch_format="pyarrow").materialize()
+    cnt = edges.count()
+    for _ in range(MAX_ROUNDS):
+        if cnt == 0:
+            return pd.DataFrame({"item": pd.Series([], dtype="int64"),
+                                 "core_degree": pd.Series(
+                                     [], dtype="int64")})
+        adj = edges.map_batches(symmetrize, batch_format="pyarrow")
+        deg_rows = map_key_partitions(adj, "node", emit_deg,
+                                      sort_cols=["nbr"])
+        surv = map_key_partitions(deg_rows, "nbr",
+                                  filter_k).materialize()
+        new_cnt = surv.count()
+        if new_cnt == cnt:
+            break
+        edges, cnt = surv, new_cnt
+    else:
+        raise RuntimeError(f"k-core did not converge in {MAX_ROUNDS} "
+                           "rounds")
+
+    def final_deg(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        if not len(node):
+            return pa.table({"item": pa.array([], pa.int64()),
+                             "core_degree": pa.array([], pa.int64())})
+        starts = segment_starts(node)
+        lens = segment_lengths(starts, len(node))
+        return pa.table({"item": pa.array(node[starts], pa.int64()),
+                         "core_degree": pa.array(lens, pa.int64())})
+
+    out = map_key_partitions(
+        edges.map_batches(symmetrize, batch_format="pyarrow"),
+        "node", final_deg).to_pandas()
+    return out.sort_values("item").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11250,6 +11352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dimensions": q_media_dimensions,
         "zonemap_prune": q_zonemap_prune,
         "funnel_1h": q_funnel_1h,
+        "kcore_items": q_kcore_items,
     }
 
 
@@ -13955,4 +14058,38 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN (SELECT user_id, CAST(count(*) AS BIGINT) "
             "AS na FROM ap GROUP BY 1) au USING (user_id) "
             "ORDER BY user_id"),
+        "kcore_items": (
+            "WITH RECURSIVE ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "prs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS n "
+            "FROM ui a JOIN ui b ON a.user_id = b.user_id "
+            "AND a.item < b.item GROUP BY 1, 2), "
+            "edges AS (SELECT ia, ib FROM prs WHERE n >= 2), "
+            "core AS (SELECT 0 AS rnd, ia AS node, ib AS nbr "
+            "FROM edges UNION ALL SELECT 0, ib, ia FROM edges "
+            "UNION ALL "
+            "SELECT rnd, node, nbr FROM ("
+            "WITH sel AS (SELECT rnd + 1 AS rnd, node, nbr, "
+            "count(*) OVER (PARTITION BY node) AS dn FROM core), "
+            "pairk AS (SELECT any_value(rnd) AS rnd, "
+            "least(node, nbr) AS a, greatest(node, nbr) AS b, "
+            "min(dn) AS md FROM sel GROUP BY 2, 3), "
+            "surv AS (SELECT rnd, a AS node, b AS nbr FROM pairk "
+            "WHERE md >= 5 UNION ALL SELECT rnd, b, a FROM pairk "
+            "WHERE md >= 5) "
+            "SELECT rnd, node, nbr FROM surv "
+            "WHERE (SELECT count(*) FROM surv) "
+            "< (SELECT count(*) FROM sel))), "
+            "last AS (SELECT node, nbr FROM core "
+            "WHERE rnd = (SELECT max(rnd) FROM core)), "
+            "fin AS (SELECT node, nbr, count(*) OVER "
+            "(PARTITION BY node) AS dn FROM last), "
+            "fp AS (SELECT least(node, nbr) AS a, "
+            "greatest(node, nbr) AS b, min(dn) AS md FROM fin "
+            "GROUP BY 1, 2), "
+            "fs AS (SELECT a AS node FROM fp WHERE md >= 5 "
+            "UNION ALL SELECT b FROM fp WHERE md >= 5) "
+            "SELECT node AS item, CAST(count(*) AS BIGINT) "
+            "AS core_degree FROM fs GROUP BY 1 ORDER BY 1"),
     }

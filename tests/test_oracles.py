@@ -40,7 +40,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "link_prediction", "revenue_trend_mk", "revenue_ewma",
         "event_trigrams", "ltv_cohort_curve", "lang_chars_moments",
         "degree_assortativity", "scd2_history", "event_rle",
-        "media_dimensions", "zonemap_prune", "funnel_1h"]
+        "media_dimensions", "zonemap_prune", "funnel_1h",
+        "kcore_items"]
 
 
 @pytest.fixture(scope="module")

@@ -3373,6 +3373,38 @@ def test_funnel_1h_window_chain(ray_session, tmp_path):
     assert (r["n_purchases"], r["n_attributed"]) == (2, 1)
 
 
+def test_kcore_clique_survives_pendant_path_peels(ray_session,
+                                                  tmp_path):
+    """K6 clique + pendant path 1–9–8–7: the path peels away over
+    cascading rounds (end vertex first), the clique is the exact
+    5-core with every core_degree = 5."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    edges = [(a, b) for a in range(1, 7) for b in range(a + 1, 7)]
+    edges += [(7, 8), (8, 9), (1, 9)]
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid, uid = [], 0, 100
+    for a, b in edges:
+        for _ in range(2):  # two co-viewing users per edge
+            uid += 1
+            for it in (a, b):
+                eid += 1
+                rows.append({"event_id": eid,
+                             "ts": t0 + dt.timedelta(minutes=eid),
+                             "user_id": uid, "event_type": "view",
+                             "value": 0.0, "props": '{"k": %d}' % it})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["kcore_items"](str(tmp_path))
+    assert list(got["item"]) == [1, 2, 3, 4, 5, 6]
+    assert set(got["core_degree"]) == {5}
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
