@@ -11112,6 +11112,75 @@ def q_kcore_items(sf_dir: str):
     return out.sort_values("item").reset_index(drop=True)
 
 
+def q_mutual_nn(sf_dir: str):
+    """Mutual-nearest-neighbor pairs (the dataset-alignment / MNN
+    dedup primitive): vectors a, b pair iff each is the other's
+    cosine top-1 (self excluded, ties to the smaller vec_id). The
+    corpus streams in batches against a BROADCAST normalized matrix
+    (ray.put once, fetched per actor) — each vector's top-1 is
+    decided in the one batch that carries it, so there is NO
+    cross-batch merge; mutuality is then one hash_agg over packed
+    pair keys (mutual ⟺ the unordered pair appears twice). The
+    broadcast full matrix is the exact-at-test-scale path; at corpus
+    scale swap the broadcast for the IVF-bucketed variant
+    (stages/ann.ivf_topk) and verify mutuality the same way.
+    float64 throughout (rank-level agreement with DuckDB's double
+    list_cosine_similarity, the ann_topk convention)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from magic_content_extractor_ray.stages.ann import (
+        _batch_matrix, _normalize)
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).sort_by(
+        "vec_id")
+    all_ids = full.column("vec_id").to_numpy(zero_copy_only=False
+                                             ).astype(np.int64)
+    qmat = _normalize(_batch_matrix(full, "embedding", np.float64))
+    ref = ray.put({"ids": all_ids, "matrix": qmat})
+
+    class Top1:
+        def __init__(self):
+            q = ray.get(ref)
+            self.ids = q["ids"]
+            self.mat = q["matrix"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m = _normalize(_batch_matrix(batch, "embedding",
+                                         np.float64))
+            sims = m @ self.mat.T  # (nb, n_all)
+            self_col = np.searchsorted(self.ids, bids)
+            sims[np.arange(len(bids)), self_col] = -np.inf
+            best = np.argmax(sims, axis=1)  # first max = smallest id
+            nbr = self.ids[best]
+            lo, hi = np.minimum(bids, nbr), np.maximum(bids, nbr)
+            if len(lo) and (lo.min() < 0 or hi.max() >= (1 << 31)):
+                raise ValueError("mutual_nn packs pairs into int64; "
+                                 "vec_ids must be in [0, 2^31)")
+            return pa.table({
+                "pk": pa.array((lo << np.int64(31)) | hi, pa.int64()),
+                "c": pa.array(np.ones(len(lo), np.int64), pa.int64())})
+
+    top1 = _read_pq(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"]).map_batches(
+        Top1, batch_format="pyarrow", concurrency=(1, 8),
+        batch_size=1024)
+    mutual = hash_agg(top1, "pk", [("c", "sum", "n")]).filter(
+        lambda r: r["n"] == 2).to_pandas()
+    pk = np.sort(mutual["pk"].to_numpy(dtype=np.int64))
+    return pd.DataFrame({
+        "vec_a": pd.Series(pk >> np.int64(31), dtype="int64"),
+        "vec_b": pd.Series(pk & np.int64((1 << 31) - 1),
+                           dtype="int64")})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11353,6 +11422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_prune": q_zonemap_prune,
         "funnel_1h": q_funnel_1h,
         "kcore_items": q_kcore_items,
+        "mutual_nn": q_mutual_nn,
     }
 
 
@@ -14092,4 +14162,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT b FROM fp WHERE md >= 5) "
             "SELECT node AS item, CAST(count(*) AS BIGINT) "
             "AS core_degree FROM fs GROUP BY 1 ORDER BY 1"),
+        "mutual_nn": (
+            "WITH scored AS (SELECT a.vec_id AS s, b.vec_id AS t, "
+            "list_cosine_similarity(a.embedding, b.embedding) AS sc "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.vec_id <> b.vec_id), "
+            "top1 AS (SELECT s, t FROM (SELECT s, t, row_number() "
+            "OVER (PARTITION BY s ORDER BY sc DESC, t) AS rn "
+            "FROM scored) WHERE rn = 1) "
+            "SELECT x.s AS vec_a, x.t AS vec_b FROM top1 x "
+            "JOIN top1 y ON x.s = y.t AND x.t = y.s AND x.s < x.t "
+            "ORDER BY 1, 2"),
     }
