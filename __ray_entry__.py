@@ -11181,6 +11181,56 @@ def q_mutual_nn(sf_dir: str):
                            dtype="int64")})
 
 
+def q_monthly_seasonality(sf_dir: str):
+    """Classical ratio-to-moving-average SEASONAL INDEX: monthly
+    revenue over a centered 12-month window (ROWS 6 PRECEDING..5
+    FOLLOWING, full windows only), index = floor-ppm rev/MA with the
+    MA in half-away integer cents — all integer, so the SQL window
+    twin matches bit-for-bit. Monthly aggregate distributed; the
+    month series is calendar-bounded, so the window runs driver-side
+    (the daily_revenue_ma7 precedent)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        mb = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()), 12),
+                    pc.subtract(pc.cast(pc.month(ts), pa.int64()), 1))
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100)), pa.int64())
+        g = pa.table({"month_bucket": mb, "rev_c": cents}).group_by(
+            "month_bucket").aggregate([("rev_c", "sum")])
+        return pa.table({"month_bucket": g.column("month_bucket"),
+                         "rev_c": pc.cast(g.column("rev_c_sum"),
+                                          pa.int64())})
+
+    d = _read_pq(f"{sf_dir}/orders.parquet",
+                 columns=["o_orderdate", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow").groupby(
+        "month_bucket").aggregate(
+        Sum("rev_c", alias_name="rev_c")).to_pandas().sort_values(
+        "month_bucket").reset_index(drop=True)
+    rev = d["rev_c"].to_numpy(dtype=np.int64)
+    n = len(rev)
+    cs = np.concatenate(([0], np.cumsum(rev)))
+    idx = np.arange(n)
+    lo, hi = idx - 6, idx + 5  # ROWS 6 PRECEDING .. 5 FOLLOWING
+    full = (lo >= 0) & (hi <= n - 1)
+    sums = cs[np.clip(hi, 0, n - 1) + 1] - cs[np.clip(lo, 0, n)]
+    ma_c = (2 * sums + 12) // 24  # half-away integer cents, count=12
+    out = pd.DataFrame({
+        "month_bucket": d["month_bucket"].astype("int64"),
+        "rev_c": d["rev_c"].astype("int64"),
+        "ma12_c": ma_c.astype("int64"),
+        "index_ppm": (1_000_000 * rev) // ma_c})
+    return out[full].reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11423,6 +11473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_1h": q_funnel_1h,
         "kcore_items": q_kcore_items,
         "mutual_nn": q_mutual_nn,
+        "monthly_seasonality": q_monthly_seasonality,
     }
 
 
@@ -14173,4 +14224,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT x.s AS vec_a, x.t AS vec_b FROM top1 x "
             "JOIN top1 y ON x.s = y.t AND x.t = y.s AND x.s < x.t "
             "ORDER BY 1, 2"),
+        "monthly_seasonality": (
+            "WITH m AS (SELECT CAST(year(o_orderdate) * 12 "
+            "+ month(o_orderdate) - 1 AS BIGINT) AS month_bucket, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS rev_c FROM orders GROUP BY 1), "
+            "w AS (SELECT month_bucket, rev_c, "
+            "CAST(sum(rev_c) OVER win AS BIGINT) AS s, "
+            "CAST(count(*) OVER win AS BIGINT) AS c FROM m "
+            "WINDOW win AS (ORDER BY month_bucket "
+            "ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)) "
+            "SELECT month_bucket, rev_c, (2 * s + 12) // 24 AS ma12_c, "
+            "(1000000 * rev_c) // ((2 * s + 12) // 24) AS index_ppm "
+            "FROM w WHERE c = 12 ORDER BY month_bucket"),
     }
