@@ -11231,6 +11231,115 @@ def q_monthly_seasonality(sf_dir: str):
     return out[full].reset_index(drop=True)
 
 
+def q_assoc_triples(sf_dir: str):
+    """Apriori level-3: top-30 co-view item TRIPLES by user support.
+    Per-user triples are generated fully vectorized — the existing
+    triangular PAIR decode, then each pair (i, j) expands by the
+    items ranked after j via one repeat/cumsum pass — and packed into
+    one int64 (3 × 21-bit lanes, ids guarded < 2²¹), so the exchange
+    is (pk, count) like covisitation. Per-user fan-out is C(d, 3);
+    the hub cap here is TIGHTER than the pair cap (C(256,3) ≈ 2.7M
+    rows per hub per task is the budget; the fixture's max degree is
+    far below the cap, so capped == exact there, the covisitation
+    convention). Tie-break (support desc, pk asc) == (n, ia, ib, ic)
+    lexicographic because the pack is order-preserving."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_sum, map_key_partitions, segment_lengths, segment_starts)
+
+    K = 30
+    TRIPLE_CAP = 256
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ks = pc.cast(pc.struct_field(pc.extract_regex(
+            col, r'"k":\s*(?P<k>-?\d+)'), "k"), pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "item": ks}).group_by(["user_id", "item"]).aggregate([])
+
+    def triples(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        it = t.column("item").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"pk": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if not len(u):
+            return empty
+        if it.min() < 0 or it.max() >= (1 << 21):
+            raise ValueError("triple pack needs item ids in [0, 2^21)")
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (it[1:] != it[:-1])
+        u, it = _cap_user_items(u[keep], it[keep], cap=TRIPLE_CAP)
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, len(u))
+        sel = lens >= 3
+        starts, lens = starts[sel], lens[sel]
+        if not len(starts):
+            return empty
+        # pair stage (triangular decode, the covisitation kernel)
+        pcounts = lens * (lens - 1) // 2
+        ptotal = int(pcounts.sum())
+        seg = np.repeat(np.arange(len(lens)), pcounts)
+        offs = np.concatenate(([0], np.cumsum(pcounts)[:-1]))
+        tloc = np.arange(ptotal, dtype=np.int64) - np.repeat(offs,
+                                                             pcounts)
+        length = lens[seg]
+        a = (length - 2 - np.floor(
+            (np.sqrt(-8.0 * tloc + 4.0 * length * (length - 1) - 7.0)
+             - 1.0) / 2.0)).astype(np.int64)
+        b = tloc + a + 1 - length * (length - 1) // 2 \
+            + (length - a) * (length - a - 1) // 2
+        # expand each pair (a, b) by every item ranked after b
+        c3 = length - 1 - b
+        total3 = int(c3.sum())
+        if total3 == 0:
+            return empty
+        rep = np.repeat(np.arange(ptotal), c3)
+        offs3 = np.concatenate(([0], np.cumsum(c3)[:-1]))
+        tloc3 = np.arange(total3, dtype=np.int64) - np.repeat(offs3, c3)
+        base = starts[seg][rep]
+        ia = it[base + a[rep]]
+        ib = it[base + b[rep]]
+        ic = it[base + b[rep] + 1 + tloc3]
+        pk = (ia << np.int64(42)) | (ib << np.int64(21)) | ic
+        pku, cnt = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(pku, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    ui = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_type", "props"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    counts = hash_sum(
+        map_key_partitions(ui, "user_id", triples, sort_cols=["item"]),
+        "pk", "c", "n_users")
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        return _batch_topk(batch, [("n_users", "descending"),
+                                   ("pk", "ascending")], k=K)
+
+    df = counts.map_batches(partial_topk, batch_format="pyarrow",
+                            batch_size=8192).to_pandas()
+    df = df.sort_values(["n_users", "pk"],
+                        ascending=[False, True]).head(K)
+    pk = df["pk"].to_numpy(dtype=np.int64)
+    m21 = np.int64((1 << 21) - 1)
+    return pd.DataFrame({
+        "item_a": pd.Series(pk >> np.int64(42), dtype="int64"),
+        "item_b": pd.Series((pk >> np.int64(21)) & m21, dtype="int64"),
+        "item_c": pd.Series(pk & m21, dtype="int64"),
+        "n_users": df["n_users"].astype("int64").to_numpy()})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11474,6 +11583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_items": q_kcore_items,
         "mutual_nn": q_mutual_nn,
         "monthly_seasonality": q_monthly_seasonality,
+        "assoc_triples": q_assoc_triples,
     }
 
 
@@ -14237,4 +14347,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT month_bucket, rev_c, (2 * s + 12) // 24 AS ma12_c, "
             "(1000000 * rev_c) // ((2 * s + 12) // 24) AS index_ppm "
             "FROM w WHERE c = 12 ORDER BY month_bucket"),
+        "assoc_triples": (
+            "WITH ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "tri AS (SELECT a.item AS item_a, b.item AS item_b, "
+            "c.item AS item_c, CAST(count(*) AS BIGINT) AS n_users "
+            "FROM ui a JOIN ui b ON a.user_id = b.user_id "
+            "AND a.item < b.item JOIN ui c "
+            "ON a.user_id = c.user_id AND b.item < c.item "
+            "GROUP BY 1, 2, 3) "
+            "SELECT item_a, item_b, item_c, n_users FROM tri "
+            "ORDER BY n_users DESC, item_a, item_b, item_c LIMIT 30"),
     }

@@ -41,7 +41,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "event_trigrams", "ltv_cohort_curve", "lang_chars_moments",
         "degree_assortativity", "scd2_history", "event_rle",
         "media_dimensions", "zonemap_prune", "funnel_1h",
-        "kcore_items", "mutual_nn", "monthly_seasonality"]
+        "kcore_items", "mutual_nn", "monthly_seasonality",
+        "assoc_triples"]
 
 
 @pytest.fixture(scope="module")

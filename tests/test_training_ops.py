@@ -3405,6 +3405,45 @@ def test_kcore_clique_survives_pendant_path_peels(ray_session,
     assert set(got["core_degree"]) == {5}
 
 
+def test_assoc_triples_matches_combinations(ray_session, tmp_path):
+    """The vectorized pair→triple expansion equals itertools
+    combinations on random user baskets (support counts included)."""
+    import collections
+    import datetime as dt
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    baskets = {}
+    for user in range(1, 21):
+        items = sorted(rng.choice(12, size=rng.integers(3, 9),
+                                  replace=False).tolist())
+        baskets[user] = items
+        for it in items:
+            eid += 1
+            rows.append({"event_id": eid,
+                         "ts": t0 + dt.timedelta(minutes=eid),
+                         "user_id": user, "event_type": "view",
+                         "value": 0.0, "props": '{"k": %d}' % it})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    want = collections.Counter()
+    for items in baskets.values():
+        want.update(itertools.combinations(items, 3))
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = entrymod.queries()["assoc_triples"](str(tmp_path))
+    got_rows = [((r.item_a, r.item_b, r.item_c), r.n_users)
+                for r in got.itertuples()]
+    assert got_rows == top
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
