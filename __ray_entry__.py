@@ -11340,6 +11340,41 @@ def q_assoc_triples(sf_dir: str):
         "n_users": df["n_users"].astype("int64").to_numpy()})
 
 
+def q_jaccard_histogram(sf_dir: str):
+    """Dedup YIELD CURVE: how many near-dup pairs each Jaccard
+    threshold would merge — the tuning artifact behind picking
+    dedup_ngram's 0.4. One run of the exact inverted-index pipeline
+    at floor threshold 0.1, then decile bins on the (already
+    hash-stable) 6-dp jaccard: bin = floor(j·10), bin 10 = exact
+    dups. Bounded output (≤10 rows); the pair volume dies inside the
+    dedup pipeline's bucket tasks as usual."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.dedup import (
+        ngram_jaccard_dedup)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    pairs = ngram_jaccard_dedup(docs, threshold=0.1, max_df=32)
+
+    def binned(t: pa.Table) -> pa.Table:
+        j = t.column("jaccard").to_numpy(zero_copy_only=False)
+        b = np.floor(j * 10).astype(np.int64)
+        bu, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(bu, pa.int64()),
+                         "n_pairs": pa.array(cnt.astype(np.int64),
+                                             pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = pairs.map_batches(binned, batch_format="pyarrow").groupby(
+        "bin").aggregate(Sum("n_pairs", alias_name="n_pairs")
+                         ).to_pandas()
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11584,6 +11619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_nn": q_mutual_nn,
         "monthly_seasonality": q_monthly_seasonality,
         "assoc_triples": q_assoc_triples,
+        "jaccard_histogram": q_jaccard_histogram,
     }
 
 
@@ -14359,4 +14395,37 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2, 3) "
             "SELECT item_a, item_b, item_c, n_users FROM tri "
             "ORDER BY n_users DESC, item_a, item_b, item_c LIMIT 30"),
+        "jaccard_histogram": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            ngrams AS (
+              SELECT DISTINCT doc_id, ng FROM (
+                SELECT doc_id,
+                       unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               for i in range(1, greatest(len(ws) - 1, 1))])
+                       AS ng
+                FROM toks)),
+            df AS (SELECT ng, count(*) AS c FROM ngrams GROUP BY ng),
+            surv AS (SELECT n.doc_id, n.ng FROM ngrams n
+                     JOIN df USING (ng) WHERE df.c <= 32),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM surv
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     count(*) AS n_common
+              FROM surv a JOIN surv b
+                ON a.ng = b.ng AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT round(i.n_common / (sa.sz + sb.sz - i.n_common), 6)
+                       AS j
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.left_id
+                           JOIN sizes sb ON sb.doc_id = i.right_id
+              WHERE i.n_common / (sa.sz + sb.sz - i.n_common) >= 0.1)
+            SELECT CAST(floor(j * 10) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM scored GROUP BY 1 ORDER BY 1""",
     }

@@ -3444,6 +3444,54 @@ def test_assoc_triples_matches_combinations(ray_session, tmp_path):
     assert got_rows == top
 
 
+def test_jaccard_histogram_multi_bin(ray_session, tmp_path):
+    """Planted pairs at different overlap levels land in different
+    decile bins; counts match brute-force trigram-set Jaccard."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    def words(tag, n):
+        return [f"{tag}{i}" for i in range(n)]
+
+    texts = {
+        1: " ".join(words("a", 12)),
+        2: " ".join(words("a", 12)),            # exact dup of 1
+        3: " ".join(words("a", 8) + words("x", 4)),   # partial overlap
+        4: " ".join(words("q", 12)),            # disjoint
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts.values()],
+                            pa.int64())}),
+        f"{tmp_path}/documents.parquet")
+
+    def tri(t):
+        ws = t.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    import collections
+    want = collections.Counter()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        A, B = tri(texts[a]), tri(texts[b])
+        inter = len(A & B)
+        if not inter:
+            continue
+        j = round(inter / (len(A) + len(B) - inter), 6)
+        if j >= 0.1:
+            want[int(np.floor(j * 10))] += 1
+    got = entrymod.queries()["jaccard_histogram"](str(tmp_path))
+    assert dict(zip(got["bin"], got["n_pairs"])) == dict(want)
+    assert len(want) >= 2  # the fixture actually spans bins
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
