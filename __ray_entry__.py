@@ -11375,6 +11375,101 @@ def q_jaccard_histogram(sf_dir: str):
     return out.sort_values("bin").reset_index(drop=True)
 
 
+def q_survival_km(sf_dir: str):
+    """KAPLAN-MEIER survival of view→purchase conversion: per user,
+    duration = days from FIRST VIEW to the first purchase at/after it
+    (event) or to their last event (right-censored). One per-user
+    partition pass computes (duration, event) via masked reduceat
+    minima; the (duration × flag) count grid is calendar-bounded, so
+    risk sets and the running log-survival build on the driver. The
+    curve is carried as INTEGER nano-nats — each step's
+    ln(1 − d/n) is half-up rounded BEFORE the cumulative sum (the
+    term_keyness/geo-mean convention), so both engines agree exactly;
+    a step that empties the risk set (d = n) takes the −10¹⁵ sentinel
+    instead of ln(0)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    DAY = 86_400_000_000
+    BIG = np.int64(1 << 62)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "t": pa.array(ts_us(batch.column("ts")), pa.int64()),
+            "event_type": batch.column("event_type")})
+
+    def durations(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        empty = pa.table({"d": pa.array([], pa.int64()),
+                          "ev": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if not len(u):
+            return empty
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        starts = segment_starts(u)
+        lens = segment_lengths(starts, len(u))
+        seg = np.searchsorted(starts, np.arange(len(u)),
+                              side="right") - 1
+        tv = np.minimum.reduceat(
+            np.where(et == "view", ts, BIG), starts)
+        has_view = tv < BIG
+        tv_rep = tv[seg]
+        tp = np.minimum.reduceat(
+            np.where((et == "purchase") & (ts >= tv_rep), ts, BIG),
+            starts)
+        tl = np.maximum.reduceat(ts, starts)
+        ev = (tp < BIG) & has_view
+        end = np.where(ev, tp, tl)
+        d = (end - tv) // DAY
+        g = pa.table({"d": pa.array(d[has_view], pa.int64()),
+                      "ev": pa.array(ev[has_view].astype(np.int64),
+                                     pa.int64())}).group_by(
+            ["d", "ev"]).aggregate([([], "count_all")])
+        return pa.table({"d": g.column("d"), "ev": g.column("ev"),
+                         "n": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    grid = map_key_partitions(ev, "user_id", durations,
+                              sort_cols=["t"]).groupby(
+        ["d", "ev"]).aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    total = int(grid["n"].sum())
+    by_d = grid.groupby("d")["n"].sum().sort_index()
+    events = grid[grid["ev"] == 1].set_index("d")["n"].sort_index()
+    # n_risk at t = users with duration >= t
+    durs = by_d.index.to_numpy(dtype=np.int64)
+    cum_below = np.concatenate(([0], np.cumsum(
+        by_d.to_numpy(dtype=np.int64))))
+    rows, km = [], 0
+    for t_days, n_ev in events.items():
+        n_risk = total - int(cum_below[np.searchsorted(durs, t_days)])
+        if int(n_ev) == n_risk:
+            term = -1_000_000_000_000_000
+        else:
+            term = int(math.floor(
+                math.log(1.0 - float(int(n_ev)) / n_risk) * 1e9 + 0.5))
+        km += term
+        rows.append({"t_days": int(t_days), "n_risk": n_risk,
+                     "n_events": int(n_ev), "log_surv_nano": km})
+    return pd.DataFrame(rows, columns=["t_days", "n_risk", "n_events",
+                                       "log_surv_nano"]).astype(
+        {"t_days": "int64", "n_risk": "int64", "n_events": "int64",
+         "log_surv_nano": "int64"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11620,6 +11715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_seasonality": q_monthly_seasonality,
         "assoc_triples": q_assoc_triples,
         "jaccard_histogram": q_jaccard_histogram,
+        "survival_km": q_survival_km,
     }
 
 
@@ -14428,4 +14524,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(j * 10) AS BIGINT) AS bin,
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM scored GROUP BY 1 ORDER BY 1""",
+        "survival_km": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t "
+            "FROM events), "
+            "fv AS (SELECT user_id, min(t) AS tv FROM e "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "fp AS (SELECT e.user_id, min(e.t) AS tp FROM e "
+            "JOIN fv USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.t >= fv.tv GROUP BY 1), "
+            "le AS (SELECT user_id, max(t) AS tl FROM e GROUP BY 1), "
+            "du AS (SELECT fv.user_id, CASE WHEN fp.tp IS NOT NULL "
+            "THEN (fp.tp - fv.tv) // 86400000000 "
+            "ELSE (le.tl - fv.tv) // 86400000000 END AS d, "
+            "CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS ev "
+            "FROM fv JOIN le USING (user_id) "
+            "LEFT JOIN fp ON fp.user_id = fv.user_id), "
+            "evt AS (SELECT d AS t_days, CAST(sum(ev) AS BIGINT) "
+            "AS n_events FROM du GROUP BY 1 HAVING sum(ev) > 0), "
+            "risk AS (SELECT t_days, n_events, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM du "
+            "WHERE du.d >= evt.t_days) AS n_risk FROM evt), "
+            "term AS (SELECT t_days, n_risk, n_events, "
+            "CASE WHEN n_events = n_risk THEN -1000000000000000 "
+            "ELSE CAST(floor(ln(1.0 - CAST(n_events AS DOUBLE) "
+            "/ n_risk) * 1000000000 + 0.5) AS BIGINT) END AS trm "
+            "FROM risk) "
+            "SELECT t_days, n_risk, n_events, "
+            "CAST(sum(trm) OVER (ORDER BY t_days) AS BIGINT) "
+            "AS log_surv_nano FROM term ORDER BY t_days"),
     }

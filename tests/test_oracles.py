@@ -42,7 +42,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "degree_assortativity", "scd2_history", "event_rle",
         "media_dimensions", "zonemap_prune", "funnel_1h",
         "kcore_items", "mutual_nn", "monthly_seasonality",
-        "assoc_triples", "jaccard_histogram"]
+        "assoc_triples", "jaccard_histogram", "survival_km"]
 
 
 @pytest.fixture(scope="module")

@@ -3492,6 +3492,41 @@ def test_jaccard_histogram_multi_bin(ray_session, tmp_path):
     assert len(want) >= 2  # the fixture actually spans bins
 
 
+def test_survival_km_hand_computed(ray_session, tmp_path):
+    """3 users: A converts day 1, B censored day 2, C converts day 3.
+    KM: t=1 risk 3 event 1 (ln 2/3); t=3 risk 1 event 1 → risk-set
+    exhaustion sentinel. Censoring between event times shrinks the
+    later risk set but adds no step."""
+    import datetime as dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+
+    def add(uid, etype, days, eid):
+        rows.append({"event_id": eid, "ts": t0 + dt.timedelta(days=days),
+                     "user_id": uid, "event_type": etype, "value": 0.0,
+                     "props": "{}"})
+
+    add(1, "view", 0, 1)
+    add(1, "purchase", 1, 2)
+    add(2, "view", 0, 3)
+    add(2, "click", 2, 4)      # censored at day 2
+    add(3, "view", 0, 5)
+    add(3, "purchase", 3, 6)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["survival_km"](str(tmp_path))
+    t1 = int(math.floor(math.log(1.0 - 1.0 / 3) * 1e9 + 0.5))
+    want = [(1, 3, 1, t1), (3, 1, 1, t1 - 1_000_000_000_000_000)]
+    assert [tuple(r) for r in got.to_numpy()] == want
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
