@@ -11470,6 +11470,91 @@ def q_survival_km(sf_dir: str):
          "log_surv_nano": "int64"})
 
 
+def q_late_events(sf_dir: str):
+    """Streaming WATERMARK audit: an event is LATE if its timestamp
+    is > 1 h behind the running max timestamp over arrival order
+    (event_id) — the out-of-orderness measure that sizes a streaming
+    pipeline's allowed lateness. The running max is a distributed
+    ordered MAX-SCAN (the keyed_prefix_sum two-phase shape, max
+    instead of sum): per-batch per-bucket maxima → driver exclusive
+    prefix-max over the BOUNDED bucket axis, broadcast → one shuffle
+    co-locates each bucket, intra-bucket exclusive cummax finishes
+    exactly. Output: per event-day totals and late counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts, ts_us)
+
+    WIDTH = 100_000
+    LATE_US = 3_600_000_000
+    DAY = 86_400_000_000
+    NEG = -(1 << 62)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch.column("event_id"), pa.int64())
+        return pa.table({
+            "bucket": pc.divide(eid, WIDTH),
+            "event_id": eid,
+            "t": pa.array(ts_us(batch.column("ts")), pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow").materialize()  # consumed twice
+
+    def bucket_max(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("bucket").aggregate([("t", "max")])
+        return g.rename_columns(["bucket", "tmax"])
+
+    bm = ev.map_batches(bucket_max, batch_format="pyarrow").to_pandas()
+    bm = bm.groupby("bucket")["tmax"].max().sort_index()
+    bids = bm.index.to_numpy(dtype=np.int64)
+    # exclusive prefix-max across buckets (bounded axis, driver-side)
+    pmax = np.concatenate(([NEG], np.maximum.accumulate(
+        bm.to_numpy(dtype=np.int64))[:-1]))
+    ref = ray.put((bids, pmax))
+
+    def lateness(t: pa.Table) -> pa.Table:
+        empty = pa.table({"day": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "n_late": pa.array([], pa.int64())})
+        if not len(t):
+            return empty
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        bids_, pmax_ = ray.get(ref)
+        starts = segment_starts(b)
+        # per-bucket exclusive cummax seeded with the cross-bucket
+        # prefix max; the loop is over BUCKETS in this partition
+        # (bounded by event_id range / WIDTH), not rows
+        wm = np.empty_like(ts)
+        for i, s in enumerate(starts):
+            e = starts[i + 1] if i + 1 < len(starts) else len(ts)
+            base = pmax_[np.searchsorted(bids_, b[s])]
+            wm[s] = base
+            if e - s > 1:
+                wm[s + 1:e] = np.maximum(
+                    np.maximum.accumulate(ts[s:e - 1]), base)
+        late = (wm != NEG) & (ts < wm - LATE_US)
+        g = pa.table({"day": pa.array(ts // DAY, pa.int64()),
+                      "n_events": pa.array(np.ones(len(ts), np.int64)),
+                      "n_late": pa.array(late.astype(np.int64),
+                                         pa.int64())}).group_by(
+            "day").aggregate([("n_events", "sum"), ("n_late", "sum")])
+        return g.rename_columns(["day", "n_events", "n_late"])
+
+    out = map_key_partitions(ev, "bucket", lateness,
+                             sort_cols=["event_id"]).groupby(
+        "day").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_late", alias_name="n_late")).to_pandas()
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11716,6 +11801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_triples": q_assoc_triples,
         "jaccard_histogram": q_jaccard_histogram,
         "survival_km": q_survival_km,
+        "late_events": q_late_events,
     }
 
 
@@ -14552,4 +14638,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t_days, n_risk, n_events, "
             "CAST(sum(trm) OVER (ORDER BY t_days) AS BIGINT) "
             "AS log_surv_nano FROM term ORDER BY t_days"),
+        "late_events": (
+            "WITH o AS (SELECT event_id, epoch_us(ts) AS t "
+            "FROM events), "
+            "w AS (SELECT event_id, t, max(t) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+            "FROM o) "
+            "SELECT t // 86400000000 AS day, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(*) FILTER (WHERE wm IS NOT NULL "
+            "AND t < wm - 3600000000) AS BIGINT) AS n_late "
+            "FROM w GROUP BY 1 ORDER BY 1"),
     }

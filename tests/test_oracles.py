@@ -42,7 +42,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "degree_assortativity", "scd2_history", "event_rle",
         "media_dimensions", "zonemap_prune", "funnel_1h",
         "kcore_items", "mutual_nn", "monthly_seasonality",
-        "assoc_triples", "jaccard_histogram", "survival_km"]
+        "assoc_triples", "jaccard_histogram", "survival_km",
+        "late_events"]
 
 
 @pytest.fixture(scope="module")

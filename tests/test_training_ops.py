@@ -3527,6 +3527,35 @@ def test_survival_km_hand_computed(ray_session, tmp_path):
     assert [tuple(r) for r in got.to_numpy()] == want
 
 
+def test_late_events_cross_bucket_watermark(ray_session, tmp_path):
+    """The watermark must cross scan-bucket boundaries: event_ids are
+    spread WIDTH apart so each lands in its own bucket, and a late
+    event in a later bucket is caught by the cross-bucket prefix max
+    (an intra-bucket-only cummax would miss it). The global first
+    event is never late."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 5)
+    rows = [
+        # (event_id, hours): arrival order ≠ time order
+        (1, 0.0), (100_001, 5.0), (200_001, 3.0),  # 3.0 < 5.0-1h → late
+        (300_001, 5.5), (400_001, 4.9),            # 4.9 > 5.5-1h → ok
+    ]
+    pq.write_table(pa.Table.from_pylist(
+        [{"event_id": eid, "ts": t0 + dt.timedelta(hours=h),
+          "user_id": 1, "event_type": "view", "value": 0.0,
+          "props": "{}"} for eid, h in rows]),
+        f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["late_events"](str(tmp_path))
+    assert int(got["n_events"].sum()) == 5
+    assert int(got["n_late"].sum()) == 1
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
