@@ -11555,6 +11555,69 @@ def q_late_events(sf_dir: str):
     return out.sort_values("day").reset_index(drop=True)
 
 
+def q_ndcg_eval(sf_dir: str):
+    """RETRIEVAL EVALUATION: nDCG@20 of the BM25 ranking against
+    boolean-AND relevance (docs containing ALL query terms) — both
+    legs fully SQL-expressible, so the metric has a true independent
+    oracle (unlike recall-vs-snapshot checks). Discount terms
+    1/log2(i+1) are half-up nano-ints summed in rank order; ideal DCG
+    uses min(20, |gold|) positions; ndcg_ppm is exact integer
+    division. Gold membership of the 20 ranked docs is a tiny pushed
+    is_in read — |gold| itself is a distributed count."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.retrieval import bm25_topk
+
+    K = 20
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    lex = bm25_topk(docs, list(_BM25_TERMS), k=K).take_all()
+    lex.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    ranked = [int(r["doc_id"]) for r in lex]
+
+    def and_flag(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch.column("text"))
+        flag = None
+        for term in _BM25_TERMS:
+            m = pc.match_substring_regex(
+                low, rf"(?:^|\s){term}(?:\s|$)")
+            flag = m if flag is None else pc.and_(flag, m)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "g": pc.cast(flag, pa.int64())})
+
+    flags = docs.map_batches(and_flag,
+                             batch_format="pyarrow").materialize()
+    n_gold = int(flags.sum("g"))
+    rset = pa.array(ranked, pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(
+            pc.is_in(t.column("doc_id"), value_set=rset),
+            pc.equal(t.column("g"), 1)))
+
+    in_ranked = flags.map_batches(pick,
+                                  batch_format="pyarrow").to_pandas()
+    gold_ranked = set(in_ranked["doc_id"].astype("int64"))
+
+    def nano_disc(i: int) -> int:
+        return math.floor(1e9 / math.log2(i + 1.0) + 0.5)
+
+    dcg = sum(nano_disc(i) for i, d in enumerate(ranked, start=1)
+              if d in gold_ranked)
+    idcg = sum(nano_disc(i) for i in range(1, min(K, n_gold) + 1))
+    return pd.DataFrame({
+        "n_gold": pd.Series([n_gold], dtype="int64"),
+        "dcg_nano": pd.Series([dcg], dtype="int64"),
+        "idcg_nano": pd.Series([idcg], dtype="int64"),
+        "ndcg_ppm": pd.Series([(1_000_000 * dcg) // idcg],
+                              dtype="int64")})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11802,6 +11865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_histogram": q_jaccard_histogram,
         "survival_km": q_survival_km,
         "late_events": q_late_events,
+        "ndcg_eval": q_ndcg_eval,
     }
 
 
@@ -14649,4 +14713,51 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) FILTER (WHERE wm IS NOT NULL "
             "AND t < wm - 3600000000) AS BIGINT) AS n_late "
             "FROM w GROUP BY 1 ORDER BY 1"),
+        "ndcg_eval": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            q AS (SELECT unnest(['batch', 'hash', 'scan']) AS term),
+            stats AS (SELECT count(*) AS n, avg(len(ws)) AS avgdl
+                      FROM toks),
+            tf AS (SELECT t.doc_id, w.word AS term,
+                          CAST(count(*) AS BIGINT) AS tf,
+                          any_value(len(t.ws)) AS dl
+                   FROM toks t, unnest(t.ws) AS w(word)
+                   WHERE w.word IN (SELECT term FROM q)
+                   GROUP BY t.doc_id, w.word),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * tf.dl / s.avgdl)))
+                       AS raw
+              FROM tf JOIN df USING (term), stats s
+              GROUP BY tf.doc_id),
+            r AS (SELECT doc_id, row_number() OVER (
+                    ORDER BY floor(raw * 1e6 + 0.5) / 1e6 DESC, doc_id)
+                    AS rnk
+                  FROM scored ORDER BY rnk LIMIT 20),
+            gold AS (SELECT doc_id FROM toks
+                     WHERE list_contains(ws, 'batch')
+                       AND list_contains(ws, 'hash')
+                       AND list_contains(ws, 'scan')),
+            ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+            dcg AS (SELECT CAST(coalesce(sum(CAST(floor(
+                      1000000000.0 / log2(rnk + 1.0) + 0.5)
+                      AS BIGINT)), 0) AS BIGINT) AS dcg_nano
+                    FROM r WHERE doc_id IN (SELECT doc_id FROM gold)),
+            idcg AS (SELECT CAST(sum(CAST(floor(
+                       1000000000.0 / log2(i + 1.0) + 0.5)
+                       AS BIGINT)) AS BIGINT) AS idcg_nano
+                     FROM range(1, 21) t(i)
+                     WHERE i <= (SELECT least(20, n_gold) FROM ng))
+            SELECT n_gold, dcg_nano, idcg_nano,
+                   (1000000 * dcg_nano) // idcg_nano AS ndcg_ppm
+            FROM ng, dcg, idcg""",
     }
