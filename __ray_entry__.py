@@ -10257,6 +10257,7 @@ def q_link_prediction(sf_dir: str):
     import math
 
     import numpy as np
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -10343,6 +10344,10 @@ def q_link_prediction(sf_dir: str):
 
     df = cand.map_batches(partial_topk, batch_format="pyarrow",
                           batch_size=8192).to_pandas()
+    if df.empty:  # complete graph: every wedge pair is an edge
+        df = pd.DataFrame({"pk": pd.Series([], dtype="int64"),
+                           "score_nano": pd.Series([], dtype="int64"),
+                           "n_common": pd.Series([], dtype="int64")})
     df = df.sort_values(["score_nano", "pk"],
                         ascending=[False, True]).head(K)
     pk = df["pk"].to_numpy(dtype=np.int64)
@@ -10688,8 +10693,12 @@ def q_degree_assortativity(sf_dir: str):
     num = float(n) * float(sxy) - float(sx) * float(sy)
     den = math.sqrt((float(n) * float(sxx) - float(sx) * float(sx))
                     * (float(n) * float(syy) - float(sy) * float(sy)))
+    # a REGULAR graph (every degree equal — e.g. complete) has zero
+    # degree variance: assortativity is undefined; DuckDB yields NULL
+    # on /0, so mirror with None (caught by the sf1 complete graph)
+    r = num / den if den != 0.0 else None
     return pd.DataFrame({"n_edges": [int(n) // 2],
-                         "assortativity": [num / den]})
+                         "assortativity": [r]})
 
 
 def q_scd2_history(sf_dir: str):
