@@ -11627,6 +11627,103 @@ def q_ndcg_eval(sf_dir: str):
                               dtype="int64")})
 
 
+def q_nucleus_vocab(sf_dir: str):
+    """NUCLEUS (top-p) vocabulary cut per language: the smallest count
+    of distinct terms — taken in (count desc, term asc) order — whose
+    cumulative mass reaches half of the lang's token mass, plus the
+    exact mass those terms cover. Term counts are one (lang, term)
+    combiner shuffle; each lang's ordered cumsum runs inside its hash
+    partition (vocab per partition is term-scale, the per-lang sort is
+    the same work the top-terms family already does). All integer."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        lang = pc.take(batch.column("lang"), parent)
+        mask = pc.not_equal(flat, "")
+        g = pa.table({"lang": pc.take(lang, pc.indices_nonzero(mask)),
+                      "term": pc.take(flat, pc.indices_nonzero(mask)),
+                      }).group_by(["lang", "term"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "term": g.column("term"),
+                         "c": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    tc = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["lang", "text"]).map_batches(
+            counts, batch_format="pyarrow"),
+        "lang", [("c", "sum", "c")], group_cols=["lang", "term"])
+
+    def nucleus(t: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "vocab_size": pa.array([], pa.int64()),
+                          "nucleus_terms": pa.array([], pa.int64()),
+                          "nucleus_mass": pa.array([], pa.int64()),
+                          "total_mass": pa.array([], pa.int64())})
+        if not len(t):
+            return empty
+        df = t.select(["lang", "term", "c"]).to_pandas()
+        rows = []
+        for lang, g in df.groupby("lang", sort=True):
+            g = g.sort_values(["c", "term"],
+                              ascending=[False, True])
+            c = g["c"].to_numpy(dtype=np.int64)
+            total = int(c.sum())
+            cum = np.cumsum(c)
+            # smallest k with 2*cum[k-1] >= total (exact half rule)
+            k = int(np.searchsorted(2 * cum, total, side="left")) + 1
+            rows.append({"lang": lang, "vocab_size": len(c),
+                         "nucleus_terms": k,
+                         "nucleus_mass": int(cum[k - 1]),
+                         "total_mass": total})
+        out = pd.DataFrame(rows)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = map_key_partitions(tc, "lang", nucleus).to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact PHRASE query (positional match, not bag-of-words): docs
+    whose token stream contains the consecutive phrase "batch hash" —
+    one vectorized RE2 pass per batch, whitespace-tokenization
+    boundaries mirrored exactly by the SQL twin's regexp. Output:
+    per-source match counts (the phrase-filter aggregate shape)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    PAT = r"(?:^|\s)batch\s+hash(?:\s|$)"
+
+    def flags(batch: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(
+            pc.utf8_lower(batch.column("text")), PAT)
+        g = pa.table({"source": batch.column("source"),
+                      "n_docs": pa.array(np.ones(len(batch), np.int64)),
+                      "n_match": pc.cast(m, pa.int64())}).group_by(
+            "source").aggregate([("n_docs", "sum"), ("n_match", "sum")])
+        return g.rename_columns(["source", "n_docs", "n_match"])
+
+    out = _read_pq(f"{sf_dir}/documents.parquet",
+                   columns=["source", "text"]).map_batches(
+        flags, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_match", alias_name="n_match")).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11875,6 +11972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survival_km": q_survival_km,
         "late_events": q_late_events,
         "ndcg_eval": q_ndcg_eval,
+        "nucleus_vocab": q_nucleus_vocab,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -14769,4 +14868,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_gold, dcg_nano, idcg_nano,
                    (1000000 * dcg_nano) // idcg_nano AS ndcg_ppm
             FROM ng, dcg, idcg""",
+        "nucleus_vocab": r"""
+            WITH toks AS (
+              SELECT lang,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            words AS (SELECT lang, unnest(ws) AS term FROM toks),
+            tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+                   FROM words GROUP BY 1, 2),
+            r AS (SELECT lang, term, c,
+                    CAST(sum(c) OVER (PARTITION BY lang
+                         ORDER BY c DESC, term) AS BIGINT) AS cum,
+                    row_number() OVER (PARTITION BY lang
+                         ORDER BY c DESC, term) AS rn,
+                    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT)
+                      AS total,
+                    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                      AS vs
+                  FROM tc),
+            k AS (SELECT lang, any_value(vs) AS vocab_size,
+                         CAST(min(rn) AS BIGINT) AS nucleus_terms,
+                         any_value(total) AS total_mass
+                  FROM r WHERE 2 * cum >= total GROUP BY 1)
+            SELECT k.lang, k.vocab_size, k.nucleus_terms,
+                   r.cum AS nucleus_mass, k.total_mass
+            FROM k JOIN r ON r.lang = k.lang AND r.rn = k.nucleus_terms
+            ORDER BY k.lang""",
+        "phrase_search": (
+            r"SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            r"CAST(count(*) FILTER (WHERE regexp_matches(lower(text), "
+            r"'(?:^|\s)batch\s+hash(?:\s|$)')) AS BIGINT) AS n_match "
+            r"FROM documents GROUP BY 1 ORDER BY 1"),
     }
