@@ -11724,6 +11724,120 @@ def q_phrase_search(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_title_entity_clusters(sf_dir: str):
+    """ENTITY RESOLUTION end-to-end with an INDEPENDENT oracle (the
+    LSH dedup clusterings are snapshot-pinned; this one is not):
+    edit-distance-1 title pairs (SymSpell deletion blocking, complete)
+    → connected components by MIN-LABEL propagation over the STRING
+    keys — per round one keyed exchange attaches each endpoint's
+    current label to its neighbors and a hash_agg min re-labels;
+    convergence is a tagged-union changed-row count; bounded at 64
+    rounds (≥ component diameter; edit-1 title chains longer than
+    that are pathological) with a loud failure. Survivorship: the
+    lexicographic MIN member is the canonical record. The SQL twin
+    re-derives pairs by brute-force levenshtein and runs the same
+    propagation as a recursive CTE."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.fuzzy import edit1_join
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions)
+
+    def titles(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.utf8_slice_codeunits(
+            batch.column("text"), 0, 12))
+        return pa.table({"title": t.filter(pc.not_equal(t, ""))})
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["text"]).map_batches(
+        titles, batch_format="pyarrow")
+    pairs = edit1_join(ds, "title").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t.column("left").combine_chunks(),
+                                 t.column("right").combine_chunks()])
+        g = pa.table({"node": vals}).group_by("node").aggregate(
+            [([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "label": g.column("node")})
+
+    labels = hash_agg(
+        pairs.map_batches(init_labels, batch_format="pyarrow"),
+        "node", [("label", "min", "label")]).materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        l = t.column("left").combine_chunks()
+        r = t.column("right").combine_chunks()
+        return pa.table({
+            "node": pa.concat_arrays([l, r]),
+            "other": pa.concat_arrays([r, l]),
+            "label": pa.nulls(2 * len(t), pa.string())})
+
+    for _ in range(64):
+        tagged = labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "other": pa.nulls(len(t), pa.string()),
+                                "label": t.column("label")}),
+            batch_format="pyarrow").union(
+            pairs.map_batches(edge_rows, batch_format="pyarrow"))
+
+        def propagate(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            other = t.column("other").to_numpy(zero_copy_only=False)
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            if not len(node):
+                return pa.table({"node": pa.array([], pa.string()),
+                                 "label": pa.array([], pa.string())})
+            # rows sorted by node; each node's single label row
+            # (other is null) seeds its segment
+            from magic_content_extractor_ray.stages.window import (
+                segment_lengths, segment_starts)
+
+            is_lab = pd.isna(other)
+            starts = segment_starts(node)
+            seg = np.searchsorted(starts, np.arange(len(node)),
+                                  side="right") - 1
+            seg_label = np.empty(len(starts), dtype=object)
+            seg_label[seg[is_lab]] = lab[is_lab]
+            out_n, out_l = [node[starts]], [seg_label]
+            em = ~is_lab
+            if em.any():
+                out_n.append(other[em])
+                out_l.append(seg_label[seg[em]])
+            return pa.table({
+                "node": pa.array(np.concatenate(out_n), pa.string()),
+                "label": pa.array(np.concatenate(out_l), pa.string())})
+
+        new_labels = hash_agg(
+            map_key_partitions(tagged, "node", propagate),
+            "node", [("label", "min", "label")]).materialize()
+        # convergence: any (node, label) row not present twice changed
+        changed = hash_agg(
+            labels.union(new_labels).map_batches(
+                lambda t: t.append_column("one", pa.array(
+                    np.ones(len(t), np.int64))),
+                batch_format="pyarrow"),
+            "node", [("one", "sum", "n")],
+            group_cols=["node", "label"]).filter(
+            lambda r: r["n"] == 1).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 64 "
+                           "rounds")
+
+    out = hash_agg(labels.map_batches(
+        lambda t: t.append_column("one", pa.array(
+            np.ones(len(t), np.int64))), batch_format="pyarrow"),
+        "label", [("one", "sum", "n_members")]).to_pandas()
+    out = out.rename(columns={"label": "canonical_title"})
+    return out.sort_values("canonical_title").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -11974,6 +12088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndcg_eval": q_ndcg_eval,
         "nucleus_vocab": q_nucleus_vocab,
         "phrase_search": q_phrase_search,
+        "title_entity_clusters": q_title_entity_clusters,
     }
 
 
@@ -14900,4 +15015,35 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(count(*) FILTER (WHERE regexp_matches(lower(text), "
             r"'(?:^|\s)batch\s+hash(?:\s|$)')) AS BIGINT) AS n_match "
             r"FROM documents GROUP BY 1 ORDER BY 1"),
+        "title_entity_clusters": r"""
+            WITH RECURSIVE t AS (
+              SELECT DISTINCT lower(substr(text, 1, 12)) AS title
+              FROM documents WHERE text IS NOT NULL),
+            d AS (SELECT title FROM t WHERE title <> ''),
+            e AS (SELECT a.title AS l, b.title AS r
+                  FROM d a JOIN d b ON a.title < b.title
+                  WHERE levenshtein(a.title, b.title) = 1),
+            lab AS (
+              SELECT node, node AS label FROM
+                (SELECT l AS node FROM e UNION SELECT r FROM e)
+              UNION ALL
+              SELECT node, label FROM (
+                WITH cur AS (SELECT node, label FROM lab),
+                prop AS (
+                  SELECT node, label FROM cur
+                  UNION ALL SELECT e.r, cur.label FROM e
+                            JOIN cur ON cur.node = e.l
+                  UNION ALL SELECT e.l, cur.label FROM e
+                            JOIN cur ON cur.node = e.r),
+                nl AS (SELECT node, min(label) AS label FROM prop
+                       GROUP BY 1)
+                SELECT nl.node, nl.label FROM nl
+                WHERE EXISTS (SELECT 1 FROM nl n2
+                              JOIN cur c ON c.node = n2.node
+                              WHERE n2.label < c.label))),
+            fin AS (SELECT node, min(label) AS label FROM lab
+                    GROUP BY 1)
+            SELECT label AS canonical_title,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM fin GROUP BY 1 ORDER BY 1""",
     }

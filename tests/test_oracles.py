@@ -43,7 +43,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "media_dimensions", "zonemap_prune", "funnel_1h",
         "kcore_items", "mutual_nn", "monthly_seasonality",
         "assoc_triples", "jaccard_histogram", "survival_km",
-        "late_events", "ndcg_eval", "nucleus_vocab", "phrase_search"]
+        "late_events", "ndcg_eval", "nucleus_vocab", "phrase_search",
+        "title_entity_clusters"]
 
 
 @pytest.fixture(scope="module")

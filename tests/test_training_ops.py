@@ -3556,6 +3556,33 @@ def test_late_events_cross_bucket_watermark(ray_session, tmp_path):
     assert int(got["n_late"].sum()) == 1
 
 
+def test_title_entity_clusters_transitive_chain(ray_session,
+                                                tmp_path):
+    """A 4-link edit-1 chain (each neighbor 1 edit apart, ends 4
+    apart) must merge into ONE cluster via multi-round label
+    propagation, canonical = lexicographic min; an unrelated pair
+    stays its own cluster."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    chain = ["aaaaaaaaaaaa", "aaaaaaaaaaab", "aaaaaaaaaabb",
+             "aaaaaaaaabbb", "aaaaaaaabbbb"]
+    other = ["zzzzzzzzzzzz", "zzzzzzzzzzzy"]
+    texts = [t + " tail words here" for t in chain + other]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        f"{tmp_path}/documents.parquet")
+    got = entrymod.queries()["title_entity_clusters"](str(tmp_path))
+    rows = dict(zip(got["canonical_title"], got["n_members"]))
+    assert rows == {"aaaaaaaaaaaa": 5, "zzzzzzzzzzzy": 2}
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
