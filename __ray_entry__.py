@@ -11838,6 +11838,116 @@ def q_title_entity_clusters(sf_dir: str):
     return out.sort_values("canonical_title").reset_index(drop=True)
 
 
+def q_popularity_hitrate(sf_dir: str):
+    """Recommender EVALUATION with a TEMPORAL SPLIT (train < day
+    19743 = 2024-01-21 < test): the popularity baseline recommends
+    each user the first 3 of the train-window global top-20 items
+    (by distinct viewers, ties item asc) they have NOT viewed in
+    train; hit-rate@3 = share of test-purchasing users with ≥1
+    recommended item among their test purchases. The top-20 list is
+    catalog-sized and broadcast; seen-sets and gold-sets live in one
+    per-user partition pass. Floor-ppm hit rate; fully
+    SQL-expressible, so the eval has a true independent oracle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_starts, ts_us)
+
+    SPLIT_DAY = 19743
+    TOPN = 20
+    K = 3
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["view", "purchase"]))
+        t = batch.filter(mask)
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        item = pc.cast(pc.struct_field(pc.extract_regex(
+            col, r'"k":\s*(?P<k>-?\d+)'), "k"), pa.int64())
+        day = pa.array(ts_us(t.column("ts")) // 86_400_000_000,
+                       pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "item": item, "day": day,
+            "event_type": t.column("event_type")})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type", "props"]
+                  ).map_batches(prep,
+                                batch_format="pyarrow").materialize()
+
+    # train-window global popularity: distinct (user, item) viewers
+    def train_views(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("event_type"), "view"),
+                    pc.less(t.column("day"), SPLIT_DAY))
+        f = t.filter(m)
+        return pa.table({"user_id": f.column("user_id"),
+                         "item": f.column("item")}).group_by(
+            ["user_id", "item"]).aggregate([])
+
+    def one(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return t.append_column("one", pa.array(
+            np.ones(len(t), np.int64)))
+
+    distinct_ui = hash_agg(
+        ev.map_batches(train_views, batch_format="pyarrow"
+                       ).map_batches(one, batch_format="pyarrow"),
+        "user_id", [("one", "max", "one")],
+        group_cols=["user_id", "item"])
+    pop = hash_agg(distinct_ui, "item", [("one", "sum", "n")]
+                   ).to_pandas()
+    pop = pop.sort_values(["n", "item"],
+                          ascending=[False, True]).head(TOPN)
+    top_items = pop["item"].to_numpy(dtype=np.int64)
+    ref = ray.put(top_items)
+
+    def hits(t: pa.Table) -> pa.Table:
+        empty = pa.table({"n_users": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if not len(u):
+            return empty
+        it = t.column("item").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        top = ray.get(ref)
+        starts = segment_starts(u)
+        ends = np.r_[starts[1:], len(u)]
+        n_users = n_hits = 0
+        for s, e in zip(starts, ends):
+            sl = slice(s, e)
+            gold = set(it[sl][(et[sl] == "purchase")
+                              & (day[sl] >= SPLIT_DAY)].tolist())
+            if not gold:
+                continue
+            seen = set(it[sl][(et[sl] == "view")
+                              & (day[sl] < SPLIT_DAY)].tolist())
+            recs = [x for x in top if x not in seen][:K]
+            n_users += 1
+            n_hits += int(any(x in gold for x in recs))
+        return pa.table({"n_users": pa.array([n_users], pa.int64()),
+                         "n_hits": pa.array([n_hits], pa.int64())})
+
+    agg = map_key_partitions(ev, "user_id", hits).aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("n_hits", alias_name="n_hits"))
+    n_users, n_hits = int(agg["n_users"]), int(agg["n_hits"])
+    return pd.DataFrame({
+        "n_users": pd.Series([n_users], dtype="int64"),
+        "n_hits": pd.Series([n_hits], dtype="int64"),
+        "hitrate_ppm": pd.Series([(1_000_000 * n_hits) // n_users],
+                                 dtype="int64")})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12089,6 +12199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nucleus_vocab": q_nucleus_vocab,
         "phrase_search": q_phrase_search,
         "title_entity_clusters": q_title_entity_clusters,
+        "popularity_hitrate": q_popularity_hitrate,
     }
 
 
@@ -15046,4 +15157,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT label AS canonical_title,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM fin GROUP BY 1 ORDER BY 1""",
+        "popularity_hitrate": (
+            "WITH e AS (SELECT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item, "
+            "epoch_us(ts) // 86400000000 AS day, event_type "
+            "FROM events WHERE event_type IN ('view', 'purchase')), "
+            "tv AS (SELECT DISTINCT user_id, item FROM e "
+            "WHERE event_type = 'view' AND day < 19743), "
+            "pop AS (SELECT item, count(*) AS n FROM tv GROUP BY 1 "
+            "ORDER BY n DESC, item LIMIT 20), "
+            "ranked AS (SELECT item, row_number() OVER "
+            "(ORDER BY n DESC, item) AS rnk FROM pop), "
+            "gold AS (SELECT DISTINCT user_id, item FROM e "
+            "WHERE event_type = 'purchase' AND day >= 19743), "
+            "gu AS (SELECT DISTINCT user_id FROM gold), "
+            "recs AS (SELECT gu.user_id, r.item, row_number() OVER "
+            "(PARTITION BY gu.user_id ORDER BY r.rnk) AS k "
+            "FROM gu CROSS JOIN ranked r "
+            "WHERE NOT EXISTS (SELECT 1 FROM tv "
+            "WHERE tv.user_id = gu.user_id AND tv.item = r.item)), "
+            "hit AS (SELECT gu.user_id, "
+            "max(CASE WHEN g.item IS NOT NULL THEN 1 ELSE 0 END) AS h "
+            "FROM gu LEFT JOIN (SELECT user_id, item FROM recs "
+            "WHERE k <= 3) rr ON rr.user_id = gu.user_id "
+            "LEFT JOIN gold g ON g.user_id = rr.user_id "
+            "AND g.item = rr.item GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(sum(h) AS BIGINT) AS n_hits, "
+            "(1000000 * CAST(sum(h) AS BIGINT)) // count(*) "
+            "AS hitrate_ppm FROM hit"),
     }
