@@ -11948,6 +11948,63 @@ def q_popularity_hitrate(sf_dir: str):
                                  dtype="int64")})
 
 
+def q_ht_estimate(sf_dir: str):
+    """HORVITZ-THOMPSON estimation from the importance sample (survey
+    statistics over sampled corpora): each accepted doc contributes
+    its token count inverse-weighted by its inclusion probability —
+    floor(n_tokens·10⁶ / w_ppm) per doc, summed exactly — giving an
+    unbiased estimate of the TRUE total token count, which is also
+    computed exactly for the error column. All integer; the sample,
+    the weights and the estimator are each SQL-reproducible."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from magic_content_extractor_ray.stages.sample import (
+        importance_sample)
+    from magic_content_extractor_ray.stages.textops import token_counts
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text"])
+
+    def weight(batch: pa.Table) -> pa.Table:
+        batch = token_counts(batch)
+        w = pc.min_element_wise(
+            pc.multiply(batch.column("n_tokens"),
+                        pa.scalar(5000, pa.int64())),
+            pa.scalar(1_000_000, pa.int64()))
+        return batch.select(["doc_id", "n_tokens"]).append_column(
+            "w_ppm", pc.cast(w, pa.int64()))
+
+    weighted = ds.map_batches(weight,
+                              batch_format="pyarrow").materialize()
+    true_total = int(weighted.sum("n_tokens"))
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        ht = pc.divide(  # int64 floor division
+            pc.multiply(batch.column("n_tokens"),
+                        pa.scalar(1_000_000, pa.int64())),
+            batch.column("w_ppm"))
+        return pa.table({
+            "one": pa.array([len(batch)], pa.int64()),
+            "ht": pa.array([pc.sum(ht).as_py() or 0], pa.int64())})
+
+    agg = importance_sample(weighted, weight_ppm_column="w_ppm"
+                            ).map_batches(
+        contrib, batch_format="pyarrow").aggregate(
+        Sum("one", alias_name="n_sampled"),
+        Sum("ht", alias_name="ht_total"))
+    n_sampled, ht_total = int(agg["n_sampled"]), int(agg["ht_total"])
+    return pd.DataFrame({
+        "n_sampled": pd.Series([n_sampled], dtype="int64"),
+        "ht_total_tokens": pd.Series([ht_total], dtype="int64"),
+        "true_total_tokens": pd.Series([true_total], dtype="int64"),
+        "err_ppm": pd.Series(
+            [(1_000_000 * abs(ht_total - true_total)) // true_total],
+            dtype="int64")})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12200,6 +12257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "title_entity_clusters": q_title_entity_clusters,
         "popularity_hitrate": q_popularity_hitrate,
+        "ht_estimate": q_ht_estimate,
     }
 
 
@@ -15186,4 +15244,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(h) AS BIGINT) AS n_hits, "
             "(1000000 * CAST(sum(h) AS BIGINT)) // count(*) "
             "AS hitrate_ppm FROM hit"),
+        "ht_estimate": (
+            "WITH w AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens, least(CAST(len(regexp_extract_all(text, "
+            "'\\S+')) AS BIGINT) * 5000, 1000000) AS w_ppm "
+            "FROM documents), "
+            "s AS (SELECT * FROM w WHERE CAST(concat('0x', "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+            "% 1000000 < w_ppm), "
+            "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM w), "
+            "h AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled, "
+            "CAST(sum((n_tokens * 1000000) // w_ppm) AS BIGINT) "
+            "AS ht FROM s) "
+            "SELECT h.n_sampled, h.ht AS ht_total_tokens, "
+            "t.tt AS true_total_tokens, "
+            "(1000000 * abs(h.ht - t.tt)) // t.tt AS err_ppm "
+            "FROM h, t"),
     }
