@@ -12005,6 +12005,78 @@ def q_ht_estimate(sf_dir: str):
             dtype="int64")})
 
 
+_POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238462,
+                 0.9963401531726563, 0.9994058151824183,
+                 0.9999167588507119)
+
+
+def q_bootstrap_ci(sf_dir: str):
+    """DETERMINISTIC Poisson bootstrap CI for mean doc length per
+    lang: 20 resample replicates where each doc's weight in replicate
+    r is Poisson(1)-distributed via the inverse CDF of the md5(doc:r)
+    uniform (the dp_lang_counts seeded-noise idiom) — so the SQL twin
+    reproduces every weight with a CASE ladder on the same literal
+    thresholds. Replicate means are exact floor micro-chars; the
+    CI is quantile_disc(0.1/0.9) over the 20 replicate estimates
+    (index floor((n−1)q), mirrored). One (lang × 20)-cell combiner
+    shuffle; nothing row-scale leaves the batches."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    R = 20
+    TH = np.array(_POISSON1_CDF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        chars = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        out = {"lang": [], "rep": [], "sw": [], "swc": []}
+        w = np.empty((len(ids), R), dtype=np.int64)
+        for r in range(R):
+            u = np.array([int(hashlib.md5(
+                f"{d}:boot:{r}".encode()).hexdigest()[:8], 16)
+                for d in ids], dtype=np.float64)
+            u = (u + 0.5) / 4294967296.0
+            w[:, r] = np.searchsorted(TH, u, side="right")
+        for lang in np.unique(langs):
+            m = langs == lang
+            wm = w[m]
+            cm = chars[m]
+            for r in range(R):
+                out["lang"].append(str(lang))
+                out["rep"].append(r)
+                out["sw"].append(int(wm[:, r].sum()))
+                out["swc"].append(int((wm[:, r] * cm).sum()))
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            "rep": pa.array(out["rep"], pa.int64()),
+            "sw": pa.array(out["sw"], pa.int64()),
+            "swc": pa.array(out["swc"], pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "lang", "n_chars"]
+                     ).map_batches(partial, batch_format="pyarrow"
+                                   ).groupby(["lang", "rep"]).aggregate(
+        Sum("sw", alias_name="sw"),
+        Sum("swc", alias_name="swc")).to_pandas()
+    cells["est"] = (1_000_000 * cells["swc"]) // cells["sw"]
+    rows = []
+    for lang, g in cells.groupby("lang", sort=True):
+        est = np.sort(g["est"].to_numpy(dtype=np.int64))
+        n = len(est)
+        rows.append({"lang": lang, "n_reps": n,
+                     "lo_micro": int(est[(n - 1) * 10 // 100]),
+                     "hi_micro": int(est[(n - 1) * 90 // 100])})
+    return pd.DataFrame(rows).astype(
+        {"n_reps": "int64", "lo_micro": "int64", "hi_micro": "int64"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12258,6 +12330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_entity_clusters": q_title_entity_clusters,
         "popularity_hitrate": q_popularity_hitrate,
         "ht_estimate": q_ht_estimate,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -15261,4 +15334,27 @@ def oracle_sql() -> dict[str, str]:
             "t.tt AS true_total_tokens, "
             "(1000000 * abs(h.ht - t.tt)) // t.tt AS err_ppm "
             "FROM h, t"),
+        "bootstrap_ci": (
+            "WITH reps AS (SELECT i AS rep FROM range(0, 20) t(i)), "
+            "w AS (SELECT d.lang, d.n_chars, r.rep, "
+            "(CAST(CAST(concat('0x', substr(md5(concat(CAST(d.doc_id "
+            "AS VARCHAR), ':boot:', CAST(r.rep AS VARCHAR))), 1, 8)) "
+            "AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u "
+            "FROM documents d CROSS JOIN reps r), "
+            "ww AS (SELECT lang, rep, n_chars, "
+            "CASE WHEN u < 0.36787944117144233 THEN 0 "
+            "WHEN u < 0.7357588823428847 THEN 1 "
+            "WHEN u < 0.9196986029286058 THEN 2 "
+            "WHEN u < 0.9810118431238462 THEN 3 "
+            "WHEN u < 0.9963401531726563 THEN 4 "
+            "WHEN u < 0.9994058151824183 THEN 5 "
+            "WHEN u < 0.9999167588507119 THEN 6 "
+            "ELSE 7 END AS wt FROM w), "
+            "est AS (SELECT lang, rep, "
+            "(1000000 * CAST(sum(wt * n_chars) AS BIGINT)) "
+            "// CAST(sum(wt) AS BIGINT) AS est FROM ww GROUP BY 1, 2) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_reps, "
+            "CAST(quantile_disc(est, 0.1) AS BIGINT) AS lo_micro, "
+            "CAST(quantile_disc(est, 0.9) AS BIGINT) AS hi_micro "
+            "FROM est GROUP BY 1 ORDER BY 1"),
     }

@@ -44,7 +44,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "kcore_items", "mutual_nn", "monthly_seasonality",
         "assoc_triples", "jaccard_histogram", "survival_km",
         "late_events", "ndcg_eval", "nucleus_vocab", "phrase_search",
-        "title_entity_clusters", "popularity_hitrate", "ht_estimate"]
+        "title_entity_clusters", "popularity_hitrate", "ht_estimate",
+        "bootstrap_ci"]
 
 
 @pytest.fixture(scope="module")
