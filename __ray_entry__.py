@@ -12077,6 +12077,95 @@ def q_bootstrap_ci(sf_dir: str):
         {"n_reps": "int64", "lo_micro": "int64", "hi_micro": "int64"})
 
 
+def q_index_compression(sf_dir: str):
+    """Inverted-index STORAGE model: Elias-gamma cost of delta-encoded
+    posting lists for the 20 highest-df terms — per posting gap g the
+    code costs 2·⌊log2 g⌋+1 bits, computed EXACTLY as bit_length−1
+    (no float log2; the SQL twin uses length(printf('%b', g))−1).
+    Posting lists are term-keyed hash partitions: doc-id gaps, gamma
+    bits and counts reduce per segment; output compares gamma bits
+    against the raw 64-bit layout as floor-ppm."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts)
+
+    K = 20
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = pc.take(batch.column("doc_id"), parent)
+        mask = pc.not_equal(flat, "")
+        sel = pc.indices_nonzero(mask)
+        g = pa.table({"term": pc.take(flat, sel),
+                      "doc_id": pc.take(ids, sel)}).group_by(
+            ["term", "doc_id"]).aggregate([])
+        return g
+
+    posts = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["doc_id", "text"]).map_batches(
+            doc_terms, batch_format="pyarrow").map_batches(
+            lambda t: t.append_column("one", pa.array(
+                np.ones(len(t), np.int64))), batch_format="pyarrow"),
+        "term", [("one", "max", "one")],
+        group_cols=["term", "doc_id"]).materialize()
+
+    df = hash_agg(posts, "term", [("one", "sum", "df")]).to_pandas()
+    top = df.sort_values(["df", "term"],
+                         ascending=[False, True]).head(K)
+    top_terms = set(top["term"])
+
+    def gamma_bits(t: pa.Table) -> pa.Table:
+        term = t.column("term").to_numpy(zero_copy_only=False)
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "n_postings": pa.array([], pa.int64()),
+                          "gamma_bits": pa.array([], pa.int64())})
+        if not len(term):
+            return empty
+        keep = np.array([x in top_terms for x in term])
+        if not keep.any():
+            return empty
+        term = term[keep]
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
+        starts = segment_starts(term)
+        lens = segment_lengths(starts, len(term))
+        # gap: first posting = doc_id + 1 (ids can be 0), then deltas
+        gaps = np.empty(len(ids), dtype=np.int64)
+        gaps[starts] = ids[starts] + 1
+        rest = np.ones(len(ids), dtype=bool)
+        rest[starts] = False
+        gaps[rest] = ids[rest] - ids[np.flatnonzero(rest) - 1]
+        # exact ⌊log2⌋ via bit length: frexp exponent is exact for
+        # integers < 2^53 (doc-id gaps always are)
+        nbits = np.frexp(gaps.astype(np.float64))[1].astype(np.int64)
+        bits = 2 * (nbits - 1) + 1
+        return pa.table({
+            "term": pa.array(term[starts], pa.string()),
+            "n_postings": pa.array(lens, pa.int64()),
+            "gamma_bits": pa.array(np.add.reduceat(bits, starts),
+                                   pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = map_key_partitions(posts, "term", gamma_bits,
+                             sort_cols=["doc_id"]).groupby(
+        "term").aggregate(
+        Sum("n_postings", alias_name="n_postings"),
+        Sum("gamma_bits", alias_name="gamma_bits")).to_pandas()
+    out["raw_bits"] = (64 * out["n_postings"]).astype("int64")
+    out["ratio_ppm"] = ((1_000_000 * out["gamma_bits"])
+                        // out["raw_bits"]).astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12331,6 +12420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "popularity_hitrate": q_popularity_hitrate,
         "ht_estimate": q_ht_estimate,
         "bootstrap_ci": q_bootstrap_ci,
+        "index_compression": q_index_compression,
     }
 
 
@@ -15357,4 +15447,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(quantile_disc(est, 0.1) AS BIGINT) AS lo_micro, "
             "CAST(quantile_disc(est, 0.9) AS BIGINT) AS hi_micro "
             "FROM est GROUP BY 1 ORDER BY 1"),
+        "index_compression": r"""
+            WITH posts AS (
+              SELECT DISTINCT unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       w -> w <> '')) AS term, doc_id
+              FROM documents),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM posts GROUP BY 1),
+            top AS (SELECT term FROM df
+                    ORDER BY df DESC, term LIMIT 20),
+            gaps AS (SELECT p.term,
+                       CASE WHEN lag(p.doc_id) OVER w IS NULL
+                            THEN p.doc_id + 1
+                            ELSE p.doc_id - lag(p.doc_id) OVER w
+                       END AS g
+                     FROM posts p JOIN top USING (term)
+                     WINDOW w AS (PARTITION BY p.term
+                                  ORDER BY p.doc_id)),
+            bits AS (SELECT term,
+                       CAST(count(*) AS BIGINT) AS n_postings,
+                       CAST(sum(2 * (length(printf('%b', g)) - 1) + 1)
+                            AS BIGINT) AS gamma_bits
+                     FROM gaps GROUP BY 1)
+            SELECT term, n_postings, gamma_bits,
+                   64 * n_postings AS raw_bits,
+                   (1000000 * gamma_bits) // (64 * n_postings)
+                     AS ratio_ppm
+            FROM bits ORDER BY term""",
     }
