@@ -12166,6 +12166,89 @@ def q_index_compression(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
+def q_hll_twin(sf_dir: str):
+    """HyperLogLog with a BIT-EXACT SQL twin (the snapshot-checked
+    distinct_users_approx upgraded to a true independent oracle): the
+    sketch's splitmix64 hash is re-derived in SQL via HUGEINT
+    mod-2^64 split multiplies, register ranks via printf('%b') bit
+    lengths (never float log2), and the 1/2^reg harmonic sum is
+    carried as the EXACT dyadic integer Σ 2^(53−rank) — one
+    correctly-rounded HUGEINT→DOUBLE cast replaces the
+    order-dependent float sum, so both engines produce the identical
+    estimate double (then floor). Per event_type: exact distinct,
+    non-zero registers, HLL estimate, error ppm."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.sketch import HllSketch
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    P, M = 12, 4096
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        keys, sks = [], []
+        for k in pc.unique(batch.column("event_type")).to_pylist():
+            sub = batch.filter(pc.equal(batch.column("event_type"), k))
+            s = HllSketch(P)
+            s.add_many(sub.column("user_id").to_numpy(
+                zero_copy_only=False))
+            keys.append(k)
+            sks.append(s.to_bytes())
+        return pa.table({"event_type": pa.array(keys, pa.string()),
+                         "sketch": pa.array(sks, pa.binary())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "user_id"]).materialize()
+    rows = ev.map_batches(sketch_batch,
+                          batch_format="pyarrow").take_all()
+    merged: dict[str, HllSketch] = {}
+    for r in rows:
+        s = HllSketch.from_bytes(r["sketch"], P)
+        k = r["event_type"]
+        merged[k] = merged[k].merge(s) if k in merged else s
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g.append_column("one", pa.array(
+            np.ones(len(g), np.int64)))
+
+    exact = hash_agg(
+        hash_agg(ev.map_batches(distinct_partial,
+                                batch_format="pyarrow"),
+                 "user_id", [("one", "max", "one")],
+                 group_cols=["event_type", "user_id"]),
+        "event_type", [("one", "sum", "n_exact")]).to_pandas()
+    exact_by = dict(zip(exact["event_type"], exact["n_exact"]))
+
+    out = []
+    for etype in sorted(merged):
+        reg = merged[etype].registers
+        counts = np.bincount(reg, minlength=54)
+        s_int = sum(int(c) << (53 - k)
+                    for k, c in enumerate(counts) if c)
+        inv = float(s_int) / 9007199254740992.0
+        alpha = 0.7213 / (1.0 + 1.079 / 4096.0)
+        e = alpha * 4096.0 * 4096.0 / inv
+        zeros = int(counts[0])
+        if e <= 2.5 * 4096.0 and zeros:
+            est = 4096.0 * math.log(4096.0 / float(zeros))
+        else:
+            est = e
+        est_i = math.floor(est)
+        n_exact = int(exact_by[etype])
+        out.append({"event_type": etype, "n_exact": n_exact,
+                    "nonzero_regs": M - zeros, "hll_estimate": est_i,
+                    "err_ppm": (1_000_000 * abs(est_i - n_exact))
+                    // n_exact})
+    return pd.DataFrame(out).astype(
+        {"n_exact": "int64", "nonzero_regs": "int64",
+         "hll_estimate": "int64", "err_ppm": "int64"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12421,6 +12504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ht_estimate": q_ht_estimate,
         "bootstrap_ci": q_bootstrap_ci,
         "index_compression": q_index_compression,
+        "hll_twin": q_hll_twin,
     }
 
 
@@ -15475,4 +15559,46 @@ def oracle_sql() -> dict[str, str]:
                    (1000000 * gamma_bits) // (64 * n_postings)
                      AS ratio_ppm
             FROM bits ORDER BY term""",
+        "hll_twin": (
+            "WITH du AS (SELECT DISTINCT event_type, user_id "
+            "FROM events), "
+            "s1 AS (SELECT event_type, CAST((CAST(user_id AS HUGEINT) "
+            "+ 11400714819323198485) % 18446744073709551616 "
+            "AS UBIGINT) AS x FROM du), "
+            "x1 AS (SELECT event_type, xor(x, x >> 30) AS x FROM s1), "
+            "m1 AS (SELECT event_type, CAST((CAST(x AS HUGEINT) "
+            "* 484763065 + ((CAST(x % 4294967296 AS HUGEINT) "
+            "* 3210233709) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS UBIGINT) AS x FROM x1), "
+            "x2 AS (SELECT event_type, xor(x, x >> 27) AS x FROM m1), "
+            "m2 AS (SELECT event_type, CAST((CAST(x AS HUGEINT) "
+            "* 321982955 + ((CAST(x % 4294967296 AS HUGEINT) "
+            "* 2496678331) % 4294967296) * 4294967296) "
+            "% 18446744073709551616 AS UBIGINT) AS x FROM x2), "
+            "h AS (SELECT event_type, xor(x, x >> 31) AS h FROM m2), "
+            "rk AS (SELECT event_type, CAST(h >> 52 AS BIGINT) "
+            "AS bucket, CASE WHEN h % 4503599627370496 = 0 THEN 53 "
+            "ELSE 53 - length(printf('%b', "
+            "CAST(h % 4503599627370496 AS BIGINT))) END AS rnk "
+            "FROM h), "
+            "regs AS (SELECT event_type, bucket, max(rnk) AS rnk "
+            "FROM rk GROUP BY 1, 2), "
+            "agg AS (SELECT event_type, CAST(count(*) AS BIGINT) "
+            "AS nz, sum(CAST(power(2, 53 - rnk) AS HUGEINT)) AS s_nz "
+            "FROM regs GROUP BY 1), "
+            "ex AS (SELECT event_type, CAST(count(DISTINCT user_id) "
+            "AS BIGINT) AS n_exact FROM events GROUP BY 1), "
+            "fin AS (SELECT event_type, nz, 4096 - nz AS zeros, "
+            "(0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 "
+            "/ (CAST(s_nz + (4096 - nz) * CAST(9007199254740992 "
+            "AS HUGEINT) AS DOUBLE) / 9007199254740992.0) AS e "
+            "FROM agg), "
+            "o AS (SELECT f.event_type, x.n_exact, f.nz "
+            "AS nonzero_regs, CAST(floor(CASE WHEN f.e <= 2.5 "
+            "* 4096.0 AND f.zeros > 0 THEN 4096.0 * ln(4096.0 "
+            "/ CAST(f.zeros AS DOUBLE)) ELSE f.e END) AS BIGINT) "
+            "AS hll_estimate FROM fin f JOIN ex x USING (event_type)) "
+            "SELECT event_type, n_exact, nonzero_regs, hll_estimate, "
+            "(1000000 * abs(hll_estimate - n_exact)) // n_exact "
+            "AS err_ppm FROM o ORDER BY event_type"),
     }
