@@ -12249,6 +12249,62 @@ def q_hll_twin(sf_dir: str):
          "hll_estimate": "int64", "err_ppm": "int64"})
 
 
+_CDC_BJ = (1, 257, 66049, 16974593, 67503107, 168429323,
+           336663071, 623063367)  # 257^j mod (2^31-1), j = 0..7
+
+
+def q_cdc_chunks(sf_dir: str):
+    """CONTENT-DEFINED CHUNKING (the dedup-storage primitive: chunk
+    boundaries follow content, so an insertion only reshuffles local
+    chunks): a boundary closes after position i when the degree-8
+    polynomial rolling hash of the trailing window ≡ 0 (mod 64) —
+    expected ~64-char chunks. The whole batch is ONE flat codepoint
+    array: the 8 shifted-multiply terms are vectorized adds, doc
+    boundaries masked by in-doc offset. All integer (Σ c·(257^j mod
+    M) < 2^42, one final mod), so the SQL twin (LAG ladder over
+    unnested positions) matches exactly. Output per doc: chunk count
+    + length."""
+    import numpy as np
+    import pyarrow as pa
+
+    M = 2147483647
+    BJ = np.array(_CDC_BJ, dtype=np.int64)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        if not len(texts) or lens.sum() == 0:
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_chars": pa.array(lens, pa.int64()),
+                             "n_chunks": pa.array(
+                                 np.ones(len(ids), np.int64))})
+        codes = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        n = len(codes)
+        h = np.zeros(n, dtype=np.int64)
+        for j, bj in enumerate(BJ):
+            h[j:] += codes[:n - j if j else n] * bj
+        h %= M
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        offset = np.arange(n) - np.repeat(starts, lens)
+        doc = np.repeat(np.arange(len(ids)), lens)
+        # boundary closes after i: needs a full window and must not
+        # sit on the doc's last char (no empty trailing chunk)
+        boundary = ((h % 64 == 0) & (offset >= 7)
+                    & (offset <= np.repeat(lens, lens) - 2))
+        nb = np.bincount(doc[boundary], minlength=len(ids))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": pa.array(lens, pa.int64()),
+                         "n_chunks": pa.array(nb + 1, pa.int64())})
+
+    out = _read_pq(f"{sf_dir}/documents.parquet",
+                   columns=["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12505,6 +12561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci": q_bootstrap_ci,
         "index_compression": q_index_compression,
         "hll_twin": q_hll_twin,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -15601,4 +15658,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n_exact, nonzero_regs, hll_estimate, "
             "(1000000 * abs(hll_estimate - n_exact)) // n_exact "
             "AS err_ppm FROM o ORDER BY event_type"),
+        "cdc_chunks": (
+            "WITH pos AS (SELECT doc_id, len(text) AS L, "
+            "unnest([i for i in range(0, len(text))]) AS i, "
+            "unnest([CAST(ord(substr(text, i + 1, 1)) AS BIGINT) "
+            "for i in range(0, len(text))]) AS c FROM documents), "
+            "w AS (SELECT doc_id, i, L, (c "
+            "+ coalesce(lag(c, 1) OVER win, 0) * 257 "
+            "+ coalesce(lag(c, 2) OVER win, 0) * 66049 "
+            "+ coalesce(lag(c, 3) OVER win, 0) * 16974593 "
+            "+ coalesce(lag(c, 4) OVER win, 0) * 67503107 "
+            "+ coalesce(lag(c, 5) OVER win, 0) * 168429323 "
+            "+ coalesce(lag(c, 6) OVER win, 0) * 336663071 "
+            "+ coalesce(lag(c, 7) OVER win, 0) * 623063367) "
+            "% 2147483647 AS h FROM pos "
+            "WINDOW win AS (PARTITION BY doc_id ORDER BY i)), "
+            "b AS (SELECT doc_id, CAST(count(*) FILTER "
+            "(WHERE h % 64 = 0 AND i >= 7 AND i <= L - 2) AS BIGINT) "
+            "AS nb FROM w GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars, "
+            "coalesce(b.nb, 0) + 1 AS n_chunks FROM documents d "
+            "LEFT JOIN b ON b.doc_id = d.doc_id ORDER BY 1"),
     }

@@ -3583,6 +3583,51 @@ def test_title_entity_clusters_transitive_chain(ray_session,
     assert rows == {"aaaaaaaaaaaa": 5, "zzzzzzzzzzzy": 2}
 
 
+def test_cdc_chunks_brute_force_differential(ray_session, tmp_path):
+    """The vectorized flat-array rolling hash equals a per-character
+    Python loop on random docs, and a shared suffix re-synchronizes
+    to the same boundary pattern after the 8-char window (the CDC
+    property that makes insertions local)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rng = np.random.default_rng(13)
+    alphabet = "abcdefgh "
+    docs = ["".join(rng.choice(list(alphabet), size=int(n)))
+            for n in rng.integers(1, 400, size=40)]
+    shared = "".join(rng.choice(list(alphabet), size=300))
+    docs += ["AAAA" + shared, "BB" + shared]  # differing prefixes
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+        "source": pa.array(["s"] * len(docs), pa.string()),
+        "n_chars": pa.array([len(t) for t in docs], pa.int64())}),
+        f"{tmp_path}/documents.parquet")
+    got = entrymod.queries()["cdc_chunks"](str(tmp_path))
+
+    M, BJ = 2147483647, entrymod._CDC_BJ
+
+    def bounds(t):
+        out = []
+        for i in range(7, len(t) - 1):
+            h = sum(ord(t[i - j]) * BJ[j] for j in range(8)) % M
+            if h % 64 == 0:
+                out.append(i)
+        return out
+
+    for d, t in enumerate(docs):
+        assert int(got.iloc[d]["n_chunks"]) == len(bounds(t)) + 1
+    # re-synchronization: boundaries of the two shared-suffix docs
+    # coincide (shifted by prefix length) once past prefix + window
+    b1 = {i - 4 for i in bounds(docs[-2]) if i >= 4 + 7}
+    b2 = {i - 2 for i in bounds(docs[-1]) if i >= 2 + 7}
+    assert b1 == b2 and b1  # non-empty and aligned
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
