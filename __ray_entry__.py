@@ -12305,6 +12305,86 @@ def q_cdc_chunks(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lang_cross_entropy(sf_dir: str):
+    """Language-model EVALUATION MATRIX: an add-1-smoothed character
+    BIGRAM model per language, evaluated on every language (5×5
+    cross-entropy) — the diagonal should be the row minimum (a model
+    fits its own language best). One (lang × bigram) combiner shuffle
+    (vocab-bounded); the matrix math runs on the driver in integer
+    nano-nats — each bigram TYPE's ln p is half-up rounded BEFORE the
+    count-weighted sum, so the total is order-independent and the SQL
+    twin matches exactly. Output: eval_lang × train_lang,
+    per-character cross-entropy in nano-nats (floor)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "bg": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        texts = [t.lower() for t in batch.column("text").to_pylist()]
+        langs = batch.column("lang").to_pylist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        if not len(texts) or lens.sum() == 0:
+            return empty
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.int64)
+        if codes.max() >= (1 << 21):
+            raise ValueError("bigram pack needs codepoints < 2^21")
+        lang_u, lang_inv = np.unique(np.array(langs), return_inverse=True)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        offset = np.arange(len(codes)) - np.repeat(starts, lens)
+        doc = np.repeat(np.arange(len(texts)), lens)
+        valid = offset < np.repeat(lens, lens) - 1  # within-doc pairs
+        pk = (lang_inv[doc] << np.int64(42)) \
+            | (codes << np.int64(21)) \
+            | np.concatenate((codes[1:], [0]))
+        pk = pk[valid]
+        if not len(pk):
+            return empty
+        pku, cnt = np.unique(pk, return_counts=True)
+        m21 = np.int64((1 << 21) - 1)
+        return pa.table({
+            "lang": pa.array([str(lang_u[i]) for i in pku >> 42],
+                             pa.string()),
+            "bg": pa.array([chr(int(a)) + chr(int(b)) for a, b in
+                            zip((pku >> np.int64(21)) & m21,
+                                pku & m21)], pa.string()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = _read_pq(f"{sf_dir}/documents.parquet",
+                      columns=["lang", "text"]).map_batches(
+        bigram_counts, batch_format="pyarrow").groupby(
+        ["lang", "bg"]).aggregate(Sum("c", alias_name="c")).to_pandas()
+
+    langs = sorted(counts["lang"].unique())
+    vocab = sorted(counts["bg"].unique())
+    v = len(vocab)
+    c_map = {(r.lang, r.bg): int(r.c) for r in counts.itertuples()}
+    totals = counts.groupby("lang")["c"].sum().to_dict()
+    rows = []
+    for ev in langs:
+        t_eval = int(totals[ev])
+        for tr in langs:
+            denom = float(int(totals[tr]) + v)
+            ce = 0
+            for bg in vocab:
+                ce_cnt = c_map.get((ev, bg), 0)
+                if not ce_cnt:
+                    continue
+                lp = math.log(float(c_map.get((tr, bg), 0) + 1)
+                              / denom)
+                ce -= ce_cnt * int(math.floor(lp * 1e9 + 0.5))
+            rows.append({"eval_lang": ev, "train_lang": tr,
+                         "ce_nano_per_char": ce // t_eval})
+    return pd.DataFrame(rows).astype({"ce_nano_per_char": "int64"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12562,6 +12642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_compression": q_index_compression,
         "hll_twin": q_hll_twin,
         "cdc_chunks": q_cdc_chunks,
+        "lang_cross_entropy": q_lang_cross_entropy,
     }
 
 
@@ -15679,4 +15760,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars, "
             "coalesce(b.nb, 0) + 1 AS n_chunks FROM documents d "
             "LEFT JOIN b ON b.doc_id = d.doc_id ORDER BY 1"),
+        "lang_cross_entropy": (
+            "WITH bg AS (SELECT lang, unnest([substr(lower(text), i, "
+            "2) for i in range(1, len(text))]) AS bg "
+            "FROM documents), "
+            "c AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS c "
+            "FROM bg GROUP BY 1, 2), "
+            "v AS (SELECT CAST(count(DISTINCT bg) AS BIGINT) AS v "
+            "FROM c), "
+            "t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM c "
+            "GROUP BY 1), "
+            "langs AS (SELECT DISTINCT lang FROM c), "
+            "contrib AS (SELECT ce.lang AS eval_lang, tr.lang "
+            "AS train_lang, ce.c AS ec, CAST(floor(ln(CAST("
+            "coalesce(ct.c, 0) + 1 AS DOUBLE) / (tt.t + v.v)) "
+            "* 1000000000 + 0.5) AS BIGINT) AS lp "
+            "FROM c ce CROSS JOIN langs tr "
+            "JOIN t tt ON tt.lang = tr.lang CROSS JOIN v "
+            "LEFT JOIN c ct ON ct.lang = tr.lang AND ct.bg = ce.bg), "
+            "agg AS (SELECT eval_lang, train_lang, "
+            "CAST(-sum(ec * lp) AS BIGINT) AS tot FROM contrib "
+            "GROUP BY 1, 2) "
+            "SELECT a.eval_lang, a.train_lang, "
+            "a.tot // te.t AS ce_nano_per_char FROM agg a "
+            "JOIN t te ON te.lang = a.eval_lang ORDER BY 1, 2"),
     }

@@ -45,7 +45,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "assoc_triples", "jaccard_histogram", "survival_km",
         "late_events", "ndcg_eval", "nucleus_vocab", "phrase_search",
         "title_entity_clusters", "popularity_hitrate", "ht_estimate",
-        "bootstrap_ci", "index_compression", "hll_twin", "cdc_chunks"]
+        "bootstrap_ci", "index_compression", "hll_twin", "cdc_chunks",
+        "lang_cross_entropy"]
 
 
 @pytest.fixture(scope="module")
