@@ -12385,6 +12385,66 @@ def q_lang_cross_entropy(sf_dir: str):
     return pd.DataFrame(rows).astype({"ce_nano_per_char": "int64"})
 
 
+def q_zipf_slope(sf_dir: str):
+    """ZIPF'S-LAW fit: OLS slope of ln(frequency) on ln(rank) over
+    the top-100 terms (true Zipf ⇒ slope ≈ −1). Both logs are
+    half-up-rounded to integer NANO-nats per term BEFORE the
+    regression sums (the order-independent idiom — float Σ over SQL
+    rows has no guaranteed order), the sums run in arbitrary
+    precision (nano² crosses int64), and only the final
+    num/den division is a mirrored double op. Term counts are one
+    combiner shuffle + partial top-k."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    K = 100
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": flat}).group_by("term").aggregate(
+            [([], "count_all")])
+        return pa.table({"term": g.column("term"),
+                         "c": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    tc = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet", columns=["text"]
+                 ).map_batches(counts, batch_format="pyarrow"),
+        "term", [("c", "sum", "c")])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        return _batch_topk(batch, [("c", "descending"),
+                                   ("term", "ascending")], k=K)
+
+    df = tc.map_batches(partial_topk, batch_format="pyarrow",
+                        batch_size=8192).to_pandas()
+    df = df.sort_values(["c", "term"],
+                        ascending=[False, True]).head(K)
+    freqs = df["c"].to_numpy(dtype=np.int64)
+    n = len(freqs)
+    xs = [int(math.floor(math.log(float(r)) * 1e9 + 0.5))
+          for r in range(1, n + 1)]
+    ys = [int(math.floor(math.log(float(c)) * 1e9 + 0.5))
+          for c in freqs]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    return pd.DataFrame({
+        "n_terms": pd.Series([n], dtype="int64"),
+        "zipf_slope": [float(num) / float(den)]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12643,6 +12703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_twin": q_hll_twin,
         "cdc_chunks": q_cdc_chunks,
         "lang_cross_entropy": q_lang_cross_entropy,
+        "zipf_slope": q_zipf_slope,
     }
 
 
@@ -15784,4 +15845,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.eval_lang, a.train_lang, "
             "a.tot // te.t AS ce_nano_per_char FROM agg a "
             "JOIN t te ON te.lang = a.eval_lang ORDER BY 1, 2"),
+        "zipf_slope": r"""
+            WITH w AS (SELECT unnest(list_filter(
+                         regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '')) AS term FROM documents),
+            tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+                   FROM w GROUP BY 1 ORDER BY c DESC, term LIMIT 100),
+            r AS (SELECT CAST(floor(ln(CAST(row_number() OVER (
+                    ORDER BY c DESC, term) AS DOUBLE)) * 1000000000
+                    + 0.5) AS BIGINT) AS x,
+                  CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000
+                    + 0.5) AS BIGINT) AS y
+                  FROM tc),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                  CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                  sum(CAST(x AS HUGEINT) * x) AS sxx,
+                  sum(CAST(x AS HUGEINT) * y) AS sxy FROM r)
+            SELECT n AS n_terms,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+            FROM s""",
     }
