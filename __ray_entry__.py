@@ -12445,6 +12445,96 @@ def q_zipf_slope(sf_dir: str):
         "zipf_slope": [float(num) / float(den)]})
 
 
+def q_burst_viterbi(sf_dir: str):
+    """VITERBI decoding of a 2-state burst model (Kleinberg's
+    automaton: low-rate vs 4× high-rate exponential emissions over
+    inter-event gaps, 1.0-nat switch penalty) — the stateful sequence
+    DP family. Costs are half-up integer NANO-nats per (state, gap),
+    so the whole DP is exact integer min-plus algebra; ties prefer
+    the stay branch and the final L state, mirrored by the SQL twin's
+    recursive CTE. The DP is sequential per user but VECTORIZED
+    ACROSS USERS inside each hash partition: one numpy step per gap
+    INDEX (bounded by the longest per-user sequence), all users
+    advance together. Output per user (≥2 events): gap count, optimal
+    path cost, number of HIGH states on the optimal path."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    GAMMA = 1_000_000_000  # 1.0 nat switch penalty, nano
+    A_L, A_H = 1.0 / 3600.0, 4.0 / 3600.0
+    LN_L, LN_H = math.log(1.0 / 3600.0), math.log(4.0 / 3600.0)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "t": pa.array(ts_us(batch.column("ts")), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64())})
+
+    def viterbi(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "cost_nano": pa.array([], pa.int64()),
+                          "n_high": pa.array([], pa.int64())})
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        if len(u) < 2:
+            return empty
+        ts = t.column("t").to_numpy(zero_copy_only=False)
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        gu = u[1:][same]
+        if not len(gu):
+            return empty
+        gstarts = segment_starts(gu)
+        glens = segment_lengths(gstarts, len(gu))
+        gsec = gaps.astype(np.float64) / 1000000.0
+
+        def cost(a, ln_a, g):
+            return np.floor((a * g - ln_a) * 1e9 + 0.5).astype(np.int64)
+
+        nseg = len(gstarts)
+        g0 = gsec[gstarts]
+        cl = cost(A_L, LN_L, g0)
+        ch = cost(A_H, LN_H, g0)
+        nl = np.zeros(nseg, dtype=np.int64)
+        nh = np.ones(nseg, dtype=np.int64)
+        for i in range(1, int(glens.max())):
+            act = np.flatnonzero(glens > i)
+            if not len(act):
+                break
+            g_i = gsec[gstarts[act] + i]
+            pcl, pch = cl[act], ch[act]
+            pnl, pnh = nl[act], nh[act]
+            stay_l = pcl <= pch + GAMMA
+            base_l = np.where(stay_l, pcl, pch + GAMMA)
+            from_l = np.where(stay_l, pnl, pnh)
+            stay_h = pch <= pcl + GAMMA
+            base_h = np.where(stay_h, pch, pcl + GAMMA)
+            from_h = np.where(stay_h, pnh, pnl)
+            cl[act] = cost(A_L, LN_L, g_i) + base_l
+            nl[act] = from_l
+            ch[act] = cost(A_H, LN_H, g_i) + base_h
+            nh[act] = from_h + 1
+        pick_l = cl <= ch
+        return pa.table({
+            "user_id": pa.array(gu[gstarts], pa.int64()),
+            "n_gaps": pa.array(glens, pa.int64()),
+            "cost_nano": pa.array(np.where(pick_l, cl, ch), pa.int64()),
+            "n_high": pa.array(np.where(pick_l, nl, nh), pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    out = map_key_partitions(ev, "user_id", viterbi,
+                             sort_cols=["t", "event_id"]).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12704,6 +12794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q_cdc_chunks,
         "lang_cross_entropy": q_lang_cross_entropy,
         "zipf_slope": q_zipf_slope,
+        "burst_viterbi": q_burst_viterbi,
     }
 
 
@@ -15866,4 +15957,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS DOUBLE)
                    / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
             FROM s""",
+        "burst_viterbi": (
+            "WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS t, "
+            "event_id FROM events), "
+            "g AS (SELECT user_id, "
+            "CAST(floor(((1.0 / 3600.0) * (CAST(gap AS DOUBLE) "
+            "/ 1000000.0) - ln(1.0 / 3600.0)) * 1000000000.0 + 0.5) "
+            "AS BIGINT) AS costl, "
+            "CAST(floor(((4.0 / 3600.0) * (CAST(gap AS DOUBLE) "
+            "/ 1000000.0) - ln(4.0 / 3600.0)) * 1000000000.0 + 0.5) "
+            "AS BIGINT) AS costh, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY rn) "
+            "AS i FROM (SELECT user_id, gap, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id) AS rn "
+            "FROM (SELECT user_id, t, event_id, t - lag(t) OVER "
+            "(PARTITION BY user_id ORDER BY t, event_id) AS gap "
+            "FROM e) WHERE gap IS NOT NULL)), "
+            "dp AS (SELECT user_id, i, costl AS cl, "
+            "CAST(0 AS BIGINT) AS nl, costh AS ch, "
+            "CAST(1 AS BIGINT) AS nh FROM g WHERE i = 1 "
+            "UNION ALL "
+            "SELECT d.user_id, g.i, "
+            "g.costl + CASE WHEN d.cl <= d.ch + 1000000000 THEN d.cl "
+            "ELSE d.ch + 1000000000 END, "
+            "CASE WHEN d.cl <= d.ch + 1000000000 THEN d.nl "
+            "ELSE d.nh END, "
+            "g.costh + CASE WHEN d.ch <= d.cl + 1000000000 THEN d.ch "
+            "ELSE d.cl + 1000000000 END, "
+            "CASE WHEN d.ch <= d.cl + 1000000000 THEN d.nh "
+            "ELSE d.nl END + 1 "
+            "FROM dp d JOIN g ON g.user_id = d.user_id "
+            "AND g.i = d.i + 1), "
+            "fin AS (SELECT user_id, max(i) AS mi FROM dp GROUP BY 1) "
+            "SELECT d.user_id, d.i AS n_gaps, "
+            "CASE WHEN d.cl <= d.ch THEN d.cl ELSE d.ch END "
+            "AS cost_nano, "
+            "CASE WHEN d.cl <= d.ch THEN d.nl ELSE d.nh END "
+            "AS n_high FROM dp d JOIN fin ON fin.user_id = d.user_id "
+            "AND fin.mi = d.i ORDER BY d.user_id"),
     }

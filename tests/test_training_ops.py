@@ -3628,6 +3628,56 @@ def test_cdc_chunks_brute_force_differential(ray_session, tmp_path):
     assert b1 == b2 and b1  # non-empty and aligned
 
 
+def test_burst_viterbi_exhaustive_paths(ray_session, tmp_path):
+    """The vectorized DP equals brute-force enumeration of all 2^n
+    state paths (with the same integer nano costs and tie rules) on
+    a burst-shaped sequence: sparse hours, a 10-gap rapid burst,
+    sparse hours again."""
+    import datetime as dt
+    import itertools
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    gaps_s = [7200, 5400] + [30] * 10 + [9000, 6000]
+    t0 = dt.datetime(2024, 1, 1)
+    rows, tcur = [], t0
+    rows.append({"event_id": 1, "ts": tcur, "user_id": 1,
+                 "event_type": "view", "value": 0.0, "props": "{}"})
+    for i, g in enumerate(gaps_s):
+        tcur = tcur + dt.timedelta(seconds=g)
+        rows.append({"event_id": i + 2, "ts": tcur, "user_id": 1,
+                     "event_type": "view", "value": 0.0,
+                     "props": "{}"})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["burst_viterbi"](str(tmp_path))
+    r = got.iloc[0]
+
+    A_L, A_H = 1.0 / 3600.0, 4.0 / 3600.0
+    LN_L, LN_H = math.log(1.0 / 3600.0), math.log(4.0 / 3600.0)
+
+    def cost(state, g_us):
+        a, ln_a = (A_L, LN_L) if state == 0 else (A_H, LN_H)
+        return int(math.floor(
+            (a * (float(g_us) / 1000000.0) - ln_a) * 1e9 + 0.5))
+
+    gus = [g * 1_000_000 for g in gaps_s]
+    best = None
+    for path in itertools.product((0, 1), repeat=len(gus)):
+        c = sum(cost(s, g) for s, g in zip(path, gus))
+        c += sum(1_000_000_000 for a, b in zip(path, path[1:])
+                 if a != b)
+        key = (c, sum(path))
+        if best is None or key < best:
+            best = key
+    assert (r["n_gaps"], r["cost_nano"]) == (len(gus), best[0])
+    assert r["n_high"] == best[1] == 10  # exactly the burst
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
