@@ -12535,6 +12535,64 @@ def q_burst_viterbi(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_audio_metadata(sf_dir: str):
+    """Audio-metadata extraction from REAL WAV bytes with an
+    INDEPENDENT oracle (the audio twin of media_dimensions): one
+    deterministic ref per doc → fetch_media_stub synthesizes real
+    PCM WAV (frame count seeded from md5(ref)) → this stage parses
+    the actual RIFF header via the stdlib wave module. The SQL twin
+    re-derives frame counts from md5(ref), so a header misread fails
+    the hash."""
+    import io
+    import wave
+
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.multimodal import (
+        fetch_media_stub)
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": pa.array(
+                [f"https://media.example/{i}/audio-0.wav"
+                 for i in ids], pa.string()),
+            "kind": pa.array(["audio"] * len(ids), pa.string())})
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        media = fetch_media_stub(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "media_ref": media.column("media_ref"),
+                         "payload": media.column("payload")})
+
+    def header(batch: pa.Table) -> pa.Table:
+        rates, chans, widths, frames = [], [], [], []
+        for p in batch.column("payload").to_pylist():
+            with wave.open(io.BytesIO(p), "rb") as wf:
+                rates.append(wf.getframerate())
+                chans.append(wf.getnchannels())
+                widths.append(wf.getsampwidth())
+                frames.append(wf.getnframes())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": batch.column("media_ref"),
+            "rate_hz": pa.array(rates, pa.int64()),
+            "channels": pa.array(chans, pa.int64()),
+            "sample_bytes": pa.array(widths, pa.int64()),
+            "n_frames": pa.array(frames, pa.int64()),
+            "duration_ms": pa.array(
+                [f * 1000 // r for f, r in zip(frames, rates)],
+                pa.int64())})
+
+    out = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"]
+                   ).map_batches(to_refs, batch_format="pyarrow"
+                                 ).map_batches(
+        fetch, batch_format="pyarrow", batch_size=256
+    ).map_batches(header, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12795,6 +12853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_cross_entropy": q_lang_cross_entropy,
         "zipf_slope": q_zipf_slope,
         "burst_viterbi": q_burst_viterbi,
+        "audio_metadata": q_audio_metadata,
     }
 
 
@@ -15995,4 +16054,16 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN d.cl <= d.ch THEN d.nl ELSE d.nh END "
             "AS n_high FROM dp d JOIN fin ON fin.user_id = d.user_id "
             "AND fin.mi = d.i ORDER BY d.user_id"),
+        "audio_metadata": (
+            "WITH r AS (SELECT doc_id, 'https://media.example/' || "
+            "doc_id || '/audio-0.wav' AS media_ref FROM documents), "
+            "d AS (SELECT doc_id, media_ref, 200 + "
+            "CAST(concat('0x', substr(md5(media_ref), 5, 2)) "
+            "AS INTEGER) * 7 AS dur_ms FROM r) "
+            "SELECT doc_id, media_ref, CAST(8000 AS BIGINT) "
+            "AS rate_hz, CAST(1 AS BIGINT) AS channels, "
+            "CAST(2 AS BIGINT) AS sample_bytes, "
+            "CAST(8 * dur_ms AS BIGINT) AS n_frames, "
+            "CAST((8 * dur_ms) * 1000 // 8000 AS BIGINT) "
+            "AS duration_ms FROM d ORDER BY doc_id"),
     }

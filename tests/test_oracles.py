@@ -46,7 +46,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "late_events", "ndcg_eval", "nucleus_vocab", "phrase_search",
         "title_entity_clusters", "popularity_hitrate", "ht_estimate",
         "bootstrap_ci", "index_compression", "hll_twin", "cdc_chunks",
-        "lang_cross_entropy", "zipf_slope", "burst_viterbi"]
+        "lang_cross_entropy", "zipf_slope", "burst_viterbi",
+        "audio_metadata"]
 
 
 @pytest.fixture(scope="module")
