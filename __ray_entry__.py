@@ -12593,6 +12593,104 @@ def q_audio_metadata(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_item_cheapest_path(sf_dir: str):
+    """WEIGHTED single-source shortest paths over the co-view graph
+    (edge cost = 10⁶ // co-view count: strong affinity = cheap) —
+    distributed Bellman-Ford: each round one keyed exchange relaxes
+    every settled node's edges and a hash_agg min merges candidates
+    with current distances; distances only decrease, so the tagged
+    changed-count fixpoint test is exact. Integer costs throughout;
+    source = the graph's min item (deterministic at any sf). Bounded
+    64 rounds (≥ the weighted-path hop diameter) with a loud
+    failure. The SQL twin runs the same relaxation as a recursive
+    CTE with a strict-improvement guard."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_starts)
+
+    MIN_USERS = 2
+    MAX_ROUNDS = 64
+
+    edges = _covis_pair_counts(sf_dir).filter(
+        lambda r: r["n_users"] >= MIN_USERS)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        n = t.column("n_users").to_numpy(zero_copy_only=False)
+        a = pk >> np.int64(31)
+        b = pk & np.int64((1 << 31) - 1)
+        w = 1_000_000 // n
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    adj = edges.map_batches(symmetrize,
+                            batch_format="pyarrow").materialize()
+    src = int(adj.min("node"))
+    import ray.data as rd
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array([src], pa.int64()),
+        "cost": pa.array([0], pa.int64())})).materialize()
+
+    def tag_dist(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "nbr": pa.nulls(len(t), pa.int64()),
+                         "w": t.column("cost")})
+
+    def relax(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "cost": pa.array([], pa.int64())})
+        if not len(node):
+            return empty
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        is_d = pd.isna(nbr)
+        starts = segment_starts(node)
+        seg = np.searchsorted(starts, np.arange(len(node)),
+                              side="right") - 1
+        seg_cost = np.full(len(starts), -1, dtype=np.int64)
+        seg_cost[seg[is_d]] = w[is_d]
+        out_n = [node[is_d]]
+        out_c = [w[is_d].astype(np.int64)]
+        em = (~is_d) & (seg_cost[seg] >= 0)
+        if em.any():
+            out_n.append(nbr[em].astype(np.int64))
+            out_c.append(seg_cost[seg[em]] + w[em].astype(np.int64))
+        return pa.table({
+            "node": pa.array(np.concatenate(out_n), pa.int64()),
+            "cost": pa.array(np.concatenate(out_c), pa.int64())})
+
+    # distances are monotone: node count only grows, total cost of
+    # settled nodes only shrinks — (count, sum) equality IS the
+    # fixpoint test, two cheap aggregates instead of a keyed exchange
+    cnt, csum = 1, 0
+    for _ in range(MAX_ROUNDS):
+        tagged = dist.map_batches(tag_dist,
+                                  batch_format="pyarrow").union(adj)
+        new_dist = hash_agg(
+            map_key_partitions(tagged, "node", relax),
+            "node", [("cost", "min", "cost")]).materialize()
+        new_cnt = new_dist.count()
+        new_sum = int(new_dist.sum("cost"))
+        stable = new_cnt == cnt and new_sum == csum
+        dist, cnt, csum = new_dist, new_cnt, new_sum
+        if stable:
+            break
+    else:
+        raise RuntimeError("shortest-path relaxation did not converge "
+                           f"in {MAX_ROUNDS} rounds")
+
+    out = dist.to_pandas()
+    return out.sort_values("node").reset_index(drop=True).rename(
+        columns={"node": "item", "cost": "cost"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12854,6 +12952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": q_zipf_slope,
         "burst_viterbi": q_burst_viterbi,
         "audio_metadata": q_audio_metadata,
+        "item_cheapest_path": q_item_cheapest_path,
     }
 
 
@@ -16066,4 +16165,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(8 * dur_ms AS BIGINT) AS n_frames, "
             "CAST((8 * dur_ms) * 1000 // 8000 AS BIGINT) "
             "AS duration_ms FROM d ORDER BY doc_id"),
+        "item_cheapest_path": (
+            "WITH RECURSIVE ui AS (SELECT DISTINCT user_id, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "prs AS (SELECT a.item AS ia, b.item AS ib, "
+            "CAST(count(*) AS BIGINT) AS n FROM ui a JOIN ui b "
+            "ON a.user_id = b.user_id AND a.item < b.item "
+            "GROUP BY 1, 2), "
+            "edges AS (SELECT ia, ib, 1000000 // n AS w FROM prs "
+            "WHERE n >= 2), "
+            "adj AS (SELECT ia AS node, ib AS nbr, w FROM edges "
+            "UNION ALL SELECT ib, ia, w FROM edges), "
+            "d AS (SELECT (SELECT min(node) FROM adj) AS node, "
+            "CAST(0 AS BIGINT) AS cost "
+            "UNION ALL "
+            "SELECT node, cost FROM ("
+            "WITH cur AS (SELECT node, cost FROM d), "
+            "relax AS (SELECT a.nbr AS node, c.cost + a.w AS cost "
+            "FROM cur c JOIN adj a ON a.node = c.node "
+            "UNION ALL SELECT node, cost FROM cur), "
+            "nd AS (SELECT node, min(cost) AS cost FROM relax "
+            "GROUP BY 1) "
+            "SELECT nd.node, nd.cost FROM nd "
+            "WHERE EXISTS (SELECT 1 FROM nd n2 LEFT JOIN cur c "
+            "ON c.node = n2.node WHERE c.node IS NULL "
+            "OR n2.cost < c.cost))) "
+            "SELECT node AS item, CAST(min(cost) AS BIGINT) AS cost "
+            "FROM d GROUP BY 1 ORDER BY 1"),
     }

@@ -3678,6 +3678,36 @@ def test_burst_viterbi_exhaustive_paths(ray_session, tmp_path):
     assert r["n_high"] == best[1] == 10  # exactly the burst
 
 
+def test_item_cheapest_path_indirect_beats_direct(ray_session,
+                                                  tmp_path):
+    """Weighted relaxation: edges (0,1) and (1,2) have 10 co-viewers
+    (cost 100000 each) while the direct (0,2) edge has only 2 (cost
+    500000) — the 2-hop path wins: dist(2) = 200000."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid, uid = [], 0, 0
+    for a, b, nu in ((0, 1, 10), (1, 2, 10), (0, 2, 2)):
+        for _ in range(nu):
+            uid += 1
+            for it in (a, b):
+                eid += 1
+                rows.append({"event_id": eid,
+                             "ts": t0 + dt.timedelta(minutes=eid),
+                             "user_id": uid, "event_type": "view",
+                             "value": 0.0, "props": '{"k": %d}' % it})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/events.parquet")
+    got = entrymod.queries()["item_cheapest_path"](str(tmp_path))
+    d = dict(zip(got["item"], got["cost"]))
+    assert d == {0: 0, 1: 100000, 2: 200000}
+
+
 def test_kth_smallest_int_quickselect(ray_session):
     """Distributed quickselect == numpy sort selection, on a
     duplicate-heavy skewed distribution (dense brackets force the
