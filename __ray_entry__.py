@@ -12691,6 +12691,95 @@ def q_item_cheapest_path(sf_dir: str):
         columns={"node": "item", "cost": "cost"})
 
 
+def q_edge_churn(sf_dir: str):
+    """TEMPORAL GRAPH churn: Jaccard overlap of CONSECUTIVE weeks'
+    co-view edge sets (how fast the item-affinity structure turns
+    over). Weekly edges are per-(user, week) triangular pair
+    expansion (hub-capped); the week-set overlap rides the
+    _tag_set_overlap bitmask machinery — the edge-key set never
+    reaches the driver, only the ≤2^weeks mask histogram (weeks are
+    calendar-bounded). Consecutive-week rows only; zero-overlap
+    pairs are absent by the helper's contract (mirrored in SQL)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts, ts_us)
+
+    WEEK_US = 604_800_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), "view"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        item = pc.cast(pc.struct_field(pc.extract_regex(
+            col, r'"k":\s*(?P<k>-?\d+)'), "k"), pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "week": pa.array(ts_us(t.column("ts")) // WEEK_US,
+                             pa.int64()),
+            "item": item}).group_by(
+            ["user_id", "week", "item"]).aggregate([])
+
+    def weekly_pairs(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"pk": pa.array([], pa.int64()),
+                          "week": pa.array([], pa.int64())})
+        if not len(u):
+            return empty
+        wk = t.column("week").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        it = t.column("item").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if it.min() < 0 or it.max() >= (1 << 31):
+            raise ValueError("edge pack needs item ids in [0, 2^31)")
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = ((u[1:] != u[:-1]) | (wk[1:] != wk[:-1])
+                    | (it[1:] != it[:-1]))
+        u, wk, it = u[keep], wk[keep], it[keep]
+        # segments = (user, week); cap items per segment like covis
+        seg_key = u * (1 << 20) + wk  # weeks < 2^20: no collision
+        seg_key, it = _cap_user_items(seg_key, it)
+        wk = seg_key & np.int64((1 << 20) - 1)
+        starts = segment_starts(seg_key)
+        lens = segment_lengths(starts, len(seg_key))
+        sel = lens >= 2
+        starts, lens = starts[sel], lens[sel]
+        counts = lens * (lens - 1) // 2
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        seg = np.repeat(np.arange(len(lens)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        tloc = np.arange(total, dtype=np.int64) - np.repeat(offs,
+                                                            counts)
+        length = lens[seg]
+        a = (length - 2 - np.floor(
+            (np.sqrt(-8.0 * tloc + 4.0 * length * (length - 1) - 7.0)
+             - 1.0) / 2.0)).astype(np.int64)
+        b = tloc + a + 1 - length * (length - 1) // 2 \
+            + (length - a) * (length - a - 1) // 2
+        base = starts[seg]
+        pk = (it[base + a] << np.int64(31)) | it[base + b]
+        return pa.table({
+            "pk": pa.array(pk, pa.int64()),
+            "week": pa.array(wk[base], pa.int64())})
+
+    ui = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type", "props"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    keyed = map_key_partitions(ui, "user_id", weekly_pairs,
+                               sort_cols=["week", "item"])
+    out = _tag_set_overlap(keyed, key="pk", tag="week",
+                           prefix="week")
+    out = out[out["week_b"] == out["week_a"] + 1].reset_index(
+        drop=True)
+    return out.astype({"week_a": "int64", "week_b": "int64"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -12953,6 +13042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_viterbi": q_burst_viterbi,
         "audio_metadata": q_audio_metadata,
         "item_cheapest_path": q_item_cheapest_path,
+        "edge_churn": q_edge_churn,
     }
 
 
@@ -16193,4 +16283,26 @@ def oracle_sql() -> dict[str, str]:
             "OR n2.cost < c.cost))) "
             "SELECT node AS item, CAST(min(cost) AS BIGINT) AS cost "
             "FROM d GROUP BY 1 ORDER BY 1"),
+        "edge_churn": (
+            "WITH ui AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 604800000000 AS week, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS item "
+            "FROM events WHERE event_type = 'view'), "
+            "e AS (SELECT DISTINCT a.week, a.item AS ia, b.item AS ib "
+            "FROM ui a JOIN ui b ON a.user_id = b.user_id "
+            "AND a.week = b.week AND a.item < b.item), "
+            "wc AS (SELECT week, CAST(count(*) AS BIGINT) AS n "
+            "FROM e GROUP BY 1), "
+            "cons AS (SELECT w1.week AS week_a, w2.week AS week_b, "
+            "w1.n AS n_a, w2.n AS n_b FROM wc w1 "
+            "JOIN wc w2 ON w2.week = w1.week + 1), "
+            "inter AS (SELECT c.week_a, CAST(count(*) AS BIGINT) "
+            "AS n_common FROM cons c JOIN e e1 "
+            "ON e1.week = c.week_a JOIN e e2 ON e2.week = c.week_b "
+            "AND e2.ia = e1.ia AND e2.ib = e1.ib GROUP BY 1) "
+            "SELECT c.week_a, c.week_b, c.n_a, c.n_b, i.n_common, "
+            "(1000000 * i.n_common) // (c.n_a + c.n_b - i.n_common) "
+            "AS jaccard_ppm FROM cons c "
+            "JOIN inter i ON i.week_a = c.week_a "
+            "ORDER BY c.week_a"),
     }

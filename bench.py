@@ -218,15 +218,53 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "cross_source_dups", "user_recs", "embedding_dim_median",
              "improving_users", "revenue_changepoint", "source_ttr",
              "trailing_spend", "merge_orders", "smb_join_revenue",
-             "rapid_reorders", "item_abandonment"]
+             "rapid_reorders", "item_abandonment",
+             # round-4 eighth-session: streaming dedup/watermark, graph
+             # ML, survival/eval stats, storage models, sequence DP
+             "event_debounce", "link_prediction", "revenue_trend_mk",
+             "revenue_ewma", "event_trigrams", "ltv_cohort_curve",
+             "lang_chars_moments", "degree_assortativity",
+             "scd2_history", "event_rle", "media_dimensions",
+             "zonemap_prune", "funnel_1h", "kcore_items", "mutual_nn",
+             "monthly_seasonality", "assoc_triples",
+             "jaccard_histogram", "survival_km", "late_events",
+             "ndcg_eval", "nucleus_vocab", "phrase_search",
+             "title_entity_clusters", "popularity_hitrate",
+             "ht_estimate", "bootstrap_ci", "index_compression",
+             "hll_twin", "cdc_chunks", "lang_cross_entropy",
+             "zipf_slope", "burst_viterbi", "audio_metadata",
+             "item_cheapest_path", "edge_churn"]
     qs = entrymod.queries()
     times = {}
-    for name in picks:
+    # Long-lived sessions AGE: after ~100 sequential queries the same
+    # query runs 3-10x slower than in a fresh session (measured:
+    # word_entropy 4.1 s fresh vs 12.6 s late in a 250-query session;
+    # big_orders 1.2 vs 13.2).  Recycle the Ray session periodically —
+    # bench owns its session per the driver contract, and production
+    # fleets recycle executors for the same reason.
+    import gc
+
+    import ray
+
+    RECYCLE = 40
+    for i, name in enumerate(picks):
+        if i and i % RECYCLE == 0:
+            ray.shutdown()
+            gc.collect()
+            ray.init(address="local", num_cpus=NUM_CPUS,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
+            from ray.data import DataContext
+
+            ctx = DataContext.get_current()
+            ctx.enable_progress_bars = False
+            ctx.execution_options.preserve_order = False
         t0 = time.time()
         res = qs[name](sf_dir)
         if hasattr(res, "materialize"):
             res.materialize()
         times[name] = round(time.time() - t0, 3)
+        del res
     return times
 
 

@@ -2863,9 +2863,13 @@ def test_bpe_train_distributed_matches_reference(ray_session):
              for _ in range(300)]
 
     ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(8)
-    got = bpe_train(ds, num_merges=25)
+    # driver_types_bound=0 forces the DISTRIBUTED per-round path (the
+    # default fast path would bypass it for this small vocabulary)
+    got = bpe_train(ds, num_merges=25, driver_types_bound=0)
     want = bpe_train_reference(texts, num_merges=25)
     assert got == want
+    # and the driver fast path agrees with both
+    assert bpe_train(ds, num_merges=25) == want
 
     # encode round-trip: merged symbols always concatenate to the word
     for w in words[:10]:
