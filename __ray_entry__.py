@@ -12780,6 +12780,51 @@ def q_edge_churn(sf_dir: str):
     return out.astype({"week_a": "int64", "week_b": "int64"})
 
 
+def q_l_diversity(sf_dir: str):
+    """Privacy audit beyond k-anonymity: L-DIVERSITY of the sensitive
+    attribute (market segment) within each quasi-identifier group
+    (nation) — distinct-l plus ENTROPY-l (Shannon entropy of the
+    within-group segment distribution, integer nano-nats via the
+    user_entropy c·ln(c) idiom). Bounded (nations × segments) cells;
+    one combiner pass."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+        }).group_by(["c_nationkey", "c_mktsegment"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"c_nationkey": g.column("c_nationkey"),
+                         "c_mktsegment": g.column("c_mktsegment"),
+                         "c": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/customer.parquet",
+                     columns=["c_nationkey", "c_mktsegment"]
+                     ).map_batches(partial,
+                                   batch_format="pyarrow").to_pandas()
+    cells = cells.groupby(["c_nationkey", "c_mktsegment"],
+                          as_index=False)["c"].sum()
+    rows = []
+    for nat, g in cells.groupby("c_nationkey", sort=True):
+        cs = [int(x) for x in g["c"]]
+        n = sum(cs)
+        s = sum(int(math.floor(c * math.log(c) * 1e9 + 0.5))
+                for c in cs)
+        ent = int(math.floor(
+            (math.log(n) - s / 1e9 / n) * 1e9 + 0.5))
+        rows.append({"c_nationkey": int(nat), "n_customers": n,
+                     "l_distinct": len(cs), "entropy_nano": ent})
+    return pd.DataFrame(rows).astype(
+        {"n_customers": "int64", "l_distinct": "int64",
+         "entropy_nano": "int64"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13043,6 +13088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_metadata": q_audio_metadata,
         "item_cheapest_path": q_item_cheapest_path,
         "edge_churn": q_edge_churn,
+        "l_diversity": q_l_diversity,
     }
 
 
@@ -16305,4 +16351,14 @@ def oracle_sql() -> dict[str, str]:
             "AS jaccard_ppm FROM cons c "
             "JOIN inter i ON i.week_a = c.week_a "
             "ORDER BY c.week_a"),
+        "l_diversity": (
+            "WITH c AS (SELECT CAST(c_nationkey AS BIGINT) "
+            "AS c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) "
+            "AS c FROM customer GROUP BY 1, 2) "
+            "SELECT c_nationkey, CAST(sum(c) AS BIGINT) "
+            "AS n_customers, CAST(count(*) AS BIGINT) AS l_distinct, "
+            "CAST(floor((ln(sum(c)) - sum(CAST(floor(c * ln(c) "
+            "* 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 "
+            "/ sum(c)) * 1000000000 + 0.5) AS BIGINT) "
+            "AS entropy_nano FROM c GROUP BY 1 ORDER BY 1"),
     }

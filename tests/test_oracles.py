@@ -47,7 +47,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "title_entity_clusters", "popularity_hitrate", "ht_estimate",
         "bootstrap_ci", "index_compression", "hll_twin", "cdc_chunks",
         "lang_cross_entropy", "zipf_slope", "burst_viterbi",
-        "audio_metadata", "item_cheapest_path", "edge_churn"]
+        "audio_metadata", "item_cheapest_path", "edge_churn",
+        "l_diversity"]
 
 
 @pytest.fixture(scope="module")
