@@ -12825,6 +12825,47 @@ def q_l_diversity(sf_dir: str):
          "entropy_nano": "int64"})
 
 
+def q_apportion_sample(sf_dir: str):
+    """Hamilton LARGEST-REMAINDER apportionment of a fixed sampling
+    budget (N=1000 docs) across the (lang, source) corpus cells — the
+    constrained-allocation step of training-mixture construction:
+    per-cell quotas that sum EXACTLY to the budget, unlike independent
+    rounding. All integer: base = (N·c) // T bigint floor, remainder
+    (N·c) mod T; the L = N − Σbase leftover seats go to the largest
+    remainders (ties: lang, source ascending). One combiner map pass;
+    only the bounded |langs|×|sources| cell table reaches the driver."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    N = 1000
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "c": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/documents.parquet",
+                     columns=["lang", "source"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    cells = cells.groupby(["lang", "source"], as_index=False)["c"].sum()
+    total = int(cells["c"].sum())
+    cells["n_docs"] = cells["c"].astype("int64")
+    cells["base"] = [N * int(c) // total for c in cells["c"]]
+    cells["rem"] = [N * int(c) % total for c in cells["c"]]
+    leftover = N - int(cells["base"].sum())
+    order = cells.sort_values(
+        ["rem", "lang", "source"],
+        ascending=[False, True, True]).index[:leftover]
+    cells["seats"] = cells["base"]
+    cells.loc[order, "seats"] += 1
+    out = cells[["lang", "source", "n_docs", "seats"]].sort_values(
+        ["lang", "source"]).reset_index(drop=True)
+    return out.astype({"n_docs": "int64", "seats": "int64"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13089,6 +13130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cheapest_path": q_item_cheapest_path,
         "edge_churn": q_edge_churn,
         "l_diversity": q_l_diversity,
+        "apportion_sample": q_apportion_sample,
     }
 
 
@@ -16361,4 +16403,20 @@ def oracle_sql() -> dict[str, str]:
             "* 1000000000 + 0.5) AS BIGINT)) / 1000000000.0 "
             "/ sum(c)) * 1000000000 + 0.5) AS BIGINT) "
             "AS entropy_nano FROM c GROUP BY 1 ORDER BY 1"),
+        "apportion_sample": (
+            "WITH cell AS (SELECT lang, source, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1, 2), "
+            "tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t "
+            "FROM cell), "
+            "q AS (SELECT lang, source, n_docs, "
+            "(1000 * n_docs) // t AS base, "
+            "(1000 * n_docs) % t AS rem FROM cell, tot), "
+            "lft AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS l "
+            "FROM q), "
+            "r AS (SELECT *, row_number() OVER "
+            "(ORDER BY rem DESC, lang, source) AS rk FROM q) "
+            "SELECT lang, source, n_docs, CAST(base + CASE WHEN "
+            "rk <= (SELECT l FROM lft) THEN 1 ELSE 0 END AS BIGINT) "
+            "AS seats FROM r ORDER BY lang, source"),
     }

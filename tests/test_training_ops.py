@@ -3739,3 +3739,25 @@ def test_kth_smallest_int_quickselect(ray_session):
                                         window_cap=4096)
         assert n_total == n
         assert got == int(ref[k - 1]), (k, got, int(ref[k - 1]))
+
+
+def test_apportion_sample_largest_remainder(ray_session, tmp_path):
+    """Counts 1/2/4 over budget 1000: bases 142/285/571 leave 2 seats;
+    remainders 6/5/3 send them to the first two cells — and the seat
+    column sums exactly to the budget (the property independent
+    rounding would violate)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    rows = ([{"lang": "en", "source": "a"}] * 1
+            + [{"lang": "en", "source": "b"}] * 2
+            + [{"lang": "fr", "source": "a"}] * 4)
+    pq.write_table(pa.Table.from_pylist(rows),
+                   f"{tmp_path}/documents.parquet")
+    got = entrymod.queries()["apportion_sample"](str(tmp_path))
+    seats = dict(zip(zip(got["lang"], got["source"]), got["seats"]))
+    assert seats == {("en", "a"): 143, ("en", "b"): 286,
+                     ("fr", "a"): 571}
+    assert int(got["seats"].sum()) == 1000
