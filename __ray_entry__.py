@@ -2898,6 +2898,47 @@ def q_ann_filtered(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def q_sq8_topk(sf_dir: str):
+    """INT8 scalar-quantized vector search (the SQ8 codec of
+    FAISS/ScaNN): per-dim (min,max) grid → 0..255 codes → top-k by
+    INT64 quantized inner product. Integer scores are exact in any
+    summation order, so ranks are engine-independent — the SQL twin
+    recomputes grid, codes and scores from scratch (no float near-tie
+    risk; ties break on neighbor_id). Self-asserts recall@k ≥ 0.8 vs
+    the exact float64 cosine top-k every run."""
+    from magic_content_extractor_ray.stages.ann import (
+        brute_force_topk, load_queries, sq8_topk)
+
+    queries = load_queries(sf_dir, _ANN_NQ)
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    out = sq8_topk(ds, queries, k=_ANN_K)
+    exact = brute_force_topk(ds, queries, k=_ANN_K, dtype="float64",
+                             normalize=False)
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    hits = sum((q, n) in exact_pairs
+               for q, n in zip(out["query_id"], out["neighbor_id"]))
+    if hits / max(1, len(exact_pairs)) < 0.8:
+        raise AssertionError(
+            f"sq8 recall@{_ANN_K} = {hits / len(exact_pairs):.3f} < 0.8 "
+            "vs exact float64 inner-product top-k")
+    return out
+
+
+def q_kcenter_sample(sf_dir: str):
+    """DIVERSITY sampling: greedy farthest-point (Gonzalez) k-center
+    seeds over the SQ8-quantized embeddings — 8 maximally-spread
+    exemplars, the standard coreset/facility-location seed step for
+    diverse data selection. Exact integer squared-L2 on the codes makes
+    the greedy trajectory reproducible across engines; the SQL twin
+    unrolls the same 8 argmax-of-min-distance rounds."""
+    from magic_content_extractor_ray.stages.ann import kcenter_select
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    return kcenter_select(ds, k=8)
+
+
 def _ann_recall_checked(approx, sf_dir: str, queries, *,
                         min_recall: float = 0.9):
     """Join an approximate-ANN result with the exact float64 brute-force
@@ -13131,7 +13172,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_churn": q_edge_churn,
         "l_diversity": q_l_diversity,
         "apportion_sample": q_apportion_sample,
+        "sq8_topk": q_sq8_topk,
+        "kcenter_sample": q_kcenter_sample,
     }
+
+
+_SQ8_CODES_SQL = (
+    "WITH ex AS (SELECT vec_id, CAST(t.i + 1 AS BIGINT) AS dim, "
+    "CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS val "
+    "FROM embeddings, range(64) t(i)), "
+    "grid AS (SELECT dim, min(val) AS mn, max(val) AS mx "
+    "FROM ex GROUP BY 1)")
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unrolled greedy k-center twin: round i's centroid = argmax of the
+    running min-distance map d(i−1) (ties: vec_id asc), then the map
+    folds in distances to the new centroid via LEAST. Same int codes,
+    same integer squared-L2 as stages/ann.kcenter_select."""
+    parts = [
+        _SQ8_CODES_SQL,
+        ", codes AS (SELECT vec_id, ex.dim, CASE WHEN mx = mn THEN 0 "
+        "ELSE CAST(floor((val - mn) * 255.0 / (mx - mn)) AS BIGINT) END "
+        "AS code FROM ex JOIN grid ON grid.dim = ex.dim), "
+        "c1 AS (SELECT min(vec_id) AS vid FROM codes), "
+        "d1 AS (SELECT c.vec_id, CAST(sum((c.code - x.code) * "
+        "(c.code - x.code)) AS BIGINT) AS d FROM codes c JOIN codes x "
+        "ON x.dim = c.dim AND x.vec_id = (SELECT vid FROM c1) "
+        "GROUP BY 1)"]
+    for i in range(2, k + 1):
+        parts.append(
+            f", c{i} AS (SELECT vec_id AS vid, d FROM d{i-1} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)")
+        if i < k:
+            parts.append(
+                f", d{i} AS (SELECT p.vec_id, LEAST(p.d, s.d) AS d "
+                f"FROM d{i-1} p JOIN (SELECT c.vec_id, "
+                f"CAST(sum((c.code - x.code) * (c.code - x.code)) "
+                f"AS BIGINT) AS d FROM codes c JOIN codes x "
+                f"ON x.dim = c.dim AND x.vec_id = "
+                f"(SELECT vid FROM c{i}) GROUP BY 1) s "
+                f"ON s.vec_id = p.vec_id)")
+    parts.append(
+        " SELECT CAST(1 AS BIGINT) AS round, "
+        "(SELECT vid FROM c1) AS vec_id, CAST(0 AS BIGINT) AS dist_sq")
+    for i in range(2, k + 1):
+        parts.append(f" UNION ALL SELECT {i}, vid, d FROM c{i}")
+    parts.append(" ORDER BY round")
+    return "".join(parts)
 
 
 def _fixture(name: str) -> str:
@@ -16419,4 +16507,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, source, n_docs, CAST(base + CASE WHEN "
             "rk <= (SELECT l FROM lft) THEN 1 ELSE 0 END AS BIGINT) "
             "AS seats FROM r ORDER BY lang, source"),
+        "sq8_topk": (
+            _SQ8_CODES_SQL +
+            ", codes AS (SELECT vec_id, ex.dim, "
+            "CAST(floor(mn * 16777216.0 + 0.5) AS BIGINT) "
+            "+ (CASE WHEN mx = mn THEN 0 ELSE "
+            "CAST(floor((val - mn) * 255.0 / (mx - mn)) AS BIGINT) END) "
+            "* CAST(floor((mx - mn) / 255.0 * 16777216.0 + 0.5) "
+            "AS BIGINT) AS xf FROM ex JOIN grid ON grid.dim = ex.dim), "
+            "q AS (SELECT vec_id AS query_id, dim, xf FROM codes "
+            "WHERE vec_id IN (SELECT vec_id FROM embeddings "
+            "ORDER BY vec_id LIMIT 5)), "
+            "scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, "
+            "CAST(sum(q.xf * c.xf) AS BIGINT) AS iscore "
+            "FROM q JOIN codes c ON c.dim = q.dim GROUP BY 1, 2), "
+            "ranked AS (SELECT query_id, neighbor_id, iscore, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY iscore DESC, neighbor_id) AS rank FROM scored) "
+            "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, "
+            "iscore FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
+        "kcenter_sample": _kcenter_oracle(8),
     }

@@ -41,13 +41,15 @@ class _PartialTopK:
     """Stateful stage: the broadcast query matrix is fetched once per actor."""
 
     def __init__(self, queries_ref, k: int, column: str, id_column: str,
-                 dtype_name: str = "float32"):
+                 dtype_name: str = "float32", normalize: bool = True):
         import ray
 
         q = ray.get(queries_ref)
         self.dtype = np.dtype(dtype_name)
+        self.normalize = normalize
+        qm = np.asarray(q["matrix"], dtype=self.dtype)
         self.qids = np.asarray(q["ids"], dtype=np.int64)
-        self.qmat = _normalize(np.asarray(q["matrix"], dtype=self.dtype))
+        self.qmat = _normalize(qm) if normalize else qm
         self.k = k
         self.column = column
         self.id_column = id_column
@@ -55,7 +57,9 @@ class _PartialTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(self.id_column).to_numpy(
             zero_copy_only=False))
-        mat = _normalize(_batch_matrix(batch, self.column, self.dtype))
+        mat = _batch_matrix(batch, self.column, self.dtype)
+        if self.normalize:
+            mat = _normalize(mat)
         sims = self.qmat @ mat.T  # (nq, nb)
         k = min(self.k, sims.shape[1])
         idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
@@ -129,10 +133,13 @@ def load_queries(sf_dir: str, n_queries: int, column: str = "embedding",
 
 def brute_force_topk(ds, queries: dict, *, k: int = 10,
                      column: str = "embedding", id_column: str = "vec_id",
-                     dtype: str = "float32"):
+                     dtype: str = "float32", normalize: bool = True):
     """Exact cosine top-k of each query against the full dataset.
     ``dtype='float64'`` runs all cosine math in double precision (needed
-    when ranks are compared against a double-precision SQL oracle)."""
+    when ranks are compared against a double-precision SQL oracle).
+    ``normalize=False`` skips L2 normalization — exact MAXIMUM INNER
+    PRODUCT search, the ground truth for the quantized-MIPS recall
+    check."""
     import ray
 
     qref = ray.put(queries)
@@ -142,7 +149,8 @@ def brute_force_topk(ds, queries: dict, *, k: int = 10,
         _PartialTopK, batch_format="pyarrow", batch_size=2048,
         concurrency=actor_pool(),
         fn_constructor_kwargs=dict(queries_ref=qref, k=k, column=column,
-                                   id_column=id_column, dtype_name=dtype))
+                                   id_column=id_column, dtype_name=dtype,
+                                   normalize=normalize))
     return _merge_topk(partials.take_all(), k)
 
 
@@ -356,3 +364,219 @@ def lsh_topk(ds, queries: dict, *, k: int = 10, n_tables: int = 8,
     cands = bucketed.groupby("bucket").map_groups(
         scan_bucket, batch_format="pandas")
     return _dedup_and_topk(cands, k)
+
+
+def sq8_grid(ds, *, column: str = "embedding"):
+    """Per-dimension (min, max) of the embedding column — the int8
+    scalar-quantization grid (the SQ8 codec of FAISS/ScaNN). One combiner
+    pass: each batch reduces to a (dim, mn, mx) table in float64 (float32
+    promotes losslessly, so the grid is bit-identical to a SQL
+    ``min(CAST(val AS DOUBLE))``); the driver merges the bounded
+    n_blocks × dim partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, column, np.float64)
+        if not len(mat):
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(mat.shape[1], dtype=np.int64)),
+            "mn": pa.array(mat.min(axis=0)),
+            "mx": pa.array(mat.max(axis=0))})
+
+    cells = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    g = cells.groupby("dim", sort=True)
+    return (g["mn"].min().to_numpy(), g["mx"].max().to_numpy())
+
+
+def sq8_encode(mat64: np.ndarray, mins: np.ndarray,
+               maxs: np.ndarray) -> np.ndarray:
+    """float64 matrix → int64 codes in [0, 255]:
+    ``floor((x − mn) · 255 / (mx − mn))`` — written as the identical IEEE
+    double expression the SQL twin uses, so codes match bit-for-bit
+    (constant dims quantize to 0). Values are assumed in-grid (the grid
+    came from the same corpus)."""
+    span = maxs - mins
+    safe = np.where(span == 0.0, 1.0, span)
+    codes = np.floor((mat64 - mins) * 255.0 / safe)
+    return np.where(span == 0.0, 0.0, codes).astype(np.int64)
+
+
+_SQ8_FP = 16777216.0  # 2^24 fixed-point scale for dequantized values
+
+
+def sq8_fixed_point(codes: np.ndarray, mins: np.ndarray,
+                    maxs: np.ndarray) -> np.ndarray:
+    """Codes → EXACT-INTEGER fixed-point dequantization
+    ``X = floor(mn·2²⁴ + 0.5) + code · floor(span/255·2²⁴ + 0.5)`` —
+    X/2²⁴ approximates the original value, and integer inner products of
+    X rank identically in any summation order and engine. (Scoring raw
+    codes instead would rank by the per-dim AFFINE-SHIFTED vectors — the
+    shift by mn is not rank-preserving for inner products.) Half-up
+    floor(x+0.5) keeps the rounding rule engine-independent. Headroom:
+    unit-norm inputs give |X| ≤ ~2²⁴, 64-dim scores ≤ ~2⁵⁴ « int64."""
+    mni = np.floor(mins * _SQ8_FP + 0.5).astype(np.int64)
+    si = np.floor((maxs - mins) / 255.0 * _SQ8_FP + 0.5).astype(np.int64)
+    return mni + codes * si
+
+
+class _Sq8PartialTopK:
+    """Stateful stage: quantizes each batch on the broadcast grid and
+    scores against the broadcast quantized queries with an INT64 dot
+    product — exact in any summation order, so ranks are engine- and
+    partitioning-independent (unlike float cosine near-ties)."""
+
+    def __init__(self, info_ref, k: int, column: str, id_column: str):
+        import ray
+
+        info = ray.get(info_ref)
+        self.mins = info["mins"]
+        self.maxs = info["maxs"]
+        self.qids = np.asarray(info["qids"], dtype=np.int64)
+        # queries in fixed point (same grid as the corpus side)
+        self.qfx = sq8_fixed_point(info["qcodes"], self.mins, self.maxs)
+        self.k = k
+        self.column = column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_column).to_numpy(
+            zero_copy_only=False))
+        codes = sq8_encode(_batch_matrix(batch, self.column, np.float64),
+                           self.mins, self.maxs)
+        xfx = sq8_fixed_point(codes, self.mins, self.maxs)
+        sims = self.qfx @ xfx.T  # (nq, nb) int64, exact
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        nq = sims.shape[0]
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(self.qids, k), pa.int64()),
+             pa.array(ids[idx.ravel()].astype(np.int64), pa.int64()),
+             pa.array(sims[np.repeat(np.arange(nq), k), idx.ravel()],
+                      pa.int64())],
+            names=["query_id", "neighbor_id", "iscore"])
+
+
+def sq8_topk(ds, queries: dict, *, k: int = 10,
+             column: str = "embedding", id_column: str = "vec_id"):
+    """Top-k by quantized inner product over SQ8 codes (symmetric
+    quantization: query and corpus share the grid). Two passes: grid,
+    then score — per-block partial top-k, tiny driver merge with
+    deterministic (−iscore, neighbor_id) tie-break."""
+    import pandas as pd
+    import ray
+
+    from ..util import actor_pool
+
+    mins, maxs = sq8_grid(ds, column=column)
+    qcodes = sq8_encode(np.asarray(queries["matrix"], dtype=np.float64),
+                        mins, maxs)
+    info_ref = ray.put({"mins": mins, "maxs": maxs, "qcodes": qcodes,
+                        "qids": queries["ids"]})
+    partials = ds.select_columns([id_column, column]).map_batches(
+        _Sq8PartialTopK, batch_format="pyarrow", batch_size=2048,
+        concurrency=actor_pool(),
+        fn_constructor_kwargs=dict(info_ref=info_ref, k=k, column=column,
+                                   id_column=id_column))
+    df = pd.DataFrame(partials.take_all())
+    df = df.sort_values(["query_id", "iscore", "neighbor_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "neighbor_id", "rank", "iscore"]].astype(
+        {"rank": "int64", "iscore": "int64"})
+
+
+def kcenter_select(ds, *, k: int = 8, column: str = "embedding",
+                   id_column: str = "vec_id"):
+    """Greedy farthest-point (Gonzalez) k-center over the SQ8 codes —
+    the diversity-sampling seed selector (coreset/facility-location
+    style). Distances are EXACT integer squared-L2 on the codes, so the
+    greedy trajectory is reproducible across engines, block orders and
+    parallelism. Seed = lowest vec_id; each of the k−1 rounds broadcasts
+    the chosen code rows and runs a distributed argmax of
+    min-distance-to-chosen (per-block partial argmax, ≤1 row per block
+    to the driver). k passes over a once-materialized projected codes
+    dataset (id + 64 int64 codes — the full embedding table is never
+    re-read or re-quantized per round)."""
+    import ray
+
+    mins, maxs = sq8_grid(ds, column=column)
+    grid_ref = ray.put((mins, maxs))
+
+    def encode_batch(batch: pa.Table) -> pa.Table:
+        mn, mx = ray.get(grid_ref)
+        ids = np.asarray(batch.column(id_column).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        codes = sq8_encode(_batch_matrix(batch, column, np.float64),
+                           mn, mx)
+        dim = codes.shape[1] if len(codes) else 1
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), pa.int64()), dim)
+        return pa.Table.from_arrays([pa.array(ids, pa.int64()), arr],
+                                    names=[id_column, "code"])
+
+    codes_ds = ds.select_columns([id_column, column]).map_batches(
+        encode_batch, batch_format="pyarrow").materialize()
+
+    def code_matrix(batch: pa.Table):
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        col = batch.column("code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return ids, flat.reshape(len(batch), -1)
+
+    def partial_min_id(batch: pa.Table) -> pa.Table:
+        ids, mat = code_matrix(batch)
+        if not len(ids):
+            return batch.slice(0, 0)
+        return batch.take(pa.array([int(np.argmin(ids))]))
+
+    seed_rows = codes_ds.map_batches(
+        partial_min_id, batch_format="pyarrow").take_all()
+    seed = min(seed_rows, key=lambda r: r[id_column])
+    chosen_ids = [int(seed[id_column])]
+    chosen_codes = [np.asarray(seed["code"], dtype=np.int64)]
+    dists = [0]
+
+    for _ in range(k - 1):
+        ch_ref = ray.put(np.stack(chosen_codes))
+
+        def partial_farthest(batch: pa.Table) -> pa.Table:
+            ids, mat = code_matrix(batch)
+            empty = pa.table({id_column: pa.array([], pa.int64()),
+                              "d": pa.array([], pa.int64()),
+                              "code": pa.array([], pa.list_(pa.int64()))})
+            if not len(ids):
+                return empty
+            ch = ray.get(ch_ref)
+            best = None
+            for c in ch:
+                diff = mat - c
+                d = np.einsum("ij,ij->i", diff, diff)
+                best = d if best is None else np.minimum(best, d)
+            # farthest with (d desc, id asc) tie-break, vectorized
+            top = np.flatnonzero(best == best.max())
+            j = int(top[np.argmin(ids[top])])
+            return pa.table({
+                id_column: pa.array([int(ids[j])], pa.int64()),
+                "d": pa.array([int(best[j])], pa.int64()),
+                "code": pa.array([mat[j].tolist()],
+                                 pa.list_(pa.int64()))})
+
+        cands = codes_ds.map_batches(
+            partial_farthest, batch_format="pyarrow").take_all()
+        nxt = max(cands, key=lambda r: (r["d"], -r[id_column]))
+        chosen_ids.append(int(nxt[id_column]))
+        dists.append(int(nxt["d"]))
+        chosen_codes.append(np.asarray(nxt["code"], dtype=np.int64))
+
+    import pandas as pd
+
+    return pd.DataFrame({
+        "round": pd.array(range(1, k + 1), dtype="int64"),
+        id_column: pd.array(chosen_ids, dtype="int64"),
+        "dist_sq": pd.array(dists, dtype="int64")})

@@ -3761,3 +3761,72 @@ def test_apportion_sample_largest_remainder(ray_session, tmp_path):
     assert seats == {("en", "a"): 143, ("en", "b"): 286,
                      ("fr", "a"): 571}
     assert int(got["seats"].sum()) == 1000
+
+
+def test_sq8_topk_matches_local_fixed_point(ray_session):
+    """Distributed SQ8 top-k == a local single-process replay of the
+    same grid/encode/fixed-point scoring, on random vectors across an
+    uneven repartition — and recall@5 vs exact float64 inner product
+    stays high (int8 quantization of unit-scale data)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from magic_content_extractor_ray.stages.ann import (
+        sq8_encode, sq8_fixed_point, sq8_topk)
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(0, 0.2, (600, 16)).astype(np.float32)
+    ids = np.arange(600, dtype=np.int64)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel().astype(np.float32)), 16)
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids),
+                                 "embedding": emb})).repartition(7)
+    queries = {"ids": ids[:3].tolist(), "matrix": mat[:3]}
+    got = sq8_topk(ds, queries, k=5)
+
+    m64 = mat.astype(np.float64)
+    mins, maxs = m64.min(axis=0), m64.max(axis=0)
+    fx = sq8_fixed_point(sq8_encode(m64, mins, maxs), mins, maxs)
+    exact_fx = fx[:3] @ fx.T
+    for qi in range(3):
+        order = np.lexsort((ids, -exact_fx[qi]))[:5]
+        sub = got[got["query_id"] == qi]
+        assert sub["neighbor_id"].tolist() == ids[order].tolist()
+        assert sub["iscore"].tolist() == exact_fx[qi][order].tolist()
+
+    exact_ip = m64[:3] @ m64.T
+    hits = sum(n in set(np.argsort(-exact_ip[qi])[:5])
+               for qi in range(3)
+               for n in got[got["query_id"] == qi]["neighbor_id"])
+    assert hits / 15 >= 0.8
+
+
+def test_kcenter_picks_one_seed_per_planted_cluster(ray_session):
+    """Four well-separated clusters, k=4: greedy farthest-point must
+    select exactly one exemplar from each cluster, regardless of block
+    boundaries; round-1 seed is the lowest id and dist_sq is
+    non-increasing over rounds 2+."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from magic_content_extractor_ray.stages.ann import kcenter_select
+
+    rng = np.random.default_rng(9)
+    centers = np.array([[0, 0], [40, 0], [0, 40], [40, 40]], float)
+    pts = np.concatenate([
+        c + rng.normal(0, 0.3, (50, 2)) for c in centers]).astype(
+        np.float32)
+    ids = np.arange(200, dtype=np.int64)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(pts.ravel().astype(np.float32)), 2)
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids),
+                                 "embedding": emb})).repartition(9)
+    got = kcenter_select(ds, k=4)
+    assert got["round"].tolist() == [1, 2, 3, 4]
+    assert int(got["vec_id"].iloc[0]) == 0
+    clusters = sorted(int(v) // 50 for v in got["vec_id"])
+    assert clusters == [0, 1, 2, 3]
+    d = got["dist_sq"].tolist()[1:]
+    assert d == sorted(d, reverse=True)
