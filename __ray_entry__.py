@@ -12907,6 +12907,190 @@ def q_apportion_sample(sf_dir: str):
     return out.astype({"n_docs": "int64", "seats": "int64"})
 
 
+def q_dict_encoding(sf_dir: str):
+    """Storage-engine cost model: DICTIONARY vs PLAIN encoding size for
+    every low-cardinality string column in the star schema (the choice
+    a Parquet/Lance writer makes per column chunk). Per column: one
+    combiner map pass (per-batch group_by value → count), bounded cell
+    tables merged driver-side with exact integers. dict_bytes =
+    Σ strlen(distinct value bytes) + ceil(n_rows·bits/8) with bits =
+    bit_length(n_distinct − 1) — the bit-packed index width Parquet's
+    RLE_DICTIONARY uses. All-integer, byte-exact vs the SQL twin
+    (strlen / printf('%%b') bit widths)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    COLS = [("documents", "lang"), ("documents", "source"),
+            ("events", "event_type"), ("customer", "c_mktsegment"),
+            ("orders", "o_orderpriority")]
+
+    def make_partial(col):
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by([col]).aggregate([([], "count_all")])
+            return pa.table({
+                "v": g.column(col),
+                "c": pc.cast(g.column("count_all"), pa.int64())})
+        return partial
+
+    rows = []
+    for table, col in COLS:
+        cells = _read_pq(f"{sf_dir}/{table}.parquet",
+                         columns=[col]).map_batches(
+            make_partial(col), batch_format="pyarrow").to_pandas()
+        cells = cells.groupby("v", as_index=False)["c"].sum()
+        n = int(cells["c"].sum())
+        nd = len(cells)
+        octets = [len(str(v).encode()) for v in cells["v"]]
+        plain = sum(int(c) * o for c, o in zip(cells["c"], octets))
+        bits = (nd - 1).bit_length() if nd > 1 else 0
+        dict_bytes = sum(octets) + (n * bits + 7) // 8
+        rows.append({"col": f"{table}.{col}", "n_rows": n,
+                     "n_distinct": nd, "plain_bytes": plain,
+                     "dict_bytes": dict_bytes})
+    return pd.DataFrame(rows).sort_values("col").reset_index(
+        drop=True).astype({"n_rows": "int64", "n_distinct": "int64",
+                           "plain_bytes": "int64",
+                           "dict_bytes": "int64"})
+
+
+def q_t_closeness(sf_dir: str):
+    """Privacy-audit triptych completion (with [[k_anonymity]] and
+    [[l_diversity]]): T-CLOSENESS of the sensitive attribute (market
+    segment, ordered lexicographically) within each quasi-identifier
+    group (nation) — the ordered-category Earth Mover's Distance
+    between the within-group segment distribution and the global one,
+    normalized by its max (K−1). Exact rationals: EMD numerator
+    Σ_k |cumsum(c_gk·N − C_k·n_g)| is integer; emd_nano is ONE integer
+    floor division by n_g·N·(K−1). One combiner pass; only the bounded
+    nations × segments grid reaches the driver."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "nat": pc.cast(t.column("c_nationkey"), pa.int64()),
+            "seg": t.column("c_mktsegment"),
+        }).group_by(["nat", "seg"]).aggregate([([], "count_all")])
+        return pa.table({"nat": g.column("nat"), "seg": g.column("seg"),
+                         "c": pc.cast(g.column("count_all"), pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/customer.parquet",
+                     columns=["c_nationkey", "c_mktsegment"]
+                     ).map_batches(partial,
+                                   batch_format="pyarrow").to_pandas()
+    cells = cells.groupby(["nat", "seg"], as_index=False)["c"].sum()
+    grid = cells.pivot_table(index="nat", columns="seg", values="c",
+                             fill_value=0, aggfunc="sum").sort_index(
+        axis=1)
+    glob = [int(x) for x in grid.sum(axis=0)]
+    N = sum(glob)
+    K = len(glob)
+    rows = []
+    for nat, r in grid.iterrows():
+        cs = [int(x) for x in r]
+        ng = sum(cs)
+        run, num = 0, 0
+        for c, cg in zip(cs, glob):
+            run += c * N - cg * ng
+            num += abs(run)
+        emd = (num * 10**9) // (ng * N * (K - 1))
+        rows.append({"c_nationkey": int(nat), "n_customers": ng,
+                     "emd_nano": emd})
+    return pd.DataFrame(rows).astype(
+        {"n_customers": "int64", "emd_nano": "int64"})
+
+
+def q_mannwhitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test: do BUILDING-segment customers
+    place differently-priced orders than MACHINERY-segment ones? The
+    nonparametric two-sample test an A/B pipeline runs when totals are
+    heavy-tailed. Defined over integer CENTS (floor(p·100+0.5), the
+    shared quantization both engines rank) so tied-rank handling is
+    exact. Distributed shape: segment membership broadcast once via
+    ray.put (dimension-sized), per-value (cents) tie cells via one
+    hash_agg shuffle, rank positions from the range-bucketed two-phase
+    scan (keyed_prefix_sum) — rank sums carried ×2 so average tie
+    ranks stay integral; per-batch partials merged as Python bigints.
+    Tie guard: a single price value with ≥2²¹ duplicates would
+    overflow the int64 t³ partial — raise, don't corrupt (the
+    covisitation range-guard idiom). z from the tie-corrected normal
+    approximation, nano-scaled with the shared floor(x·1e9+0.5)
+    rounding; float steps (casts, one division, one sqrt) are IEEE
+    correctly-rounded and mirrored op-for-op by the SQL twin."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    segs = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    g1_ref = ray.put(np.sort(segs.loc[
+        segs["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(
+        ).astype(np.int64)))
+    g2_ref = ray.put(np.sort(segs.loc[
+        segs["c_mktsegment"] == "MACHINERY", "c_custkey"].to_numpy(
+        ).astype(np.int64)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        g1 = np.isin(ck, ray.get(g1_ref))
+        g2 = np.isin(ck, ray.get(g2_ref))
+        keep = g1 | g2
+        p = t.column("o_totalprice").to_numpy(
+            zero_copy_only=False)[keep]
+        v = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"v": pa.array(v, pa.int64()),
+                         "g1": pa.array(g1[keep].astype(np.int64),
+                                        pa.int64())})
+
+    tagged = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_custkey", "o_totalprice"]).map_batches(
+        tag, batch_format="pyarrow")
+    cells = hash_agg(tagged, "v",
+                     [("g1", "sum", "n1c"), ("g1", "count", "t")])
+    scanned = keyed_prefix_sum(cells, key_column="v", value_column="t",
+                               out_column="cb")
+
+    def partial(t: pa.Table) -> pa.Table:
+        n1c = t.column("n1c").to_numpy(zero_copy_only=False)
+        tt = t.column("t").to_numpy(zero_copy_only=False)
+        cb = t.column("cb").to_numpy(zero_copy_only=False)
+        if np.any(tt >= (1 << 21)):
+            raise ValueError("tie group >= 2^21 rows: t^3 partial "
+                             "would overflow int64")
+        return pa.table({
+            "r12": pa.array([int((n1c * (2 * cb + tt + 1)).sum())]),
+            "tie": pa.array([int((tt * tt * tt - tt).sum())]),
+            "n1": pa.array([int(n1c.sum())]),
+            "n2": pa.array([int((tt - n1c).sum())])})
+
+    parts = scanned.map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    r12 = sum(int(x) for x in parts["r12"])
+    tie = sum(int(x) for x in parts["tie"])
+    n1 = sum(int(x) for x in parts["n1"])
+    n2 = sum(int(x) for x in parts["n2"])
+    n = n1 + n2
+    u2 = r12 - n1 * (n1 + 1)            # 2·U1, exact integer
+    z_num = u2 - n1 * n2                # 2·(U1 − μ)
+    var_num = n1 * n2 * ((n * n * n - n) - tie)
+    var_den = 12 * n * (n - 1)
+    z = (float(z_num) / 2.0) / math.sqrt(
+        float(var_num) / float(var_den))
+    z_nano = int(math.floor(z * 1e9 + 0.5))
+    return pd.DataFrame([{"n1": n1, "n2": n2, "u2": u2,
+                          "z_nano": z_nano}]).astype("int64")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13174,6 +13358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apportion_sample": q_apportion_sample,
         "sq8_topk": q_sq8_topk,
         "kcenter_sample": q_kcenter_sample,
+        "dict_encoding": q_dict_encoding,
+        "t_closeness": q_t_closeness,
+        "mannwhitney": q_mannwhitney,
     }
 
 
@@ -16527,4 +16714,70 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, "
             "iscore FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
         "kcenter_sample": _kcenter_oracle(8),
+        "dict_encoding": (
+            " UNION ALL ".join(
+                "SELECT '{tab}.{col}' AS col, n_rows, n_distinct, "
+                "plain_bytes, dict_data + (n_rows * bits + 7) // 8 "
+                "AS dict_bytes FROM (SELECT "
+                "CAST(sum(c) AS BIGINT) AS n_rows, "
+                "CAST(count(*) AS BIGINT) AS n_distinct, "
+                "CAST(sum(c * strlen(v)) AS BIGINT) "
+                "AS plain_bytes, "
+                "CAST(sum(strlen(v)) AS BIGINT) AS dict_data, "
+                "CASE WHEN count(*) <= 1 THEN 0 ELSE "
+                "length(printf('%b', count(*) - 1)) END AS bits "
+                "FROM (SELECT {col} AS v, CAST(count(*) AS BIGINT) "
+                "AS c FROM {tab} GROUP BY 1))".format(tab=t, col=c)
+                for t, c in [("documents", "lang"),
+                             ("documents", "source"),
+                             ("events", "event_type"),
+                             ("customer", "c_mktsegment"),
+                             ("orders", "o_orderpriority")])
+            + " ORDER BY col"),
+        "t_closeness": (
+            "WITH cell AS (SELECT CAST(c_nationkey AS BIGINT) AS nat, "
+            "c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS c "
+            "FROM customer GROUP BY 1, 2), "
+            "segs AS (SELECT DISTINCT seg FROM cell), "
+            "nats AS (SELECT nat, CAST(sum(c) AS BIGINT) AS ng "
+            "FROM cell GROUP BY 1), "
+            "gl AS (SELECT seg, CAST(sum(c) AS BIGINT) AS cg "
+            "FROM cell GROUP BY 1), "
+            "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT seg) AS BIGINT) AS k FROM cell), "
+            "grid AS (SELECT nats.nat, nats.ng, segs.seg, "
+            "COALESCE(cell.c, 0) AS c, gl.cg, tot.n, tot.k "
+            "FROM nats CROSS JOIN segs "
+            "LEFT JOIN cell ON cell.nat = nats.nat "
+            "AND cell.seg = segs.seg "
+            "JOIN gl ON gl.seg = segs.seg CROSS JOIN tot), "
+            "cum AS (SELECT nat, ng, n, k, CAST(sum(c * n - cg * ng) "
+            "OVER (PARTITION BY nat ORDER BY seg) AS HUGEINT) AS d "
+            "FROM grid) "
+            "SELECT nat AS c_nationkey, CAST(max(ng) AS BIGINT) "
+            "AS n_customers, CAST(sum(abs(d)) * 1000000000 "
+            "// (max(ng) * max(n) * (max(k) - 1)) AS BIGINT) "
+            "AS emd_nano FROM cum GROUP BY 1 ORDER BY 1"),
+        "mannwhitney": (
+            "WITH j AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) "
+            "AS BIGINT) AS v, CASE WHEN c_mktsegment = 'BUILDING' "
+            "THEN 1 ELSE 0 END AS g FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), "
+            "cell AS (SELECT v, CAST(sum(g) AS BIGINT) AS n1c, "
+            "CAST(count(*) AS BIGINT) AS t FROM j GROUP BY 1), "
+            "sc AS (SELECT *, CAST(COALESCE(sum(t) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS BIGINT) AS cb FROM cell), "
+            "a AS (SELECT CAST(sum(n1c * (2 * cb + t + 1)) AS HUGEINT) "
+            "AS r12, CAST(sum(n1c) AS HUGEINT) AS n1, "
+            "CAST(sum(t - n1c) AS HUGEINT) AS n2, "
+            "CAST(sum(t * t * t - t) AS HUGEINT) AS tie FROM sc) "
+            "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+            "CAST(r12 - n1 * (n1 + 1) AS BIGINT) AS u2, "
+            "CAST(floor((CAST(r12 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) "
+            "/ 2.0) / sqrt(CAST(n1 * n2 * ((n1 + n2) * (n1 + n2) "
+            "* (n1 + n2) - (n1 + n2) - tie) AS DOUBLE) "
+            "/ CAST(12 * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) "
+            "* 1000000000 + 0.5) AS BIGINT) AS z_nano FROM a"),
     }
