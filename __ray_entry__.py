@@ -13091,6 +13091,21 @@ def q_mannwhitney(sf_dir: str):
                           "z_nano": z_nano}]).astype("int64")
 
 
+def q_dup_spans(sf_dir: str):
+    """Merged duplicate-SPAN coverage per doc (Lee et al. 2022 substring
+    dedup at word granularity): fraction of each doc's tokens covered by
+    a word-5-gram occurring ≥2 times corpus-wide, duplicated positions
+    interval-merged (stages/dedup.duplicate_span_stats: one exchange on
+    the ngram hash where segment length = corpus frequency, one doc
+    exchange with a vectorized union-of-intervals sweep)."""
+    from magic_content_extractor_ray.stages.dedup import (
+        duplicate_span_stats)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return duplicate_span_stats(docs, n=5, min_count=2).sort("doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13361,6 +13376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_encoding": q_dict_encoding,
         "t_closeness": q_t_closeness,
         "mannwhitney": q_mannwhitney,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -16780,4 +16796,39 @@ def oracle_sql() -> dict[str, str]:
             "* (n1 + n2) - (n1 + n2) - tie) AS DOUBLE) "
             "/ CAST(12 * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) "
             "* 1000000000 + 0.5) AS BIGINT) AS z_nano FROM a"),
+        "dup_spans": ("""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            occ AS (
+              SELECT doc_id, CAST(u['pos'] AS BIGINT) AS pos,
+                     CAST(u['ng'] AS VARCHAR) AS ng FROM (
+                SELECT doc_id,
+                       unnest([{'pos': i - 1,
+                                'ng': ws[i] || ' ' || ws[i+1] || ' ' ||
+                                      ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                                      ws[i+4]}
+                               for i in range(1, greatest(len(ws) - 3, 1))])
+                       AS u
+                FROM toks)),
+            freq AS (SELECT ng FROM occ GROUP BY ng HAVING count(*) >= 2),
+            dup AS (SELECT doc_id, pos FROM occ JOIN freq USING (ng)),
+            steps AS (
+              SELECT doc_id,
+                     least(5, COALESCE(lead(pos) OVER (PARTITION BY doc_id
+                           ORDER BY pos) - pos, 5)) AS step
+              FROM dup),
+            cov AS (SELECT doc_id, CAST(sum(step) AS BIGINT)
+                           AS covered_tokens
+                    FROM steps GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+                    FROM toks WHERE len(ws) > 0)
+            SELECT t.doc_id, t.n_tokens,
+                   COALESCE(c.covered_tokens, 0) AS covered_tokens,
+                   round(COALESCE(c.covered_tokens, 0) * 1.0 / t.n_tokens,
+                         6) AS dup_span_ratio
+            FROM tot t LEFT JOIN cov c USING (doc_id)
+            ORDER BY t.doc_id"""),
     }

@@ -1380,3 +1380,162 @@ def sorted_neighborhood_dups(ds, *, column: str = "text",
     return map_key_partitions(tagged, "gid", pair_fn,
                               sort_cols=["rank"],
                               num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# merged duplicate-span coverage (substring-dedup diagnostic)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_stats(ds, *, column: str = "text",
+                         id_column: str = "doc_id", n: int = 5,
+                         min_count: int = 2, num_buckets: int = 64):
+    """Merged duplicate-SPAN coverage per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", at word
+    granularity): the fraction of each document's tokens covered by at
+    least one word-``n``-gram that occurs ``min_count``+ times
+    corpus-wide (all occurrences counted — intra- and inter-document).
+
+    This is the SPAN complement of ``duplicate_passage_stats``: that
+    one counts how many *distinct n-grams* are duplicated; this one
+    merges the *positions* of duplicated n-grams into intervals
+    (each n-gram at token position p covers [p, p+n-1]) and reports the
+    union length — the quantity substring-dedup would actually remove.
+
+    Shape: tokenize map (occurrences keep their doc-relative token
+    position) → ONE exchange on the int64 ngram hash, where a sorted
+    segment's length IS the n-gram's corpus frequency, flagged
+    occurrences return as (doc, pos) → ONE exchange on the doc id,
+    where interval union over sorted positions is a vectorized
+    np.diff/np.minimum sweep (union length = Σ min(n, next_pos − pos)
+    with n for each run's last position) → left join with per-doc
+    token totals. Positions ride the ngram exchange, so the hottest
+    n-gram's posting list must fit one task — same partitioning
+    assumption (and same ``max_df``-style escape hatch) as
+    ``duplicate_passage_stats``.
+
+    Returns (doc_id, n_tokens, covered_tokens, dup_span_ratio) for
+    every document with ≥1 token, sorted by doc_id.
+    """
+    import pyarrow.compute as pc
+
+    from .join import hash_join
+    from .window import map_key_partitions, segment_lengths, segment_starts
+
+    def positions(batch: pa.Table) -> pa.Table:
+        texts = batch.column(column)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        total = len(flat)
+        empty = pa.table({"ng": pa.array([], pa.int64()),
+                          id_column: pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if total < n:
+            return empty
+        parent_np = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(parent_np, minlength=len(batch))
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        pos = np.arange(total, dtype=np.int64) - starts[parent_np]
+        parts = [flat.slice(i, total - n + 1) for i in range(n)]
+        ngrams = pc.binary_join_element_wise(*parts, " ")
+        head = parent_np[:total - n + 1]
+        same = head == parent_np[n - 1:]
+        if not same.any():
+            return empty
+        ngrams = ngrams.filter(pa.array(same))
+        ids = pc.cast(batch.column(id_column).take(pa.array(head[same])),
+                      pa.int64())
+        # exchange int64 xxhashes, not strings (the _doc_ngrams_batch
+        # idiom: a 64-bit collision among distinct shingles is ~p²/2⁶⁵)
+        import polars as pl
+
+        key = pa.array(pl.from_arrow(ngrams).hash(seed=7).to_numpy()
+                       .astype(np.int64), pa.int64())
+        return pa.table({"ng": key, id_column: ids,
+                         "pos": pa.array(pos[:total - n + 1][same],
+                                         pa.int64())})
+
+    grams = ds.map_batches(positions, batch_format="pyarrow")
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys = t.column("ng").to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        seg = segment_starts(keys)
+        lens = segment_lengths(seg, len(keys))
+        is_dup = np.repeat(lens >= min_count, lens)
+        return pa.table({
+            id_column: pa.array(t.column(id_column).to_numpy(
+                zero_copy_only=False)[is_dup], pa.int64()),
+            "pos": pa.array(t.column("pos").to_numpy(
+                zero_copy_only=False)[is_dup], pa.int64())})
+
+    dup_pos = map_key_partitions(grams, "ng", flag,
+                                 num_buckets=num_buckets,
+                                 coalesce_rows=262144,
+                                 producer_expands=True)
+
+    def cover(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "covered_tokens": pa.array([], pa.int64())})
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        new = np.r_[True, ids[1:] != ids[:-1]]
+        last = np.r_[new[1:], True]
+        gap = np.empty(len(pos), np.int64)
+        gap[:-1] = pos[1:] - pos[:-1]
+        gap[-1] = n
+        step = np.where(last, n, np.minimum(n, gap))
+        covered = np.add.reduceat(step, np.flatnonzero(new))
+        return pa.table({
+            id_column: pa.array(ids[new], pa.int64()),
+            "covered_tokens": pa.array(covered.astype(np.int64),
+                                       pa.int64())})
+
+    covered = map_key_partitions(dup_pos, id_column, cover,
+                                 sort_cols=["pos"],
+                                 num_buckets=num_buckets)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.count_substring_regex(
+            batch.column(column), pattern=r"\S+"), pa.int64())
+        out = pa.table({id_column: pc.cast(batch.column(id_column),
+                                           pa.int64()),
+                        "n_tokens": nt})
+        return out.filter(pc.greater(out.column("n_tokens"), 0))
+
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+
+    joined = hash_join(
+        tot, covered, key=id_column, left_cols=["n_tokens"],
+        right_cols=["covered_tokens"], how="left",
+        num_buckets=num_buckets,
+        left_types={id_column: pa.int64(), "n_tokens": pa.int64()},
+        right_types={id_column: pa.int64(),
+                     "covered_tokens": pa.int64()})
+
+    def finish(t: pa.Table) -> pa.Table:
+        cov = pc.coalesce(t.column("covered_tokens"),
+                          pa.scalar(0, pa.int64()))
+        ratio = pc.round(pc.divide(pc.cast(cov, pa.float64()),
+                                   pc.cast(t.column("n_tokens"),
+                                           pa.float64())), ndigits=6,
+                         round_mode="half_towards_infinity")
+        return pa.table({id_column: t.column(id_column),
+                         "n_tokens": t.column("n_tokens"),
+                         "covered_tokens": cov,
+                         "dup_span_ratio": ratio})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1473,6 +1473,81 @@ def test_duplicate_passage_stats(ray_session):
     assert out.loc[1, "dup_ratio"] == 0.5
 
 
+def test_duplicate_span_stats(ray_session):
+    """Planted spans: two docs sharing a 6-token run → each covers 6
+    tokens via two overlapping 5-grams (merged, not 10); an intra-doc
+    repeat also counts; unique docs cover 0; <1-token docs drop."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        duplicate_span_stats)
+
+    shared = "alpha beta gamma delta epsilon zeta"          # 6 tokens
+    docs = rd.from_items([
+        {"doc_id": 1, "text": shared + " unique1 tail1 here1 now1"},
+        {"doc_id": 2, "text": "lead2 " + shared + " other2 words2"},
+        {"doc_id": 3, "text": "p q r s t u v w x y"},        # unique
+        {"doc_id": 4, "text": "m1 m2 m3 m4 m5 m1 m2 m3 m4 m5"},  # intra rep
+        {"doc_id": 5, "text": "   "},                        # no tokens
+    ])
+    out = duplicate_span_stats(docs, n=5).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [1, 2, 3, 4]
+    # docs 1/2: 2 duplicated 5-gram starts, merged to one 6-token span
+    assert out.loc[1, "n_tokens"] == 10
+    assert out.loc[1, "covered_tokens"] == 6
+    assert out.loc[2, "covered_tokens"] == 6
+    assert out.loc[1, "dup_span_ratio"] == 0.6
+    assert out.loc[3, "covered_tokens"] == 0
+    # doc 4: 'm1..m5' appears at pos 0 and 5 → both occurrences of the
+    # same 5-gram inside one doc → covered = 10 of 10
+    assert out.loc[4, "covered_tokens"] == 10
+    assert out.loc[4, "dup_span_ratio"] == 1.0
+
+
+def test_duplicate_span_stats_brute_force(ray_session):
+    """Differential vs a per-doc brute force on a deterministic corpus
+    with heavy shared boilerplate."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import (
+        duplicate_span_stats)
+
+    import hashlib
+
+    def words(seed, k):
+        return [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4]
+                for i in range(k)]
+
+    boiler = words("boiler", 8)
+    rows = []
+    for d in range(30):
+        toks = words(f"doc{d}", 5 + d % 7)
+        if d % 3 == 0:
+            toks = toks[:3] + boiler + toks[3:]
+        rows.append({"doc_id": d, "text": " ".join(toks)})
+
+    N = 5
+    from collections import Counter
+    freq = Counter()
+    doc_toks = {}
+    for r in rows:
+        ts = r["text"].lower().split()
+        doc_toks[r["doc_id"]] = ts
+        for i in range(len(ts) - N + 1):
+            freq[" ".join(ts[i:i + N])] += 1
+    expect = {}
+    for d, ts in doc_toks.items():
+        covered = set()
+        for i in range(len(ts) - N + 1):
+            if freq[" ".join(ts[i:i + N])] >= 2:
+                covered.update(range(i, i + N))
+        expect[d] = (len(ts), len(covered))
+
+    out = duplicate_span_stats(
+        rd.from_items(rows), n=N).to_pandas().set_index("doc_id")
+    for d, (nt, cov) in expect.items():
+        assert out.loc[d, "n_tokens"] == nt, d
+        assert out.loc[d, "covered_tokens"] == cov, d
+
+
 def test_ngram_overlap_scores_planted(ray_session):
     """Eval doc lifted verbatim from train scores 1.0; a fresh eval doc
     scores 0; a half-contaminated doc scores the exact fraction."""
