@@ -13106,6 +13106,93 @@ def q_dup_spans(sf_dir: str):
     return duplicate_span_stats(docs, n=5, min_count=2).sort("doc_id")
 
 
+def q_pca_power(sf_dir: str):
+    """Top principal component of the embedding cloud by MATRIX-SQUARING
+    power iteration, exact to the last bit: the distributed part is the
+    same integer sufficient-stats pass as embedding_covariance
+    (per-batch int64 Gram partials, merged as bignums on the driver —
+    bounded by batch count, never rows); the 64×64 iteration runs
+    driver-side in exact Python-int arithmetic (the legitimately small
+    dim² side). Repeated squaring (10 rounds → effective power 2¹⁰)
+    instead of plain matvecs because the synthetic cloud is near-
+    isotropic (λ₂/λ₁ ≈ 0.93: plain power iteration needs ~500 steps;
+    squaring gets (λ₂/λ₁)^1024 ≈ 4e-32 in 10). Every step is integer:
+    the covariance numerator and each squared matrix renormalize to a
+    ±10⁶ grid with round-half-away, and the final vector (M·1) is
+    sign-canonicalized (first nonzero loading > 0) — so the
+    unrolled-CTE SQL twin reproduces loadings bit-for-bit with no float
+    summation order anywhere. Convergence is tested against numpy eigh
+    (|cos| ≥ 0.999, tests/test_training_ops.py)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    DIM, SCALE, SQUARINGS = 64, 1_000_000, 10
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64) * SCALE
+        q = np.where(m >= 0, np.floor(m + 0.5),
+                     np.ceil(m - 0.5)).astype(np.int64)
+        gram = q.T @ q
+        sums = q.sum(axis=0)
+        iu = np.triu_indices(DIM)
+        return pa.table({
+            "i": pa.array(iu[0].astype(np.int64), pa.int64()),
+            "j": pa.array(iu[1].astype(np.int64), pa.int64()),
+            "sxy": pa.array(gram[iu], pa.int64()),
+            "sx": pa.array(sums[iu[0]], pa.int64()),
+            "sy": pa.array(sums[iu[1]], pa.int64()),
+            "n": pa.array(np.full(len(iu[0]), len(q), np.int64()),
+                          pa.int64())})
+
+    cells = _read_pq(f"{sf_dir}/embeddings.parquet",
+                     columns=["embedding"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096).take_all()
+
+    acc: dict[tuple[int, int], list] = {}
+    for r in cells:
+        a = acc.setdefault((int(r["i"]), int(r["j"])), [0, 0, 0, 0])
+        a[0] += int(r["sxy"])
+        a[1] += int(r["sx"])
+        a[2] += int(r["sy"])
+        a[3] += int(r["n"])
+
+    num = [[0] * DIM for _ in range(DIM)]
+    for (i, j), (sxy, sx, sy, n) in acc.items():
+        num[i][j] = num[j][i] = n * sxy - sx * sy   # exact bignum
+
+    def rnd(x: int, den: int) -> int:
+        """round-half-away(x·SCALE/den) in exact integers, den > 0."""
+        ax = (2 * abs(x) * SCALE + den) // (2 * den)
+        return ax if x >= 0 else -ax
+
+    mx = max(abs(num[i][j]) for i in range(DIM) for j in range(DIM))
+    if mx == 0:
+        c = [[0] * DIM for _ in range(DIM)]
+    else:
+        c = [[rnd(num[i][j], mx) for j in range(DIM)]
+             for i in range(DIM)]
+
+    for _ in range(SQUARINGS):
+        w = [[sum(c[i][k] * c[k][j] for k in range(DIM))
+              for j in range(DIM)] for i in range(DIM)]
+        m2 = max(abs(w[i][j]) for i in range(DIM) for j in range(DIM))
+        if m2 == 0:
+            c = w
+            break
+        c = [[rnd(w[i][j], m2) for j in range(DIM)] for i in range(DIM)]
+
+    rowsum = [sum(c[i][j] for j in range(DIM)) for i in range(DIM)]
+    m3 = max(abs(x) for x in rowsum)
+    v = [0] * DIM if m3 == 0 else [rnd(x, m3) for x in rowsum]
+    lead = next((x for x in v if x != 0), 0)
+    if lead < 0:
+        v = [-x for x in v]
+    return pd.DataFrame({"i": list(range(DIM)),
+                         "loading": v}).astype("int64")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13377,6 +13464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness": q_t_closeness,
         "mannwhitney": q_mannwhitney,
         "dup_spans": q_dup_spans,
+        "pca_power": q_pca_power,
     }
 
 
@@ -13422,6 +13510,55 @@ def _kcenter_oracle(k: int = 8) -> str:
     for i in range(2, k + 1):
         parts.append(f" UNION ALL SELECT {i}, vid, d FROM c{i}")
     parts.append(" ORDER BY round")
+    return "".join(parts)
+
+
+def _pca_power_oracle(squarings: int = 10) -> str:
+    """Unrolled matrix-squaring twin of q_pca_power: exact HUGEINT
+    covariance numerators -> +-10^6-grid normalize (round-half-away via
+    positive floor division) -> ``squarings`` integer matrix-squaring +
+    renormalize rounds -> row sums (M . 1) -> final normalize + sign
+    canonicalization on the first nonzero loading. Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs, and a chained self-join
+    would otherwise expand the plan exponentially."""
+    RND = ("CASE WHEN (SELECT m FROM {m}) = 0 THEN 0 "
+           "WHEN {x} >= 0 THEN (2 * {x} * 1000000 + (SELECT m FROM {m})) "
+           "// (2 * (SELECT m FROM {m})) "
+           "ELSE -((2 * (-({x})) * 1000000 + (SELECT m FROM {m})) "
+           "// (2 * (SELECT m FROM {m}))) END")
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT vec_id, t.i AS i, "
+        "CAST(round(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) "
+        "* 1000000) AS BIGINT) AS v FROM embeddings, range(64) t(i)), "
+        "p AS MATERIALIZED (SELECT a.i AS i, b.i AS j, count(*) AS n, "
+        "sum(CAST(a.v AS HUGEINT) * b.v) AS sxy, "
+        "sum(CAST(a.v AS HUGEINT)) AS sx, "
+        "sum(CAST(b.v AS HUGEINT)) AS sy "
+        "FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
+        "nm AS MATERIALIZED (SELECT i, j, "
+        "CAST(n AS HUGEINT) * sxy - sx * sy AS num FROM p), "
+        "mx AS MATERIALIZED (SELECT max(abs(num)) AS m FROM nm), "
+        "c0 AS MATERIALIZED (SELECT i, j, "
+        + RND.format(m="mx", x="num") + " AS c FROM nm)"]
+    for k in range(1, squarings + 1):
+        parts.append(
+            f", w{k} AS MATERIALIZED (SELECT a.i AS i, b.j AS j, "
+            f"sum(a.c * b.c) AS w FROM c{k-1} a JOIN c{k-1} b "
+            f"ON a.j = b.i GROUP BY 1, 2)"
+            f", m{k} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{k})"
+            f", c{k} AS MATERIALIZED (SELECT i, j, "
+            + RND.format(m=f"m{k}", x="w") + f" AS c FROM w{k})")
+    parts.append(
+        f", rs AS MATERIALIZED (SELECT i, sum(c) AS w FROM c{squarings} "
+        f"GROUP BY 1), "
+        f"mf AS MATERIALIZED (SELECT max(abs(w)) AS m FROM rs), "
+        f"vf AS MATERIALIZED (SELECT i, "
+        + RND.format(m="mf", x="w") + " AS v FROM rs)"
+        ", lead AS MATERIALIZED (SELECT v FROM vf WHERE v <> 0 "
+        "ORDER BY i LIMIT 1) "
+        "SELECT CAST(i AS BIGINT) AS i, CAST(CASE WHEN "
+        "COALESCE((SELECT v FROM lead), 0) < 0 THEN -v ELSE v END "
+        "AS BIGINT) AS loading FROM vf ORDER BY i")
     return "".join(parts)
 
 
@@ -16831,4 +16968,5 @@ def oracle_sql() -> dict[str, str]:
                          6) AS dup_span_ratio
             FROM tot t LEFT JOIN cov c USING (doc_id)
             ORDER BY t.doc_id"""),
+        "pca_power": _pca_power_oracle(),
     }

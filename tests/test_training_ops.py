@@ -3905,3 +3905,24 @@ def test_kcenter_picks_one_seed_per_planted_cluster(ray_session):
     assert clusters == [0, 1, 2, 3]
     d = got["dist_sq"].tolist()[1:]
     assert d == sorted(d, reverse=True)
+
+
+def test_pca_power_matches_numpy_eigenvector(ray_session):
+    """The integer power iteration must land on the true top principal
+    axis: |cos| vs numpy's eigh top eigenvector >= 0.999 on real data."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["pca_power"](sf)
+    v = out["loading"].to_numpy().astype(np.float64)
+    emb = np.stack(pq.read_table(
+        f"{sf}/embeddings.parquet").column("embedding").to_numpy(
+        zero_copy_only=False))
+    cov = np.cov(emb.T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.999, cos
