@@ -13193,6 +13193,133 @@ def q_pca_power(sf_dir: str):
                          "loading": v}).astype("int64")
 
 
+def q_random_walks(sf_dir: str):
+    """DETERMINISTIC random-walk corpus over the co-view item graph
+    (the node2vec/DeepWalk data-generation stage): one 3-step walk per
+    start node, where the step-s transition out of node u is the
+    (md5(start:walk:s:u) mod deg(u))-th neighbor in ascending-id order
+    — the dp_lang_counts seeded-hash idiom, so the SQL twin replays
+    every transition exactly. Graph = covisitation edges (n_users ≥ 2),
+    symmetrized. Shape: one ranked-adjacency exchange (rank + degree
+    are segment offsets/lengths), then per step ONE degree join (packs
+    (cur, idx) into int64) + ONE adjacency join — all hash_joins, no
+    per-node loops; walk fan-out is 1, so frontier size stays exactly
+    n_nodes at every step."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    MIN_USERS, STEPS = 2, 3
+
+    edges = _covis_pair_counts(sf_dir).filter(
+        lambda r: r["n_users"] >= MIN_USERS)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        a = pk >> np.int64(31)
+        b = pk & np.int64((1 << 31) - 1)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow")
+
+    def rank_adj(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        nbr = t.column("nbr").to_numpy(zero_copy_only=False)
+        if not len(node):
+            z = pa.array([], pa.int64())
+            return pa.table({"node": z, "apk": z, "nbr": z, "deg": z,
+                             "rank": z})
+        starts = segment_starts(node)
+        lens = segment_lengths(starts, len(node))
+        rank = np.arange(len(node), dtype=np.int64) - \
+            np.repeat(starts, lens)
+        deg = np.repeat(lens, lens).astype(np.int64)
+        return pa.table({
+            "node": pa.array(node, pa.int64()),
+            "apk": pa.array((node << np.int64(31)) | rank, pa.int64()),
+            "nbr": pa.array(nbr, pa.int64()),
+            "deg": pa.array(deg, pa.int64()),
+            "rank": pa.array(rank, pa.int64())})
+
+    # adjacency is probed once per walk step (deg join + rank join) plus
+    # the start-node scan: materialize ONCE — it is edge-scale (item
+    # catalog co-view graph), not event-scale, and re-deriving it from
+    # events 2·STEPS times would dominate the job (the k-means
+    # projected-materialize policy)
+    adj = map_key_partitions(sym, "node", rank_adj,
+                             sort_cols=["nbr"]).materialize()
+
+    import pyarrow.compute as pc
+
+    def firsts(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t.column("rank"), 0))
+        return pa.table({"cur": f.column("node"), "deg": f.column("deg")})
+
+    deg_t = adj.map_batches(firsts, batch_format="pyarrow")
+
+    frontier = deg_t.map_batches(
+        lambda t: pa.table({"start": t.column("cur"),
+                            "cur": t.column("cur")}),
+        batch_format="pyarrow").materialize()
+
+    step_outs = [frontier.map_batches(
+        lambda t: pa.table({"start": t.column("start"),
+                            "step": pa.array(
+                                np.zeros(len(t), np.int64)),
+                            "node": t.column("cur")}),
+        batch_format="pyarrow")]
+
+    for s in range(1, STEPS + 1):
+        with_deg = hash_join(
+            frontier, deg_t, key="cur", left_cols=["start"],
+            right_cols=["deg"], how="inner",
+            left_types={"cur": pa.int64(), "start": pa.int64()},
+            right_types={"cur": pa.int64(), "deg": pa.int64()})
+
+        def pick(t: pa.Table, *, step=s) -> pa.Table:
+            cur = t.column("cur").to_numpy(zero_copy_only=False)
+            st = t.column("start").to_numpy(zero_copy_only=False)
+            deg = t.column("deg").to_numpy(zero_copy_only=False)
+            h = np.array([int(hashlib.md5(
+                f"{a}:walk:{step}:{c}".encode()).hexdigest()[:8], 16)
+                for a, c in zip(st, cur)], dtype=np.int64)
+            idx = h % deg
+            return pa.table({
+                "apk": pa.array((cur << np.int64(31)) | idx, pa.int64()),
+                "start": pa.array(st, pa.int64())})
+
+        keyed = with_deg.map_batches(pick, batch_format="pyarrow")
+        stepped = hash_join(
+            keyed, adj, key="apk", left_cols=["start"],
+            right_cols=["nbr"], how="inner",
+            left_types={"apk": pa.int64(), "start": pa.int64()},
+            right_types={"apk": pa.int64(), "nbr": pa.int64()})
+        # frontier is node-scale (one row per start): materialize per
+        # step so later steps and the union don't replay earlier joins
+        frontier = stepped.map_batches(
+            lambda t: pa.table({"start": t.column("start"),
+                                "cur": t.column("nbr")}),
+            batch_format="pyarrow").materialize()
+        step_outs.append(frontier.map_batches(
+            lambda t, _s=s: pa.table({
+                "start": t.column("start"),
+                "step": pa.array(np.full(len(t), _s, np.int64)),
+                "node": t.column("cur")}),
+            batch_format="pyarrow"))
+
+    out = step_outs[0]
+    for o in step_outs[1:]:
+        out = out.union(o)
+    return out.sort(["start", "step"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13465,6 +13592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney": q_mannwhitney,
         "dup_spans": q_dup_spans,
         "pca_power": q_pca_power,
+        "random_walks": q_random_walks,
     }
 
 
@@ -16969,4 +17097,5 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t LEFT JOIN cov c USING (doc_id)
             ORDER BY t.doc_id"""),
         "pca_power": _pca_power_oracle(),
+        "random_walks": "WITH ui AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), pairs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS cnt FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2), edges AS (SELECT ia, ib FROM pairs WHERE cnt >= 2), sym AS (SELECT ia AS node, ib AS nbr FROM edges UNION ALL SELECT ib, ia FROM edges), adj AS MATERIALIZED (SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rnk, count(*) OVER (PARTITION BY node) AS deg FROM sym), w0 AS (SELECT DISTINCT node AS start, node AS cur FROM sym), w1 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w0 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:1:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)), w2 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w1 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:2:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)), w3 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w2 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:3:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)) SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM w0 UNION ALL SELECT start, 1, cur FROM w1 UNION ALL SELECT start, 2, cur FROM w2 UNION ALL SELECT start, 3, cur FROM w3 ORDER BY start, step",
     }

@@ -3926,3 +3926,35 @@ def test_pca_power_matches_numpy_eigenvector(ray_session):
     top = vecs[:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos >= 0.999, cos
+
+
+def test_random_walks_structure(ray_session):
+    """Every start emits steps 0..3, step 0 is the start itself, and
+    each consecutive transition is an edge of the covis graph."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["random_walks"](sf).to_pandas()
+    per = out.groupby("start")["step"].agg(["count", "min", "max"])
+    assert (per["count"] == 4).all()
+    assert (per["min"] == 0).all() and (per["max"] == 3).all()
+    s0 = out[out.step == 0]
+    assert (s0["node"] == s0["start"]).all()
+
+    edges = duckdb.sql(f"""
+        WITH ui AS (SELECT DISTINCT user_id,
+                    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+                    FROM read_parquet('{sf}/events.parquet')
+                    WHERE event_type = 'view'),
+        pairs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS cnt
+                  FROM ui a JOIN ui b ON a.user_id = b.user_id
+                  AND a.item < b.item GROUP BY 1, 2)
+        SELECT ia, ib FROM pairs WHERE cnt >= 2""").df()
+    eset = set(map(tuple, edges.values))
+    w = out.sort_values(["start", "step"])
+    for _, g in w.groupby("start"):
+        ns = g["node"].tolist()
+        for a, b in zip(ns, ns[1:]):
+            assert (min(a, b), max(a, b)) in eset, (a, b)
