@@ -13320,6 +13320,139 @@ def q_random_walks(sf_dir: str):
     return out.sort(["start", "step"])
 
 
+def q_negative_samples(sf_dir: str):
+    """DETERMINISTIC negative sampling for contrastive training pairs:
+    for every distinct (user, item) purchase positive, draw 4 candidate
+    negatives from the item catalog via md5(user:item:neg:r) mod |catalog|
+    (the seeded-hash idiom — the SQL twin replays every draw), reject
+    any candidate the user actually purchased (partitioned ANTI join on
+    the packed (user, candidate) key — never a driver-side set), and
+    keep the first 2 survivors by draw index. The catalog is
+    dimension-sized, so it is broadcast once via ray.put and indexed
+    inside map_batches (the fk_violations broadcast policy); positives
+    are fact-scale and stay distributed throughout."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts)
+
+    DRAWS, KEEP, MASK = 4, 2, np.int64((1 << 31) - 1)
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["event_type", "user_id", "props"])
+
+    def pairs_of(kinds):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t.column("event_type"),
+                                  value_set=pa.array(kinds)))
+            col = t.column("props")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            it = pc.cast(pc.struct_field(
+                pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"),
+                pa.int64())
+            u = pc.cast(t.column("user_id"), pa.int64())
+            un = u.to_numpy(zero_copy_only=False)
+            itn = it.to_numpy(zero_copy_only=False)
+            if len(un) and (un.min() < 0 or un.max() >= (1 << 31)
+                            or itn.min() < 0 or itn.max() >= (1 << 31)):
+                raise ValueError("negative_samples packs (user, item) "
+                                 "into one int64; ids must be in "
+                                 "[0, 2^31)")
+            out = pa.table({"pk": pa.array((un << np.int64(31)) | itn,
+                                           pa.int64())})
+            return out.group_by(["pk"]).aggregate([])  # map-side dedup
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    def dedup_pk(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        if not len(pk):
+            return pa.table({"pk": pa.array([], pa.int64())})
+        keep = np.r_[True, pk[1:] != pk[:-1]]   # sorted by key
+        return pa.table({"pk": pa.array(pk[keep], pa.int64())})
+
+    pos = map_key_partitions(pairs_of(["purchase"]), "pk", dedup_pk)
+
+    # item catalog: dimension-sized → distinct + driver sort + broadcast
+    def items_only(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        it = np.unique(pk & MASK)
+        return pa.table({"item": pa.array(it, pa.int64())})
+
+    cat_rows = map_key_partitions(
+        pairs_of(["view", "purchase"]).map_batches(
+            items_only, batch_format="pyarrow"),
+        "item", lambda t: dedup_pk(t.rename_columns(["pk"]))).take_all()
+    catalog = np.sort(np.array([r["pk"] for r in cat_rows],
+                               dtype=np.int64))
+    cat_ref = ray.put(catalog)
+
+    def draws(t: pa.Table) -> pa.Table:
+        cat = ray.get(cat_ref)
+        n = len(cat)
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in ("pk", "r", "neg", "apk")})
+        if n == 0 or not len(t):
+            return empty
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        u = pk >> np.int64(31)
+        it = pk & MASK
+        out_pk, out_r, out_neg = [], [], []
+        for r in range(DRAWS):
+            idx = np.array([int(hashlib.md5(
+                f"{a}:{b}:neg:{r}".encode()).hexdigest()[:8], 16)
+                for a, b in zip(u, it)], dtype=np.int64) % n
+            out_pk.append(pk)
+            out_r.append(np.full(len(pk), r, np.int64))
+            out_neg.append(cat[idx])
+        neg = np.concatenate(out_neg)
+        uu = np.concatenate([u] * DRAWS)
+        return pa.table({
+            "pk": pa.array(np.concatenate(out_pk), pa.int64()),
+            "r": pa.array(np.concatenate(out_r), pa.int64()),
+            "neg": pa.array(neg, pa.int64()),
+            "apk": pa.array((uu << np.int64(31)) | neg, pa.int64())})
+
+    cand = pos.map_batches(draws, batch_format="pyarrow")
+
+    anti = hash_join(
+        cand, pos.map_batches(
+            lambda t: t.rename_columns(["apk"]), batch_format="pyarrow"),
+        key="apk", left_cols=["pk", "r", "neg"], right_cols=[],
+        how="anti",
+        left_types={"apk": pa.int64(), "pk": pa.int64(),
+                    "r": pa.int64(), "neg": pa.int64()},
+        right_types={"apk": pa.int64()})
+
+    def keep2(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        if not len(pk):
+            z = pa.array([], pa.int64())
+            return pa.table({"user_id": z, "pos_item": z,
+                             "neg_rank": z, "neg_item": z})
+        neg = t.column("neg").to_numpy(zero_copy_only=False)
+        starts = segment_starts(pk)
+        seg = np.cumsum(np.r_[True, pk[1:] != pk[:-1]]) - 1
+        rank = np.arange(len(pk), dtype=np.int64) - starts[seg]
+        sel = rank < KEEP
+        return pa.table({
+            "user_id": pa.array((pk >> np.int64(31))[sel], pa.int64()),
+            "pos_item": pa.array((pk & MASK)[sel], pa.int64()),
+            "neg_rank": pa.array(rank[sel], pa.int64()),
+            "neg_item": pa.array(neg[sel], pa.int64())})
+
+    out = map_key_partitions(anti, "pk", keep2, sort_cols=["r"])
+    return out.sort(["user_id", "pos_item", "neg_rank"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13593,6 +13726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "pca_power": q_pca_power,
         "random_walks": q_random_walks,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -17098,4 +17232,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY t.doc_id"""),
         "pca_power": _pca_power_oracle(),
         "random_walks": "WITH ui AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), pairs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS cnt FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2), edges AS (SELECT ia, ib FROM pairs WHERE cnt >= 2), sym AS (SELECT ia AS node, ib AS nbr FROM edges UNION ALL SELECT ib, ia FROM edges), adj AS MATERIALIZED (SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rnk, count(*) OVER (PARTITION BY node) AS deg FROM sym), w0 AS (SELECT DISTINCT node AS start, node AS cur FROM sym), w1 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w0 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:1:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)), w2 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w1 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:2:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)), w3 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w2 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:3:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)) SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM w0 UNION ALL SELECT start, 1, cur FROM w1 UNION ALL SELECT start, 2, cur FROM w2 UNION ALL SELECT start, 3, cur FROM w3 ORDER BY start, step",
+        "negative_samples": "WITH pos AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'purchase'), cat AS (SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx FROM (SELECT DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type IN ('view', 'purchase'))), nc AS (SELECT count(*) AS n FROM cat), d AS (SELECT p.user_id, p.item, t.i AS r, CAST(CAST(concat('0x', substr(md5(concat(CAST(p.user_id AS VARCHAR), ':', CAST(p.item AS VARCHAR), ':neg:', CAST(t.i AS VARCHAR))), 1, 8)) AS UBIGINT) % (SELECT CAST(n AS UBIGINT) FROM nc) AS BIGINT) AS idx FROM pos p, range(4) t(i)), c AS (SELECT d.user_id, d.item, d.r, cat.item AS neg_item FROM d JOIN cat USING (idx)), ok AS (SELECT c.* FROM c WHERE NOT EXISTS (SELECT 1 FROM pos q WHERE q.user_id = c.user_id AND q.item = c.neg_item)), rk AS (SELECT user_id, item, neg_item, row_number() OVER (PARTITION BY user_id, item ORDER BY r) - 1 AS neg_rank FROM ok) SELECT user_id, item AS pos_item, CAST(neg_rank AS BIGINT) AS neg_rank, neg_item FROM rk WHERE neg_rank < 2 ORDER BY user_id, pos_item, neg_rank",
     }

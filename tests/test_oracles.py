@@ -48,7 +48,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "bootstrap_ci", "index_compression", "hll_twin", "cdc_chunks",
         "lang_cross_entropy", "zipf_slope", "burst_viterbi",
         "audio_metadata", "item_cheapest_path", "edge_churn",
-        "l_diversity", "dup_spans", "pca_power", "random_walks"]
+        "l_diversity", "dup_spans", "pca_power", "random_walks",
+        "negative_samples"]
 
 
 @pytest.fixture(scope="module")

@@ -3958,3 +3958,29 @@ def test_random_walks_structure(ray_session):
         ns = g["node"].tolist()
         for a, b in zip(ns, ns[1:]):
             assert (min(a, b), max(a, b)) in eset, (a, b)
+
+
+def test_negative_samples_structure(ray_session):
+    """No sampled negative may be a real positive of the same user, at
+    most KEEP=2 negatives per positive, ranks dense from 0."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["negative_samples"](sf).to_pandas()
+    pos = duckdb.sql(f"""
+        SELECT DISTINCT user_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        FROM read_parquet('{sf}/events.parquet')
+        WHERE event_type = 'purchase'""").df()
+    pset = set(zip(pos.user_id, pos.item))
+    assert len(out) > 0
+    for u, p, r, ni in out[["user_id", "pos_item", "neg_rank",
+                            "neg_item"]].itertuples(index=False):
+        assert (u, p) in pset           # every positive is real
+        assert (u, ni) not in pset      # negative never a positive
+        assert r in (0, 1)
+    per = out.groupby(["user_id", "pos_item"])["neg_rank"].agg(
+        ["count", "min"])
+    assert (per["count"] <= 2).all() and (per["min"] == 0).all()
