@@ -13453,6 +13453,75 @@ def q_negative_samples(sf_dir: str):
     return out.sort(["user_id", "pos_item", "neg_rank"])
 
 
+def q_decayed_popularity(sf_dir: str):
+    """Exponentially TIME-DECAYED item popularity (the streaming
+    heavy-hitter ranking a recommender feed keeps): each view event
+    contributes exp(−age/τ) with τ = 7 days, age measured back from the
+    corpus's max view timestamp. Per-event weights are rounded to
+    integer nano-units BEFORE summation (the nano-nat idiom: one
+    libm call per row, then exact int64 sums — no float summation
+    order anywhere), pre-aggregated per (batch, item) map-side, merged
+    by one hash_sum combiner, top-10 by (weight desc, item asc).
+    Pass 1 is a constant-size max-timestamp reduce; pass 2 streams."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_sum
+
+    TAU = 7 * 86400
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["ts", "event_type", "props"])
+
+    def max_ts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "view"))
+        if not len(t):
+            return pa.table({"m": pa.array([], pa.int64())})
+        sec = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        return pa.table({"m": pa.array([pc.max(sec).as_py()],
+                                       pa.int64())})
+
+    parts = ev.map_batches(max_ts, batch_format="pyarrow").take_all()
+    if not parts:
+        import pandas as pd
+        return pd.DataFrame({"item": pd.Series([], dtype="int64"),
+                             "n_views": pd.Series([], dtype="int64"),
+                             "decayed_nano": pd.Series([], dtype="int64")})
+    T = max(int(r["m"]) for r in parts)
+
+    def weights(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "view"))
+        col = t.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        item = pc.cast(pc.struct_field(
+            pc.extract_regex(col, r'"k":\s*(?P<k>-?\d+)'), "k"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        sec = (pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000)
+        age = (T - sec).astype(np.float64)
+        w = np.floor(np.exp(-age / TAU) * 1e9 + 0.5).astype(np.int64)
+        uit, inv = np.unique(item, return_inverse=True)
+        return pa.table({
+            "item": pa.array(uit, pa.int64()),
+            "w": pa.array(np.bincount(inv, weights=w,
+                                      minlength=len(uit))
+                          .astype(np.int64), pa.int64()),
+            "n": pa.array(np.bincount(inv, minlength=len(uit))
+                          .astype(np.int64), pa.int64())})
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    agg = hash_agg(ev.map_batches(weights, batch_format="pyarrow"),
+                   "item", [("w", "sum", "decayed_nano"),
+                            ("n", "sum", "n_views")])
+    return agg.map_batches(
+        lambda t: t.select(["item", "n_views", "decayed_nano"]),
+        batch_format="pyarrow").sort(
+        ["decayed_nano", "item"], descending=[True, False]).limit(10)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13727,6 +13796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_power": q_pca_power,
         "random_walks": q_random_walks,
         "negative_samples": q_negative_samples,
+        "decayed_popularity": q_decayed_popularity,
     }
 
 
@@ -17233,4 +17303,5 @@ def oracle_sql() -> dict[str, str]:
         "pca_power": _pca_power_oracle(),
         "random_walks": "WITH ui AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), pairs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS cnt FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2), edges AS (SELECT ia, ib FROM pairs WHERE cnt >= 2), sym AS (SELECT ia AS node, ib AS nbr FROM edges UNION ALL SELECT ib, ia FROM edges), adj AS MATERIALIZED (SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rnk, count(*) OVER (PARTITION BY node) AS deg FROM sym), w0 AS (SELECT DISTINCT node AS start, node AS cur FROM sym), w1 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w0 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:1:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)), w2 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w1 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:2:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)), w3 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w2 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:3:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)) SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM w0 UNION ALL SELECT start, 1, cur FROM w1 UNION ALL SELECT start, 2, cur FROM w2 UNION ALL SELECT start, 3, cur FROM w3 ORDER BY start, step",
         "negative_samples": "WITH pos AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'purchase'), cat AS (SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx FROM (SELECT DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type IN ('view', 'purchase'))), nc AS (SELECT count(*) AS n FROM cat), d AS (SELECT p.user_id, p.item, t.i AS r, CAST(CAST(concat('0x', substr(md5(concat(CAST(p.user_id AS VARCHAR), ':', CAST(p.item AS VARCHAR), ':neg:', CAST(t.i AS VARCHAR))), 1, 8)) AS UBIGINT) % (SELECT CAST(n AS UBIGINT) FROM nc) AS BIGINT) AS idx FROM pos p, range(4) t(i)), c AS (SELECT d.user_id, d.item, d.r, cat.item AS neg_item FROM d JOIN cat USING (idx)), ok AS (SELECT c.* FROM c WHERE NOT EXISTS (SELECT 1 FROM pos q WHERE q.user_id = c.user_id AND q.item = c.neg_item)), rk AS (SELECT user_id, item, neg_item, row_number() OVER (PARTITION BY user_id, item ORDER BY r) - 1 AS neg_rank FROM ok) SELECT user_id, item AS pos_item, CAST(neg_rank AS BIGINT) AS neg_rank, neg_item FROM rk WHERE neg_rank < 2 ORDER BY user_id, pos_item, neg_rank",
+        "decayed_popularity": "WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events WHERE event_type = 'view'), mt AS (SELECT max(sec) AS t FROM v), w AS (SELECT item, CAST(floor(exp(-CAST((SELECT t FROM mt) - sec AS DOUBLE) / 604800.0) * 1000000000 + 0.5) AS BIGINT) AS wn FROM v) SELECT item, CAST(count(*) AS BIGINT) AS n_views, CAST(sum(wn) AS BIGINT) AS decayed_nano FROM w GROUP BY item ORDER BY decayed_nano DESC, item LIMIT 10",
     }
