@@ -13522,6 +13522,144 @@ def q_decayed_popularity(sf_dir: str):
         ["decayed_nano", "item"], descending=[True, False]).limit(10)
 
 
+def q_mst_coview(sf_dir: str):
+    """Minimum spanning FOREST of the co-view item graph by distributed
+    BORŮVKA: edge weight orders by (affinity desc, ia, ib) — strongest
+    co-view ties are lightest, and the composite tie-break makes every
+    weight distinct, so the MSF is unique and the SQL twin can verify
+    it with a DIFFERENT algorithm (one-edge-per-iteration KRUSKAL in a
+    recursive CTE) — two independent algorithms, one answer. Per round:
+    one broadcast label lookup (labels are item-catalog-scale — the
+    fk_violations dimension-broadcast policy), one keyed exchange
+    where each component's segment yields its min incident edge via a
+    vectorized lexsort, and a driver union-find over the per-component
+    minima (≤ #components rows, halving every round — the
+    connected_components hybrid policy). Rounds are O(log n); the
+    edge-scale dataset is materialized once and re-mapped per round."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_starts)
+
+    MIN_USERS = 2
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ia": pa.array(pk >> np.int64(31), pa.int64()),
+            "ib": pa.array(pk & np.int64((1 << 31) - 1), pa.int64()),
+            "cnt": pa.array(t.column("n_users").to_numpy(
+                zero_copy_only=False).astype(np.int64), pa.int64())})
+
+    edges = _covis_pair_counts(sf_dir).filter(
+        lambda r: r["n_users"] >= MIN_USERS).map_batches(
+        unpack, batch_format="pyarrow").materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t.column("ia").to_numpy(zero_copy_only=False),
+            t.column("ib").to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    node_rows = edges.map_batches(endpoints,
+                                  batch_format="pyarrow").take_all()
+    nodes = np.unique(np.array([r["node"] for r in node_rows],
+                               dtype=np.int64))
+    if not len(nodes):
+        return pd.DataFrame({"ia": pd.Series([], dtype="int64"),
+                             "ib": pd.Series([], dtype="int64"),
+                             "n_users": pd.Series([], dtype="int64")})
+    nodes_ref = ray.put(nodes)
+    labels = nodes.copy()
+
+    mst: list[tuple[int, int, int]] = []
+    for _round in range(64):
+        lab_ref = ray.put(labels)
+
+        def cross(t: pa.Table, _n=nodes_ref, _l=lab_ref) -> pa.Table:
+            nd = ray.get(_n)
+            lb_arr = ray.get(_l)
+            ia = t.column("ia").to_numpy(zero_copy_only=False)
+            ib = t.column("ib").to_numpy(zero_copy_only=False)
+            cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+            la = lb_arr[np.searchsorted(nd, ia)]
+            lb = lb_arr[np.searchsorted(nd, ib)]
+            m = la != lb
+            ia, ib, cnt, la, lb = ia[m], ib[m], cnt[m], la[m], lb[m]
+            return pa.table({
+                "comp": pa.array(np.concatenate([la, lb]), pa.int64()),
+                "cnt": pa.array(np.concatenate([cnt, cnt]), pa.int64()),
+                "ia": pa.array(np.concatenate([ia, ia]), pa.int64()),
+                "ib": pa.array(np.concatenate([ib, ib]), pa.int64())})
+
+        def pick_min(t: pa.Table) -> pa.Table:
+            comp = t.column("comp").to_numpy(zero_copy_only=False)
+            if not len(comp):
+                z = pa.array([], pa.int64())
+                return pa.table({"comp": z, "cnt": z, "ia": z, "ib": z})
+            cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+            ia = t.column("ia").to_numpy(zero_copy_only=False)
+            ib = t.column("ib").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ib, ia, -cnt, comp))
+            comp, cnt, ia, ib = (comp[order], cnt[order], ia[order],
+                                 ib[order])
+            first = segment_starts(comp)
+            return pa.table({
+                "comp": pa.array(comp[first], pa.int64()),
+                "cnt": pa.array(cnt[first], pa.int64()),
+                "ia": pa.array(ia[first], pa.int64()),
+                "ib": pa.array(ib[first], pa.int64())})
+
+        cand = map_key_partitions(
+            edges.map_batches(cross, batch_format="pyarrow"),
+            "comp", pick_min).take_all()
+        if not cand:
+            break
+
+        # driver union-find over component minima (component-scale,
+        # halving per round); min label becomes the root so labels stay
+        # canonical-min like connected_components
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        nd_sorted = nodes
+        lab_of = labels
+        cand.sort(key=lambda r: (-int(r["cnt"]), int(r["ia"]),
+                                 int(r["ib"])))
+        for r in cand:
+            ia_, ib_ = int(r["ia"]), int(r["ib"])
+            la = int(lab_of[np.searchsorted(nd_sorted, ia_)])
+            lb = int(lab_of[np.searchsorted(nd_sorted, ib_)])
+            ra, rb = find(la), find(lb)
+            if ra == rb:
+                continue
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+            mst.append((ia_, ib_, int(r["cnt"])))
+
+        # relabel: map each distinct label to its root, vectorized
+        uniq = np.unique(labels)
+        root = np.array([find(int(u)) for u in uniq], dtype=np.int64)
+        labels = root[np.searchsorted(uniq, labels)]
+
+    mst.sort()
+    return pd.DataFrame({
+        "ia": pd.Series([a for a, _, _ in mst], dtype="int64"),
+        "ib": pd.Series([b for _, b, _ in mst], dtype="int64"),
+        "n_users": pd.Series([c for _, _, c in mst], dtype="int64")})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13797,6 +13935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "negative_samples": q_negative_samples,
         "decayed_popularity": q_decayed_popularity,
+        "mst_coview": q_mst_coview,
     }
 
 
@@ -17304,4 +17443,5 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": "WITH ui AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), pairs AS (SELECT a.item AS ia, b.item AS ib, count(*) AS cnt FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2), edges AS (SELECT ia, ib FROM pairs WHERE cnt >= 2), sym AS (SELECT ia AS node, ib AS nbr FROM edges UNION ALL SELECT ib, ia FROM edges), adj AS MATERIALIZED (SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rnk, count(*) OVER (PARTITION BY node) AS deg FROM sym), w0 AS (SELECT DISTINCT node AS start, node AS cur FROM sym), w1 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w0 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:1:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)), w2 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w1 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:2:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)), w3 AS MATERIALIZED (SELECT w.start, a.nbr AS cur FROM w2 w JOIN adj a ON a.node = w.cur AND a.rnk = CAST(CAST(concat('0x', substr(md5(concat(CAST(w.start AS VARCHAR), ':walk:3:', CAST(w.cur AS VARCHAR))), 1, 8)) AS UBIGINT) % CAST(a.deg AS UBIGINT) AS BIGINT)) SELECT start, CAST(0 AS BIGINT) AS step, cur AS node FROM w0 UNION ALL SELECT start, 1, cur FROM w1 UNION ALL SELECT start, 2, cur FROM w2 UNION ALL SELECT start, 3, cur FROM w3 ORDER BY start, step",
         "negative_samples": "WITH pos AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'purchase'), cat AS (SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx FROM (SELECT DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type IN ('view', 'purchase'))), nc AS (SELECT count(*) AS n FROM cat), d AS (SELECT p.user_id, p.item, t.i AS r, CAST(CAST(concat('0x', substr(md5(concat(CAST(p.user_id AS VARCHAR), ':', CAST(p.item AS VARCHAR), ':neg:', CAST(t.i AS VARCHAR))), 1, 8)) AS UBIGINT) % (SELECT CAST(n AS UBIGINT) FROM nc) AS BIGINT) AS idx FROM pos p, range(4) t(i)), c AS (SELECT d.user_id, d.item, d.r, cat.item AS neg_item FROM d JOIN cat USING (idx)), ok AS (SELECT c.* FROM c WHERE NOT EXISTS (SELECT 1 FROM pos q WHERE q.user_id = c.user_id AND q.item = c.neg_item)), rk AS (SELECT user_id, item, neg_item, row_number() OVER (PARTITION BY user_id, item ORDER BY r) - 1 AS neg_rank FROM ok) SELECT user_id, item AS pos_item, CAST(neg_rank AS BIGINT) AS neg_rank, neg_item FROM rk WHERE neg_rank < 2 ORDER BY user_id, pos_item, neg_rank",
         "decayed_popularity": "WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events WHERE event_type = 'view'), mt AS (SELECT max(sec) AS t FROM v), w AS (SELECT item, CAST(floor(exp(-CAST((SELECT t FROM mt) - sec AS DOUBLE) / 604800.0) * 1000000000 + 0.5) AS BIGINT) AS wn FROM v) SELECT item, CAST(count(*) AS BIGINT) AS n_views, CAST(sum(wn) AS BIGINT) AS decayed_nano FROM w GROUP BY item ORDER BY decayed_nano DESC, item LIMIT 10",
+        "mst_coview": "WITH RECURSIVE ui AS MATERIALIZED (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), prs AS MATERIALIZED (SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS cnt FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2), nds AS MATERIALIZED (SELECT ia AS node FROM prs UNION SELECT ib FROM prs), kr(rnd, kind, node, lbl, ia, ib, cnt) AS (SELECT 0, 0, node, node, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM nds UNION ALL SELECT rnd, kind, node, lbl, ia, ib, cnt FROM (WITH cur AS (SELECT * FROM kr WHERE kind = 0), ce AS (SELECT e.ia, e.ib, e.cnt, la.lbl AS la, lb.lbl AS lb FROM prs e JOIN cur la ON la.node = e.ia JOIN cur lb ON lb.node = e.ib WHERE la.lbl <> lb.lbl), pick AS (SELECT * FROM ce ORDER BY cnt DESC, ia, ib LIMIT 1), nl AS (SELECT c.rnd + 1 AS rnd, 0 AS kind, c.node AS node, CASE WHEN c.lbl = greatest((SELECT la FROM pick), (SELECT lb FROM pick)) THEN least((SELECT la FROM pick), (SELECT lb FROM pick)) ELSE c.lbl END AS lbl, CAST(NULL AS BIGINT) AS ia, CAST(NULL AS BIGINT) AS ib, CAST(NULL AS BIGINT) AS cnt FROM cur c WHERE EXISTS (SELECT 1 FROM pick)), ed AS (SELECT (SELECT max(rnd) FROM cur) + 1 AS rnd, 1 AS kind, CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS lbl, ia, ib, cnt FROM pick) SELECT * FROM nl UNION ALL SELECT * FROM ed)) SELECT ia, ib, cnt AS n_users FROM kr WHERE kind = 1 ORDER BY ia, ib",
     }

@@ -3984,3 +3984,46 @@ def test_negative_samples_structure(ray_session):
     per = out.groupby(["user_id", "pos_item"])["neg_rank"].agg(
         ["count", "min"])
     assert (per["count"] <= 2).all() and (per["min"] == 0).all()
+
+
+def test_mst_coview_vs_python_kruskal(ray_session):
+    """Distributed Borůvka must equal a plain driver-side Kruskal on
+    the same weighted graph (third independent algorithm check)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["mst_coview"](sf)
+    got = set(zip(out.ia, out.ib, out.n_users))
+
+    edges = duckdb.sql(f"""
+        WITH ui AS (SELECT DISTINCT user_id,
+                    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+                    FROM read_parquet('{sf}/events.parquet')
+                    WHERE event_type = 'view')
+        SELECT a.item AS ia, b.item AS ib, count(*) AS cnt
+        FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2 HAVING count(*) >= 2""").df()
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    exp = set()
+    rows = sorted(edges.itertuples(index=False),
+                  key=lambda r: (-r.cnt, r.ia, r.ib))
+    for r in rows:
+        ra, rb = find(r.ia), find(r.ib)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            exp.add((r.ia, r.ib, r.cnt))
+    assert got == exp
+    # spanning-forest size: nodes - components
+    nodes = set(edges.ia) | set(edges.ib)
+    comps = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - comps
