@@ -13660,6 +13660,138 @@ def q_mst_coview(sf_dir: str):
         "n_users": pd.Series([c for _, _, c in mst], dtype="int64")})
 
 
+def q_textrank_keywords(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — nodes are content words
+    (len ≥ 4 after lowercasing), edges join words adjacent in the
+    filtered token sequence of a document, symmetrized, weighted by
+    corpus-wide co-occurrence multiplicity. Reuses stages/pagerank.py
+    (broadcast mode: edge list streams, only the vocab-sized rank
+    vector moves per iteration); 10 damped iterations, ranks rounded
+    to the 1e-8 grain exactly like q_page_rank, top-20 by
+    (rank desc, word asc)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.pagerank import pagerank
+
+    MIN_LEN = 4
+
+    def word_edges(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.greater_equal(pc.utf8_length(flat), MIN_LEN)
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        pnp = parent.to_numpy(zero_copy_only=False)
+        same = pa.array(pnp[:-1] == pnp[1:])
+        a = flat.slice(0, n - 1).filter(same)
+        b = flat.slice(1, n - 1).filter(same)
+        # undirected: emit both directions
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks()
+                                     if isinstance(a, pa.ChunkedArray)
+                                     else a,
+                                     b.combine_chunks()
+                                     if isinstance(b, pa.ChunkedArray)
+                                     else b]),
+            "dst": pa.concat_arrays([b.combine_chunks()
+                                     if isinstance(b, pa.ChunkedArray)
+                                     else b,
+                                     a.combine_chunks()
+                                     if isinstance(a, pa.ChunkedArray)
+                                     else a])})
+
+    e = _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["text"]).map_batches(
+        word_edges, batch_format="pyarrow").materialize()
+
+    # pagerank wants integer nodes: dictionary-encode the vocab once
+    # (vocab-scale — the dimension-broadcast policy) and map back after
+    import ray
+
+    def vocab_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t.column("src").to_numpy(zero_copy_only=False),
+            t.column("dst").to_numpy(zero_copy_only=False)]))
+        return pa.table({"w": pa.array(u, pa.string())})
+
+    vrows = e.map_batches(vocab_partial, batch_format="pyarrow").take_all()
+    vocab = np.unique(np.array([r["w"] for r in vrows], dtype=object))
+    vref = ray.put(vocab)
+
+    def encode(t: pa.Table, _v=vref) -> pa.Table:
+        v = ray.get(_v)
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.searchsorted(v, s), pa.int64()),
+            "dst": pa.array(np.searchsorted(v, d), pa.int64())})
+
+    pr = pagerank(e.map_batches(encode, batch_format="pyarrow"),
+                  damping=0.85, n_iter=10)
+    r = pr.column("rank").to_numpy()
+    ids = pr.column("node").to_numpy()
+    t = pa.table({
+        "word": pa.array(vocab[ids], pa.string()),
+        "pr_e8": pa.array(np.floor(r * 1e8 + 0.5).astype(np.int64),
+                          pa.int64())})
+    df = t.to_pandas().sort_values(
+        ["pr_e8", "word"], ascending=[False, True]).head(20)
+    return df.reset_index(drop=True)
+
+
+def _textrank_sql(damping: float = 0.85, n_iter: int = 10) -> str:
+    """q_page_rank's unrolled-CTE recurrence, restated over the word
+    co-occurrence graph (term order r/ow*w matched so FP drift stays
+    inside the 1e-8 rounding grain)."""
+    sql = (
+        "WITH toks AS MATERIALIZED (SELECT "
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        "w -> len(w) >= 4) AS ws FROM documents), "
+        "adjp AS (SELECT u['a'] AS a, u['b'] AS b FROM ("
+        "SELECT unnest([{'a': ws[i], 'b': ws[i+1]} "
+        "for i in range(1, greatest(len(ws), 1))]) AS u FROM toks)), "
+        "edges AS MATERIALIZED (SELECT src, dst, "
+        "CAST(count(*) AS DOUBLE) AS w FROM ("
+        "SELECT a AS src, b AS dst FROM adjp "
+        "UNION ALL SELECT b, a FROM adjp) GROUP BY 1, 2), "
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges), "
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "outw AS MATERIALIZED (SELECT src, sum(w) AS ow "
+        "FROM edges GROUP BY 1), "
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nv) AS r FROM nodes)")
+    base_lit = repr(1.0 - damping)
+    d_lit = repr(damping)
+    for i in range(1, n_iter + 1):
+        sql += (f", r{i} AS MATERIALIZED (SELECT n.node, "
+                f"CAST({base_lit} AS DOUBLE)/(SELECT n FROM nv) + "
+                f"{d_lit}*coalesce(c.s, 0) AS r FROM nodes n "
+                f"LEFT JOIN (SELECT e.dst, sum(p.r / o.ow * e.w) AS s "
+                f"FROM edges e JOIN outw o ON o.src = e.src "
+                f"JOIN r{i-1} p ON p.node = e.src GROUP BY e.dst) c "
+                f"ON c.dst = n.node)")
+    sql += (f" SELECT node AS word, CAST(floor(r * 100000000 + 0.5) "
+            f"AS BIGINT) AS pr_e8 FROM r{n_iter} "
+            f"ORDER BY pr_e8 DESC, word LIMIT 20")
+    return sql
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -13936,6 +14068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": q_negative_samples,
         "decayed_popularity": q_decayed_popularity,
         "mst_coview": q_mst_coview,
+        "textrank_keywords": q_textrank_keywords,
     }
 
 
@@ -17444,4 +17577,5 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples": "WITH pos AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'purchase'), cat AS (SELECT item, row_number() OVER (ORDER BY item) - 1 AS idx FROM (SELECT DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type IN ('view', 'purchase'))), nc AS (SELECT count(*) AS n FROM cat), d AS (SELECT p.user_id, p.item, t.i AS r, CAST(CAST(concat('0x', substr(md5(concat(CAST(p.user_id AS VARCHAR), ':', CAST(p.item AS VARCHAR), ':neg:', CAST(t.i AS VARCHAR))), 1, 8)) AS UBIGINT) % (SELECT CAST(n AS UBIGINT) FROM nc) AS BIGINT) AS idx FROM pos p, range(4) t(i)), c AS (SELECT d.user_id, d.item, d.r, cat.item AS neg_item FROM d JOIN cat USING (idx)), ok AS (SELECT c.* FROM c WHERE NOT EXISTS (SELECT 1 FROM pos q WHERE q.user_id = c.user_id AND q.item = c.neg_item)), rk AS (SELECT user_id, item, neg_item, row_number() OVER (PARTITION BY user_id, item ORDER BY r) - 1 AS neg_rank FROM ok) SELECT user_id, item AS pos_item, CAST(neg_rank AS BIGINT) AS neg_rank, neg_item FROM rk WHERE neg_rank < 2 ORDER BY user_id, pos_item, neg_rank",
         "decayed_popularity": "WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events WHERE event_type = 'view'), mt AS (SELECT max(sec) AS t FROM v), w AS (SELECT item, CAST(floor(exp(-CAST((SELECT t FROM mt) - sec AS DOUBLE) / 604800.0) * 1000000000 + 0.5) AS BIGINT) AS wn FROM v) SELECT item, CAST(count(*) AS BIGINT) AS n_views, CAST(sum(wn) AS BIGINT) AS decayed_nano FROM w GROUP BY item ORDER BY decayed_nano DESC, item LIMIT 10",
         "mst_coview": "WITH RECURSIVE ui AS MATERIALIZED (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), prs AS MATERIALIZED (SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS cnt FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2), nds AS MATERIALIZED (SELECT ia AS node FROM prs UNION SELECT ib FROM prs), kr(rnd, kind, node, lbl, ia, ib, cnt) AS (SELECT 0, 0, node, node, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM nds UNION ALL SELECT rnd, kind, node, lbl, ia, ib, cnt FROM (WITH cur AS (SELECT * FROM kr WHERE kind = 0), ce AS (SELECT e.ia, e.ib, e.cnt, la.lbl AS la, lb.lbl AS lb FROM prs e JOIN cur la ON la.node = e.ia JOIN cur lb ON lb.node = e.ib WHERE la.lbl <> lb.lbl), pick AS (SELECT * FROM ce ORDER BY cnt DESC, ia, ib LIMIT 1), nl AS (SELECT c.rnd + 1 AS rnd, 0 AS kind, c.node AS node, CASE WHEN c.lbl = greatest((SELECT la FROM pick), (SELECT lb FROM pick)) THEN least((SELECT la FROM pick), (SELECT lb FROM pick)) ELSE c.lbl END AS lbl, CAST(NULL AS BIGINT) AS ia, CAST(NULL AS BIGINT) AS ib, CAST(NULL AS BIGINT) AS cnt FROM cur c WHERE EXISTS (SELECT 1 FROM pick)), ed AS (SELECT (SELECT max(rnd) FROM cur) + 1 AS rnd, 1 AS kind, CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS lbl, ia, ib, cnt FROM pick) SELECT * FROM nl UNION ALL SELECT * FROM ed)) SELECT ia, ib, cnt AS n_users FROM kr WHERE kind = 1 ORDER BY ia, ib",
+        "textrank_keywords": _textrank_sql(),
     }

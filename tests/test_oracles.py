@@ -49,7 +49,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "lang_cross_entropy", "zipf_slope", "burst_viterbi",
         "audio_metadata", "item_cheapest_path", "edge_churn",
         "l_diversity", "dup_spans", "pca_power", "random_walks",
-        "negative_samples", "decayed_popularity", "mst_coview"]
+        "negative_samples", "decayed_popularity", "mst_coview",
+        "textrank_keywords"]
 
 
 @pytest.fixture(scope="module")
