@@ -13792,6 +13792,188 @@ def _textrank_sql(damping: float = 0.85, n_iter: int = 10) -> str:
     return sql
 
 
+def q_label_propagation(sf_dir: str):
+    """Semi-supervised LABEL PROPAGATION over the cosine 5-NN embedding
+    graph (Zhu & Ghahramani 2002 shape): vectors with vec_id % 5 == 0
+    are seeds and keep their true label; every other vector recomputes,
+    for 3 synchronous rounds, the majority label among its 5 nearest
+    neighbors' previous-round labels (ties → smaller label; no labeled
+    neighbor → unlabeled −1). kNN edges come from the mutual_nn
+    broadcast-matrix pass (each vector's top-5 decided in its own
+    batch, rank-level float agreement with DuckDB's
+    list_cosine_similarity); each round is a distributed vote — edge
+    map + count combiner + per-vector majority exchange — with only the
+    n-sized label vector crossing to the driver per round (the
+    pagerank broadcast-mode policy; beyond ~millions of vectors switch
+    the state to a Dataset and the update to a keyed join)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from magic_content_extractor_ray.stages.ann import (
+        _batch_matrix, _normalize)
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_starts)
+
+    K, ROUNDS = 5, 3
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).sort_by(
+        "vec_id")
+    all_ids = full.column("vec_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    qmat = _normalize(_batch_matrix(full, "embedding", np.float64))
+    ref = ray.put({"ids": all_ids, "matrix": qmat})
+
+    class TopK:
+        def __init__(self):
+            q = ray.get(ref)
+            self.ids = q["ids"]
+            self.mat = q["matrix"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m = _normalize(_batch_matrix(batch, "embedding",
+                                         np.float64))
+            sims = m @ self.mat.T
+            rows = np.arange(len(bids))
+            sims[rows, np.searchsorted(self.ids, bids)] = -np.inf
+            # stable argsort on -sims: ties fall to the smaller column
+            # index = smaller vec_id (ids are sorted) — the SQL
+            # row_number(ORDER BY sc DESC, t) convention
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :K]
+            return pa.table({
+                "s": pa.array(np.repeat(bids, K), pa.int64()),
+                "t": pa.array(self.ids[top.ravel()], pa.int64())})
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding"])
+    edges = emb.map_batches(TopK, batch_format="pyarrow",
+                            batch_size=1024,
+                            concurrency=(1, 8)).materialize()
+
+    lab_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"]).sort_by("vec_id")
+    true_lab = lab_t.column("label").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    seed = (all_ids % 5) == 0
+    labels = np.where(seed, true_lab, -1).astype(np.int64)
+
+    for _r in range(ROUNDS):
+        st_ref = ray.put(labels)
+
+        def votes(t: pa.Table, _s=st_ref) -> pa.Table:
+            lab = ray.get(_s)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            nt = t.column("t").to_numpy(zero_copy_only=False)
+            tl = lab[np.searchsorted(all_ids, nt)]
+            m = tl >= 0
+            s, tl = s[m], tl[m]
+            if not len(s):
+                z = pa.array([], pa.int64())
+                return pa.table({"s": z, "lbl": z, "c": z})
+            pk = (s << np.int64(8)) | tl          # labels < 2^8
+            u, cnt = np.unique(pk, return_counts=True)
+            return pa.table({
+                "s": pa.array(u >> np.int64(8), pa.int64()),
+                "lbl": pa.array(u & np.int64(255), pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+        counted = hash_agg(
+            edges.map_batches(votes, batch_format="pyarrow"),
+            "s", [("c", "sum", "c")], group_cols=["s", "lbl"])
+
+        def majority(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            if not len(s):
+                z = pa.array([], pa.int64())
+                return pa.table({"s": z, "lbl": z})
+            lbl = t.column("lbl").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            order = np.lexsort((lbl, -c, s))
+            s, lbl = s[order], lbl[order]
+            first = segment_starts(s)
+            return pa.table({"s": pa.array(s[first], pa.int64()),
+                             "lbl": pa.array(lbl[first], pa.int64())})
+
+        win = map_key_partitions(counted, "s", majority).take_all()
+        new = np.full(len(all_ids), -1, np.int64)
+        for r in win:
+            new[np.searchsorted(all_ids, int(r["s"]))] = int(r["lbl"])
+        labels = np.where(seed, true_lab, new)
+
+    return pd.DataFrame({
+        "vec_id": pd.Series(all_ids, dtype="int64"),
+        "pred_label": pd.Series(labels, dtype="int64"),
+        "is_seed": pd.Series(seed.astype(np.int64), dtype="int64")})
+
+
+def q_hard_negatives(sf_dir: str):
+    """HARD-NEGATIVE mining for contrastive/metric learning: for every
+    vector, the 2 most cosine-similar vectors with a DIFFERENT label —
+    the pairs that matter for triplet-loss training, as opposed to
+    q_negative_samples' random negatives. Same broadcast-matrix batch
+    pass as mutual_nn (each vector's candidates decided in its own
+    batch, rank-level float agreement with DuckDB's
+    list_cosine_similarity); labels ride the broadcast so the
+    different-label mask is applied BEFORE the top-k, not after (a
+    post-filter could starve a vector surrounded by same-label
+    neighbors)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from magic_content_extractor_ray.stages.ann import (
+        _batch_matrix, _normalize)
+
+    K = 2
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"]
+                         ).sort_by("vec_id")
+    all_ids = full.column("vec_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    all_lab = full.column("label").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    qmat = _normalize(_batch_matrix(full, "embedding", np.float64))
+    ref = ray.put({"ids": all_ids, "labels": all_lab, "matrix": qmat})
+
+    class Hard:
+        def __init__(self):
+            q = ray.get(ref)
+            self.ids, self.labels, self.mat = (q["ids"], q["labels"],
+                                               q["matrix"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            blab = batch.column("label").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m = _normalize(_batch_matrix(batch, "embedding",
+                                         np.float64))
+            sims = m @ self.mat.T
+            same = blab[:, None] == self.labels[None, :]
+            sims[same] = -np.inf                # mask before top-k
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :K]
+            return pa.table({
+                "vec_id": pa.array(np.repeat(bids, K), pa.int64()),
+                "neg_rank": pa.array(np.tile(np.arange(K, dtype=np.int64),
+                                             len(bids)), pa.int64()),
+                "neg_id": pa.array(self.ids[top.ravel()], pa.int64())})
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding", "label"])
+    return emb.map_batches(Hard, batch_format="pyarrow",
+                           batch_size=1024,
+                           concurrency=(1, 8)).sort(["vec_id", "neg_rank"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14069,6 +14251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_popularity": q_decayed_popularity,
         "mst_coview": q_mst_coview,
         "textrank_keywords": q_textrank_keywords,
+        "label_propagation": q_label_propagation,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -17578,4 +17762,6 @@ def oracle_sql() -> dict[str, str]:
         "decayed_popularity": "WITH v AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events WHERE event_type = 'view'), mt AS (SELECT max(sec) AS t FROM v), w AS (SELECT item, CAST(floor(exp(-CAST((SELECT t FROM mt) - sec AS DOUBLE) / 604800.0) * 1000000000 + 0.5) AS BIGINT) AS wn FROM v) SELECT item, CAST(count(*) AS BIGINT) AS n_views, CAST(sum(wn) AS BIGINT) AS decayed_nano FROM w GROUP BY item ORDER BY decayed_nano DESC, item LIMIT 10",
         "mst_coview": "WITH RECURSIVE ui AS MATERIALIZED (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), prs AS MATERIALIZED (SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS cnt FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2), nds AS MATERIALIZED (SELECT ia AS node FROM prs UNION SELECT ib FROM prs), kr(rnd, kind, node, lbl, ia, ib, cnt) AS (SELECT 0, 0, node, node, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM nds UNION ALL SELECT rnd, kind, node, lbl, ia, ib, cnt FROM (WITH cur AS (SELECT * FROM kr WHERE kind = 0), ce AS (SELECT e.ia, e.ib, e.cnt, la.lbl AS la, lb.lbl AS lb FROM prs e JOIN cur la ON la.node = e.ia JOIN cur lb ON lb.node = e.ib WHERE la.lbl <> lb.lbl), pick AS (SELECT * FROM ce ORDER BY cnt DESC, ia, ib LIMIT 1), nl AS (SELECT c.rnd + 1 AS rnd, 0 AS kind, c.node AS node, CASE WHEN c.lbl = greatest((SELECT la FROM pick), (SELECT lb FROM pick)) THEN least((SELECT la FROM pick), (SELECT lb FROM pick)) ELSE c.lbl END AS lbl, CAST(NULL AS BIGINT) AS ia, CAST(NULL AS BIGINT) AS ib, CAST(NULL AS BIGINT) AS cnt FROM cur c WHERE EXISTS (SELECT 1 FROM pick)), ed AS (SELECT (SELECT max(rnd) FROM cur) + 1 AS rnd, 1 AS kind, CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS lbl, ia, ib, cnt FROM pick) SELECT * FROM nl UNION ALL SELECT * FROM ed)) SELECT ia, ib, cnt AS n_users FROM kr WHERE kind = 1 ORDER BY ia, ib",
         "textrank_keywords": _textrank_sql(),
+        "label_propagation": 'WITH scored AS (SELECT a.vec_id AS s, b.vec_id AS t, list_cosine_similarity(a.embedding, b.embedding) AS sc FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), knn AS MATERIALIZED (SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY sc DESC, t) AS rn FROM scored) WHERE rn <= 5), l0 AS (SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) ELSE -1 END AS lbl, CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END AS seed FROM embeddings), v1 AS (SELECT k.s AS vec_id, l.lbl, count(*) AS c FROM knn k JOIN l0 l ON l.vec_id = k.t WHERE l.lbl >= 0 GROUP BY 1, 2), p1 AS (SELECT vec_id, lbl FROM (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1), l1 AS MATERIALIZED (SELECT l.vec_id, CASE WHEN l.seed = 1 THEN l.lbl ELSE coalesce(p.lbl, -1) END AS lbl, l.seed FROM l0 l LEFT JOIN p1 p USING (vec_id)), v2 AS (SELECT k.s AS vec_id, l.lbl, count(*) AS c FROM knn k JOIN l1 l ON l.vec_id = k.t WHERE l.lbl >= 0 GROUP BY 1, 2), p2 AS (SELECT vec_id, lbl FROM (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1), l2 AS MATERIALIZED (SELECT l.vec_id, CASE WHEN l.seed = 1 THEN l.lbl ELSE coalesce(p.lbl, -1) END AS lbl, l.seed FROM l1 l LEFT JOIN p2 p USING (vec_id)), v3 AS (SELECT k.s AS vec_id, l.lbl, count(*) AS c FROM knn k JOIN l2 l ON l.vec_id = k.t WHERE l.lbl >= 0 GROUP BY 1, 2), p3 AS (SELECT vec_id, lbl FROM (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1), l3 AS MATERIALIZED (SELECT l.vec_id, CASE WHEN l.seed = 1 THEN l.lbl ELSE coalesce(p.lbl, -1) END AS lbl, l.seed FROM l2 l LEFT JOIN p3 p USING (vec_id)) SELECT vec_id, lbl AS pred_label, CAST(seed AS BIGINT) AS is_seed FROM l3 ORDER BY vec_id',
+        "hard_negatives": 'WITH scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, list_cosine_similarity(a.embedding, b.embedding) AS sc FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label <> b.label) SELECT vec_id, CAST(rn - 1 AS BIGINT) AS neg_rank, neg_id FROM (SELECT vec_id, neg_id, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, neg_id) AS rn FROM scored) WHERE rn <= 2 ORDER BY vec_id, neg_rank',
     }

@@ -50,7 +50,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "audio_metadata", "item_cheapest_path", "edge_churn",
         "l_diversity", "dup_spans", "pca_power", "random_walks",
         "negative_samples", "decayed_popularity", "mst_coview",
-        "textrank_keywords"]
+        "textrank_keywords", "label_propagation", "hard_negatives"]
 
 
 @pytest.fixture(scope="module")

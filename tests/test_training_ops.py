@@ -4027,3 +4027,45 @@ def test_mst_coview_vs_python_kruskal(ray_session):
     nodes = set(edges.ia) | set(edges.ib)
     comps = len({find(n) for n in nodes})
     assert len(got) == len(nodes) - comps
+
+
+def test_label_propagation_matches_bruteforce(ray_session):
+    """Differential vs a dense numpy reimplementation of the same
+    3-round synchronous propagation (seeds fixed, majority with
+    (count desc, label asc) tie-break, no labeled neighbor -> -1).
+    The synthetic labels are geometry-random (1-NN accuracy ~ chance),
+    so this checks the MECHANISM, not classification quality."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["label_propagation"](sf).set_index("vec_id")
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    lab = t.column("label").to_numpy(zero_copy_only=False).astype(int)
+    m = np.stack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    np.fill_diagonal(s, -np.inf)
+    knn = np.argsort(-s, axis=1, kind="stable")[:, :5]
+
+    seed = (ids % 5) == 0
+    cur = np.where(seed, lab, -1)
+    for _ in range(3):
+        new = np.full(len(ids), -1, int)
+        for i in range(len(ids)):
+            votes = {}
+            for j in knn[i]:
+                if cur[j] >= 0:
+                    votes[cur[j]] = votes.get(cur[j], 0) + 1
+            if votes:
+                new[i] = sorted(votes.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[0][0]
+        cur = np.where(seed, lab, new)
+
+    assert (out.loc[ids, "pred_label"].to_numpy() == cur).all()
+    assert (out.loc[ids, "is_seed"].to_numpy() == seed.astype(int)).all()
