@@ -233,7 +233,12 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "ht_estimate", "bootstrap_ci", "index_compression",
              "hll_twin", "cdc_chunks", "lang_cross_entropy",
              "zipf_slope", "burst_viterbi", "audio_metadata",
-             "item_cheapest_path", "edge_churn"]
+             "item_cheapest_path", "edge_churn",
+             # round-4 ninth-session: substring-span dedup, integer PCA,
+             # walk corpora, negative sampling, MST, TextRank, label prop
+             "dup_spans", "pca_power", "random_walks", "negative_samples",
+             "decayed_popularity", "mst_coview", "textrank_keywords",
+             "label_propagation", "hard_negatives"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
