@@ -13974,6 +13974,57 @@ def q_hard_negatives(sf_dir: str):
                            concurrency=(1, 8)).sort(["vec_id", "neg_rank"])
 
 
+def q_dedup_safe_folds(sf_dir: str):
+    """LEAKAGE-SAFE k-fold assignment: exact-duplicate clusters (md5 of
+    text, the dedup_exact universe) are assigned to folds as WHOLE
+    units — fold = md5(cluster:fold) % 5 of the cluster id, never the
+    doc id — so no duplicate pair ever straddles a train/validation
+    boundary (the eval-hygiene rule exact n-gram decontamination
+    enforces after the fact, applied at split time instead). One
+    exchange on the content hash (min doc id per segment becomes the
+    cluster id for every member), fold draw is the seeded-md5 idiom."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.dedup import add_text_hash
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = add_text_hash(t)
+        return pa.table({"h": h.column("text_hash"),
+                         "doc_id": h.column("doc_id")})
+
+    def clusters(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        if not len(h):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "cluster_id": z, "fold": z})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = segment_starts(h)
+        lens = segment_lengths(starts, len(h))
+        # sorted by (h, doc_id): segment head is the min doc id
+        cluster = np.repeat(ids[starts], lens)
+        folds = np.empty(len(starts), np.int64)
+        for i, c in enumerate(ids[starts]):
+            folds[i] = int(hashlib.md5(
+                f"{c}:fold".encode()).hexdigest()[:8], 16) % 5
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "fold": pa.array(np.repeat(folds, lens), pa.int64())})
+
+    out = map_key_partitions(docs.map_batches(keyed,
+                                              batch_format="pyarrow"),
+                             "h", clusters, sort_cols=["doc_id"])
+    return out.sort("doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14253,6 +14304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": q_textrank_keywords,
         "label_propagation": q_label_propagation,
         "hard_negatives": q_hard_negatives,
+        "dedup_safe_folds": q_dedup_safe_folds,
     }
 
 
@@ -17764,4 +17816,5 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _textrank_sql(),
         "label_propagation": 'WITH scored AS (SELECT a.vec_id AS s, b.vec_id AS t, list_cosine_similarity(a.embedding, b.embedding) AS sc FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), knn AS MATERIALIZED (SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY sc DESC, t) AS rn FROM scored) WHERE rn <= 5), l0 AS (SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) ELSE -1 END AS lbl, CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END AS seed FROM embeddings), v1 AS (SELECT k.s AS vec_id, l.lbl, count(*) AS c FROM knn k JOIN l0 l ON l.vec_id = k.t WHERE l.lbl >= 0 GROUP BY 1, 2), p1 AS (SELECT vec_id, lbl FROM (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1), l1 AS MATERIALIZED (SELECT l.vec_id, CASE WHEN l.seed = 1 THEN l.lbl ELSE coalesce(p.lbl, -1) END AS lbl, l.seed FROM l0 l LEFT JOIN p1 p USING (vec_id)), v2 AS (SELECT k.s AS vec_id, l.lbl, count(*) AS c FROM knn k JOIN l1 l ON l.vec_id = k.t WHERE l.lbl >= 0 GROUP BY 1, 2), p2 AS (SELECT vec_id, lbl FROM (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1), l2 AS MATERIALIZED (SELECT l.vec_id, CASE WHEN l.seed = 1 THEN l.lbl ELSE coalesce(p.lbl, -1) END AS lbl, l.seed FROM l1 l LEFT JOIN p2 p USING (vec_id)), v3 AS (SELECT k.s AS vec_id, l.lbl, count(*) AS c FROM knn k JOIN l2 l ON l.vec_id = k.t WHERE l.lbl >= 0 GROUP BY 1, 2), p3 AS (SELECT vec_id, lbl FROM (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1), l3 AS MATERIALIZED (SELECT l.vec_id, CASE WHEN l.seed = 1 THEN l.lbl ELSE coalesce(p.lbl, -1) END AS lbl, l.seed FROM l2 l LEFT JOIN p3 p USING (vec_id)) SELECT vec_id, lbl AS pred_label, CAST(seed AS BIGINT) AS is_seed FROM l3 ORDER BY vec_id',
         "hard_negatives": 'WITH scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, list_cosine_similarity(a.embedding, b.embedding) AS sc FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label <> b.label) SELECT vec_id, CAST(rn - 1 AS BIGINT) AS neg_rank, neg_id FROM (SELECT vec_id, neg_id, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, neg_id) AS rn FROM scored) WHERE rn <= 2 ORDER BY vec_id, neg_rank',
+        "dedup_safe_folds": "WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents), c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hh) AS cluster_id FROM h) SELECT doc_id, cluster_id, CAST(CAST(concat('0x', substr(md5(concat(CAST(cluster_id AS VARCHAR), ':fold')), 1, 8)) AS UBIGINT) % 5 AS BIGINT) AS fold FROM c ORDER BY doc_id",
     }

@@ -50,7 +50,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "audio_metadata", "item_cheapest_path", "edge_churn",
         "l_diversity", "dup_spans", "pca_power", "random_walks",
         "negative_samples", "decayed_popularity", "mst_coview",
-        "textrank_keywords", "label_propagation", "hard_negatives"]
+        "textrank_keywords", "label_propagation", "hard_negatives",
+        "dedup_safe_folds"]
 
 
 @pytest.fixture(scope="module")
