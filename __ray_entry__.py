@@ -14025,6 +14025,83 @@ def q_dedup_safe_folds(sf_dir: str):
     return out.sort("doc_id")
 
 
+def q_quantile_normalize(sf_dir: str):
+    """Cross-source QUANTILE NORMALIZATION of doc length (the
+    batch-effect correction that makes per-source quality scores
+    comparable before mixing): each doc's within-source rank r of n_s
+    maps to the GLOBAL value at rank ⌊r·(N−1)/(n_s−1)⌋ — all-integer
+    index arithmetic, so there is no float interpolation to disagree
+    on (singleton sources map to the global median index (N−1)//2).
+    Shape: one per-source rank exchange (map_key_partitions), one
+    global 0-based rank via the two-phase scan (keyed_prefix_sum with
+    value=1 — nothing driver-sized beyond the bucket prefix table),
+    and one hash_join of target indices against global ranks."""
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source", "n_chars"])
+    n_total = docs.count()
+
+    def src_ranks(t: pa.Table) -> pa.Table:
+        s = t.column("source").to_numpy(zero_copy_only=False)
+        if not len(s):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "source": pa.array([],
+                                                             pa.string()),
+                             "n_chars": z, "idx": z})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        starts = segment_starts(s)
+        lens = segment_lengths(starts, len(s))
+        r = np.arange(len(s), dtype=np.int64) - np.repeat(starts, lens)
+        ns = np.repeat(lens, lens)
+        idx = np.where(ns == 1, (n_total - 1) // 2,
+                       (r * (n_total - 1)) // np.maximum(ns - 1, 1))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(s, pa.string()),
+            "n_chars": pa.array(nc.astype(np.int64), pa.int64()),
+            "idx": pa.array(idx.astype(np.int64), pa.int64())})
+
+    ranked = map_key_partitions(docs, "source", src_ranks,
+                                sort_cols=["n_chars", "doc_id"])
+
+    ones = docs.map_batches(
+        lambda t: pa.table({
+            "n_chars": t.column("n_chars"),
+            "doc_id": t.column("doc_id"),
+            "one": pa.array(np.ones(len(t), np.int64))}),
+        batch_format="pyarrow")
+    g = keyed_prefix_sum(ones, key_column="n_chars", value_column="one",
+                         tie_column="doc_id", out_column="gr")
+    import pyarrow.compute as pc
+
+    gvals = g.map_batches(
+        lambda t: pa.table({
+            "idx": pc.cast(t.column("gr"), pa.int64()),
+            "normalized_chars": pc.cast(t.column("n_chars"),
+                                        pa.int64())}),
+        batch_format="pyarrow")
+
+    out = hash_join(
+        ranked, gvals, key="idx",
+        left_cols=["doc_id", "source", "n_chars"],
+        right_cols=["normalized_chars"], how="inner",
+        left_types={"idx": pa.int64(), "doc_id": pa.int64(),
+                    "source": pa.string(), "n_chars": pa.int64()},
+        right_types={"idx": pa.int64(), "normalized_chars": pa.int64()})
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "n_chars",
+                            "normalized_chars"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14305,6 +14382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q_label_propagation,
         "hard_negatives": q_hard_negatives,
         "dedup_safe_folds": q_dedup_safe_folds,
+        "quantile_normalize": q_quantile_normalize,
     }
 
 
@@ -17817,4 +17895,5 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": 'WITH scored AS (SELECT a.vec_id AS s, b.vec_id AS t, list_cosine_similarity(a.embedding, b.embedding) AS sc FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), knn AS MATERIALIZED (SELECT s, t FROM (SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY sc DESC, t) AS rn FROM scored) WHERE rn <= 5), l0 AS (SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) ELSE -1 END AS lbl, CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END AS seed FROM embeddings), v1 AS (SELECT k.s AS vec_id, l.lbl, count(*) AS c FROM knn k JOIN l0 l ON l.vec_id = k.t WHERE l.lbl >= 0 GROUP BY 1, 2), p1 AS (SELECT vec_id, lbl FROM (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn FROM v1) WHERE rn = 1), l1 AS MATERIALIZED (SELECT l.vec_id, CASE WHEN l.seed = 1 THEN l.lbl ELSE coalesce(p.lbl, -1) END AS lbl, l.seed FROM l0 l LEFT JOIN p1 p USING (vec_id)), v2 AS (SELECT k.s AS vec_id, l.lbl, count(*) AS c FROM knn k JOIN l1 l ON l.vec_id = k.t WHERE l.lbl >= 0 GROUP BY 1, 2), p2 AS (SELECT vec_id, lbl FROM (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn FROM v2) WHERE rn = 1), l2 AS MATERIALIZED (SELECT l.vec_id, CASE WHEN l.seed = 1 THEN l.lbl ELSE coalesce(p.lbl, -1) END AS lbl, l.seed FROM l1 l LEFT JOIN p2 p USING (vec_id)), v3 AS (SELECT k.s AS vec_id, l.lbl, count(*) AS c FROM knn k JOIN l2 l ON l.vec_id = k.t WHERE l.lbl >= 0 GROUP BY 1, 2), p3 AS (SELECT vec_id, lbl FROM (SELECT vec_id, lbl, row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, lbl) AS rn FROM v3) WHERE rn = 1), l3 AS MATERIALIZED (SELECT l.vec_id, CASE WHEN l.seed = 1 THEN l.lbl ELSE coalesce(p.lbl, -1) END AS lbl, l.seed FROM l2 l LEFT JOIN p3 p USING (vec_id)) SELECT vec_id, lbl AS pred_label, CAST(seed AS BIGINT) AS is_seed FROM l3 ORDER BY vec_id',
         "hard_negatives": 'WITH scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, list_cosine_similarity(a.embedding, b.embedding) AS sc FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label <> b.label) SELECT vec_id, CAST(rn - 1 AS BIGINT) AS neg_rank, neg_id FROM (SELECT vec_id, neg_id, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, neg_id) AS rn FROM scored) WHERE rn <= 2 ORDER BY vec_id, neg_rank',
         "dedup_safe_folds": "WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents), c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hh) AS cluster_id FROM h) SELECT doc_id, cluster_id, CAST(CAST(concat('0x', substr(md5(concat(CAST(cluster_id AS VARCHAR), ':fold')), 1, 8)) AS UBIGINT) % 5 AS BIGINT) AS fold FROM c ORDER BY doc_id",
+        "quantile_normalize": 'WITH g AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS gr FROM documents), s AS (SELECT doc_id, source, n_chars, row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS r, count(*) OVER (PARTITION BY source) AS ns, (SELECT count(*) FROM documents) AS n FROM documents), ix AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, CASE WHEN ns = 1 THEN (n - 1) // 2 ELSE (r * (n - 1)) // (ns - 1) END AS idx FROM s) SELECT i.doc_id, i.source, i.n_chars, CAST(g.n_chars AS BIGINT) AS normalized_chars FROM ix i JOIN g ON g.gr = i.idx ORDER BY i.doc_id',
     }
