@@ -14102,6 +14102,78 @@ def q_quantile_normalize(sf_dir: str):
         batch_format="pyarrow").sort("doc_id")
 
 
+def q_bpe_encode(sf_dir: str):
+    """TOKENIZER APPLICATION: encode the corpus with the 40-merge BPE
+    table trained by stages/bpe.bpe_train (the q_bpe_train model) and
+    report per-doc word count, subword count, and fertility
+    (subwords-per-word, integer micro-units) — the token-budget
+    accounting step between tokenizer training and packing. The merge
+    table is tiny → ray.put once; encoding is an ACTOR pool whose
+    per-actor word-TYPE cache encodes each distinct word once (types ≪
+    tokens — the same observation bpe_train exploits), batches
+    vectorize via np.unique + inverse counts. Not SQL-expressible
+    (iterative greedy merges): the oracle is a frozen sf0.01 snapshot;
+    the independent anchor is the pytest differential vs brute-force
+    bpe_encode_word on every doc (tests/test_training_ops.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from magic_content_extractor_ray.stages.bpe import (
+        bpe_encode_word, bpe_train)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    merges = bpe_train(docs, column="text", num_merges=40)
+    mref = ray.put(merges)
+
+    class Encode:
+        def __init__(self):
+            self.merges = ray.get(mref)
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import re
+
+            ws = re.compile(r"\S+", re.ASCII)
+            nw = np.zeros(len(batch), np.int64)
+            nsw = np.zeros(len(batch), np.int64)
+            texts = batch.column("text").to_pylist()
+            for i, t in enumerate(texts):
+                words = ws.findall((t or "").lower())
+                if not words:
+                    continue
+                uw, cnt = np.unique(np.array(words, dtype=object),
+                                    return_counts=True)
+                subs = np.empty(len(uw), np.int64)
+                for j, w in enumerate(uw):
+                    s = self.cache.get(w)
+                    if s is None:
+                        s = len(bpe_encode_word(w, self.merges))
+                        self.cache[w] = s
+                    subs[j] = s
+                nw[i] = int(cnt.sum())
+                nsw[i] = int((subs * cnt).sum())
+            out = pa.table({
+                "doc_id": pa.array(batch.column("doc_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64), pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_subwords": pa.array(nsw, pa.int64())})
+            import pyarrow.compute as pc
+
+            out = out.filter(pc.greater(out.column("n_words"), 0))
+            fert = pc.divide(pc.multiply(out.column("n_subwords"),
+                                         pa.scalar(1_000_000,
+                                                   pa.int64())),
+                             out.column("n_words"))
+            return out.append_column("fertility_micro", fert)
+
+    return docs.map_batches(Encode, batch_format="pyarrow",
+                            batch_size=256,
+                            concurrency=(1, 8)).sort("doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14383,6 +14455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "dedup_safe_folds": q_dedup_safe_folds,
         "quantile_normalize": q_quantile_normalize,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -17896,4 +17969,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": 'WITH scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS neg_id, list_cosine_similarity(a.embedding, b.embedding) AS sc FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label <> b.label) SELECT vec_id, CAST(rn - 1 AS BIGINT) AS neg_rank, neg_id FROM (SELECT vec_id, neg_id, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, neg_id) AS rn FROM scored) WHERE rn <= 2 ORDER BY vec_id, neg_rank',
         "dedup_safe_folds": "WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents), c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hh) AS cluster_id FROM h) SELECT doc_id, cluster_id, CAST(CAST(concat('0x', substr(md5(concat(CAST(cluster_id AS VARCHAR), ':fold')), 1, 8)) AS UBIGINT) % 5 AS BIGINT) AS fold FROM c ORDER BY doc_id",
         "quantile_normalize": 'WITH g AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS gr FROM documents), s AS (SELECT doc_id, source, n_chars, row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS r, count(*) OVER (PARTITION BY source) AS ns, (SELECT count(*) FROM documents) AS n FROM documents), ix AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, CASE WHEN ns = 1 THEN (n - 1) // 2 ELSE (r * (n - 1)) // (ns - 1) END AS idx FROM s) SELECT i.doc_id, i.source, i.n_chars, CAST(g.n_chars AS BIGINT) AS normalized_chars FROM ix i JOIN g ON g.gr = i.idx ORDER BY i.doc_id',
+        "bpe_encode": (
+            f"SELECT * "
+            f"FROM read_parquet('{_fixture('sf0_01/bpe_encode.parquet')}')"),
     }

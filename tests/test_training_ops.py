@@ -4069,3 +4069,35 @@ def test_label_propagation_matches_bruteforce(ray_session):
 
     assert (out.loc[ids, "pred_label"].to_numpy() == cur).all()
     assert (out.loc[ids, "is_seed"].to_numpy() == seed.astype(int)).all()
+
+
+def test_bpe_encode_matches_bruteforce(ray_session):
+    """The cached actor-pool encode must equal word-by-word
+    bpe_encode_word with a reference-trained merge table (independent
+    anchor for the snapshot oracle)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from magic_content_extractor_ray.stages.bpe import (
+        bpe_encode_word, bpe_train_reference)
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["bpe_encode"](sf).to_pandas().set_index(
+        "doc_id")
+
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"]).to_pandas()
+    merges = bpe_train_reference(texts["text"].tolist(), num_merges=40)
+    ws = re.compile(r"\S+", re.ASCII)
+    for doc_id, t in zip(texts.doc_id, texts.text):
+        words = ws.findall((t or "").lower())
+        if not words:
+            assert doc_id not in out.index
+            continue
+        nsw = sum(len(bpe_encode_word(w, merges)) for w in words)
+        assert out.loc[doc_id, "n_words"] == len(words)
+        assert out.loc[doc_id, "n_subwords"] == nsw
+        assert out.loc[doc_id, "fertility_micro"] == \
+            (nsw * 1_000_000) // len(words)
