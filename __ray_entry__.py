@@ -14174,6 +14174,102 @@ def q_bpe_encode(sf_dir: str):
                             concurrency=(1, 8)).sort("doc_id")
 
 
+def q_hbos_outliers(sf_dir: str):
+    """HBOS anomaly scoring over the embedding cloud (Goldstein &
+    Dengel 2012 — the histogram-based outlier detector production
+    pipelines run because it's one pass and embarrassingly parallel):
+    per dimension, 10 equal-width bins between the corpus min/max;
+    score(v) = Σ_d ln(N / count[d, bin_d(v)]), computed as per-(d,bin)
+    nano-nat integer TERMS (one ln per cell, rounded before any sum —
+    the nano-nat idiom, so the SQL twin sums the identical integers).
+    Bin assignment is pure IEEE double arithmetic in the same operation
+    order both sides. Three streaming passes (min/max partials → 640
+    bin-count cells → scores + per-batch top-k); driver state is the
+    64-row min/max table and the 640-cell histogram, never rows.
+    Top-20 by (score desc, vec_id asc)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    DIM, BINS, K = 64, 10, 20
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding"])
+
+    def mat_of(batch: pa.Table) -> np.ndarray:
+        return np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        m = mat_of(batch)
+        return pa.table({
+            "d": pa.array(np.arange(DIM, dtype=np.int64), pa.int64()),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64()),
+            "n": pa.array(np.full(DIM, len(m), np.int64), pa.int64())})
+
+    parts = emb.map_batches(minmax, batch_format="pyarrow").take_all()
+    mn = np.full(DIM, np.inf)
+    mx = np.full(DIM, -np.inf)
+    n_total = 0
+    seen = set()
+    for r in parts:
+        d = int(r["d"])
+        mn[d] = min(mn[d], float(r["mn"]))
+        mx[d] = max(mx[d], float(r["mx"]))
+        # n repeats per dim; count each batch once (dim 0 rows)
+        if d == 0:
+            n_total += int(r["n"])
+
+    def bins_of(m: np.ndarray) -> np.ndarray:
+        span = mx - mn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            b = np.floor((m - mn[None, :]) * float(BINS) / span[None, :])
+        b = np.where(span[None, :] == 0, 0, b)
+        return np.minimum(BINS - 1, b).astype(np.int64)
+
+    mm_ref = ray.put({"mn": mn, "mx": mx})
+
+    def cells(batch: pa.Table, _r=mm_ref) -> pa.Table:
+        m = mat_of(batch)
+        b = bins_of(m)
+        flat = (np.arange(DIM, dtype=np.int64)[None, :] * BINS +
+                b).ravel()
+        c = np.bincount(flat, minlength=DIM * BINS).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(np.arange(DIM * BINS, dtype=np.int64),
+                             pa.int64()),
+            "c": pa.array(c, pa.int64())})
+
+    counts = np.zeros(DIM * BINS, np.int64)
+    for r in emb.map_batches(cells, batch_format="pyarrow").take_all():
+        counts[int(r["cell"])] += int(r["c"])
+
+    term = np.zeros(DIM * BINS, np.int64)
+    nz = counts > 0
+    term[nz] = np.floor(
+        np.log(float(n_total) / counts[nz].astype(np.float64)) * 1e9
+        + 0.5).astype(np.int64)
+    term_ref = ray.put(term)
+
+    def score(batch: pa.Table, _t=term_ref) -> pa.Table:
+        tm = ray.get(_t)
+        m = mat_of(batch)
+        b = bins_of(m)
+        flat = np.arange(DIM, dtype=np.int64)[None, :] * BINS + b
+        sc = tm[flat].sum(axis=1)
+        ids = batch.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -sc))[:K]     # per-batch top-k pruning
+        return pa.table({
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "hbos_nano": pa.array(sc[order], pa.int64())})
+
+    return emb.map_batches(score, batch_format="pyarrow").sort(
+        ["hbos_nano", "vec_id"], descending=[True, False]).limit(K)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14456,6 +14552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_safe_folds": q_dedup_safe_folds,
         "quantile_normalize": q_quantile_normalize,
         "bpe_encode": q_bpe_encode,
+        "hbos_outliers": q_hbos_outliers,
     }
 
 
@@ -17972,4 +18069,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": (
             f"SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/bpe_encode.parquet')}')"),
+        "hbos_outliers": 'WITH ex AS MATERIALIZED (SELECT vec_id, t.i AS d, CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS v FROM embeddings, range(64) t(i)), mm AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1), b AS MATERIALIZED (SELECT vec_id, ex.d, CASE WHEN mx = mn THEN 0 ELSE least(9, CAST(floor((v - mn) * 10.0 / (mx - mn)) AS BIGINT)) END AS bin FROM ex JOIN mm ON mm.d = ex.d), cnt AS (SELECT d, bin, count(*) AS c FROM b GROUP BY 1, 2), nn AS (SELECT count(*) AS n FROM embeddings), term AS (SELECT d, bin, CAST(floor(ln(CAST((SELECT n FROM nn) AS DOUBLE) / c) * 1000000000 + 0.5) AS BIGINT) AS tn FROM cnt) SELECT vec_id, hbos_nano FROM (SELECT vec_id, CAST(sum(tn) AS BIGINT) AS hbos_nano FROM b JOIN term USING (d, bin) GROUP BY 1) ORDER BY hbos_nano DESC, vec_id LIMIT 20',
     }
