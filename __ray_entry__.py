@@ -14270,6 +14270,91 @@ def q_hbos_outliers(sf_dir: str):
         ["hbos_nano", "vec_id"], descending=[True, False]).limit(K)
 
 
+def q_conformal_interval(sf_dir: str):
+    """SPLIT CONFORMAL prediction intervals for doc length per language
+    (Vovk et al. / the distribution-free calibration recipe): docs with
+    even ids calibrate, odd ids test. Center = calibration lower
+    median; nonconformity s = |n_chars − med|; q̂ = the
+    min(n, ⌈0.9·(n+1)⌉)-th smallest calibration score — the exact
+    finite-sample 90% guarantee, computed with the all-integer
+    ⌈9(n+1)/10⌉ = (9(n+1)+9)//10 formula; coverage = test docs inside
+    [med−q̂, med+q̂]. Everything runs on the per-(lang, split, value)
+    HISTOGRAM (the exact grouped-quantile value-histogram policy:
+    partition state is O(distinct lengths), never rows), one combiner
+    pass + one keyed exchange."""
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        out = pa.table({
+            "lang": pa.array(lang, pa.string()),
+            "split": pa.array(ids % 2, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "c": pa.array(np.ones(len(v), np.int64), pa.int64())})
+        return out.group_by(["lang", "split", "v"]).aggregate(
+            [("c", "sum")]).rename_columns(["lang", "split", "v", "c"])
+
+    hist = hash_agg(docs.map_batches(prep, batch_format="pyarrow"),
+                    "lang", [("c", "sum", "c")],
+                    group_cols=["lang", "split", "v"])
+
+    def per_lang(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        out = {"lang": [], "n_cal": [], "n_test": [], "med": [],
+               "qhat": [], "n_covered": []}
+        if len(langs):
+            sp = t.column("split").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            for lg in np.unique(langs):
+                m = langs == lg
+                cal = m & (sp == 0)
+                tst = m & (sp == 1)
+                if not cal.any():
+                    continue
+                cv, cc = v[cal], c[cal]
+                o = np.argsort(cv, kind="stable")
+                cv, cc = cv[o], cc[o]
+                cum = np.cumsum(cc)
+                n = int(cum[-1])
+                med = int(cv[np.searchsorted(cum, (n - 1) // 2 + 1)])
+                s = np.abs(cv - med)
+                so = np.argsort(s, kind="stable")
+                s, sc_ = s[so], cc[so]
+                scum = np.cumsum(sc_)
+                k = min(n, (9 * (n + 1) + 9) // 10)
+                qhat = int(s[np.searchsorted(scum, k)])
+                tv, tc = v[tst], c[tst]
+                n_test = int(tc.sum())
+                covered = int(tc[np.abs(tv - med) <= qhat].sum())
+                out["lang"].append(str(lg))
+                out["n_cal"].append(n)
+                out["n_test"].append(n_test)
+                out["med"].append(med)
+                out["qhat"].append(qhat)
+                out["n_covered"].append(covered)
+        return pa.table({
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_cal": pa.array(out["n_cal"], pa.int64()),
+            "n_test": pa.array(out["n_test"], pa.int64()),
+            "med": pa.array(out["med"], pa.int64()),
+            "qhat": pa.array(out["qhat"], pa.int64()),
+            "n_covered": pa.array(out["n_covered"], pa.int64())})
+
+    return map_key_partitions(hist, "lang", per_lang).sort("lang")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14553,6 +14638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize": q_quantile_normalize,
         "bpe_encode": q_bpe_encode,
         "hbos_outliers": q_hbos_outliers,
+        "conformal_interval": q_conformal_interval,
     }
 
 
@@ -18070,4 +18156,5 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * "
             f"FROM read_parquet('{_fixture('sf0_01/bpe_encode.parquet')}')"),
         "hbos_outliers": 'WITH ex AS MATERIALIZED (SELECT vec_id, t.i AS d, CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS v FROM embeddings, range(64) t(i)), mm AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1), b AS MATERIALIZED (SELECT vec_id, ex.d, CASE WHEN mx = mn THEN 0 ELSE least(9, CAST(floor((v - mn) * 10.0 / (mx - mn)) AS BIGINT)) END AS bin FROM ex JOIN mm ON mm.d = ex.d), cnt AS (SELECT d, bin, count(*) AS c FROM b GROUP BY 1, 2), nn AS (SELECT count(*) AS n FROM embeddings), term AS (SELECT d, bin, CAST(floor(ln(CAST((SELECT n FROM nn) AS DOUBLE) / c) * 1000000000 + 0.5) AS BIGINT) AS tn FROM cnt) SELECT vec_id, hbos_nano FROM (SELECT vec_id, CAST(sum(tn) AS BIGINT) AS hbos_nano FROM b JOIN term USING (d, bin) GROUP BY 1) ORDER BY hbos_nano DESC, vec_id LIMIT 20',
+        "conformal_interval": 'WITH d AS (SELECT lang, doc_id % 2 AS split, CAST(n_chars AS BIGINT) AS v FROM documents), cal AS (SELECT lang, v FROM d WHERE split = 0), med AS (SELECT lang, v AS med FROM (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM cal) WHERE rn = (n - 1) // 2 + 1), sc AS (SELECT c.lang, abs(c.v - m.med) AS s FROM cal c JOIN med m USING (lang)), q AS (SELECT lang, s AS qhat FROM (SELECT lang, s, row_number() OVER (PARTITION BY lang ORDER BY s) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM sc) WHERE rn = least(n, (9 * (n + 1) + 9) // 10)), tst AS (SELECT lang, v FROM d WHERE split = 1), cov AS (SELECT t.lang, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN abs(t.v - m.med) <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered FROM tst t JOIN med m USING (lang) JOIN q USING (lang) GROUP BY 1), nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1) SELECT m.lang, nc.n_cal, cov.n_test, m.med, q.qhat, cov.n_covered FROM med m JOIN q USING (lang) JOIN cov USING (lang) JOIN nc USING (lang) ORDER BY m.lang',
     }

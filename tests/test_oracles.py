@@ -51,7 +51,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "l_diversity", "dup_spans", "pca_power", "random_walks",
         "negative_samples", "decayed_popularity", "mst_coview",
         "textrank_keywords", "label_propagation", "hard_negatives",
-        "dedup_safe_folds", "quantile_normalize", "hbos_outliers"]
+        "dedup_safe_folds", "quantile_normalize", "hbos_outliers",
+        "conformal_interval"]
 
 
 @pytest.fixture(scope="module")

@@ -4101,3 +4101,21 @@ def test_bpe_encode_matches_bruteforce(ray_session):
         assert out.loc[doc_id, "n_subwords"] == nsw
         assert out.loc[doc_id, "fertility_micro"] == \
             (nsw * 1_000_000) // len(words)
+
+
+def test_conformal_interval_coverage_guarantee(ray_session):
+    """Split conformal's finite-sample guarantee: empirical test
+    coverage per lang should sit near (and statistically above) 90%
+    minus binomial noise; q-hat must be a real calibration score."""
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["conformal_interval"](
+        "/root/testdata/sf0.01").to_pandas()
+    assert len(out) >= 3
+    for r in out.itertuples(index=False):
+        cov = r.n_covered / r.n_test
+        # 90% nominal; allow 3-sigma binomial slack below
+        import math
+        slack = 3 * math.sqrt(0.9 * 0.1 / r.n_test)
+        assert cov >= 0.9 - slack, (r.lang, cov)
+        assert r.qhat >= 0
