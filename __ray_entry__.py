@@ -14355,6 +14355,70 @@ def q_conformal_interval(sf_dir: str):
     return map_key_partitions(hist, "lang", per_lang).sort("lang")
 
 
+def q_token_waterfill(sf_dir: str):
+    """WATER-FILLING token budget allocation across sources (the data-
+    mixing step that caps over-represented sources so a 50%-of-corpus
+    budget is spent as evenly as possible): water level T* = the max
+    integer with Σ min(nᵢ, T) ≤ B, found over the exact candidate set
+    {nᵢ} ∪ {(B − P_{k−1}) // (m−k+1)} (P = ascending prefix sums);
+    the L = B − Σ min(nᵢ, T*) leftover tokens go one each to the L
+    largest sources above the level, ordered (n desc, source asc) —
+    all integer arithmetic, no float water level. The corpus-scale
+    part is the token count (one tokenize-combiner pass); the m-source
+    optimization is driver-side on an m-row aggregate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_sum
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["source", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.count_substring_regex(
+            t.column("text"), pattern=r"\S+"), pa.int64())
+        out = pa.table({"source": t.column("source"), "nt": nt})
+        return out.group_by(["source"]).aggregate(
+            [("nt", "sum")]).rename_columns(["source", "nt"])
+
+    per_src = hash_sum(docs.map_batches(counts, batch_format="pyarrow"),
+                       "source", "nt", "n_tokens").to_pandas()
+    per_src = per_src.sort_values("source").reset_index(drop=True)
+    n = per_src["n_tokens"].to_numpy().astype(np.int64)
+    srcs = per_src["source"].to_numpy()
+    total = int(n.sum())
+    B = total // 2
+    m = len(n)
+
+    order = np.lexsort((srcs, n))            # ascending (n, source)
+    ns = n[order]
+    prefix = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    cands = set(int(x) for x in ns)
+    for k in range(m):
+        rem = m - k
+        cands.add(max(0, (B - int(prefix[k])) // rem))
+
+    def f(T: int) -> int:
+        return int(np.minimum(n, T).sum())
+
+    tstar = max((T for T in cands if f(T) <= B), default=0)
+    base = np.minimum(n, tstar)
+    L = B - int(base.sum())
+    above = n > tstar
+    bonus = np.zeros(m, np.int64)
+    if L > 0 and above.any():
+        pri = np.lexsort((srcs, -n))         # (n desc, source asc)
+        pri = [i for i in pri if above[i]][:L]
+        bonus[pri] = 1
+    return pd.DataFrame({
+        "source": srcs,
+        "n_tokens": pd.Series(n, dtype="int64"),
+        "alloc": pd.Series(base + bonus, dtype="int64")}).sort_values(
+        "source").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14639,6 +14703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": q_bpe_encode,
         "hbos_outliers": q_hbos_outliers,
         "conformal_interval": q_conformal_interval,
+        "token_waterfill": q_token_waterfill,
     }
 
 
@@ -18157,4 +18222,5 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_fixture('sf0_01/bpe_encode.parquet')}')"),
         "hbos_outliers": 'WITH ex AS MATERIALIZED (SELECT vec_id, t.i AS d, CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS v FROM embeddings, range(64) t(i)), mm AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1), b AS MATERIALIZED (SELECT vec_id, ex.d, CASE WHEN mx = mn THEN 0 ELSE least(9, CAST(floor((v - mn) * 10.0 / (mx - mn)) AS BIGINT)) END AS bin FROM ex JOIN mm ON mm.d = ex.d), cnt AS (SELECT d, bin, count(*) AS c FROM b GROUP BY 1, 2), nn AS (SELECT count(*) AS n FROM embeddings), term AS (SELECT d, bin, CAST(floor(ln(CAST((SELECT n FROM nn) AS DOUBLE) / c) * 1000000000 + 0.5) AS BIGINT) AS tn FROM cnt) SELECT vec_id, hbos_nano FROM (SELECT vec_id, CAST(sum(tn) AS BIGINT) AS hbos_nano FROM b JOIN term USING (d, bin) GROUP BY 1) ORDER BY hbos_nano DESC, vec_id LIMIT 20',
         "conformal_interval": 'WITH d AS (SELECT lang, doc_id % 2 AS split, CAST(n_chars AS BIGINT) AS v FROM documents), cal AS (SELECT lang, v FROM d WHERE split = 0), med AS (SELECT lang, v AS med FROM (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM cal) WHERE rn = (n - 1) // 2 + 1), sc AS (SELECT c.lang, abs(c.v - m.med) AS s FROM cal c JOIN med m USING (lang)), q AS (SELECT lang, s AS qhat FROM (SELECT lang, s, row_number() OVER (PARTITION BY lang ORDER BY s) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM sc) WHERE rn = least(n, (9 * (n + 1) + 9) // 10)), tst AS (SELECT lang, v FROM d WHERE split = 1), cov AS (SELECT t.lang, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN abs(t.v - m.med) <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered FROM tst t JOIN med m USING (lang) JOIN q USING (lang) GROUP BY 1), nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1) SELECT m.lang, nc.n_cal, cov.n_test, m.med, q.qhat, cov.n_covered FROM med m JOIN q USING (lang) JOIN cov USING (lang) JOIN nc USING (lang) ORDER BY m.lang',
+        "token_waterfill": "WITH ns AS (SELECT source, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n FROM documents GROUP BY 1), tot AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b, count(*) AS m FROM ns), ordered AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS k, COALESCE(CAST(sum(n) OVER (ORDER BY n, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p FROM ns), cand AS (SELECT DISTINCT t FROM (SELECT n AS t FROM ns UNION ALL SELECT greatest(0, ((SELECT b FROM tot) - p) // ((SELECT m FROM tot) - k + 1)) FROM ordered)), ev AS (SELECT c.t, CAST(sum(least(ns.n, c.t)) AS BIGINT) AS f FROM cand c CROSS JOIN ns GROUP BY 1), ts AS (SELECT COALESCE(max(t), 0) AS tstar FROM ev WHERE f <= (SELECT b FROM tot)), lv AS (SELECT (SELECT b FROM tot) - CAST(sum(least(n, (SELECT tstar FROM ts))) AS BIGINT) AS l FROM ns), pri AS (SELECT source, row_number() OVER (ORDER BY n DESC, source) AS r FROM ns WHERE n > (SELECT tstar FROM ts)) SELECT ns.source, ns.n AS n_tokens, least(ns.n, (SELECT tstar FROM ts)) + CASE WHEN pri.r IS NOT NULL AND pri.r <= (SELECT l FROM lv) THEN 1 ELSE 0 END AS alloc FROM ns LEFT JOIN pri USING (source) ORDER BY ns.source",
     }

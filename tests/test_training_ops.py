@@ -4119,3 +4119,20 @@ def test_conformal_interval_coverage_guarantee(ray_session):
         slack = 3 * math.sqrt(0.9 * 0.1 / r.n_test)
         assert cov >= 0.9 - slack, (r.lang, cov)
         assert r.qhat >= 0
+
+
+def test_token_waterfill_invariants(ray_session):
+    """Allocation sums exactly to the budget (total//2), never exceeds
+    a source's own tokens, and is level: any source allocated less
+    than another must be capped at its own size (water property)."""
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["token_waterfill"](
+        "/root/testdata/sf0.001")
+    total = int(out["n_tokens"].sum())
+    assert int(out["alloc"].sum()) == total // 2
+    assert (out["alloc"] <= out["n_tokens"]).all()
+    # water property: below-max allocations are full allocations
+    mx = out["alloc"].max()
+    below = out[out["alloc"] < mx - 1]   # -1: leftover bonus grain
+    assert (below["alloc"] == below["n_tokens"]).all()
