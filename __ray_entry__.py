@@ -14419,6 +14419,66 @@ def q_token_waterfill(sf_dir: str):
         "source").reset_index(drop=True)
 
 
+def q_mmr_select(sf_dir: str):
+    """MMR diverse re-ranking over SQ8 codes (λ = 1/2): query = lowest
+    vec_id; greedy relevance-minus-redundancy picks on the exact
+    integer squared-L2 scale (stages/ann.mmr_select — kcenter_select's
+    execution shape with a marginal-relevance objective)."""
+    from magic_content_extractor_ray.stages.ann import mmr_select
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding"])
+    return mmr_select(emb, k=8)
+
+
+def _mmr_oracle(k: int = 8) -> str:
+    """Unrolled greedy MMR twin (the _kcenter_oracle pattern): round
+    1 = argmin distance-to-query; round i = argmax (min-dist-to-chosen
+    − dist-to-query), ties vec_id asc, chosen + query excluded."""
+    parts = [
+        _SQ8_CODES_SQL,
+        ", codes AS MATERIALIZED (SELECT vec_id, ex.dim, CASE WHEN mx = mn THEN 0 "
+        "ELSE CAST(floor((val - mn) * 255.0 / (mx - mn)) AS BIGINT) END "
+        "AS code FROM ex JOIN grid ON grid.dim = ex.dim), "
+        "qq AS MATERIALIZED (SELECT min(vec_id) AS qid FROM codes), "
+        "dq AS MATERIALIZED (SELECT c.vec_id, CAST(sum((c.code - x.code) * "
+        "(c.code - x.code)) AS BIGINT) AS dq FROM codes c JOIN codes x "
+        "ON x.dim = c.dim AND x.vec_id = (SELECT qid FROM qq) "
+        "GROUP BY 1), "
+        "m1 AS MATERIALIZED (SELECT vec_id, -dq AS sc FROM dq "
+        "WHERE vec_id <> (SELECT qid FROM qq) "
+        "ORDER BY sc DESC, vec_id LIMIT 1), "
+        "d1 AS MATERIALIZED (SELECT c.vec_id, CAST(sum((c.code - x.code) * "
+        "(c.code - x.code)) AS BIGINT) AS d FROM codes c JOIN codes x "
+        "ON x.dim = c.dim AND x.vec_id = (SELECT vec_id FROM m1) "
+        "GROUP BY 1)"]
+    for i in range(2, k + 1):
+        excl = " UNION ALL ".join(
+            f"SELECT vec_id FROM m{j}" for j in range(1, i))
+        parts.append(
+            f", m{i} AS MATERIALIZED (SELECT p.vec_id, p.d - q.dq AS sc "
+            f"FROM d{i-1} p JOIN dq q ON q.vec_id = p.vec_id "
+            f"WHERE p.vec_id <> (SELECT qid FROM qq) "
+            f"AND p.vec_id NOT IN ({excl}) "
+            f"ORDER BY sc DESC, p.vec_id LIMIT 1)")
+        if i < k:
+            parts.append(
+                f", d{i} AS MATERIALIZED (SELECT p.vec_id, LEAST(p.d, s.d) AS d "
+                f"FROM d{i-1} p JOIN (SELECT c.vec_id, "
+                f"CAST(sum((c.code - x.code) * (c.code - x.code)) "
+                f"AS BIGINT) AS d FROM codes c JOIN codes x "
+                f"ON x.dim = c.dim AND x.vec_id = "
+                f"(SELECT vec_id FROM m{i}) GROUP BY 1) s "
+                f"ON s.vec_id = p.vec_id)")
+    parts.append(
+        " SELECT CAST(1 AS BIGINT) AS round, vec_id, "
+        "CAST(sc AS BIGINT) AS score2 FROM m1")
+    for i in range(2, k + 1):
+        parts.append(f" UNION ALL SELECT {i}, vec_id, sc FROM m{i}")
+    parts.append(" ORDER BY round")
+    return "".join(parts)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14704,6 +14764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hbos_outliers": q_hbos_outliers,
         "conformal_interval": q_conformal_interval,
         "token_waterfill": q_token_waterfill,
+        "mmr_select": q_mmr_select,
     }
 
 
@@ -18223,4 +18284,5 @@ def oracle_sql() -> dict[str, str]:
         "hbos_outliers": 'WITH ex AS MATERIALIZED (SELECT vec_id, t.i AS d, CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS v FROM embeddings, range(64) t(i)), mm AS (SELECT d, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1), b AS MATERIALIZED (SELECT vec_id, ex.d, CASE WHEN mx = mn THEN 0 ELSE least(9, CAST(floor((v - mn) * 10.0 / (mx - mn)) AS BIGINT)) END AS bin FROM ex JOIN mm ON mm.d = ex.d), cnt AS (SELECT d, bin, count(*) AS c FROM b GROUP BY 1, 2), nn AS (SELECT count(*) AS n FROM embeddings), term AS (SELECT d, bin, CAST(floor(ln(CAST((SELECT n FROM nn) AS DOUBLE) / c) * 1000000000 + 0.5) AS BIGINT) AS tn FROM cnt) SELECT vec_id, hbos_nano FROM (SELECT vec_id, CAST(sum(tn) AS BIGINT) AS hbos_nano FROM b JOIN term USING (d, bin) GROUP BY 1) ORDER BY hbos_nano DESC, vec_id LIMIT 20',
         "conformal_interval": 'WITH d AS (SELECT lang, doc_id % 2 AS split, CAST(n_chars AS BIGINT) AS v FROM documents), cal AS (SELECT lang, v FROM d WHERE split = 0), med AS (SELECT lang, v AS med FROM (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM cal) WHERE rn = (n - 1) // 2 + 1), sc AS (SELECT c.lang, abs(c.v - m.med) AS s FROM cal c JOIN med m USING (lang)), q AS (SELECT lang, s AS qhat FROM (SELECT lang, s, row_number() OVER (PARTITION BY lang ORDER BY s) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM sc) WHERE rn = least(n, (9 * (n + 1) + 9) // 10)), tst AS (SELECT lang, v FROM d WHERE split = 1), cov AS (SELECT t.lang, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN abs(t.v - m.med) <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered FROM tst t JOIN med m USING (lang) JOIN q USING (lang) GROUP BY 1), nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1) SELECT m.lang, nc.n_cal, cov.n_test, m.med, q.qhat, cov.n_covered FROM med m JOIN q USING (lang) JOIN cov USING (lang) JOIN nc USING (lang) ORDER BY m.lang',
         "token_waterfill": "WITH ns AS (SELECT source, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n FROM documents GROUP BY 1), tot AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b, count(*) AS m FROM ns), ordered AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS k, COALESCE(CAST(sum(n) OVER (ORDER BY n, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p FROM ns), cand AS (SELECT DISTINCT t FROM (SELECT n AS t FROM ns UNION ALL SELECT greatest(0, ((SELECT b FROM tot) - p) // ((SELECT m FROM tot) - k + 1)) FROM ordered)), ev AS (SELECT c.t, CAST(sum(least(ns.n, c.t)) AS BIGINT) AS f FROM cand c CROSS JOIN ns GROUP BY 1), ts AS (SELECT COALESCE(max(t), 0) AS tstar FROM ev WHERE f <= (SELECT b FROM tot)), lv AS (SELECT (SELECT b FROM tot) - CAST(sum(least(n, (SELECT tstar FROM ts))) AS BIGINT) AS l FROM ns), pri AS (SELECT source, row_number() OVER (ORDER BY n DESC, source) AS r FROM ns WHERE n > (SELECT tstar FROM ts)) SELECT ns.source, ns.n AS n_tokens, least(ns.n, (SELECT tstar FROM ts)) + CASE WHEN pri.r IS NOT NULL AND pri.r <= (SELECT l FROM lv) THEN 1 ELSE 0 END AS alloc FROM ns LEFT JOIN pri USING (source) ORDER BY ns.source",
+        "mmr_select": _mmr_oracle(),
     }

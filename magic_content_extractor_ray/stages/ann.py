@@ -580,3 +580,117 @@ def kcenter_select(ds, *, k: int = 8, column: str = "embedding",
         "round": pd.array(range(1, k + 1), dtype="int64"),
         id_column: pd.array(chosen_ids, dtype="int64"),
         "dist_sq": pd.array(dists, dtype="int64")})
+
+
+def mmr_select(ds, *, k: int = 8, column: str = "embedding",
+               id_column: str = "vec_id"):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over the SQ8 codes with λ = 1/2: query = the lowest-id
+    vector's code; round 1 picks the most RELEVANT candidate
+    (min distance to the query), every later round the candidate
+    maximizing (min-dist-to-chosen − dist-to-query) — relevance minus
+    redundancy on the same integer squared-L2 scale, so the greedy
+    trajectory is exactly reproducible (ties → smaller id; the chosen
+    set is excluded outright). Same execution shape as kcenter_select:
+    once-materialized projected codes, per round one broadcast of the
+    chosen codes + a distributed per-block partial argmax (≤1 row per
+    block to the driver). Returns (round, id, score2) where
+    score2 = mind − dq at pick time (round 1: −dq, mind ≡ 0)."""
+    import ray
+
+    mins, maxs = sq8_grid(ds, column=column)
+    grid_ref = ray.put((mins, maxs))
+
+    def encode_batch(batch: pa.Table) -> pa.Table:
+        mn, mx = ray.get(grid_ref)
+        ids = np.asarray(batch.column(id_column).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        codes = sq8_encode(_batch_matrix(batch, column, np.float64),
+                           mn, mx)
+        dim = codes.shape[1] if len(codes) else 1
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), pa.int64()), dim)
+        return pa.Table.from_arrays([pa.array(ids, pa.int64()), arr],
+                                    names=[id_column, "code"])
+
+    codes_ds = ds.select_columns([id_column, column]).map_batches(
+        encode_batch, batch_format="pyarrow").materialize()
+
+    def code_matrix(batch: pa.Table):
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        col = batch.column("code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return ids, flat.reshape(len(batch), -1)
+
+    def partial_min_id(batch: pa.Table) -> pa.Table:
+        ids, _ = code_matrix(batch)
+        if not len(ids):
+            return batch.slice(0, 0)
+        return batch.take(pa.array([int(np.argmin(ids))]))
+
+    seed_rows = codes_ds.map_batches(
+        partial_min_id, batch_format="pyarrow").take_all()
+    qrow = min(seed_rows, key=lambda r: r[id_column])
+    qid = int(qrow[id_column])
+    qcode = np.asarray(qrow["code"], dtype=np.int64)
+
+    chosen_ids: list[int] = []
+    chosen_codes: list[np.ndarray] = []
+    scores: list[int] = []
+
+    for rnd in range(k):
+        state = ray.put({
+            "q": qcode, "qid": qid,
+            "chosen": (np.stack(chosen_codes)
+                       if chosen_codes else None),
+            "excl": np.array([qid] + chosen_ids, dtype=np.int64)})
+
+        def partial_best(batch: pa.Table) -> pa.Table:
+            ids, mat = code_matrix(batch)
+            empty = pa.table({id_column: pa.array([], pa.int64()),
+                              "sc": pa.array([], pa.int64()),
+                              "code": pa.array([],
+                                               pa.list_(pa.int64()))})
+            if not len(ids):
+                return empty
+            st = ray.get(state)
+            keep = ~np.isin(ids, st["excl"])
+            if not keep.any():
+                return empty
+            ids, mat = ids[keep], mat[keep]
+            diff = mat - st["q"]
+            dq = np.einsum("ij,ij->i", diff, diff)
+            if st["chosen"] is None:
+                sc = -dq
+            else:
+                mind = None
+                for c in st["chosen"]:
+                    d2 = mat - c
+                    d = np.einsum("ij,ij->i", d2, d2)
+                    mind = d if mind is None else np.minimum(mind, d)
+                sc = mind - dq
+            top = np.flatnonzero(sc == sc.max())
+            j = int(top[np.argmin(ids[top])])
+            return pa.table({
+                id_column: pa.array([int(ids[j])], pa.int64()),
+                "sc": pa.array([int(sc[j])], pa.int64()),
+                "code": pa.array([mat[j].tolist()],
+                                 pa.list_(pa.int64()))})
+
+        cands = codes_ds.map_batches(
+            partial_best, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        nxt = max(cands, key=lambda r: (r["sc"], -r[id_column]))
+        chosen_ids.append(int(nxt[id_column]))
+        scores.append(int(nxt["sc"]))
+        chosen_codes.append(np.asarray(nxt["code"], dtype=np.int64))
+
+    import pandas as pd
+
+    return pd.DataFrame({
+        "round": pd.array(range(1, len(chosen_ids) + 1), dtype="int64"),
+        id_column: pd.array(chosen_ids, dtype="int64"),
+        "score2": pd.array(scores, dtype="int64")})
