@@ -238,7 +238,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              # walk corpora, negative sampling, MST, TextRank, label prop
              "dup_spans", "pca_power", "random_walks", "negative_samples",
              "decayed_popularity", "mst_coview", "textrank_keywords",
-             "label_propagation", "hard_negatives"]
+             "label_propagation", "hard_negatives", "dedup_safe_folds",
+             "quantile_normalize", "bpe_encode", "hbos_outliers",
+             "conformal_interval", "token_waterfill", "mmr_select"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
