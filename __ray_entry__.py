@@ -14479,6 +14479,112 @@ def _mmr_oracle(k: int = 8) -> str:
     return "".join(parts)
 
 
+def q_length_emd(sf_dir: str):
+    """Pairwise 1-D WASSERSTEIN (earth-mover) distance between the
+    per-source doc-length distributions — the drift metric that, unlike
+    KL/KS (source_drift_kl, source_ks), weights HOW FAR mass moved:
+    W₁ = ∫|F_a − F_b| dx, computed EXACTLY on the value histogram as
+    Σ |cumA·n_b − cumB·n_a| · gap (one integer per value gap — the
+    common-denominator n_a·n_b trick, no float CDFs; fits int64 while
+    n_a·n_b·range < 2⁶³ — beyond that, switch the accumulator to
+    Python ints like embedding_covariance). Shape: one (source, value)
+    histogram combiner, histogram rows replicated to the O(m²) pair
+    keys (m = #sources, dimension-sized), one keyed exchange where each
+    pair's partition runs a vectorized two-CDF sweep."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["source", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = pa.table({
+            "source": t.column("source"),
+            "v": pc.cast(t.column("n_chars"), pa.int64()),
+            "c": pa.array(np.ones(len(t), np.int64), pa.int64())})
+        return out.group_by(["source", "v"]).aggregate(
+            [("c", "sum")]).rename_columns(["source", "v", "c"])
+
+    hist = hash_agg(docs.map_batches(pre, batch_format="pyarrow"),
+                    "source", [("c", "sum", "c")],
+                    group_cols=["source", "v"]).materialize()
+
+    srcs = sorted({r["source"] for r in hist.map_batches(
+        lambda t: pa.table({"source": t.column("source")}),
+        batch_format="pyarrow").take_all()})
+    m = len(srcs)
+    idx = {s: i for i, s in enumerate(srcs)}
+    src_ref = ray.put(srcs)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        s = t.column("source").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        si = np.array([idx[x] for x in s], dtype=np.int64)
+        pk, vv, cc, side = [], [], [], []
+        for j in range(m):
+            lo = np.minimum(si, j)
+            hi = np.maximum(si, j)
+            keep = si != j
+            pk.append((lo[keep] * m + hi[keep]))
+            vv.append(v[keep])
+            cc.append(c[keep])
+            side.append((si[keep] < j).astype(np.int64))  # 0 = a side
+        return pa.table({
+            "pk": pa.array(np.concatenate(pk), pa.int64()),
+            "v": pa.array(np.concatenate(vv), pa.int64()),
+            "c": pa.array(np.concatenate(cc), pa.int64()),
+            "side": pa.array(np.concatenate(side), pa.int64())})
+
+    pairs = hist.map_batches(replicate, batch_format="pyarrow")
+
+    def sweep(t: pa.Table, _s=src_ref) -> pa.Table:
+        names = ray.get(_s)
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        out = {"source_a": [], "source_b": [], "n_a": [], "n_b": [],
+               "w1_num": []}
+        if len(pk):
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            sd = t.column("side").to_numpy(zero_copy_only=False)
+            for key in np.unique(pk):
+                mk = pk == key
+                vv, cc, ss = v[mk], c[mk], sd[mk]
+                o = np.lexsort((ss, vv))
+                vv, cc, ss = vv[o], cc[o], ss[o]
+                ca = np.cumsum(np.where(ss == 0, cc, 0))
+                cb = np.cumsum(np.where(ss == 1, cc, 0))
+                na, nb = int(ca[-1]), int(cb[-1])
+                # collapse duplicate values: keep last row per value
+                last = np.r_[vv[1:] != vv[:-1], True]
+                vv2, ca2, cb2 = vv[last], ca[last], cb[last]
+                gap = vv2[1:] - vv2[:-1]
+                w1 = int(np.abs(ca2[:-1] * nb - cb2[:-1] * na)
+                         .astype(np.int64) @ gap.astype(np.int64))
+                ia, ib = int(key) // len(names), int(key) % len(names)
+                out["source_a"].append(names[ia])
+                out["source_b"].append(names[ib])
+                out["n_a"].append(na)
+                out["n_b"].append(nb)
+                out["w1_num"].append(w1)
+        return pa.table({
+            "source_a": pa.array(out["source_a"], pa.string()),
+            "source_b": pa.array(out["source_b"], pa.string()),
+            "n_a": pa.array(out["n_a"], pa.int64()),
+            "n_b": pa.array(out["n_b"], pa.int64()),
+            "w1_num": pa.array(out["w1_num"], pa.int64())})
+
+    return map_key_partitions(pairs, "pk", sweep).sort(
+        ["source_a", "source_b"])
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14765,6 +14871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_interval": q_conformal_interval,
         "token_waterfill": q_token_waterfill,
         "mmr_select": q_mmr_select,
+        "length_emd": q_length_emd,
     }
 
 
@@ -18285,4 +18392,5 @@ def oracle_sql() -> dict[str, str]:
         "conformal_interval": 'WITH d AS (SELECT lang, doc_id % 2 AS split, CAST(n_chars AS BIGINT) AS v FROM documents), cal AS (SELECT lang, v FROM d WHERE split = 0), med AS (SELECT lang, v AS med FROM (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM cal) WHERE rn = (n - 1) // 2 + 1), sc AS (SELECT c.lang, abs(c.v - m.med) AS s FROM cal c JOIN med m USING (lang)), q AS (SELECT lang, s AS qhat FROM (SELECT lang, s, row_number() OVER (PARTITION BY lang ORDER BY s) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM sc) WHERE rn = least(n, (9 * (n + 1) + 9) // 10)), tst AS (SELECT lang, v FROM d WHERE split = 1), cov AS (SELECT t.lang, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN abs(t.v - m.med) <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered FROM tst t JOIN med m USING (lang) JOIN q USING (lang) GROUP BY 1), nc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1) SELECT m.lang, nc.n_cal, cov.n_test, m.med, q.qhat, cov.n_covered FROM med m JOIN q USING (lang) JOIN cov USING (lang) JOIN nc USING (lang) ORDER BY m.lang',
         "token_waterfill": "WITH ns AS (SELECT source, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n FROM documents GROUP BY 1), tot AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b, count(*) AS m FROM ns), ordered AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS k, COALESCE(CAST(sum(n) OVER (ORDER BY n, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p FROM ns), cand AS (SELECT DISTINCT t FROM (SELECT n AS t FROM ns UNION ALL SELECT greatest(0, ((SELECT b FROM tot) - p) // ((SELECT m FROM tot) - k + 1)) FROM ordered)), ev AS (SELECT c.t, CAST(sum(least(ns.n, c.t)) AS BIGINT) AS f FROM cand c CROSS JOIN ns GROUP BY 1), ts AS (SELECT COALESCE(max(t), 0) AS tstar FROM ev WHERE f <= (SELECT b FROM tot)), lv AS (SELECT (SELECT b FROM tot) - CAST(sum(least(n, (SELECT tstar FROM ts))) AS BIGINT) AS l FROM ns), pri AS (SELECT source, row_number() OVER (ORDER BY n DESC, source) AS r FROM ns WHERE n > (SELECT tstar FROM ts)) SELECT ns.source, ns.n AS n_tokens, least(ns.n, (SELECT tstar FROM ts)) + CASE WHEN pri.r IS NOT NULL AND pri.r <= (SELECT l FROM lv) THEN 1 ELSE 0 END AS alloc FROM ns LEFT JOIN pri USING (source) ORDER BY ns.source",
         "mmr_select": _mmr_oracle(),
+        "length_emd": 'WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1), prs AS (SELECT a.source AS sa, b.source AS sb FROM ns a JOIN ns b ON a.source < b.source), ev AS (SELECT p.sa, p.sb, h.v, CAST(sum(CASE WHEN h.source = p.sa THEN c ELSE 0 END) AS BIGINT) AS ca, CAST(sum(CASE WHEN h.source = p.sb THEN c ELSE 0 END) AS BIGINT) AS cb FROM prs p JOIN h ON h.source = p.sa OR h.source = p.sb GROUP BY 1, 2, 3), w AS (SELECT sa, sb, v, CAST(sum(ca) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cuma, CAST(sum(cb) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cumb, lead(v) OVER (PARTITION BY sa, sb ORDER BY v) AS nv FROM ev), t AS (SELECT sa, sb, CAST(sum(abs(cuma * (SELECT n FROM ns WHERE source = sb) - cumb * (SELECT n FROM ns WHERE source = sa)) * (nv - v)) AS BIGINT) AS w1 FROM w WHERE nv IS NOT NULL GROUP BY 1, 2) SELECT t.sa AS source_a, t.sb AS source_b, na.n AS n_a, nb.n AS n_b, t.w1 AS w1_num FROM t JOIN ns na ON na.source = t.sa JOIN ns nb ON nb.source = t.sb ORDER BY source_a, source_b',
     }

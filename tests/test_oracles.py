@@ -52,7 +52,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "negative_samples", "decayed_popularity", "mst_coview",
         "textrank_keywords", "label_propagation", "hard_negatives",
         "dedup_safe_folds", "quantile_normalize", "hbos_outliers",
-        "conformal_interval", "token_waterfill", "mmr_select"]
+        "conformal_interval", "token_waterfill", "mmr_select",
+        "length_emd"]
 
 
 @pytest.fixture(scope="module")

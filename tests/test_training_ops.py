@@ -4136,3 +4136,34 @@ def test_token_waterfill_invariants(ray_session):
     mx = out["alloc"].max()
     below = out[out["alloc"] < mx - 1]   # -1: leftover bonus grain
     assert (below["alloc"] == below["n_tokens"]).all()
+
+
+def test_length_emd_matches_scipy_convention(ray_session):
+    """w1_num / (n_a * n_b) must equal the classic 1-D Wasserstein
+    integral computed directly from the two samples."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["length_emd"](sf).to_pandas()
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["source", "n_chars"]).to_pandas()
+
+    def w1(a, b):
+        vals = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+        return float(np.sum(np.abs(fa[:-1] - fb[:-1])
+                            * np.diff(vals)))
+
+    rng = np.random.default_rng(0)
+    pick = out.sample(10, random_state=0) if len(out) > 10 else out
+    for r in pick.itertuples(index=False):
+        a = df[df.source == r.source_a]["n_chars"].to_numpy()
+        b = df[df.source == r.source_b]["n_chars"].to_numpy()
+        expect = w1(a, b)
+        got = r.w1_num / (r.n_a * r.n_b)
+        assert abs(got - expect) < 1e-9 * max(1.0, expect), \
+            (r.source_a, r.source_b, got, expect)
