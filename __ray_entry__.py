@@ -14585,6 +14585,47 @@ def q_length_emd(sf_dir: str):
         ["source_a", "source_b"])
 
 
+def q_isotonic_calibration(sf_dir: str):
+    """ISOTONIC (PAV) calibration of the decile curve: the
+    non-decreasing purchase-rate fit over q_score_calibration's 10
+    NTILE bins, via the exact minimax identity
+    ŷᵢ = max_{j≤i} min_{k≥i} avg(y over bins j..k). Window averages
+    are floored to integer ppm FIRST — floor is monotone, so
+    minimax-of-floors ≡ floor(true PAV value) exactly (proved by the
+    exact-fraction PAV differential in tests). The corpus-scale work
+    is the decile pipeline (two-phase prefix-sum ranks); the 55-window
+    minimax runs on the 10-row aggregate driver-side."""
+    import numpy as np
+    import pandas as pd
+
+    base = q_score_calibration(sf_dir)
+    if hasattr(base, "to_pandas"):
+        base = base.to_pandas()
+    base = base.sort_values("bin").reset_index(drop=True)
+    n = base["n"].to_numpy().astype(np.int64)
+    pos = base["n_pos"].to_numpy().astype(np.int64)
+    m = len(n)
+    cp = np.concatenate([[0], np.cumsum(pos)])
+    cn = np.concatenate([[0], np.cumsum(n)])
+
+    def win(j, k):          # ppm-floored window average, bins j..k
+        return (1_000_000 * int(cp[k + 1] - cp[j])) \
+            // int(cn[k + 1] - cn[j])
+
+    iso = np.empty(m, np.int64)
+    for i in range(m):
+        best = None
+        for j in range(i + 1):
+            mn = min(win(j, k) for k in range(i, m))
+            best = mn if best is None else max(best, mn)
+        iso[i] = best
+    return pd.DataFrame({
+        "bin": base["bin"].astype("int64"),
+        "n": base["n"].astype("int64"),
+        "n_pos": base["n_pos"].astype("int64"),
+        "iso_ppm": pd.Series(iso, dtype="int64")})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14872,6 +14913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_waterfill": q_token_waterfill,
         "mmr_select": q_mmr_select,
         "length_emd": q_length_emd,
+        "isotonic_calibration": q_isotonic_calibration,
     }
 
 
@@ -18393,4 +18435,5 @@ def oracle_sql() -> dict[str, str]:
         "token_waterfill": "WITH ns AS (SELECT source, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n FROM documents GROUP BY 1), tot AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b, count(*) AS m FROM ns), ordered AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS k, COALESCE(CAST(sum(n) OVER (ORDER BY n, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS p FROM ns), cand AS (SELECT DISTINCT t FROM (SELECT n AS t FROM ns UNION ALL SELECT greatest(0, ((SELECT b FROM tot) - p) // ((SELECT m FROM tot) - k + 1)) FROM ordered)), ev AS (SELECT c.t, CAST(sum(least(ns.n, c.t)) AS BIGINT) AS f FROM cand c CROSS JOIN ns GROUP BY 1), ts AS (SELECT COALESCE(max(t), 0) AS tstar FROM ev WHERE f <= (SELECT b FROM tot)), lv AS (SELECT (SELECT b FROM tot) - CAST(sum(least(n, (SELECT tstar FROM ts))) AS BIGINT) AS l FROM ns), pri AS (SELECT source, row_number() OVER (ORDER BY n DESC, source) AS r FROM ns WHERE n > (SELECT tstar FROM ts)) SELECT ns.source, ns.n AS n_tokens, least(ns.n, (SELECT tstar FROM ts)) + CASE WHEN pri.r IS NOT NULL AND pri.r <= (SELECT l FROM lv) THEN 1 ELSE 0 END AS alloc FROM ns LEFT JOIN pri USING (source) ORDER BY ns.source",
         "mmr_select": _mmr_oracle(),
         "length_emd": 'WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1), prs AS (SELECT a.source AS sa, b.source AS sb FROM ns a JOIN ns b ON a.source < b.source), ev AS (SELECT p.sa, p.sb, h.v, CAST(sum(CASE WHEN h.source = p.sa THEN c ELSE 0 END) AS BIGINT) AS ca, CAST(sum(CASE WHEN h.source = p.sb THEN c ELSE 0 END) AS BIGINT) AS cb FROM prs p JOIN h ON h.source = p.sa OR h.source = p.sb GROUP BY 1, 2, 3), w AS (SELECT sa, sb, v, CAST(sum(ca) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cuma, CAST(sum(cb) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cumb, lead(v) OVER (PARTITION BY sa, sb ORDER BY v) AS nv FROM ev), t AS (SELECT sa, sb, CAST(sum(abs(cuma * (SELECT n FROM ns WHERE source = sb) - cumb * (SELECT n FROM ns WHERE source = sa)) * (nv - v)) AS BIGINT) AS w1 FROM w WHERE nv IS NOT NULL GROUP BY 1, 2) SELECT t.sa AS source_a, t.sb AS source_b, na.n AS n_a, nb.n AS n_b, t.w1 AS w1_num FROM t JOIN ns na ON na.source = t.sa JOIN ns nb ON nb.source = t.sb ORDER BY source_a, source_b',
+        "isotonic_calibration": "WITH o AS (SELECT CAST(round(value * 100) AS BIGINT) AS c, event_id, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p FROM events), b AS (SELECT ntile(10) OVER (ORDER BY c, event_id) AS bin, p FROM o), g AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS pos FROM b GROUP BY 1), wins AS (SELECT j.bin AS j, k.bin AS k, CAST((1000000 * sum(x.pos)) // sum(x.n) AS BIGINT) AS r FROM g j JOIN g k ON j.bin <= k.bin JOIN g x ON x.bin BETWEEN j.bin AND k.bin GROUP BY 1, 2), inn AS (SELECT w.j, i.bin AS i, min(w.r) AS mn FROM wins w JOIN g i ON w.j <= i.bin AND w.k >= i.bin GROUP BY 1, 2), iso AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_ppm FROM inn GROUP BY 1) SELECT g.bin, g.n, g.pos AS n_pos, iso.iso_ppm FROM g JOIN iso ON iso.i = g.bin ORDER BY g.bin",
     }

@@ -4167,3 +4167,48 @@ def test_length_emd_matches_scipy_convention(ray_session):
         got = r.w1_num / (r.n_a * r.n_b)
         assert abs(got - expect) < 1e-9 * max(1.0, expect), \
             (r.source_a, r.source_b, got, expect)
+
+
+def test_isotonic_minimax_equals_exact_pav(ray_session):
+    """floor(exact-fraction PAV) must equal the ppm-floored minimax
+    (floor is monotone, so the identities commute) — checked against a
+    stack-based PAV with Fraction arithmetic."""
+    from fractions import Fraction
+
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["isotonic_calibration"](
+        "/root/testdata/sf0.001")
+    n = out["n"].tolist()
+    pos = out["n_pos"].tolist()
+
+    # exact PAV: pool adjacent violators with Fraction averages
+    blocks = [[Fraction(p), Fraction(w)] for p, w in zip(pos, n)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] / blocks[i][1] > blocks[i + 1][0] / \
+                blocks[i + 1][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    # expand block values back onto the original bins
+    fitted = []
+    bi = 0
+    acc = Fraction(0)
+    for p, w in blocks:
+        remaining = w
+        while remaining > 0:
+            fitted.append(p / w)
+            remaining -= n[bi]
+            bi += 1
+    assert len(fitted) == len(n)
+    for got, exact in zip(out["iso_ppm"], fitted):
+        assert got == (1_000_000 * exact.numerator) // \
+            exact.denominator
+    # monotone non-decreasing
+    assert all(a <= b for a, b in zip(out["iso_ppm"],
+                                      out["iso_ppm"][1:]))
