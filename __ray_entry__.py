@@ -14626,6 +14626,101 @@ def q_isotonic_calibration(sf_dir: str):
         "iso_ppm": pd.Series(iso, dtype="int64")})
 
 
+def q_curriculum_order(sf_dir: str):
+    """CURRICULUM data ordering (easy→hard with per-source
+    interleaving): docs are NTILE(10)-bucketed by length (exact SQL
+    NTILE semantics — first n%10 deciles take the extra row), ranked
+    within (decile, source), and the final training position orders by
+    (decile, within-rank, source) — so consecutive positions cycle
+    round-robin across sources inside each difficulty bucket instead
+    of streaming one source at a time (the mixing property curriculum
+    schedules need). Three exchanges, all integer: a two-phase
+    prefix-sum global rank for the deciles, one keyed exchange for
+    within-(decile, source) ranks, and a second prefix-sum over the
+    packed (decile, rank, source) key for the global position — no
+    global sort materializes anywhere."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    import ray
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source", "n_chars"])
+    n_total = docs.count()
+    q, r = divmod(n_total, 10)
+
+    srcs = sorted({x["source"] for x in docs.map_batches(
+        lambda t: pa.table({"source": t.column("source")}),
+        batch_format="pyarrow").groupby("source").count().take_all()})
+    sidx = {s: i for i, s in enumerate(srcs)}
+    m = len(srcs)
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pc.cast(t.column("n_chars"), pa.int64()),
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "source": t.column("source"),
+            "one": pa.array(np.ones(len(t), np.int64))})
+
+    ranked = keyed_prefix_sum(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        key_column="v", value_column="one", tie_column="doc_id",
+        out_column="rk", bucket_width=256)
+
+    def decile_key(df: pd.DataFrame) -> pd.DataFrame:
+        rank = df["rk"].to_numpy(dtype="int64") + 1       # 1-based
+        cut = r * (q + 1)
+        first = rank <= cut
+        dec = np.where(first, 1 + (rank - 1) // max(q + 1, 1),
+                       1 + r + (rank - cut - 1) // max(q, 1)) \
+            .astype(np.int64)
+        si = df["source"].map(sidx).to_numpy(dtype="int64")
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "v": df["v"].astype("int64"),
+            "ds": dec * m + si,
+            "decile": dec})
+        return out
+
+    keyed = ranked.map_batches(decile_key, batch_format="pandas")
+
+    def within_rank(t: pa.Table) -> pa.Table:
+        ds_ = t.column("ds").to_numpy(zero_copy_only=False)
+        if not len(ds_):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "decile": z, "pk": z,
+                             "one": z})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dec = t.column("decile").to_numpy(zero_copy_only=False)
+        starts = segment_starts(ds_)
+        lens = segment_lengths(starts, len(ds_))
+        rr = np.arange(len(ds_), dtype=np.int64) - \
+            np.repeat(starts, lens)
+        si = ds_ - dec * m
+        pk = (dec << np.int64(46)) | (rr << np.int64(6)) | si
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "decile": pa.array(dec, pa.int64()),
+            "pk": pa.array(pk, pa.int64()),
+            "one": pa.array(np.ones(len(ds_), np.int64), pa.int64())})
+
+    wr = map_key_partitions(keyed, "ds", within_rank,
+                            sort_cols=["v", "doc_id"])
+
+    pos = keyed_prefix_sum(wr, key_column="pk", value_column="one",
+                           out_column="position",
+                           bucket_width=1 << 46)
+    return pos.map_batches(
+        lambda df: df[["doc_id", "decile", "position"]].astype("int64"),
+        batch_format="pandas").sort("doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -14914,6 +15009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select": q_mmr_select,
         "length_emd": q_length_emd,
         "isotonic_calibration": q_isotonic_calibration,
+        "curriculum_order": q_curriculum_order,
     }
 
 
@@ -18436,4 +18532,5 @@ def oracle_sql() -> dict[str, str]:
         "mmr_select": _mmr_oracle(),
         "length_emd": 'WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1), prs AS (SELECT a.source AS sa, b.source AS sb FROM ns a JOIN ns b ON a.source < b.source), ev AS (SELECT p.sa, p.sb, h.v, CAST(sum(CASE WHEN h.source = p.sa THEN c ELSE 0 END) AS BIGINT) AS ca, CAST(sum(CASE WHEN h.source = p.sb THEN c ELSE 0 END) AS BIGINT) AS cb FROM prs p JOIN h ON h.source = p.sa OR h.source = p.sb GROUP BY 1, 2, 3), w AS (SELECT sa, sb, v, CAST(sum(ca) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cuma, CAST(sum(cb) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cumb, lead(v) OVER (PARTITION BY sa, sb ORDER BY v) AS nv FROM ev), t AS (SELECT sa, sb, CAST(sum(abs(cuma * (SELECT n FROM ns WHERE source = sb) - cumb * (SELECT n FROM ns WHERE source = sa)) * (nv - v)) AS BIGINT) AS w1 FROM w WHERE nv IS NOT NULL GROUP BY 1, 2) SELECT t.sa AS source_a, t.sb AS source_b, na.n AS n_a, nb.n AS n_b, t.w1 AS w1_num FROM t JOIN ns na ON na.source = t.sa JOIN ns nb ON nb.source = t.sb ORDER BY source_a, source_b',
         "isotonic_calibration": "WITH o AS (SELECT CAST(round(value * 100) AS BIGINT) AS c, event_id, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p FROM events), b AS (SELECT ntile(10) OVER (ORDER BY c, event_id) AS bin, p FROM o), g AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS pos FROM b GROUP BY 1), wins AS (SELECT j.bin AS j, k.bin AS k, CAST((1000000 * sum(x.pos)) // sum(x.n) AS BIGINT) AS r FROM g j JOIN g k ON j.bin <= k.bin JOIN g x ON x.bin BETWEEN j.bin AND k.bin GROUP BY 1, 2), inn AS (SELECT w.j, i.bin AS i, min(w.r) AS mn FROM wins w JOIN g i ON w.j <= i.bin AND w.k >= i.bin GROUP BY 1, 2), iso AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_ppm FROM inn GROUP BY 1) SELECT g.bin, g.n, g.pos AS n_pos, iso.iso_ppm FROM g JOIN iso ON iso.i = g.bin ORDER BY g.bin",
+        "curriculum_order": 'WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents), b AS (SELECT doc_id, source, v, CAST(ntile(10) OVER (ORDER BY v, doc_id) AS BIGINT) AS decile FROM d), r AS (SELECT doc_id, decile, source, v, row_number() OVER (PARTITION BY decile, source ORDER BY v, doc_id) - 1 AS rr FROM b), p AS (SELECT doc_id, decile, CAST(row_number() OVER (ORDER BY decile, rr, source) - 1 AS BIGINT) AS position FROM r) SELECT doc_id, decile, position FROM p ORDER BY doc_id',
     }

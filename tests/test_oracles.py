@@ -53,7 +53,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "textrank_keywords", "label_propagation", "hard_negatives",
         "dedup_safe_folds", "quantile_normalize", "hbos_outliers",
         "conformal_interval", "token_waterfill", "mmr_select",
-        "length_emd", "isotonic_calibration"]
+        "length_emd", "isotonic_calibration", "curriculum_order"]
 
 
 @pytest.fixture(scope="module")
