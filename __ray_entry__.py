@@ -14721,6 +14721,64 @@ def q_curriculum_order(sf_dir: str):
         batch_format="pandas").sort("doc_id")
 
 
+def q_padding_waste(sf_dir: str):
+    """PADDING-WASTE accounting for fixed-size training batches (the
+    systems argument for length-bucketed batching): batches of 16 and
+    64 docs are formed in doc_id order ('random') and in
+    (n_chars, doc_id) order ('sorted'); every batch pads to its max
+    length, waste_ppm = 10⁶·(padded − real) // padded. All integers:
+    batch ids come from the two-phase prefix-sum rank (rank // b), the
+    per-batch (rows, max, sum) reduce is one combiner groupby per
+    configuration — no global sort is materialized."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pc.cast(t.column("n_chars"), pa.int64()),
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64))})
+
+    base = docs.map_batches(prep, batch_format="pyarrow")
+    rows = []
+    for ordering, key, tie, width in (
+            ("random", "doc_id", None, 100_000),
+            ("sorted", "v", "doc_id", 256)):
+        ranked = keyed_prefix_sum(base, key_column=key,
+                                  value_column="one", tie_column=tie,
+                                  out_column="rk", bucket_width=width)
+        for b in (16, 64):
+            def tag(df: pd.DataFrame, _b=b) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "bid": df["rk"].to_numpy(dtype="int64") // _b,
+                    "v": df["v"].astype("int64"),
+                    "one": np.ones(len(df), np.int64)})
+
+            agg = hash_agg(
+                ranked.map_batches(tag, batch_format="pandas"),
+                "bid", [("one", "sum", "rows"), ("v", "max", "mx"),
+                        ("v", "sum", "sv")]).to_pandas()
+            padded = int((agg["rows"].astype("int64")
+                          * agg["mx"].astype("int64")).sum())
+            real = int(agg["sv"].sum())
+            rows.append({
+                "ordering": ordering, "batch_size": b,
+                "n_batches": len(agg),
+                "waste_ppm": (1_000_000 * (padded - real)) // padded})
+    return pd.DataFrame(rows).astype(
+        {"batch_size": "int64", "n_batches": "int64",
+         "waste_ppm": "int64"}).sort_values(
+        ["ordering", "batch_size"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15010,6 +15068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_emd": q_length_emd,
         "isotonic_calibration": q_isotonic_calibration,
         "curriculum_order": q_curriculum_order,
+        "padding_waste": q_padding_waste,
     }
 
 
@@ -18533,4 +18592,5 @@ def oracle_sql() -> dict[str, str]:
         "length_emd": 'WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1), prs AS (SELECT a.source AS sa, b.source AS sb FROM ns a JOIN ns b ON a.source < b.source), ev AS (SELECT p.sa, p.sb, h.v, CAST(sum(CASE WHEN h.source = p.sa THEN c ELSE 0 END) AS BIGINT) AS ca, CAST(sum(CASE WHEN h.source = p.sb THEN c ELSE 0 END) AS BIGINT) AS cb FROM prs p JOIN h ON h.source = p.sa OR h.source = p.sb GROUP BY 1, 2, 3), w AS (SELECT sa, sb, v, CAST(sum(ca) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cuma, CAST(sum(cb) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cumb, lead(v) OVER (PARTITION BY sa, sb ORDER BY v) AS nv FROM ev), t AS (SELECT sa, sb, CAST(sum(abs(cuma * (SELECT n FROM ns WHERE source = sb) - cumb * (SELECT n FROM ns WHERE source = sa)) * (nv - v)) AS BIGINT) AS w1 FROM w WHERE nv IS NOT NULL GROUP BY 1, 2) SELECT t.sa AS source_a, t.sb AS source_b, na.n AS n_a, nb.n AS n_b, t.w1 AS w1_num FROM t JOIN ns na ON na.source = t.sa JOIN ns nb ON nb.source = t.sb ORDER BY source_a, source_b',
         "isotonic_calibration": "WITH o AS (SELECT CAST(round(value * 100) AS BIGINT) AS c, event_id, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p FROM events), b AS (SELECT ntile(10) OVER (ORDER BY c, event_id) AS bin, p FROM o), g AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS pos FROM b GROUP BY 1), wins AS (SELECT j.bin AS j, k.bin AS k, CAST((1000000 * sum(x.pos)) // sum(x.n) AS BIGINT) AS r FROM g j JOIN g k ON j.bin <= k.bin JOIN g x ON x.bin BETWEEN j.bin AND k.bin GROUP BY 1, 2), inn AS (SELECT w.j, i.bin AS i, min(w.r) AS mn FROM wins w JOIN g i ON w.j <= i.bin AND w.k >= i.bin GROUP BY 1, 2), iso AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_ppm FROM inn GROUP BY 1) SELECT g.bin, g.n, g.pos AS n_pos, iso.iso_ppm FROM g JOIN iso ON iso.i = g.bin ORDER BY g.bin",
         "curriculum_order": 'WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents), b AS (SELECT doc_id, source, v, CAST(ntile(10) OVER (ORDER BY v, doc_id) AS BIGINT) AS decile FROM d), r AS (SELECT doc_id, decile, source, v, row_number() OVER (PARTITION BY decile, source ORDER BY v, doc_id) - 1 AS rr FROM b), p AS (SELECT doc_id, decile, CAST(row_number() OVER (ORDER BY decile, rr, source) - 1 AS BIGINT) AS position FROM r) SELECT doc_id, decile, position FROM p ORDER BY doc_id',
+        "padding_waste": "WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents), cfg AS (SELECT * FROM (VALUES ('random', 16), ('random', 64), ('sorted', 16), ('sorted', 64)) t(ordering, b)), rnk AS (SELECT doc_id, v, row_number() OVER (ORDER BY doc_id) - 1 AS r_rand, row_number() OVER (ORDER BY v, doc_id) - 1 AS r_sort FROM d), ba AS (SELECT c.ordering, c.b, (CASE WHEN c.ordering = 'random' THEN r_rand ELSE r_sort END) // c.b AS bid, v FROM rnk JOIN cfg c ON TRUE), ag AS (SELECT ordering, b, bid, CAST(count(*) AS BIGINT) AS rws, max(v) AS mx, CAST(sum(v) AS BIGINT) AS sv FROM ba GROUP BY 1, 2, 3) SELECT ordering, CAST(b AS BIGINT) AS batch_size, CAST(count(*) AS BIGINT) AS n_batches, CAST((1000000 * (sum(rws * mx) - sum(sv))) // sum(rws * mx) AS BIGINT) AS waste_ppm FROM ag GROUP BY 1, 2 ORDER BY ordering, batch_size",
     }

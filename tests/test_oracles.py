@@ -53,7 +53,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "textrank_keywords", "label_propagation", "hard_negatives",
         "dedup_safe_folds", "quantile_normalize", "hbos_outliers",
         "conformal_interval", "token_waterfill", "mmr_select",
-        "length_emd", "isotonic_calibration", "curriculum_order"]
+        "length_emd", "isotonic_calibration", "curriculum_order",
+        "padding_waste"]
 
 
 @pytest.fixture(scope="module")

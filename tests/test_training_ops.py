@@ -4212,3 +4212,16 @@ def test_isotonic_minimax_equals_exact_pav(ray_session):
     # monotone non-decreasing
     assert all(a <= b for a, b in zip(out["iso_ppm"],
                                       out["iso_ppm"][1:]))
+
+
+def test_padding_waste_sorted_beats_random(ray_session):
+    """Length-sorted batching must strictly reduce padding waste at
+    every batch size (the property the op exists to demonstrate)."""
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["padding_waste"](
+        "/root/testdata/sf0.001").set_index(["ordering", "batch_size"])
+    for b in (16, 64):
+        assert out.loc[("sorted", b), "waste_ppm"] < \
+            out.loc[("random", b), "waste_ppm"]
+    assert (out["waste_ppm"] >= 0).all()
