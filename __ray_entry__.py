@@ -14779,6 +14779,81 @@ def q_padding_waste(sf_dir: str):
         ["ordering", "batch_size"]).reset_index(drop=True)
 
 
+def q_rank_rbo(sf_dir: str):
+    """RANK-BIASED OVERLAP (Webber et al. 2010) between two term
+    rankings of the corpus — document frequency vs raw term frequency
+    (the ranking-stability diagnostic for vocabulary selection):
+    prefix RBO at depth 50 with p = 0.9, each depth's contribution
+    (1−p)·p^(i−1)·|A_i ∩ B_i|/i rounded to integer nanos BEFORE the
+    sum (the nano-nat idiom). The corpus-scale part is one tokenize +
+    per-(term) combiner computing df (distinct docs) and tf (raw
+    count) together; the two top-50 lists and the depth sweep are
+    driver-side on a 50-row object. Ties break term-ascending in both
+    rankings."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    DEPTH, P = 50, 0.9
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def term_stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        tt = pa.table({"term": flat, "row": parent})
+        g = tt.group_by(["term", "row"]).aggregate([("row", "count")])
+        # per (doc,term): df contribution 1, tf contribution count
+        return pa.table({
+            "term": g.column("term"),
+            "df": pa.array(np.ones(len(g), np.int64), pa.int64()),
+            "tf": pa.array(g.column("row_count").to_numpy(
+                zero_copy_only=False).astype(np.int64), pa.int64())})
+
+    stats = hash_agg(docs.map_batches(term_stats,
+                                      batch_format="pyarrow"),
+                     "term", [("df", "sum", "df"), ("tf", "sum", "tf")])
+
+    def topk(t: pa.Table, col: str) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.select_k_unstable(
+            t, k=DEPTH, sort_keys=[(col, "descending"),
+                                   ("term", "ascending")])
+        return t.take(idx)
+
+    tops = stats.map_batches(
+        lambda t: pa.concat_tables([topk(t, "df"), topk(t, "tf")]),
+        batch_format="pyarrow").to_pandas().drop_duplicates("term")
+
+    a = tops.sort_values(["df", "term"],
+                         ascending=[False, True]).head(DEPTH)
+    b = tops.sort_values(["tf", "term"],
+                         ascending=[False, True]).head(DEPTH)
+    A = a["term"].tolist()
+    B = b["term"].tolist()
+    rbo = 0
+    for i in range(1, DEPTH + 1):
+        ov = len(set(A[:i]) & set(B[:i]))
+        term = (1 - P) * (P ** (i - 1)) * ov / i
+        rbo += int(np.floor(term * 1e9 + 0.5))
+    return pd.DataFrame([{"depth": DEPTH, "rbo_nano": rbo}]).astype(
+        "int64")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15069,6 +15144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_calibration": q_isotonic_calibration,
         "curriculum_order": q_curriculum_order,
         "padding_waste": q_padding_waste,
+        "rank_rbo": q_rank_rbo,
     }
 
 
@@ -18593,4 +18669,5 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_calibration": "WITH o AS (SELECT CAST(round(value * 100) AS BIGINT) AS c, event_id, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p FROM events), b AS (SELECT ntile(10) OVER (ORDER BY c, event_id) AS bin, p FROM o), g AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS pos FROM b GROUP BY 1), wins AS (SELECT j.bin AS j, k.bin AS k, CAST((1000000 * sum(x.pos)) // sum(x.n) AS BIGINT) AS r FROM g j JOIN g k ON j.bin <= k.bin JOIN g x ON x.bin BETWEEN j.bin AND k.bin GROUP BY 1, 2), inn AS (SELECT w.j, i.bin AS i, min(w.r) AS mn FROM wins w JOIN g i ON w.j <= i.bin AND w.k >= i.bin GROUP BY 1, 2), iso AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_ppm FROM inn GROUP BY 1) SELECT g.bin, g.n, g.pos AS n_pos, iso.iso_ppm FROM g JOIN iso ON iso.i = g.bin ORDER BY g.bin",
         "curriculum_order": 'WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents), b AS (SELECT doc_id, source, v, CAST(ntile(10) OVER (ORDER BY v, doc_id) AS BIGINT) AS decile FROM d), r AS (SELECT doc_id, decile, source, v, row_number() OVER (PARTITION BY decile, source ORDER BY v, doc_id) - 1 AS rr FROM b), p AS (SELECT doc_id, decile, CAST(row_number() OVER (ORDER BY decile, rr, source) - 1 AS BIGINT) AS position FROM r) SELECT doc_id, decile, position FROM p ORDER BY doc_id',
         "padding_waste": "WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents), cfg AS (SELECT * FROM (VALUES ('random', 16), ('random', 64), ('sorted', 16), ('sorted', 64)) t(ordering, b)), rnk AS (SELECT doc_id, v, row_number() OVER (ORDER BY doc_id) - 1 AS r_rand, row_number() OVER (ORDER BY v, doc_id) - 1 AS r_sort FROM d), ba AS (SELECT c.ordering, c.b, (CASE WHEN c.ordering = 'random' THEN r_rand ELSE r_sort END) // c.b AS bid, v FROM rnk JOIN cfg c ON TRUE), ag AS (SELECT ordering, b, bid, CAST(count(*) AS BIGINT) AS rws, max(v) AS mx, CAST(sum(v) AS BIGINT) AS sv FROM ba GROUP BY 1, 2, 3) SELECT ordering, CAST(b AS BIGINT) AS batch_size, CAST(count(*) AS BIGINT) AS n_batches, CAST((1000000 * (sum(rws * mx) - sum(sv))) // sum(rws * mx) AS BIGINT) AS waste_ppm FROM ag GROUP BY 1, 2 ORDER BY ordering, batch_size",
+        "rank_rbo": "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), st AS MATERIALIZED (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1), a AS MATERIALIZED (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS ra FROM st), b AS MATERIALIZED (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rb FROM st) SELECT CAST(50 AS BIGINT) AS depth, CAST(sum(tn) AS BIGINT) AS rbo_nano FROM (SELECT CAST(floor((1 - 0.9) * power(0.9, CAST(t.i AS DOUBLE)) * (SELECT count(*) FROM a JOIN b USING (term) WHERE a.ra <= t.i + 1 AND b.rb <= t.i + 1) / (t.i + 1) * 1000000000 + 0.5) AS BIGINT) AS tn FROM range(50) t(i))",
     }

@@ -240,7 +240,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "decayed_popularity", "mst_coview", "textrank_keywords",
              "label_propagation", "hard_negatives", "dedup_safe_folds",
              "quantile_normalize", "bpe_encode", "hbos_outliers",
-             "conformal_interval", "token_waterfill", "mmr_select"]
+             "conformal_interval", "token_waterfill", "mmr_select",
+             "length_emd", "isotonic_calibration", "curriculum_order",
+             "padding_waste"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
