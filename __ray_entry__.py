@@ -14854,6 +14854,54 @@ def q_rank_rbo(sf_dir: str):
         "int64")
 
 
+def q_clustering_coefficient(sf_dir: str):
+    """GLOBAL CLUSTERING COEFFICIENT (transitivity) of the co-view item
+    graph: 3·triangles / wedges. Triangle participation comes from the
+    q_item_triangles pipeline (min-vertex wedge generation + edge-set
+    hash join; Σ participation = 3T exactly); wedges are Σ d(d−1)/2
+    over node degrees (one keyed segment-length pass, mergeable int
+    partials). Output is one row of exact integers + floor-ppm ratio."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    tri = q_item_triangles(sf_dir)
+    if hasattr(tri, "to_pandas"):
+        tri = tri.to_pandas()
+    s = int(tri["n_triangles"].sum())        # = 3T
+
+    edges = _covis_pair_counts(sf_dir).filter(
+        lambda r: r["n_users"] >= 2)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        a = pk >> np.int64(31)
+        b = pk & np.int64((1 << 31) - 1)
+        return pa.table({"node": pa.array(np.concatenate([a, b]),
+                                          pa.int64())})
+
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        if not len(node):
+            return pa.table({"w": pa.array([], pa.int64())})
+        starts = segment_starts(node)
+        lens = segment_lengths(starts, len(node))
+        return pa.table({"w": pa.array(
+            [int((lens * (lens - 1) // 2).sum())], pa.int64())})
+
+    parts = map_key_partitions(
+        edges.map_batches(symmetrize, batch_format="pyarrow"),
+        "node", wedge_partial).take_all()
+    w = sum(int(r["w"]) for r in parts)
+    return pd.DataFrame([{
+        "n_triangles": s // 3,
+        "n_wedges": w,
+        "cc_ppm": (1_000_000 * s) // w if w else 0}]).astype("int64")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15145,6 +15193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order": q_curriculum_order,
         "padding_waste": q_padding_waste,
         "rank_rbo": q_rank_rbo,
+        "clustering_coefficient": q_clustering_coefficient,
     }
 
 
@@ -18670,4 +18719,5 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": 'WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents), b AS (SELECT doc_id, source, v, CAST(ntile(10) OVER (ORDER BY v, doc_id) AS BIGINT) AS decile FROM d), r AS (SELECT doc_id, decile, source, v, row_number() OVER (PARTITION BY decile, source ORDER BY v, doc_id) - 1 AS rr FROM b), p AS (SELECT doc_id, decile, CAST(row_number() OVER (ORDER BY decile, rr, source) - 1 AS BIGINT) AS position FROM r) SELECT doc_id, decile, position FROM p ORDER BY doc_id',
         "padding_waste": "WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents), cfg AS (SELECT * FROM (VALUES ('random', 16), ('random', 64), ('sorted', 16), ('sorted', 64)) t(ordering, b)), rnk AS (SELECT doc_id, v, row_number() OVER (ORDER BY doc_id) - 1 AS r_rand, row_number() OVER (ORDER BY v, doc_id) - 1 AS r_sort FROM d), ba AS (SELECT c.ordering, c.b, (CASE WHEN c.ordering = 'random' THEN r_rand ELSE r_sort END) // c.b AS bid, v FROM rnk JOIN cfg c ON TRUE), ag AS (SELECT ordering, b, bid, CAST(count(*) AS BIGINT) AS rws, max(v) AS mx, CAST(sum(v) AS BIGINT) AS sv FROM ba GROUP BY 1, 2, 3) SELECT ordering, CAST(b AS BIGINT) AS batch_size, CAST(count(*) AS BIGINT) AS n_batches, CAST((1000000 * (sum(rws * mx) - sum(sv))) // sum(rws * mx) AS BIGINT) AS waste_ppm FROM ag GROUP BY 1, 2 ORDER BY ordering, batch_size",
         "rank_rbo": "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), st AS MATERIALIZED (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1), a AS MATERIALIZED (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS ra FROM st), b AS MATERIALIZED (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rb FROM st) SELECT CAST(50 AS BIGINT) AS depth, CAST(sum(tn) AS BIGINT) AS rbo_nano FROM (SELECT CAST(floor((1 - 0.9) * power(0.9, CAST(t.i AS DOUBLE)) * (SELECT count(*) FROM a JOIN b USING (term) WHERE a.ra <= t.i + 1 AND b.rb <= t.i + 1) / (t.i + 1) * 1000000000 + 0.5) AS BIGINT) AS tn FROM range(50) t(i))",
+        "clustering_coefficient": 'WITH ui AS (SELECT DISTINCT user_id, CAST(regexp_extract(props, \'"k":\\s*(-?\\d+)\', 1) AS BIGINT) AS item FROM events WHERE event_type = \'view\'), e0 AS (SELECT a.item AS a, b.item AS b, count(*) AS n FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2), e AS MATERIALIZED (SELECT a, b FROM e0 WHERE n >= 2), tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), wdg AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg) SELECT tri.t AS n_triangles, wdg.w AS n_wedges, CAST(CASE WHEN wdg.w = 0 THEN 0 ELSE (1000000 * 3 * tri.t) // wdg.w END AS BIGINT) AS cc_ppm FROM tri, wdg',
     }

@@ -54,7 +54,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "dedup_safe_folds", "quantile_normalize", "hbos_outliers",
         "conformal_interval", "token_waterfill", "mmr_select",
         "length_emd", "isotonic_calibration", "curriculum_order",
-        "padding_waste", "rank_rbo"]
+        "padding_waste", "rank_rbo",
+        "clustering_coefficient"]
 
 
 @pytest.fixture(scope="module")
