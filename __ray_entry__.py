@@ -14902,6 +14902,126 @@ def q_clustering_coefficient(sf_dir: str):
         "cc_ppm": (1_000_000 * s) // w if w else 0}]).astype("int64")
 
 
+def q_markov_stationary(sf_dir: str):
+    """STATIONARY DISTRIBUTION of the per-user event-type Markov chain
+    by integer matrix squaring (the q_pca_power idiom on a 5×5 chain):
+    transition counts come from one keyed exchange (consecutive events
+    per user in (ts, event_id) order — the page_rank edge pass); the
+    row-stochastic matrix is quantized to a 10⁶ grid with
+    round-half-away and squared 10 times (effective power 2¹⁰ — mixing
+    drives every row to the stationary vector), all in exact int64, so
+    the unrolled-CTE SQL twin reproduces the estimate bit-for-bit.
+    Output: (event_type, pi_micro) — row 0 of the squared matrix."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        col_np, hash_agg, map_key_partitions)
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    K, SCALE, SQ = len(TYPES), 1_000_000, 10
+
+    def with_t(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("event_type"),
+                          value_set=pa.array(TYPES))
+        return pa.table({"user_id": batch.column("user_id"),
+                         "ts": batch.column("ts"),
+                         "event_id": batch.column("event_id"),
+                         "t": pc.cast(idx, pa.int64())})
+
+    def edges(t: pa.Table) -> pa.Table:
+        uid = col_np(t, "user_id")
+        tt = col_np(t, "t")
+        same = uid[1:] == uid[:-1]
+        pk = tt[:-1][same] * K + tt[1:][same]
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+    trans = hash_agg(
+        map_key_partitions(ev.map_batches(with_t,
+                                          batch_format="pyarrow"),
+                           "user_id", edges,
+                           sort_cols=["ts", "event_id"]),
+        "pk", [("c", "sum", "c")]).take_all()
+
+    cnt = [[0] * K for _ in range(K)]
+    for r in trans:
+        cnt[int(r["pk"]) // K][int(r["pk"]) % K] = int(r["c"])
+
+    def rnd(x: int, den: int) -> int:
+        ax = (2 * abs(x) * SCALE + den) // (2 * den)
+        return ax if x >= 0 else -ax
+
+    p = [[(rnd(cnt[i][j], sum(cnt[i])) if sum(cnt[i]) else
+           (SCALE if i == j else 0)) for j in range(K)]
+         for i in range(K)]
+    for _ in range(SQ):
+        w = [[sum(p[i][k] * p[k][j] for k in range(K))
+              for j in range(K)] for i in range(K)]
+        m2 = max(abs(w[i][j]) for i in range(K) for j in range(K))
+        if m2 == 0:
+            p = w
+            break
+        # renormalize each ROW to the 1e6 grid (stochasticity, not max)
+        p = [[rnd(w[i][j], sum(w[i])) if sum(w[i]) else 0
+              for j in range(K)] for i in range(K)]
+    return pd.DataFrame({
+        "event_type": TYPES,
+        "pi_micro": pd.Series(p[0], dtype="int64")})
+
+
+def _markov_stationary_oracle(squarings: int = 10) -> str:
+    """Unrolled integer matrix-squaring twin of q_markov_stationary
+    (row-stochastic renormalization each round; HUGEINT throughout —
+    2·w·10⁶ exceeds int64). Every CTE MATERIALIZED (DuckDB inlines
+    plain CTEs; chained self-joins explode otherwise)."""
+    RND = ("CASE WHEN rs.rs = 0 THEN 0 ELSE "
+           "(2 * w.w * 1000000 + rs.rs) // (2 * rs.rs) END")
+    parts = [
+        "WITH seq AS MATERIALIZED (SELECT user_id, "
+        "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+        "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS t, "
+        "LEAD(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+        "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS nt "
+        "FROM events), "
+        "ct AS MATERIALIZED (SELECT t AS i, nt AS j, "
+        "CAST(count(*) AS HUGEINT) AS c FROM seq "
+        "WHERE nt IS NOT NULL GROUP BY 1, 2), "
+        "grid AS (SELECT a.i AS i, b.i AS j FROM range(5) a(i), "
+        "range(5) b(i)), "
+        "full0 AS MATERIALIZED (SELECT g.i, g.j, "
+        "COALESCE(ct.c, 0) AS c FROM grid g LEFT JOIN ct "
+        "ON ct.i = g.i AND ct.j = g.j), "
+        "rs0 AS MATERIALIZED (SELECT i, sum(c) AS rs FROM full0 "
+        "GROUP BY 1), "
+        "c0 AS MATERIALIZED (SELECT w.i, w.j, CASE WHEN rs.rs = 0 THEN "
+        "(CASE WHEN w.i = w.j THEN 1000000 ELSE 0 END) ELSE "
+        "(2 * w.c * 1000000 + rs.rs) // (2 * rs.rs) END AS p "
+        "FROM full0 w JOIN rs0 rs ON rs.i = w.i)"]
+    for k in range(1, squarings + 1):
+        parts.append(
+            f", w{k} AS MATERIALIZED (SELECT a.i AS i, b.j AS j, "
+            f"sum(a.p * b.p) AS w FROM c{k-1} a JOIN c{k-1} b "
+            f"ON a.j = b.i GROUP BY 1, 2)"
+            f", rs{k} AS MATERIALIZED (SELECT i, sum(w) AS rs "
+            f"FROM w{k} GROUP BY 1)"
+            f", c{k} AS MATERIALIZED (SELECT w.i, w.j, "
+            + RND.replace("w.w", "w.w").replace("rs.rs", "rs.rs")
+            + f" AS p FROM w{k} w JOIN rs{k} rs ON rs.i = w.i)")
+    parts.append(
+        f" SELECT CASE j WHEN 0 THEN 'click' WHEN 1 THEN 'error' "
+        f"WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup' ELSE 'view' END "
+        f"AS event_type, CAST(p AS BIGINT) AS pi_micro "
+        f"FROM c{squarings} WHERE i = 0 ORDER BY j")
+    return "".join(parts)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15194,6 +15314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste": q_padding_waste,
         "rank_rbo": q_rank_rbo,
         "clustering_coefficient": q_clustering_coefficient,
+        "markov_stationary": q_markov_stationary,
     }
 
 
@@ -18720,4 +18841,5 @@ def oracle_sql() -> dict[str, str]:
         "padding_waste": "WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents), cfg AS (SELECT * FROM (VALUES ('random', 16), ('random', 64), ('sorted', 16), ('sorted', 64)) t(ordering, b)), rnk AS (SELECT doc_id, v, row_number() OVER (ORDER BY doc_id) - 1 AS r_rand, row_number() OVER (ORDER BY v, doc_id) - 1 AS r_sort FROM d), ba AS (SELECT c.ordering, c.b, (CASE WHEN c.ordering = 'random' THEN r_rand ELSE r_sort END) // c.b AS bid, v FROM rnk JOIN cfg c ON TRUE), ag AS (SELECT ordering, b, bid, CAST(count(*) AS BIGINT) AS rws, max(v) AS mx, CAST(sum(v) AS BIGINT) AS sv FROM ba GROUP BY 1, 2, 3) SELECT ordering, CAST(b AS BIGINT) AS batch_size, CAST(count(*) AS BIGINT) AS n_batches, CAST((1000000 * (sum(rws * mx) - sum(sv))) // sum(rws * mx) AS BIGINT) AS waste_ppm FROM ag GROUP BY 1, 2 ORDER BY ordering, batch_size",
         "rank_rbo": "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), st AS MATERIALIZED (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1), a AS MATERIALIZED (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS ra FROM st), b AS MATERIALIZED (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rb FROM st) SELECT CAST(50 AS BIGINT) AS depth, CAST(sum(tn) AS BIGINT) AS rbo_nano FROM (SELECT CAST(floor((1 - 0.9) * power(0.9, CAST(t.i AS DOUBLE)) * (SELECT count(*) FROM a JOIN b USING (term) WHERE a.ra <= t.i + 1 AND b.rb <= t.i + 1) / (t.i + 1) * 1000000000 + 0.5) AS BIGINT) AS tn FROM range(50) t(i))",
         "clustering_coefficient": 'WITH ui AS (SELECT DISTINCT user_id, CAST(regexp_extract(props, \'"k":\\s*(-?\\d+)\', 1) AS BIGINT) AS item FROM events WHERE event_type = \'view\'), e0 AS (SELECT a.item AS a, b.item AS b, count(*) AS n FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2), e AS MATERIALIZED (SELECT a, b FROM e0 WHERE n >= 2), tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), wdg AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg) SELECT tri.t AS n_triangles, wdg.w AS n_wedges, CAST(CASE WHEN wdg.w = 0 THEN 0 ELSE (1000000 * 3 * tri.t) // wdg.w END AS BIGINT) AS cc_ppm FROM tri, wdg',
+        "markov_stationary": _markov_stationary_oracle(),
     }

@@ -4225,3 +4225,35 @@ def test_padding_waste_sorted_beats_random(ray_session):
         assert out.loc[("sorted", b), "waste_ppm"] < \
             out.loc[("random", b), "waste_ppm"]
     assert (out["waste_ppm"] >= 0).all()
+
+
+def test_markov_stationary_is_fixed_point(ray_session):
+    """The reported vector must be (near-)invariant under the exact
+    float transition matrix: ||piP - pi||_1 small, and sum ~ 1."""
+    import duckdb
+    import numpy as np
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.01"
+    out = entrymod.queries()["markov_stationary"](sf)
+    pi = out["pi_micro"].to_numpy().astype(float) / 1e6
+    types = out["event_type"].tolist()
+
+    tr = duckdb.sql(f"""
+        WITH seq AS (SELECT user_id, event_type AS t,
+               LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nt
+               FROM read_parquet('{sf}/events.parquet'))
+        SELECT t, nt, count(*) AS c FROM seq WHERE nt IS NOT NULL
+        GROUP BY 1, 2""").df()
+    k = len(types)
+    P = np.zeros((k, k))
+    ix = {t: i for i, t in enumerate(types)}
+    for r in tr.itertuples(index=False):
+        P[ix[r.t], ix[r.nt]] = r.c
+    P = P / P.sum(axis=1, keepdims=True)
+
+    assert abs(pi.sum() - 1.0) < 1e-3
+    drift = np.abs(pi @ P - pi).sum()
+    assert drift < 1e-3, drift
