@@ -242,7 +242,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "quantile_normalize", "bpe_encode", "hbos_outliers",
              "conformal_interval", "token_waterfill", "mmr_select",
              "length_emd", "isotonic_calibration", "curriculum_order",
-             "padding_waste"]
+             "padding_waste", "rank_rbo", "clustering_coefficient",
+             "markov_stationary"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
