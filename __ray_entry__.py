@@ -15022,6 +15022,105 @@ def _markov_stationary_oracle(squarings: int = 10) -> str:
     return "".join(parts)
 
 
+def q_join_cardinality_model(sf_dir: str):
+    """Query-planner JOIN CARDINALITY model audit: the textbook
+    uniform-frequency estimate |R ⋈ S| ≈ |R|·|S| / max(d_R, d_S)
+    against the TRUE join size, for the two core fact joins
+    (orders⋈customer on custkey, lineitem⋈orders on orderkey). All
+    four inputs are single streaming aggregates (row counts + exact
+    distinct-key counts via one (key) exchange each); the true size of
+    a key-FK join is Σ_k cnt_R(k)·cnt_S(k), computed from the two
+    per-key count tables with one more keyed exchange — never a
+    materialized join. err_ppm = 10⁶·|est − true| // true."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions)
+
+    def key_counts(path: str, col: str, alias: str):
+        ds = _read_pq(path, columns=[col])
+
+        def pre(t: pa.Table) -> pa.Table:
+            out = pa.table({
+                "k": pc.cast(t.column(col), pa.int64()),
+                "c": pa.array(np.ones(len(t), np.int64), pa.int64())})
+            return out.group_by(["k"]).aggregate(
+                [("c", "sum")]).rename_columns(["k", "c"])
+
+        return hash_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                        "k", [("c", "sum", alias)])
+
+    rows = []
+    for name, (pa_, ca_), (pb_, cb_) in (
+            ("orders_customer",
+             (f"{sf_dir}/orders.parquet", "o_custkey"),
+             (f"{sf_dir}/customer.parquet", "c_custkey")),
+            ("lineitem_orders",
+             (f"{sf_dir}/lineitem.parquet", "l_orderkey"),
+             (f"{sf_dir}/orders.parquet", "o_orderkey"))):
+        left = key_counts(pa_, ca_, "cl")
+        right = key_counts(pb_, cb_, "cr")
+
+        # tagged union → one keyed exchange computes everything:
+        # n/d per side and true = Σ cl·cr over shared keys
+        lt = left.map_batches(
+            lambda t: pa.table({"k": t.column("k"),
+                                "cl": t.column("cl"),
+                                "cr": pa.array(
+                                    np.zeros(len(t), np.int64))}),
+            batch_format="pyarrow")
+        rt = right.map_batches(
+            lambda t: pa.table({"k": t.column("k"),
+                                "cl": pa.array(
+                                    np.zeros(len(t), np.int64)),
+                                "cr": t.column("cr")}),
+            batch_format="pyarrow")
+
+        def stats(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            if not len(k):
+                z = pa.array([], pa.int64())
+                return pa.table({c: z for c in
+                                 ("nl", "nr", "dl", "dr", "tr")})
+            cl = t.column("cl").to_numpy(zero_copy_only=False)
+            cr = t.column("cr").to_numpy(zero_copy_only=False)
+            from magic_content_extractor_ray.stages.window import (
+                segment_lengths, segment_starts)
+
+            starts = segment_starts(k)
+            lens = segment_lengths(starts, len(k))
+            # per distinct key: summed cl and cr (sides were
+            # pre-aggregated, so a key has ≤1 row per side)
+            scl = np.add.reduceat(cl, starts)
+            scr = np.add.reduceat(cr, starts)
+            return pa.table({
+                "nl": pa.array([int(cl.sum())], pa.int64()),
+                "nr": pa.array([int(cr.sum())], pa.int64()),
+                "dl": pa.array([int((scl > 0).sum())], pa.int64()),
+                "dr": pa.array([int((scr > 0).sum())], pa.int64()),
+                "tr": pa.array([int((scl * scr).sum())], pa.int64())})
+
+        parts = map_key_partitions(lt.union(rt), "k",
+                                   stats).take_all()
+        nl = sum(int(r["nl"]) for r in parts)
+        nr = sum(int(r["nr"]) for r in parts)
+        dl = sum(int(r["dl"]) for r in parts)
+        dr = sum(int(r["dr"]) for r in parts)
+        true = sum(int(r["tr"]) for r in parts)
+        est = (nl * nr) // max(dl, dr)
+        rows.append({
+            "join": name, "n_left": nl, "n_right": nr,
+            "d_left": dl, "d_right": dr, "est": est, "true_n": true,
+            "err_ppm": (1_000_000 * abs(est - true)) // max(true, 1)})
+    return pd.DataFrame(rows).astype(
+        {c: "int64" for c in ("n_left", "n_right", "d_left", "d_right",
+                              "est", "true_n", "err_ppm")}).sort_values(
+        "join").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15315,6 +15414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_rbo": q_rank_rbo,
         "clustering_coefficient": q_clustering_coefficient,
         "markov_stationary": q_markov_stationary,
+        "join_cardinality_model": q_join_cardinality_model,
     }
 
 
@@ -18842,4 +18942,5 @@ def oracle_sql() -> dict[str, str]:
         "rank_rbo": "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), st AS MATERIALIZED (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1), a AS MATERIALIZED (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS ra FROM st), b AS MATERIALIZED (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rb FROM st) SELECT CAST(50 AS BIGINT) AS depth, CAST(sum(tn) AS BIGINT) AS rbo_nano FROM (SELECT CAST(floor((1 - 0.9) * power(0.9, CAST(t.i AS DOUBLE)) * (SELECT count(*) FROM a JOIN b USING (term) WHERE a.ra <= t.i + 1 AND b.rb <= t.i + 1) / (t.i + 1) * 1000000000 + 0.5) AS BIGINT) AS tn FROM range(50) t(i))",
         "clustering_coefficient": 'WITH ui AS (SELECT DISTINCT user_id, CAST(regexp_extract(props, \'"k":\\s*(-?\\d+)\', 1) AS BIGINT) AS item FROM events WHERE event_type = \'view\'), e0 AS (SELECT a.item AS a, b.item AS b, count(*) AS n FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2), e AS MATERIALIZED (SELECT a, b FROM e0 WHERE n >= 2), tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), wdg AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg) SELECT tri.t AS n_triangles, wdg.w AS n_wedges, CAST(CASE WHEN wdg.w = 0 THEN 0 ELSE (1000000 * 3 * tri.t) // wdg.w END AS BIGINT) AS cc_ppm FROM tri, wdg',
         "markov_stationary": _markov_stationary_oracle(),
+        "join_cardinality_model": 'WITH cfg AS (SELECT \'orders_customer\' AS j), oc AS (SELECT CAST(count(*) AS BIGINT) AS nl, CAST(count(DISTINCT o_custkey) AS BIGINT) AS dl FROM orders), cc AS (SELECT CAST(count(*) AS BIGINT) AS nr, CAST(count(DISTINCT c_custkey) AS BIGINT) AS dr FROM customer), tc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), lo AS (SELECT CAST(count(*) AS BIGINT) AS nl, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS dl FROM lineitem), oo AS (SELECT CAST(count(*) AS BIGINT) AS nr, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dr FROM orders), tl AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) SELECT * FROM (SELECT \'orders_customer\' AS "join", oc.nl AS n_left, cc.nr AS n_right, oc.dl AS d_left, cc.dr AS d_right, (oc.nl * cc.nr) // greatest(oc.dl, cc.dr) AS est, tc.t AS true_n, (1000000 * abs((oc.nl * cc.nr) // greatest(oc.dl, cc.dr) - tc.t)) // greatest(tc.t, 1) AS err_ppm FROM oc, cc, tc UNION ALL SELECT \'lineitem_orders\', lo.nl, oo.nr, lo.dl, oo.dr, (lo.nl * oo.nr) // greatest(lo.dl, oo.dr), tl.t, (1000000 * abs((lo.nl * oo.nr) // greatest(lo.dl, oo.dr) - tl.t)) // greatest(tl.t, 1) FROM lo, oo, tl) ORDER BY "join"',
     }

@@ -55,7 +55,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "conformal_interval", "token_waterfill", "mmr_select",
         "length_emd", "isotonic_calibration", "curriculum_order",
         "padding_waste", "rank_rbo",
-        "clustering_coefficient", "markov_stationary"]
+        "clustering_coefficient", "markov_stationary",
+        "join_cardinality_model"]
 
 
 @pytest.fixture(scope="module")
