@@ -15121,6 +15121,95 @@ def q_join_cardinality_model(sf_dir: str):
         "join").reset_index(drop=True)
 
 
+def q_oov_rate(sf_dir: str):
+    """OUT-OF-VOCABULARY rate per source against the corpus top-1000
+    vocabulary (the tokenizer-coverage audit run before committing a
+    vocab size): reference vocab = top-1000 terms by (count desc, term
+    asc); per source, the fraction of token OCCURRENCES outside it, in
+    floor ppm. Vocab selection is per-partition top-k candidates + a
+    driver final top-k (vocab-scale, broadcast once via ray.put);
+    the per-source scan is one vectorized membership map + combiner."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    V = 1000
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["source", "text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        tt = pa.table({"term": flat})
+        g = tt.group_by(["term"]).aggregate([([], "count_all")])
+        return pa.table({"term": g.column("term"),
+                         "c": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = hash_agg(docs.map_batches(term_counts,
+                                       batch_format="pyarrow"),
+                      "term", [("c", "sum", "c")])
+
+    def topv(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=V, sort_keys=[("c", "descending"),
+                               ("term", "ascending")])
+        return t.take(idx)
+
+    cand = counts.map_batches(topv, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["c", "term"],
+                            ascending=[False, True]).head(V)
+    vocab = np.sort(cand["term"].to_numpy().astype(object))
+    vref = ray.put(vocab)
+
+    def per_source(t: pa.Table, _v=vref) -> pa.Table:
+        vv = ray.get(_v)
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        words = flat.to_numpy(zero_copy_only=False).astype(object)
+        pidx = np.searchsorted(vv, words)
+        pidx[pidx >= len(vv)] = 0
+        inv = vv[pidx] != words
+        src = t.column("source").take(parent).to_numpy(
+            zero_copy_only=False)
+        us, iv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "source": pa.array(us, pa.string()),
+            "n_tokens": pa.array(np.bincount(iv, minlength=len(us))
+                                 .astype(np.int64), pa.int64()),
+            "n_oov": pa.array(np.bincount(iv, weights=inv,
+                                          minlength=len(us))
+                              .astype(np.int64), pa.int64())})
+
+    agg = hash_agg(docs.map_batches(per_source, batch_format="pyarrow"),
+                   "source", [("n_tokens", "sum", "n_tokens"),
+                              ("n_oov", "sum", "n_oov")]).to_pandas()
+    agg = agg.sort_values("source").reset_index(drop=True)
+    agg["oov_ppm"] = (1_000_000 * agg["n_oov"].astype("int64")) \
+        // agg["n_tokens"].astype("int64")
+    return agg.astype({"n_tokens": "int64", "n_oov": "int64",
+                       "oov_ppm": "int64"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15415,6 +15504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": q_clustering_coefficient,
         "markov_stationary": q_markov_stationary,
         "join_cardinality_model": q_join_cardinality_model,
+        "oov_rate": q_oov_rate,
     }
 
 
@@ -18943,4 +19033,5 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": 'WITH ui AS (SELECT DISTINCT user_id, CAST(regexp_extract(props, \'"k":\\s*(-?\\d+)\', 1) AS BIGINT) AS item FROM events WHERE event_type = \'view\'), e0 AS (SELECT a.item AS a, b.item AS b, count(*) AS n FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2), e AS MATERIALIZED (SELECT a, b FROM e0 WHERE n >= 2), tri AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1), wdg AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg) SELECT tri.t AS n_triangles, wdg.w AS n_wedges, CAST(CASE WHEN wdg.w = 0 THEN 0 ELSE (1000000 * 3 * tri.t) // wdg.w END AS BIGINT) AS cc_ppm FROM tri, wdg',
         "markov_stationary": _markov_stationary_oracle(),
         "join_cardinality_model": 'WITH cfg AS (SELECT \'orders_customer\' AS j), oc AS (SELECT CAST(count(*) AS BIGINT) AS nl, CAST(count(DISTINCT o_custkey) AS BIGINT) AS dl FROM orders), cc AS (SELECT CAST(count(*) AS BIGINT) AS nr, CAST(count(DISTINCT c_custkey) AS BIGINT) AS dr FROM customer), tc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), lo AS (SELECT CAST(count(*) AS BIGINT) AS nl, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS dl FROM lineitem), oo AS (SELECT CAST(count(*) AS BIGINT) AS nr, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dr FROM orders), tl AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) SELECT * FROM (SELECT \'orders_customer\' AS "join", oc.nl AS n_left, cc.nr AS n_right, oc.dl AS d_left, cc.dr AS d_right, (oc.nl * cc.nr) // greatest(oc.dl, cc.dr) AS est, tc.t AS true_n, (1000000 * abs((oc.nl * cc.nr) // greatest(oc.dl, cc.dr) - tc.t)) // greatest(tc.t, 1) AS err_ppm FROM oc, cc, tc UNION ALL SELECT \'lineitem_orders\', lo.nl, oo.nr, lo.dl, oo.dr, (lo.nl * oo.nr) // greatest(lo.dl, oo.dr), tl.t, (1000000 * abs((lo.nl * oo.nr) // greatest(lo.dl, oo.dr) - tl.t)) // greatest(tl.t, 1) FROM lo, oo, tl) ORDER BY "join"',
+        "oov_rate": "WITH toks AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), vocab AS (SELECT term FROM (SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rn FROM tc) WHERE rn <= 1000), per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM toks t LEFT JOIN vocab v ON v.term = t.term GROUP BY 1) SELECT source, n_tokens, n_oov, (1000000 * n_oov) // n_tokens AS oov_ppm FROM per ORDER BY source",
     }
