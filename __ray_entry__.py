@@ -15210,6 +15210,61 @@ def q_oov_rate(sf_dir: str):
                        "oov_ppm": "int64"})
 
 
+def q_pps_systematic(sf_dir: str):
+    """Probability-proportional-to-size SYSTEMATIC sampling (the
+    survey-sampling complement of the A-ES weighted sample): docs in
+    doc_id order with size = n_chars; doc i is selected iff the
+    cumulative size crosses a new multiple of W/k (k = 50,
+    deterministic zero offset, documented) — i.e.
+    ⌊cum_i·k/W⌋ > ⌊cum_{i-1}·k/W⌋, all integer arithmetic. One
+    two-phase prefix-sum scan; selection is a pure map over the ranked
+    rows. Output (doc_id, n_chars, pick_idx)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+
+    K = 50
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "w": pc.cast(t.column("n_chars"), pa.int64())})
+
+    base = docs.map_batches(prep, batch_format="pyarrow")
+    total = int(base.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(t.column("w").to_numpy(zero_copy_only=False).sum())],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+
+    ranked = keyed_prefix_sum(base, key_column="doc_id",
+                              value_column="w", out_column="cum0")
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        cum0 = df["cum0"].to_numpy(dtype="int64")       # exclusive
+        w = df["w"].to_numpy(dtype="int64")
+        cum1 = cum0 + w                                  # inclusive
+        b0 = (cum0 * K) // total
+        b1 = (cum1 * K) // total
+        sel = b1 > b0
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64")[sel],
+            "n_chars": pd.Series(w[sel], index=df.index[sel],
+                                 dtype="int64"),
+            "pick_idx": pd.Series(b0[sel], index=df.index[sel],
+                                  dtype="int64")})
+        return out
+
+    return ranked.map_batches(select,
+                              batch_format="pandas").sort("doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15505,6 +15560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_stationary": q_markov_stationary,
         "join_cardinality_model": q_join_cardinality_model,
         "oov_rate": q_oov_rate,
+        "pps_systematic": q_pps_systematic,
     }
 
 
@@ -19034,4 +19090,5 @@ def oracle_sql() -> dict[str, str]:
         "markov_stationary": _markov_stationary_oracle(),
         "join_cardinality_model": 'WITH cfg AS (SELECT \'orders_customer\' AS j), oc AS (SELECT CAST(count(*) AS BIGINT) AS nl, CAST(count(DISTINCT o_custkey) AS BIGINT) AS dl FROM orders), cc AS (SELECT CAST(count(*) AS BIGINT) AS nr, CAST(count(DISTINCT c_custkey) AS BIGINT) AS dr FROM customer), tc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), lo AS (SELECT CAST(count(*) AS BIGINT) AS nl, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS dl FROM lineitem), oo AS (SELECT CAST(count(*) AS BIGINT) AS nr, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dr FROM orders), tl AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) SELECT * FROM (SELECT \'orders_customer\' AS "join", oc.nl AS n_left, cc.nr AS n_right, oc.dl AS d_left, cc.dr AS d_right, (oc.nl * cc.nr) // greatest(oc.dl, cc.dr) AS est, tc.t AS true_n, (1000000 * abs((oc.nl * cc.nr) // greatest(oc.dl, cc.dr) - tc.t)) // greatest(tc.t, 1) AS err_ppm FROM oc, cc, tc UNION ALL SELECT \'lineitem_orders\', lo.nl, oo.nr, lo.dl, oo.dr, (lo.nl * oo.nr) // greatest(lo.dl, oo.dr), tl.t, (1000000 * abs((lo.nl * oo.nr) // greatest(lo.dl, oo.dr) - tl.t)) // greatest(tl.t, 1) FROM lo, oo, tl) ORDER BY "join"',
         "oov_rate": "WITH toks AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), vocab AS (SELECT term FROM (SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rn FROM tc) WHERE rn <= 1000), per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM toks t LEFT JOIN vocab v ON v.term = t.term GROUP BY 1) SELECT source, n_tokens, n_oov, (1000000 * n_oov) // n_tokens AS oov_ppm FROM per ORDER BY source",
+        "pps_systematic": 'WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents), tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM d), c AS (SELECT doc_id, w, COALESCE(CAST(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum0 FROM d) SELECT doc_id, w AS n_chars, (cum0 * 50) // (SELECT t FROM tot) AS pick_idx FROM c WHERE ((cum0 + w) * 50) // (SELECT t FROM tot) > (cum0 * 50) // (SELECT t FROM tot) ORDER BY doc_id',
     }
