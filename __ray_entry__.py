@@ -15265,6 +15265,43 @@ def q_pps_systematic(sf_dir: str):
                               batch_format="pandas").sort("doc_id")
 
 
+def q_hill_tail(sf_dir: str):
+    """HILL ESTIMATOR of the doc-length tail index (the heavy-tail
+    diagnostic behind giant-doc capacity planning): over the k = 100
+    largest docs, H = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) and α = 1/H. Each log
+    term is rounded to integer nanos before the exact sum (nano-nat
+    idiom); α is the integer quotient k·10¹⁵ // Σ. Top-(k+1) selection
+    is per-partition select_k candidates + a driver final — only
+    k+1 rows ever leave the cluster."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    K = 100
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"])
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=K + 1, sort_keys=[("n_chars", "descending"),
+                                   ("doc_id", "ascending")])
+        return t.take(idx)
+
+    cand = docs.map_batches(topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True]).head(K + 1)
+    v = cand["n_chars"].to_numpy().astype(np.int64)
+    xr = int(v[K])
+    terms = np.floor(np.log(v[:K].astype(np.float64) / float(xr))
+                     * 1e9 + 0.5).astype(np.int64)
+    sl = int(terms.sum())
+    alpha = (K * 1_000_000_000 * 1_000_000) // sl if sl else 0
+    return pd.DataFrame([{"k": K, "sum_log_nano": sl,
+                          "alpha_micro": alpha}]).astype("int64")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15561,6 +15598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality_model": q_join_cardinality_model,
         "oov_rate": q_oov_rate,
         "pps_systematic": q_pps_systematic,
+        "hill_tail": q_hill_tail,
     }
 
 
@@ -19091,4 +19129,5 @@ def oracle_sql() -> dict[str, str]:
         "join_cardinality_model": 'WITH cfg AS (SELECT \'orders_customer\' AS j), oc AS (SELECT CAST(count(*) AS BIGINT) AS nl, CAST(count(DISTINCT o_custkey) AS BIGINT) AS dl FROM orders), cc AS (SELECT CAST(count(*) AS BIGINT) AS nr, CAST(count(DISTINCT c_custkey) AS BIGINT) AS dr FROM customer), tc AS (SELECT CAST(count(*) AS BIGINT) AS t FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey), lo AS (SELECT CAST(count(*) AS BIGINT) AS nl, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS dl FROM lineitem), oo AS (SELECT CAST(count(*) AS BIGINT) AS nr, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dr FROM orders), tl AS (SELECT CAST(count(*) AS BIGINT) AS t FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) SELECT * FROM (SELECT \'orders_customer\' AS "join", oc.nl AS n_left, cc.nr AS n_right, oc.dl AS d_left, cc.dr AS d_right, (oc.nl * cc.nr) // greatest(oc.dl, cc.dr) AS est, tc.t AS true_n, (1000000 * abs((oc.nl * cc.nr) // greatest(oc.dl, cc.dr) - tc.t)) // greatest(tc.t, 1) AS err_ppm FROM oc, cc, tc UNION ALL SELECT \'lineitem_orders\', lo.nl, oo.nr, lo.dl, oo.dr, (lo.nl * oo.nr) // greatest(lo.dl, oo.dr), tl.t, (1000000 * abs((lo.nl * oo.nr) // greatest(lo.dl, oo.dr) - tl.t)) // greatest(tl.t, 1) FROM lo, oo, tl) ORDER BY "join"',
         "oov_rate": "WITH toks AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), vocab AS (SELECT term FROM (SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rn FROM tc) WHERE rn <= 1000), per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM toks t LEFT JOIN vocab v ON v.term = t.term GROUP BY 1) SELECT source, n_tokens, n_oov, (1000000 * n_oov) // n_tokens AS oov_ppm FROM per ORDER BY source",
         "pps_systematic": 'WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents), tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM d), c AS (SELECT doc_id, w, COALESCE(CAST(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum0 FROM d) SELECT doc_id, w AS n_chars, (cum0 * 50) // (SELECT t FROM tot) AS pick_idx FROM c WHERE ((cum0 + w) * 50) // (SELECT t FROM tot) > (cum0 * 50) // (SELECT t FROM tot) ORDER BY doc_id',
+        "hill_tail": 'WITH r AS (SELECT CAST(n_chars AS BIGINT) AS v, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM documents), ref AS (SELECT v AS xr FROM r WHERE rn = 101), s AS (SELECT CAST(sum(CAST(floor(ln(CAST(v AS DOUBLE) / (SELECT xr FROM ref)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sl FROM r WHERE rn <= 100) SELECT CAST(100 AS BIGINT) AS k, s.sl AS sum_log_nano, CAST(CASE WHEN s.sl = 0 THEN 0 ELSE (CAST(100000000000 AS BIGINT) * 1000000) // s.sl END AS BIGINT) AS alpha_micro FROM s',
     }

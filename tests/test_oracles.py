@@ -56,7 +56,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "length_emd", "isotonic_calibration", "curriculum_order",
         "padding_waste", "rank_rbo",
         "clustering_coefficient", "markov_stationary",
-        "join_cardinality_model", "oov_rate", "pps_systematic"]
+        "join_cardinality_model", "oov_rate", "pps_systematic",
+        "hill_tail"]
 
 
 @pytest.fixture(scope="module")
