@@ -15302,6 +15302,61 @@ def q_hill_tail(sf_dir: str):
                           "alpha_micro": alpha}]).astype("int64")
 
 
+def q_gini_split(sf_dir: str):
+    """DECISION-STUMP split scan: for every candidate threshold v on
+    doc length, the exact Gini-gain numerator/denominator of splitting
+    lang at n_chars ≤ v — maximizing ΣcL²/n_L + ΣcR²/n_R, emitted as
+    the integer pair (gain_num = ΣcL²·n_R + ΣcR²·n_L, gain_den =
+    n_L·n_R) so there is NO float impurity or argmax anywhere (the
+    tree induction layer can cross-multiply). One (value, lang)
+    histogram combiner shuffle; the cumulative sweep then runs on the
+    driver over the O(distinct values × langs) histogram — the same
+    bounded-state class as the exact-grouped-quantile policy (never
+    rows). Integer bound: c²·n must fit int64 — beyond ~10⁶ docs per
+    class, lift the accumulator to Python ints as embedding_covariance
+    does. Thresholds with an empty right side are excluded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "v": pc.cast(t.column("n_chars"), pa.int64()),
+            "lang": t.column("lang"),
+            "c": pa.array(np.ones(len(t), np.int64), pa.int64())})
+        return out.group_by(["v", "lang"]).aggregate(
+            [("c", "sum")]).rename_columns(["v", "lang", "c"])
+
+    hist = hash_agg(docs.map_batches(pre, batch_format="pyarrow"),
+                    "v", [("c", "sum", "c")],
+                    group_cols=["v", "lang"]).to_pandas()
+
+    piv = hist.pivot_table(index="v", columns="lang", values="c",
+                           aggfunc="sum", fill_value=0).sort_index()
+    vals = piv.index.to_numpy().astype(np.int64)
+    m = piv.to_numpy().astype(np.int64)          # (values, langs)
+    cl = np.cumsum(m, axis=0)                    # left counts at ≤ v
+    tot = cl[-1]
+    cr = tot[None, :] - cl
+    n_l = cl.sum(axis=1)
+    n_r = cr.sum(axis=1)
+    keep = n_r > 0
+    g_num = ((cl ** 2).sum(axis=1) * n_r
+             + (cr ** 2).sum(axis=1) * n_l)
+    return pd.DataFrame({
+        "v": vals[keep],
+        "n_left": n_l[keep],
+        "gain_num": g_num[keep],
+        "gain_den": (n_l * n_r)[keep]}).astype("int64").reset_index(
+        drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15599,6 +15654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": q_oov_rate,
         "pps_systematic": q_pps_systematic,
         "hill_tail": q_hill_tail,
+        "gini_split": q_gini_split,
     }
 
 
@@ -19130,4 +19186,5 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": "WITH toks AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), vocab AS (SELECT term FROM (SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rn FROM tc) WHERE rn <= 1000), per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov FROM toks t LEFT JOIN vocab v ON v.term = t.term GROUP BY 1) SELECT source, n_tokens, n_oov, (1000000 * n_oov) // n_tokens AS oov_ppm FROM per ORDER BY source",
         "pps_systematic": 'WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents), tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM d), c AS (SELECT doc_id, w, COALESCE(CAST(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum0 FROM d) SELECT doc_id, w AS n_chars, (cum0 * 50) // (SELECT t FROM tot) AS pick_idx FROM c WHERE ((cum0 + w) * 50) // (SELECT t FROM tot) > (cum0 * 50) // (SELECT t FROM tot) ORDER BY doc_id',
         "hill_tail": 'WITH r AS (SELECT CAST(n_chars AS BIGINT) AS v, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM documents), ref AS (SELECT v AS xr FROM r WHERE rn = 101), s AS (SELECT CAST(sum(CAST(floor(ln(CAST(v AS DOUBLE) / (SELECT xr FROM ref)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sl FROM r WHERE rn <= 100) SELECT CAST(100 AS BIGINT) AS k, s.sl AS sum_log_nano, CAST(CASE WHEN s.sl = 0 THEN 0 ELSE (CAST(100000000000 AS BIGINT) * 1000000) // s.sl END AS BIGINT) AS alpha_micro FROM s',
+        "gini_split": 'WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), grid AS (SELECT DISTINCT v FROM h), langs AS (SELECT DISTINCT lang FROM h), cell AS (SELECT g.v, l.lang, COALESCE(h.c, 0) AS c FROM grid g CROSS JOIN langs l LEFT JOIN h ON h.v = g.v AND h.lang = l.lang), cum AS (SELECT v, lang, CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cl, CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS t FROM cell), agg AS (SELECT v, CAST(sum(cl) AS BIGINT) AS n_l, CAST(sum(t - cl) AS BIGINT) AS n_r, CAST(sum(cl * cl) AS BIGINT) AS sl2, CAST(sum((t - cl) * (t - cl)) AS BIGINT) AS sr2 FROM cum GROUP BY 1) SELECT v, n_l AS n_left, sl2 * n_r + sr2 * n_l AS gain_num, n_l * n_r AS gain_den FROM agg WHERE n_r > 0 ORDER BY v',
     }
