@@ -243,7 +243,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "conformal_interval", "token_waterfill", "mmr_select",
              "length_emd", "isotonic_calibration", "curriculum_order",
              "padding_waste", "rank_rbo", "clustering_coefficient",
-             "markov_stationary"]
+             "markov_stationary", "join_cardinality_model", "oov_rate",
+             "pps_systematic", "hill_tail", "gini_split"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
