@@ -15357,6 +15357,75 @@ def q_gini_split(sf_dir: str):
         drop=True)
 
 
+def q_term_burstiness(sf_dir: str):
+    """TERM BURSTINESS (Church & Gale / Katz): exact integer sufficient
+    statistics of per-document term counts — n_docs containing, Σc,
+    Σc², plus the floor-ppm variance-to-mean ratio computed over ALL N
+    docs (a Poisson term has VMR ≈ 1; bursty content words ≫ 1) — for
+    the 50 highest-df terms (ties term asc). Per-batch (term, doc)
+    count partials ride ONE term-keyed combiner; df-top-50 selection is
+    per-partition select_k + driver final. VMR_ppm uses the exact
+    integer identity 10⁶·(N·Σc² − (Σc)²) // (Σc·N) — population
+    variance over mean, single floor, no float sums."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    K = 50
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def per_doc_counts(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        tt = pa.table({"term": flat, "row": parent})
+        g = tt.group_by(["term", "row"]).aggregate([("row", "count")])
+        c = pc.cast(g.column("row_count"), pa.int64())
+        return pa.table({
+            "term": g.column("term"),
+            "df": pa.array(np.ones(len(g), np.int64), pa.int64()),
+            "sc": c,
+            "sc2": pc.multiply(c, c)})
+
+    stats = hash_agg(docs.map_batches(per_doc_counts,
+                                      batch_format="pyarrow"),
+                     "term", [("df", "sum", "df"), ("sc", "sum", "sc"),
+                              ("sc2", "sum", "sc2")])
+
+    def topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=K, sort_keys=[("df", "descending"),
+                               ("term", "ascending")])
+        return t.take(idx)
+
+    cand = stats.map_batches(topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["df", "term"],
+                            ascending=[False, True]).head(K)
+    sc = cand["sc"].to_numpy().astype(np.int64)
+    sc2 = cand["sc2"].to_numpy().astype(np.int64)
+    vmr = (1_000_000 * (n_docs * sc2 - sc * sc)) // (sc * n_docs)
+    out = pd.DataFrame({
+        "term": cand["term"].to_numpy(),
+        "df": cand["df"].astype("int64").to_numpy(),
+        "sum_c": sc, "sum_c2": sc2,
+        "vmr_ppm": vmr}).sort_values("term").reset_index(drop=True)
+    return out.astype({"df": "int64", "sum_c": "int64",
+                       "sum_c2": "int64", "vmr_ppm": "int64"})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15655,6 +15724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_systematic": q_pps_systematic,
         "hill_tail": q_hill_tail,
         "gini_split": q_gini_split,
+        "term_burstiness": q_term_burstiness,
     }
 
 
@@ -19187,4 +19257,5 @@ def oracle_sql() -> dict[str, str]:
         "pps_systematic": 'WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents), tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM d), c AS (SELECT doc_id, w, COALESCE(CAST(sum(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum0 FROM d) SELECT doc_id, w AS n_chars, (cum0 * 50) // (SELECT t FROM tot) AS pick_idx FROM c WHERE ((cum0 + w) * 50) // (SELECT t FROM tot) > (cum0 * 50) // (SELECT t FROM tot) ORDER BY doc_id',
         "hill_tail": 'WITH r AS (SELECT CAST(n_chars AS BIGINT) AS v, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM documents), ref AS (SELECT v AS xr FROM r WHERE rn = 101), s AS (SELECT CAST(sum(CAST(floor(ln(CAST(v AS DOUBLE) / (SELECT xr FROM ref)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sl FROM r WHERE rn <= 100) SELECT CAST(100 AS BIGINT) AS k, s.sl AS sum_log_nano, CAST(CASE WHEN s.sl = 0 THEN 0 ELSE (CAST(100000000000 AS BIGINT) * 1000000) // s.sl END AS BIGINT) AS alpha_micro FROM s',
         "gini_split": 'WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), grid AS (SELECT DISTINCT v FROM h), langs AS (SELECT DISTINCT lang FROM h), cell AS (SELECT g.v, l.lang, COALESCE(h.c, 0) AS c FROM grid g CROSS JOIN langs l LEFT JOIN h ON h.v = g.v AND h.lang = l.lang), cum AS (SELECT v, lang, CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cl, CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS t FROM cell), agg AS (SELECT v, CAST(sum(cl) AS BIGINT) AS n_l, CAST(sum(t - cl) AS BIGINT) AS n_r, CAST(sum(cl * cl) AS BIGINT) AS sl2, CAST(sum((t - cl) * (t - cl)) AS BIGINT) AS sr2 FROM cum GROUP BY 1) SELECT v, n_l AS n_left, sl2 * n_r + sr2 * n_l AS gain_num, n_l * n_r AS gain_den FROM agg WHERE n_r > 0 ORDER BY v',
+        "term_burstiness": "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), pd AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2), st AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS sum_c, CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM pd GROUP BY 1), top AS (SELECT * FROM st ORDER BY df DESC, term LIMIT 50), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) SELECT term, df, sum_c, sum_c2, (1000000 * ((SELECT n FROM nd) * sum_c2 - sum_c * sum_c)) // (sum_c * (SELECT n FROM nd)) AS vmr_ppm FROM top ORDER BY term",
     }

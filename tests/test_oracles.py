@@ -57,7 +57,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "padding_waste", "rank_rbo",
         "clustering_coefficient", "markov_stationary",
         "join_cardinality_model", "oov_rate", "pps_systematic",
-        "hill_tail", "gini_split"]
+        "hill_tail", "gini_split", "term_burstiness"]
 
 
 @pytest.fixture(scope="module")
