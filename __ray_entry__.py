@@ -15426,6 +15426,183 @@ def q_term_burstiness(sf_dir: str):
                        "sum_c2": "int64", "vmr_ppm": "int64"})
 
 
+def q_coverage_select(sf_dir: str):
+    """GREEDY MAX-COVERAGE document selection (the classic (1−1/e) set
+    cover greedy — the coverage-based data-selection recipe for
+    instruction/eval set construction): pick 10 docs that together
+    cover as much of the top-500 corpus vocabulary as possible. Each
+    round broadcasts the uncovered-term bitmap (500 bools) and runs a
+    distributed per-partition argmax of |terms(doc) ∩ uncovered|
+    (ties doc_id asc; the winning partition row carries the doc's term
+    ids so the driver can update the bitmap without a second pass).
+    The (doc, term-id) pair table is built once — vocab-membership
+    tokenize map, doc-keyed partitions materialized so each partition
+    holds complete docs. Unrolled-CTE SQL twin, 10 rounds."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts)
+
+    V, K = 500, 10
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def term_df(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        g = pa.table({"term": flat.filter(keep),
+                      "row": parent.filter(keep)}).group_by(
+            ["term", "row"]).aggregate([])
+        return pa.table({
+            "term": g.column("term"),
+            "df": pa.array(np.ones(len(g), np.int64), pa.int64())})
+
+    dfs = hash_agg(docs.map_batches(term_df, batch_format="pyarrow"),
+                   "term", [("df", "sum", "df")])
+
+    def topv(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k=V, sort_keys=[("df", "descending"),
+                               ("term", "ascending")])
+        return t.take(idx)
+
+    cand = dfs.map_batches(topv, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["df", "term"],
+                            ascending=[False, True]).head(V)
+    vocab = np.sort(cand["term"].to_numpy().astype(object))
+    vref = ray.put(vocab)
+
+    def doc_tids(t: pa.Table, _v=vref) -> pa.Table:
+        vv = ray.get(_v)
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        words = flat.to_numpy(zero_copy_only=False).astype(object)
+        pidx = np.searchsorted(vv, words)
+        pidx[pidx >= len(vv)] = 0
+        hit = vv[pidx] == words
+        ids = pc.cast(t.column("doc_id").take(parent.filter(
+            pa.array(hit))), pa.int64()).to_numpy(zero_copy_only=False)
+        tid = pidx[hit]
+        pk = ids * np.int64(V) + tid
+        u = np.unique(pk)
+        return pa.table({
+            "doc_id": pa.array(u // V, pa.int64()),
+            "tid": pa.array(u % V, pa.int64())})
+
+    pairs = map_key_partitions(
+        docs.map_batches(doc_tids, batch_format="pyarrow"),
+        "doc_id", lambda t: t).materialize()
+
+    uncovered = np.ones(len(vocab), dtype=bool)
+    out = {"round": [], "doc_id": [], "n_new": [], "n_total": []}
+    chosen: set[int] = set()
+    for rnd in range(1, K + 1):
+        st = ray.put({"u": uncovered.copy(),
+                      "excl": np.array(sorted(chosen), np.int64)})
+
+        def best(t: pa.Table, _s=st) -> pa.Table:
+            s = ray.get(_s)
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                              "n": pa.array([], pa.int64()),
+                              "tids": pa.array([],
+                                               pa.list_(pa.int64()))})
+            if not len(d):
+                return empty
+            tid = t.column("tid").to_numpy(zero_copy_only=False)
+            unc = s["u"][tid].astype(np.int64)
+            starts = segment_starts(d)
+            lens = segment_lengths(starts, len(d))
+            cnt = np.add.reduceat(unc, starts)
+            dd = d[starts]
+            ok = ~np.isin(dd, s["excl"])
+            if not ok.any():
+                return empty
+            cnt2 = np.where(ok, cnt, -1)
+            top = np.flatnonzero(cnt2 == cnt2.max())
+            j = int(top[np.argmin(dd[top])])
+            lo, ln = int(starts[j]), int(lens[j])
+            new_t = tid[lo:lo + ln][s["u"][tid[lo:lo + ln]]]
+            return pa.table({
+                "doc_id": pa.array([int(dd[j])], pa.int64()),
+                "n": pa.array([int(cnt[j])], pa.int64()),
+                "tids": pa.array([new_t.tolist()],
+                                 pa.list_(pa.int64()))})
+
+        cands = pairs.map_batches(best,
+                                  batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        nxt = max(cands, key=lambda r: (r["n"], -r["doc_id"]))
+        if int(nxt["n"]) == 0:
+            break
+        chosen.add(int(nxt["doc_id"]))
+        for tdd in nxt["tids"]:
+            uncovered[int(tdd)] = False
+        out["round"].append(rnd)
+        out["doc_id"].append(int(nxt["doc_id"]))
+        out["n_new"].append(int(nxt["n"]))
+        out["n_total"].append(int((~uncovered).sum()))
+    return pd.DataFrame(out).astype("int64")
+
+
+def _coverage_oracle(k: int = 10, v: int = 500) -> str:
+    """Unrolled greedy max-coverage twin of q_coverage_select (each
+    round: join against the remaining-uncovered term set, argmax by
+    (count desc, doc_id asc), EXCEPT out the pick's terms)."""
+    parts = [
+        "WITH toks AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        "unnest(list_filter(regexp_split_to_array(lower(text), "
+        "'\\s+'), w -> w <> '')) AS term FROM documents), "
+        "tdf AS (SELECT term, count(*) AS df FROM toks GROUP BY 1), "
+        "voc AS MATERIALIZED (SELECT term FROM (SELECT term, "
+        f"row_number() OVER (ORDER BY df DESC, term) AS rn FROM tdf) "
+        f"WHERE rn <= {v}), "
+        "dt AS MATERIALIZED (SELECT t.doc_id, t.term FROM toks t "
+        "JOIN voc USING (term)), "
+        "u0 AS MATERIALIZED (SELECT term FROM voc)"]
+    for i in range(1, k + 1):
+        excl = " AND ".join(
+            [f"doc_id <> (SELECT doc_id FROM p{j})"
+             for j in range(1, i)]) or "TRUE"
+        parts.append(
+            f", p{i} AS MATERIALIZED (SELECT doc_id, "
+            f"CAST(count(*) AS BIGINT) AS n FROM dt "
+            f"JOIN u{i-1} USING (term) WHERE {excl} GROUP BY 1 "
+            f"ORDER BY n DESC, doc_id LIMIT 1)"
+            f", u{i} AS MATERIALIZED (SELECT term FROM u{i-1} "
+            f"EXCEPT SELECT term FROM dt "
+            f"WHERE doc_id = (SELECT doc_id FROM p{i}))")
+    sel = []
+    for i in range(1, k + 1):
+        sel.append(
+            f"SELECT CAST({i} AS BIGINT) AS round, doc_id, n AS n_new, "
+            f"(SELECT count(*) FROM voc) - (SELECT count(*) FROM u{i}) "
+            f"AS n_total FROM p{i}")
+    parts.append(" " + " UNION ALL ".join(sel) + " ORDER BY round")
+    return "".join(parts)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15725,6 +15902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_tail": q_hill_tail,
         "gini_split": q_gini_split,
         "term_burstiness": q_term_burstiness,
+        "coverage_select": q_coverage_select,
     }
 
 
@@ -19258,4 +19436,5 @@ def oracle_sql() -> dict[str, str]:
         "hill_tail": 'WITH r AS (SELECT CAST(n_chars AS BIGINT) AS v, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM documents), ref AS (SELECT v AS xr FROM r WHERE rn = 101), s AS (SELECT CAST(sum(CAST(floor(ln(CAST(v AS DOUBLE) / (SELECT xr FROM ref)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sl FROM r WHERE rn <= 100) SELECT CAST(100 AS BIGINT) AS k, s.sl AS sum_log_nano, CAST(CASE WHEN s.sl = 0 THEN 0 ELSE (CAST(100000000000 AS BIGINT) * 1000000) // s.sl END AS BIGINT) AS alpha_micro FROM s',
         "gini_split": 'WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), grid AS (SELECT DISTINCT v FROM h), langs AS (SELECT DISTINCT lang FROM h), cell AS (SELECT g.v, l.lang, COALESCE(h.c, 0) AS c FROM grid g CROSS JOIN langs l LEFT JOIN h ON h.v = g.v AND h.lang = l.lang), cum AS (SELECT v, lang, CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cl, CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS t FROM cell), agg AS (SELECT v, CAST(sum(cl) AS BIGINT) AS n_l, CAST(sum(t - cl) AS BIGINT) AS n_r, CAST(sum(cl * cl) AS BIGINT) AS sl2, CAST(sum((t - cl) * (t - cl)) AS BIGINT) AS sr2 FROM cum GROUP BY 1) SELECT v, n_l AS n_left, sl2 * n_r + sr2 * n_l AS gain_num, n_l * n_r AS gain_den FROM agg WHERE n_r > 0 ORDER BY v',
         "term_burstiness": "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), pd AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2), st AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS sum_c, CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM pd GROUP BY 1), top AS (SELECT * FROM st ORDER BY df DESC, term LIMIT 50), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) SELECT term, df, sum_c, sum_c2, (1000000 * ((SELECT n FROM nd) * sum_c2 - sum_c * sum_c)) // (sum_c * (SELECT n FROM nd)) AS vmr_ppm FROM top ORDER BY term",
+        "coverage_select": _coverage_oracle(),
     }

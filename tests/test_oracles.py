@@ -57,7 +57,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "padding_waste", "rank_rbo",
         "clustering_coefficient", "markov_stationary",
         "join_cardinality_model", "oov_rate", "pps_systematic",
-        "hill_tail", "gini_split", "term_burstiness"]
+        "hill_tail", "gini_split", "term_burstiness",
+        "coverage_select"]
 
 
 @pytest.fixture(scope="module")

@@ -4257,3 +4257,32 @@ def test_markov_stationary_is_fixed_point(ray_session):
     assert abs(pi.sum() - 1.0) < 1e-3
     drift = np.abs(pi @ P - pi).sum()
     assert drift < 1e-3, drift
+
+
+def test_coverage_select_greedy_on_planted_corpus(ray_session):
+    """On a synthetic corpus with controlled term sets the greedy must
+    follow the exact (count desc, doc_id asc) trajectory and stop when
+    nothing new is coverable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    import tempfile, os
+
+    rows = [
+        {"doc_id": 1, "text": "a b c d e"},          # covers 5
+        {"doc_id": 2, "text": "a b c"},              # subset of 1
+        {"doc_id": 3, "text": "f g h"},              # +3
+        {"doc_id": 4, "text": "f g"},                # subset of 3
+        {"doc_id": 5, "text": "i"},                  # +1
+        {"doc_id": 6, "text": "a f i"},              # all covered later
+    ]
+    with tempfile.TemporaryDirectory() as sf:
+        pq.write_table(pa.Table.from_pylist(
+            [dict(r, lang="en", source="s", n_chars=1) for r in rows]),
+            os.path.join(sf, "documents.parquet"))
+        out = entrymod.queries()["coverage_select"](sf)
+    assert out["doc_id"].tolist() == [1, 3, 5]
+    assert out["n_new"].tolist() == [5, 3, 1]
+    assert out["n_total"].tolist() == [5, 8, 9]
