@@ -15603,6 +15603,174 @@ def _coverage_oracle(k: int = 10, v: int = 500) -> str:
     return "".join(parts)
 
 
+def q_curation_pipeline(sf_dir: str):
+    """END-TO-END CORPUS CURATION: quality gate (≥10 tokens) → exact
+    dedup (min doc id per md5) → per-source token caps by water-filling
+    half the surviving budget → greedy per-source truncation in doc_id
+    order → curriculum position (length deciles, round-robin across
+    sources). The four stages each reuse a proven exchange shape
+    (content-hash exchange, source combiner + driver waterfill on the
+    m-row aggregate, per-source cumsum exchange, prefix-sum deciles +
+    packed-rank position scan) and the WHOLE composition is verified by
+    one SQL twin — the training_pipeline complement where every stage
+    is SQL-expressible. Output: (doc_id, source, n_tokens, position)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts)
+
+    MIN_TOKENS = 10
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "source", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.count_substring_regex(
+            t.column("text"), pattern=r"\S+"), pa.int64())
+        keep = pc.greater_equal(nt, MIN_TOKENS)
+        t2 = t.filter(keep)
+        texts = t2.column("text").to_pylist()
+        hh = [hashlib.md5((x or "").encode("utf-8")).hexdigest()
+              for x in texts]
+        return pa.table({
+            "h": pa.array(hh, pa.string()),
+            "doc_id": pc.cast(t2.column("doc_id"), pa.int64()),
+            "source": t2.column("source"),
+            "nt": nt.filter(keep)})
+
+    def dedup_min(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        if not len(h):
+            return t.select(["doc_id", "source", "nt"])
+        starts = segment_starts(h)   # sorted by (h, doc_id)
+        return t.take(pa.array(starts)).select(
+            ["doc_id", "source", "nt"])
+
+    surv = map_key_partitions(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        "h", dedup_min, sort_cols=["doc_id"]).materialize()
+
+    per_src = hash_agg(surv, "source",
+                       [("nt", "sum", "n_tokens")]).to_pandas()
+    per_src = per_src.sort_values("source").reset_index(drop=True)
+    n = per_src["n_tokens"].to_numpy().astype(np.int64)
+    srcs = per_src["source"].to_numpy()
+    total, m = int(n.sum()), len(n)
+    B = total // 2
+    order = np.lexsort((srcs, n))
+    ns_sorted = n[order]
+    prefix = np.concatenate([[0], np.cumsum(ns_sorted)[:-1]])
+    cands = set(int(x) for x in ns_sorted)
+    for kk in range(m):
+        cands.add(max(0, (B - int(prefix[kk])) // (m - kk)))
+    tstar = max((T for T in cands
+                 if int(np.minimum(n, T).sum()) <= B), default=0)
+    base = np.minimum(n, tstar)
+    L = B - int(base.sum())
+    bonus = np.zeros(m, np.int64)
+    above = n > tstar
+    if L > 0 and above.any():
+        pri = [i for i in np.lexsort((srcs, -n)) if above[i]][:L]
+        bonus[pri] = 1
+    alloc = {s: int(a) for s, a in zip(srcs, base + bonus)}
+    aref = ray.put(alloc)
+
+    def cap(t: pa.Table, _a=aref) -> pa.Table:
+        al = ray.get(_a)
+        s = t.column("source").to_numpy(zero_copy_only=False)
+        if not len(s):
+            return t
+        nt = t.column("nt").to_numpy(zero_copy_only=False)
+        starts = segment_starts(s)
+        lens = segment_lengths(starts, len(s))
+        cum = np.cumsum(nt)
+        cum0 = cum - nt - np.repeat((cum - nt)[starts], lens)
+        lim = np.array([al.get(x, 0) for x in s[starts]], np.int64)
+        keep = cum0 + nt <= np.repeat(lim, lens)
+        return t.filter(pa.array(keep))
+
+    capped = map_key_partitions(surv, "source", cap,
+                                sort_cols=["doc_id"]).materialize()
+
+    # curriculum position over the capped survivors (the
+    # q_curriculum_order shape on (doc_id, source, nt))
+    n_total = capped.count()
+    q10, r10 = divmod(n_total, 10)
+
+    src_list = sorted(alloc)
+    sidx = {s: i for i, s in enumerate(src_list)}
+    mm = len(src_list)
+
+    ranked = keyed_prefix_sum(
+        capped.map_batches(
+            lambda t: pa.table({
+                "v": t.column("nt"),
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "one": pa.array(np.ones(len(t), np.int64))}),
+            batch_format="pyarrow"),
+        key_column="v", value_column="one", tie_column="doc_id",
+        out_column="rk", bucket_width=64)
+
+    def decile_key(df: pd.DataFrame) -> pd.DataFrame:
+        rank = df["rk"].to_numpy(dtype="int64") + 1
+        cut = r10 * (q10 + 1)
+        first = rank <= cut
+        dec = np.where(first, 1 + (rank - 1) // max(q10 + 1, 1),
+                       1 + r10 + (rank - cut - 1) // max(q10, 1)) \
+            .astype(np.int64)
+        si = df["source"].map(sidx).to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": df["source"],
+            "v": df["v"].astype("int64"),
+            "ds": dec * mm + si, "decile": dec})
+
+    keyed2 = ranked.map_batches(decile_key, batch_format="pandas")
+
+    def within_rank(t: pa.Table) -> pa.Table:
+        ds_ = t.column("ds").to_numpy(zero_copy_only=False)
+        if not len(ds_):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z,
+                             "source": pa.array([], pa.string()),
+                             "v": z, "pk": z, "one": z})
+        dec = t.column("decile").to_numpy(zero_copy_only=False)
+        starts = segment_starts(ds_)
+        lens = segment_lengths(starts, len(ds_))
+        rr = np.arange(len(ds_), dtype=np.int64) - \
+            np.repeat(starts, lens)
+        si = ds_ - dec * mm
+        pk = (dec << np.int64(46)) | (rr << np.int64(6)) | si
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "v": t.column("v"),
+            "pk": pa.array(pk, pa.int64()),
+            "one": pa.array(np.ones(len(ds_), np.int64), pa.int64())})
+
+    wr = map_key_partitions(keyed2, "ds", within_rank,
+                            sort_cols=["v", "doc_id"])
+    pos = keyed_prefix_sum(wr, key_column="pk", value_column="one",
+                           out_column="position",
+                           bucket_width=1 << 46)
+    return pos.map_batches(
+        lambda df: df[["doc_id", "source", "v", "position"]].rename(
+            columns={"v": "n_tokens"}),
+        batch_format="pandas").sort("doc_id")
+
+
+_CURATION_SQL = "\nWITH d0 AS (SELECT doc_id, source, text,\n            CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt\n            FROM documents),\nq AS (SELECT doc_id, source, text, nt FROM d0 WHERE nt >= 10),\nhh AS (SELECT doc_id, source, nt, md5(text) AS h FROM q),\ndd AS MATERIALIZED (SELECT doc_id, source, nt FROM\n  (SELECT doc_id, source, nt,\n          min(doc_id) OVER (PARTITION BY h) AS md FROM hh)\n  WHERE doc_id = md),\nns AS MATERIALIZED (SELECT source, CAST(sum(nt) AS BIGINT) AS n\n                    FROM dd GROUP BY 1),\ntot AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b, count(*) AS m FROM ns),\nordered AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS k,\n            COALESCE(CAST(sum(n) OVER (ORDER BY n, source\n            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),\n            0) AS p FROM ns),\ncand AS (SELECT DISTINCT t FROM (SELECT n AS t FROM ns UNION ALL\n         SELECT greatest(0, ((SELECT b FROM tot) - p) //\n                ((SELECT m FROM tot) - k + 1)) FROM ordered)),\nev AS (SELECT c.t, CAST(sum(least(ns.n, c.t)) AS BIGINT) AS f\n       FROM cand c CROSS JOIN ns GROUP BY 1),\nts AS (SELECT COALESCE(max(t), 0) AS tstar FROM ev\n       WHERE f <= (SELECT b FROM tot)),\nlv AS (SELECT (SELECT b FROM tot) - CAST(sum(least(n,\n       (SELECT tstar FROM ts))) AS BIGINT) AS l FROM ns),\npri AS (SELECT source, row_number() OVER (ORDER BY n DESC, source) AS r\n        FROM ns WHERE n > (SELECT tstar FROM ts)),\nalloc AS MATERIALIZED (SELECT ns.source,\n        least(ns.n, (SELECT tstar FROM ts)) + CASE WHEN pri.r IS NOT NULL\n        AND pri.r <= (SELECT l FROM lv) THEN 1 ELSE 0 END AS a\n        FROM ns LEFT JOIN pri USING (source)),\ncum AS (SELECT dd.doc_id, dd.source, dd.nt,\n        COALESCE(CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id\n        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)\n        AS cum0 FROM dd),\ncapped AS MATERIALIZED (SELECT c.doc_id, c.source, c.nt FROM cum c\n        JOIN alloc a USING (source) WHERE c.cum0 + c.nt <= a.a),\nb2 AS (SELECT doc_id, source, nt,\n       CAST(ntile(10) OVER (ORDER BY nt, doc_id) AS BIGINT) AS decile\n       FROM capped),\nr2 AS (SELECT doc_id, source, nt, decile,\n       row_number() OVER (PARTITION BY decile, source\n       ORDER BY nt, doc_id) - 1 AS rr FROM b2)\nSELECT doc_id, source, nt AS n_tokens,\n       CAST(row_number() OVER (ORDER BY decile, rr, source) - 1\n       AS BIGINT) AS position\nFROM r2 ORDER BY doc_id"
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001."""
     return q_extract_pipeline("/root/testdata/sf0.001")
@@ -15903,6 +16071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_split": q_gini_split,
         "term_burstiness": q_term_burstiness,
         "coverage_select": q_coverage_select,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -19437,4 +19606,5 @@ def oracle_sql() -> dict[str, str]:
         "gini_split": 'WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), grid AS (SELECT DISTINCT v FROM h), langs AS (SELECT DISTINCT lang FROM h), cell AS (SELECT g.v, l.lang, COALESCE(h.c, 0) AS c FROM grid g CROSS JOIN langs l LEFT JOIN h ON h.v = g.v AND h.lang = l.lang), cum AS (SELECT v, lang, CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cl, CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS t FROM cell), agg AS (SELECT v, CAST(sum(cl) AS BIGINT) AS n_l, CAST(sum(t - cl) AS BIGINT) AS n_r, CAST(sum(cl * cl) AS BIGINT) AS sl2, CAST(sum((t - cl) * (t - cl)) AS BIGINT) AS sr2 FROM cum GROUP BY 1) SELECT v, n_l AS n_left, sl2 * n_r + sr2 * n_l AS gain_num, n_l * n_r AS gain_den FROM agg WHERE n_r > 0 ORDER BY v',
         "term_burstiness": "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), pd AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2), st AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS sum_c, CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM pd GROUP BY 1), top AS (SELECT * FROM st ORDER BY df DESC, term LIMIT 50), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) SELECT term, df, sum_c, sum_c2, (1000000 * ((SELECT n FROM nd) * sum_c2 - sum_c * sum_c)) // (sum_c * (SELECT n FROM nd)) AS vmr_ppm FROM top ORDER BY term",
         "coverage_select": _coverage_oracle(),
+        "curation_pipeline": _CURATION_SQL,
     }

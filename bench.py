@@ -244,7 +244,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "length_emd", "isotonic_calibration", "curriculum_order",
              "padding_waste", "rank_rbo", "clustering_coefficient",
              "markov_stationary", "join_cardinality_model", "oov_rate",
-             "pps_systematic", "hill_tail", "gini_split"]
+             "pps_systematic", "hill_tail", "gini_split",
+             "term_burstiness", "coverage_select", "curation_pipeline"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
