@@ -15768,7 +15768,63 @@ def q_curation_pipeline(sf_dir: str):
         batch_format="pandas").sort("doc_id")
 
 
-_CURATION_SQL = "\nWITH d0 AS (SELECT doc_id, source, text,\n            CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt\n            FROM documents),\nq AS (SELECT doc_id, source, text, nt FROM d0 WHERE nt >= 10),\nhh AS (SELECT doc_id, source, nt, md5(text) AS h FROM q),\ndd AS MATERIALIZED (SELECT doc_id, source, nt FROM\n  (SELECT doc_id, source, nt,\n          min(doc_id) OVER (PARTITION BY h) AS md FROM hh)\n  WHERE doc_id = md),\nns AS MATERIALIZED (SELECT source, CAST(sum(nt) AS BIGINT) AS n\n                    FROM dd GROUP BY 1),\ntot AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b, count(*) AS m FROM ns),\nordered AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS k,\n            COALESCE(CAST(sum(n) OVER (ORDER BY n, source\n            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),\n            0) AS p FROM ns),\ncand AS (SELECT DISTINCT t FROM (SELECT n AS t FROM ns UNION ALL\n         SELECT greatest(0, ((SELECT b FROM tot) - p) //\n                ((SELECT m FROM tot) - k + 1)) FROM ordered)),\nev AS (SELECT c.t, CAST(sum(least(ns.n, c.t)) AS BIGINT) AS f\n       FROM cand c CROSS JOIN ns GROUP BY 1),\nts AS (SELECT COALESCE(max(t), 0) AS tstar FROM ev\n       WHERE f <= (SELECT b FROM tot)),\nlv AS (SELECT (SELECT b FROM tot) - CAST(sum(least(n,\n       (SELECT tstar FROM ts))) AS BIGINT) AS l FROM ns),\npri AS (SELECT source, row_number() OVER (ORDER BY n DESC, source) AS r\n        FROM ns WHERE n > (SELECT tstar FROM ts)),\nalloc AS MATERIALIZED (SELECT ns.source,\n        least(ns.n, (SELECT tstar FROM ts)) + CASE WHEN pri.r IS NOT NULL\n        AND pri.r <= (SELECT l FROM lv) THEN 1 ELSE 0 END AS a\n        FROM ns LEFT JOIN pri USING (source)),\ncum AS (SELECT dd.doc_id, dd.source, dd.nt,\n        COALESCE(CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id\n        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)\n        AS cum0 FROM dd),\ncapped AS MATERIALIZED (SELECT c.doc_id, c.source, c.nt FROM cum c\n        JOIN alloc a USING (source) WHERE c.cum0 + c.nt <= a.a),\nb2 AS (SELECT doc_id, source, nt,\n       CAST(ntile(10) OVER (ORDER BY nt, doc_id) AS BIGINT) AS decile\n       FROM capped),\nr2 AS (SELECT doc_id, source, nt, decile,\n       row_number() OVER (PARTITION BY decile, source\n       ORDER BY nt, doc_id) - 1 AS rr FROM b2)\nSELECT doc_id, source, nt AS n_tokens,\n       CAST(row_number() OVER (ORDER BY decile, rr, source) - 1\n       AS BIGINT) AS position\nFROM r2 ORDER BY doc_id"
+def q_good_turing(sf_dir: str):
+    """GOOD-TURING frequency-of-frequencies table for the corpus
+    unigram distribution (the classical smoothing estimator's input):
+    for every observed count r, the number of distinct terms N_r seen
+    exactly r times, plus the adjusted-count fraction as the exact
+    integer pair gt_num = (r+1)·N_{r+1}, gt_den = N_r (the smoothing
+    layer divides; no float anywhere). Term counts are one combiner
+    exchange; the frequency-of-frequencies reduce is a second tiny
+    combiner over (count) keys — output is O(distinct counts)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        g = pa.table({"term": flat}).group_by(["term"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"term": g.column("term"),
+                         "c": pc.cast(g.column("count_all"),
+                                      pa.int64())})
+
+    counts = hash_agg(docs.map_batches(term_counts,
+                                       batch_format="pyarrow"),
+                      "term", [("c", "sum", "c")])
+
+    def fof_partial(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        u, k = np.unique(c, return_counts=True)
+        return pa.table({"r": pa.array(u, pa.int64()),
+                         "nr": pa.array(k.astype(np.int64),
+                                        pa.int64())})
+
+    fof = hash_agg(counts.map_batches(fof_partial,
+                                      batch_format="pyarrow"),
+                   "r", [("nr", "sum", "nr")]).to_pandas()
+    fof = fof.sort_values("r").reset_index(drop=True)
+    r = fof["r"].to_numpy().astype(np.int64)
+    nr = fof["nr"].to_numpy().astype(np.int64)
+    nxt = {int(a): int(b) for a, b in zip(r, nr)}
+    gt_num = np.array([(int(x) + 1) * nxt.get(int(x) + 1, 0)
+                       for x in r], dtype=np.int64)
+    return pd.DataFrame({"r": r, "n_r": nr, "gt_num": gt_num,
+                         "gt_den": nr}).astype("int64")
+
+
+_CURATION_SQL ="\nWITH d0 AS (SELECT doc_id, source, text,\n            CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt\n            FROM documents),\nq AS (SELECT doc_id, source, text, nt FROM d0 WHERE nt >= 10),\nhh AS (SELECT doc_id, source, nt, md5(text) AS h FROM q),\ndd AS MATERIALIZED (SELECT doc_id, source, nt FROM\n  (SELECT doc_id, source, nt,\n          min(doc_id) OVER (PARTITION BY h) AS md FROM hh)\n  WHERE doc_id = md),\nns AS MATERIALIZED (SELECT source, CAST(sum(nt) AS BIGINT) AS n\n                    FROM dd GROUP BY 1),\ntot AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b, count(*) AS m FROM ns),\nordered AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS k,\n            COALESCE(CAST(sum(n) OVER (ORDER BY n, source\n            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),\n            0) AS p FROM ns),\ncand AS (SELECT DISTINCT t FROM (SELECT n AS t FROM ns UNION ALL\n         SELECT greatest(0, ((SELECT b FROM tot) - p) //\n                ((SELECT m FROM tot) - k + 1)) FROM ordered)),\nev AS (SELECT c.t, CAST(sum(least(ns.n, c.t)) AS BIGINT) AS f\n       FROM cand c CROSS JOIN ns GROUP BY 1),\nts AS (SELECT COALESCE(max(t), 0) AS tstar FROM ev\n       WHERE f <= (SELECT b FROM tot)),\nlv AS (SELECT (SELECT b FROM tot) - CAST(sum(least(n,\n       (SELECT tstar FROM ts))) AS BIGINT) AS l FROM ns),\npri AS (SELECT source, row_number() OVER (ORDER BY n DESC, source) AS r\n        FROM ns WHERE n > (SELECT tstar FROM ts)),\nalloc AS MATERIALIZED (SELECT ns.source,\n        least(ns.n, (SELECT tstar FROM ts)) + CASE WHEN pri.r IS NOT NULL\n        AND pri.r <= (SELECT l FROM lv) THEN 1 ELSE 0 END AS a\n        FROM ns LEFT JOIN pri USING (source)),\ncum AS (SELECT dd.doc_id, dd.source, dd.nt,\n        COALESCE(CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id\n        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)\n        AS cum0 FROM dd),\ncapped AS MATERIALIZED (SELECT c.doc_id, c.source, c.nt FROM cum c\n        JOIN alloc a USING (source) WHERE c.cum0 + c.nt <= a.a),\nb2 AS (SELECT doc_id, source, nt,\n       CAST(ntile(10) OVER (ORDER BY nt, doc_id) AS BIGINT) AS decile\n       FROM capped),\nr2 AS (SELECT doc_id, source, nt, decile,\n       row_number() OVER (PARTITION BY decile, source\n       ORDER BY nt, doc_id) - 1 AS rr FROM b2)\nSELECT doc_id, source, nt AS n_tokens,\n       CAST(row_number() OVER (ORDER BY decile, rr, source) - 1\n       AS BIGINT) AS position\nFROM r2 ORDER BY doc_id"
 
 
 def entry() -> Any:
@@ -16072,6 +16128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_burstiness": q_term_burstiness,
         "coverage_select": q_coverage_select,
         "curation_pipeline": q_curation_pipeline,
+        "good_turing": q_good_turing,
     }
 
 
@@ -19607,4 +19664,5 @@ def oracle_sql() -> dict[str, str]:
         "term_burstiness": "WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), pd AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2), st AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS sum_c, CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM pd GROUP BY 1), top AS (SELECT * FROM st ORDER BY df DESC, term LIMIT 50), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) SELECT term, df, sum_c, sum_c2, (1000000 * ((SELECT n FROM nd) * sum_c2 - sum_c * sum_c)) // (sum_c * (SELECT n FROM nd)) AS vmr_ppm FROM top ORDER BY term",
         "coverage_select": _coverage_oracle(),
         "curation_pipeline": _CURATION_SQL,
+        "good_turing": "WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1) SELECT f.r, f.n_r, CAST((f.r + 1) * COALESCE(f2.n_r, 0) AS BIGINT) AS gt_num, f.n_r AS gt_den FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1 ORDER BY f.r",
     }
