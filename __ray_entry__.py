@@ -15768,6 +15768,73 @@ def q_curation_pipeline(sf_dir: str):
         batch_format="pandas").sort("doc_id")
 
 
+def q_join_order_costs(sf_dir: str):
+    """Selinger-style JOIN-ORDER cost enumeration for the 3-table
+    chain customer ⋈ orders ⋈ lineitem (query-optimizer family,
+    composing q_join_cardinality_model's statistics): every left-deep
+    order without cross products, costed as Σ estimated intermediate
+    sizes under the textbook uniform model — |R⋈S| = nR·nS/max(dR,dS),
+    with the surviving distinct-key count of an intermediate modeled
+    as least(d_base, n_intermediate) (documented; both engines
+    implement the identical model, all integer arithmetic). The five
+    table statistics are streaming aggregates; the 4-order enumeration
+    is driver-side."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def stats(path, cols):
+        """n rows + exact distinct per key column — each distinct via
+        one keyed combiner exchange (never a driver-side key union)."""
+        ds = _read_pq(path, columns=cols)
+        n = ds.count()
+        d = {}
+        for c in cols:
+            def pre(t: pa.Table, _c=c) -> pa.Table:
+                u = np.unique(t.column(_c).to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+                return pa.table({"k": pa.array(u, pa.int64()),
+                                 "one": pa.array(
+                                     np.ones(len(u), np.int64),
+                                     pa.int64())})
+
+            d[c] = hash_agg(ds.map_batches(pre, batch_format="pyarrow"),
+                            "k", [("one", "max", "one")]).count()
+        return n, d
+
+    nC, dC = stats(f"{sf_dir}/customer.parquet", ["c_custkey"])
+    nO, dO = stats(f"{sf_dir}/orders.parquet",
+                   ["o_custkey", "o_orderkey"])
+    nL, dL = stats(f"{sf_dir}/lineitem.parquet", ["l_orderkey"])
+
+    cust_c, cust_o = dC["c_custkey"], dO["o_custkey"]
+    ord_o, ord_l = dO["o_orderkey"], dL["l_orderkey"]
+
+    def est(nr, ns, dr, ds_):
+        return (nr * ns) // max(dr, ds_)
+
+    rows = []
+    # C,O then L / O,C then L
+    n1 = est(nC, nO, cust_c, cust_o)
+    n2 = est(n1, nL, min(ord_o, n1), ord_l)
+    for o in ("C,O,L", "O,C,L"):
+        rows.append({"join_order": o, "cost": n1 + n2})
+    # L,O then C / O,L then C
+    n1b = est(nL, nO, ord_l, ord_o)
+    n2b = est(n1b, nC, min(cust_o, n1b), cust_c)
+    for o in ("L,O,C", "O,L,C"):
+        rows.append({"join_order": o, "cost": n1b + n2b})
+    best = min(rows, key=lambda r: (r["cost"], r["join_order"]))
+    for r in rows:
+        r["is_best"] = int(r["join_order"] == best["join_order"])
+    return pd.DataFrame(rows).astype(
+        {"cost": "int64", "is_best": "int64"}).sort_values(
+        "join_order").reset_index(drop=True)
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16129,6 +16196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_select": q_coverage_select,
         "curation_pipeline": q_curation_pipeline,
         "good_turing": q_good_turing,
+        "join_order_costs": q_join_order_costs,
     }
 
 
@@ -19665,4 +19733,5 @@ def oracle_sql() -> dict[str, str]:
         "coverage_select": _coverage_oracle(),
         "curation_pipeline": _CURATION_SQL,
         "good_turing": "WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1) SELECT f.r, f.n_r, CAST((f.r + 1) * COALESCE(f2.n_r, 0) AS BIGINT) AS gt_num, f.n_r AS gt_den FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1 ORDER BY f.r",
+        "join_order_costs": "WITH s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS nc, (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS dcc, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS no_, (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS doc_, (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS doo, (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nl, (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dlo), x AS (SELECT *, (nc * no_) // greatest(dcc, doc_) AS n1a, (nl * no_) // greatest(dlo, doo) AS n1b FROM s), y AS (SELECT *, n1a + (n1a * nl) // greatest(least(doo, n1a), dlo) AS costa, n1b + (n1b * nc) // greatest(least(doc_, n1b), dcc) AS costb FROM x), r AS (SELECT 'C,O,L' AS join_order, costa AS cost FROM y UNION ALL SELECT 'O,C,L', costa FROM y UNION ALL SELECT 'L,O,C', costb FROM y UNION ALL SELECT 'O,L,C', costb FROM y) SELECT join_order, cost, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best FROM (SELECT *, row_number() OVER (ORDER BY cost, join_order) AS rn FROM r) ORDER BY join_order",
     }

@@ -58,7 +58,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "clustering_coefficient", "markov_stationary",
         "join_cardinality_model", "oov_rate", "pps_systematic",
         "hill_tail", "gini_split", "term_burstiness",
-        "coverage_select", "curation_pipeline", "good_turing"]
+        "coverage_select", "curation_pipeline", "good_turing",
+        "join_order_costs"]
 
 
 @pytest.fixture(scope="module")
