@@ -15835,6 +15835,109 @@ def q_join_order_costs(sf_dir: str):
         "join_order").reset_index(drop=True)
 
 
+def q_shapley_coverage(sf_dir: str):
+    """EXACT SHAPLEY VALUES of the five languages in the vocabulary-
+    coverage game (the data-valuation question "which slice contributes
+    the most unique coverage?"): v(S) = number of distinct terms that
+    appear in at least one language of S. The distributed part reduces
+    every term to a 5-bit language bitmask (one term-keyed exchange;
+    segment-wise OR), leaving a 31-cell mask histogram — the whole
+    game — on the driver, where Shapley is computed EXACTLY over all
+    2⁵ coalitions with integer factorial weights (φ scaled by 5! = 120,
+    no floats). Efficiency (Σφ = 120·v(N)) is asserted in pytest.
+    Output: (lang, phi_num, phi_den=120, v_solo, v_all)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["lang", "text"])
+    lang_rows = docs.groupby("lang").count().take_all()
+    langs = sorted(r["lang"] for r in lang_rows)
+    n = len(langs)
+    lidx = {s: i for i, s in enumerate(langs)}
+
+    def term_lang(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        lg = t.column("lang").take(parent).to_numpy(
+            zero_copy_only=False)
+        bits = np.array([1 << lidx[x] for x in lg], dtype=np.int64)
+        tt = pa.table({"term": flat, "b": pa.array(bits, pa.int64())})
+        # map-side OR-combine per term (numpy: arrow has no bit_or agg)
+        terms = tt.column("term").to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        terms, bb = terms[order], bits[order]
+        starts = segment_starts(terms)
+        lens = segment_lengths(starts, len(terms))
+        om = np.zeros(len(starts), np.int64)
+        for k in range(n):
+            has = np.add.reduceat((bb >> k) & 1, starts) > 0
+            om |= has.astype(np.int64) << k
+        return pa.table({"term": pa.array(terms[starts]),
+                         "b": pa.array(om, pa.int64())})
+
+    def mask_of(t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        if not len(terms):
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        starts = segment_starts(terms)
+        lens = segment_lengths(starts, len(terms))
+        om = np.zeros(len(starts), np.int64)
+        for k in range(n):
+            has = np.add.reduceat((b >> k) & 1, starts) > 0
+            om |= has.astype(np.int64) << k
+        u, cnt = np.unique(om, return_counts=True)
+        return pa.table({"mask": pa.array(u, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    cells = map_key_partitions(
+        docs.map_batches(term_lang, batch_format="pyarrow"),
+        "term", mask_of).take_all()
+    cnt = np.zeros(1 << n, np.int64)
+    for r in cells:
+        cnt[int(r["mask"])] += int(r["c"])
+
+    masks = np.arange(1 << n)
+
+    def v(S: int) -> int:
+        return int(cnt[(masks & S) != 0].sum())
+
+    import math
+
+    fact = [math.factorial(k) for k in range(n + 1)]
+    rows = []
+    v_all = v((1 << n) - 1)
+    for i, lg in enumerate(langs):
+        phi = 0
+        for S in range(1 << n):
+            if S & (1 << i):
+                continue
+            s = bin(S).count("1")
+            phi += fact[s] * fact[n - 1 - s] * (v(S | (1 << i)) - v(S))
+        rows.append({"lang": lg, "phi_num": phi, "phi_den": fact[n],
+                     "v_solo": v(1 << i), "v_all": v_all})
+    return pd.DataFrame(rows).astype(
+        {c: "int64" for c in ("phi_num", "phi_den", "v_solo",
+                              "v_all")}).sort_values("lang").reset_index(
+        drop=True)
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16197,6 +16300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "good_turing": q_good_turing,
         "join_order_costs": q_join_order_costs,
+        "shapley_coverage": q_shapley_coverage,
     }
 
 
@@ -19734,4 +19838,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _CURATION_SQL,
         "good_turing": "WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1) SELECT f.r, f.n_r, CAST((f.r + 1) * COALESCE(f2.n_r, 0) AS BIGINT) AS gt_num, f.n_r AS gt_den FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1 ORDER BY f.r",
         "join_order_costs": "WITH s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS nc, (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS dcc, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS no_, (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS doc_, (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS doo, (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nl, (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dlo), x AS (SELECT *, (nc * no_) // greatest(dcc, doc_) AS n1a, (nl * no_) // greatest(dlo, doo) AS n1b FROM s), y AS (SELECT *, n1a + (n1a * nl) // greatest(least(doo, n1a), dlo) AS costa, n1b + (n1b * nc) // greatest(least(doc_, n1b), dcc) AS costb FROM x), r AS (SELECT 'C,O,L' AS join_order, costa AS cost FROM y UNION ALL SELECT 'O,C,L', costa FROM y UNION ALL SELECT 'L,O,C', costb FROM y UNION ALL SELECT 'O,L,C', costb FROM y) SELECT join_order, cost, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best FROM (SELECT *, row_number() OVER (ORDER BY cost, join_order) AS rn FROM r) ORDER BY join_order",
+        "shapley_coverage": "WITH lx AS MATERIALIZED (SELECT lang, CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS li FROM (SELECT DISTINCT lang FROM documents)), tl AS MATERIALIZED (SELECT DISTINCT t.term, lx.li FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents) t JOIN lx USING (lang)), tm AS (SELECT term, CAST(sum(1 << li) AS BIGINT) AS mask FROM tl GROUP BY 1), mc AS MATERIALIZED (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM tm GROUP BY 1), subsets AS (SELECT CAST(t.i AS BIGINT) AS s FROM range(32) t(i)), vv AS MATERIALIZED (SELECT su.s, CAST(COALESCE(sum(CASE WHEN CAST(mc.mask AS BIGINT) & su.s <> 0 THEN mc.c ELSE 0 END), 0) AS BIGINT) AS v FROM subsets su CROSS JOIN mc GROUP BY 1), phi AS (SELECT l.lang, l.li, CAST(sum((CASE bit_count(su.s) WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 6 ELSE 24 END) * (v1.v - v0.v)) AS BIGINT) AS phi_num FROM lx l JOIN subsets su ON (su.s & (1 << l.li)) = 0 JOIN vv v0 ON v0.s = su.s JOIN vv v1 ON v1.s = (su.s | (1 << l.li)) GROUP BY 1, 2) SELECT p.lang, p.phi_num, CAST(120 AS BIGINT) AS phi_den, (SELECT v FROM vv WHERE s = (1 << p.li)) AS v_solo, (SELECT v FROM vv WHERE s = 31) AS v_all FROM phi p ORDER BY p.lang",
     }

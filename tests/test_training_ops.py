@@ -4286,3 +4286,15 @@ def test_coverage_select_greedy_on_planted_corpus(ray_session):
     assert out["doc_id"].tolist() == [1, 3, 5]
     assert out["n_new"].tolist() == [5, 3, 1]
     assert out["n_total"].tolist() == [5, 8, 9]
+
+
+def test_shapley_coverage_efficiency(ray_session):
+    """Shapley efficiency axiom: the scaled values must sum exactly to
+    120 * v(N); each value is bounded by its solo coverage * 120."""
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["shapley_coverage"](
+        "/root/testdata/sf0.001")
+    assert int(out["phi_num"].sum()) == 120 * int(out["v_all"].iloc[0])
+    assert (out["phi_num"] >= 0).all()
+    assert (out["phi_num"] <= 120 * out["v_solo"]).all()
