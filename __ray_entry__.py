@@ -15938,6 +15938,94 @@ def q_shapley_coverage(sf_dir: str):
         drop=True)
 
 
+def q_modularity(sf_dir: str):
+    """NEWMAN MODULARITY of the connected-component partition of the
+    co-view graph, exact: Q = Σ_c (e_c/m − (deg_c/2m)²) emitted as the
+    integer pair q_num = Σ_c (4m·e_c − deg_c²), q_den = 4m² (no float
+    division; for the CC partition every edge is intra-community, so
+    Q measures how far the component structure beats the configuration
+    model). Components come from stages/graph.connected_components;
+    per-component edge/degree sums are one keyed combiner after a
+    label hash_join onto the edge list."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.graph import (
+        connected_components)
+    from magic_content_extractor_ray.stages.join import hash_join
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array(pk >> np.int64(31), pa.int64()),
+            "b": pa.array(pk & np.int64((1 << 31) - 1), pa.int64())})
+
+    edges = _covis_pair_counts(sf_dir).filter(
+        lambda r: r["n_users"] >= 2).map_batches(
+        unpack, batch_format="pyarrow").materialize()
+
+    comp = connected_components(edges, left="a", right="b",
+                                node_col="node",
+                                label_col="component")
+    # comp: (node, component) — label both endpoints
+    e1 = hash_join(edges, comp.map_batches(
+        lambda t: pa.table({"a": t.column("node"),
+                            "ca": t.column("component")}),
+        batch_format="pyarrow"), key="a", left_cols=["b"],
+        right_cols=["ca"], how="inner",
+        left_types={"a": pa.int64(), "b": pa.int64()},
+        right_types={"a": pa.int64(), "ca": pa.int64()})
+
+    def epart(t: pa.Table) -> pa.Table:
+        c = t.column("ca").to_numpy(zero_copy_only=False)
+        u, k = np.unique(c, return_counts=True)
+        return pa.table({"c": pa.array(u, pa.int64()),
+                         "ec": pa.array(k.astype(np.int64),
+                                        pa.int64())})
+
+    ec = hash_agg(e1.map_batches(epart, batch_format="pyarrow"),
+                  "c", [("ec", "sum", "ec")]).to_pandas()
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]),
+                                          pa.int64())})
+
+    degs = hash_join(
+        edges.map_batches(sym, batch_format="pyarrow").map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "d": pa.array(np.ones(len(t), np.int64), pa.int64())}),
+            batch_format="pyarrow"),
+        comp, key="node", left_cols=["d"], right_cols=["component"],
+        how="inner",
+        left_types={"node": pa.int64(), "d": pa.int64()},
+        right_types={"node": pa.int64(), "component": pa.int64()})
+
+    def dpart(t: pa.Table) -> pa.Table:
+        c = t.column("component").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(c, return_inverse=True)
+        return pa.table({"c": pa.array(u, pa.int64()),
+                         "dc": pa.array(np.bincount(
+                             inv, weights=d, minlength=len(u))
+                             .astype(np.int64), pa.int64())})
+
+    dc = hash_agg(degs.map_batches(dpart, batch_format="pyarrow"),
+                  "c", [("dc", "sum", "dc")]).to_pandas()
+
+    m = int(ec["ec"].sum())
+    merged = ec.set_index("c").join(dc.set_index("c"), how="outer") \
+        .fillna(0).astype("int64")
+    q_num = int((4 * m * merged["ec"] - merged["dc"] ** 2).sum())
+    return pd.DataFrame([{
+        "n_edges": m, "n_components": len(merged),
+        "q_num": q_num, "q_den": 4 * m * m}]).astype("int64")
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16301,6 +16389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "good_turing": q_good_turing,
         "join_order_costs": q_join_order_costs,
         "shapley_coverage": q_shapley_coverage,
+        "modularity": q_modularity,
     }
 
 
@@ -19839,4 +19928,5 @@ def oracle_sql() -> dict[str, str]:
         "good_turing": "WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents), tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1) SELECT f.r, f.n_r, CAST((f.r + 1) * COALESCE(f2.n_r, 0) AS BIGINT) AS gt_num, f.n_r AS gt_den FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1 ORDER BY f.r",
         "join_order_costs": "WITH s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS nc, (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS dcc, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS no_, (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS doc_, (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS doo, (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nl, (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dlo), x AS (SELECT *, (nc * no_) // greatest(dcc, doc_) AS n1a, (nl * no_) // greatest(dlo, doo) AS n1b FROM s), y AS (SELECT *, n1a + (n1a * nl) // greatest(least(doo, n1a), dlo) AS costa, n1b + (n1b * nc) // greatest(least(doc_, n1b), dcc) AS costb FROM x), r AS (SELECT 'C,O,L' AS join_order, costa AS cost FROM y UNION ALL SELECT 'O,C,L', costa FROM y UNION ALL SELECT 'L,O,C', costb FROM y UNION ALL SELECT 'O,L,C', costb FROM y) SELECT join_order, cost, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best FROM (SELECT *, row_number() OVER (ORDER BY cost, join_order) AS rn FROM r) ORDER BY join_order",
         "shapley_coverage": "WITH lx AS MATERIALIZED (SELECT lang, CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS li FROM (SELECT DISTINCT lang FROM documents)), tl AS MATERIALIZED (SELECT DISTINCT t.term, lx.li FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents) t JOIN lx USING (lang)), tm AS (SELECT term, CAST(sum(1 << li) AS BIGINT) AS mask FROM tl GROUP BY 1), mc AS MATERIALIZED (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM tm GROUP BY 1), subsets AS (SELECT CAST(t.i AS BIGINT) AS s FROM range(32) t(i)), vv AS MATERIALIZED (SELECT su.s, CAST(COALESCE(sum(CASE WHEN CAST(mc.mask AS BIGINT) & su.s <> 0 THEN mc.c ELSE 0 END), 0) AS BIGINT) AS v FROM subsets su CROSS JOIN mc GROUP BY 1), phi AS (SELECT l.lang, l.li, CAST(sum((CASE bit_count(su.s) WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 6 ELSE 24 END) * (v1.v - v0.v)) AS BIGINT) AS phi_num FROM lx l JOIN subsets su ON (su.s & (1 << l.li)) = 0 JOIN vv v0 ON v0.s = su.s JOIN vv v1 ON v1.s = (su.s | (1 << l.li)) GROUP BY 1, 2) SELECT p.lang, p.phi_num, CAST(120 AS BIGINT) AS phi_den, (SELECT v FROM vv WHERE s = (1 << p.li)) AS v_solo, (SELECT v FROM vv WHERE s = 31) AS v_all FROM phi p ORDER BY p.lang",
+        "modularity": "WITH RECURSIVE ui AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), prs AS (SELECT a.item AS ia, b.item AS ib FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2), ed AS MATERIALIZED (SELECT ia AS a, ib AS b FROM prs), sym AS MATERIALIZED (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed), nodes AS (SELECT DISTINCT a AS node FROM sym), reach(x, y) AS (SELECT node, node FROM nodes UNION SELECT r.x, s.b FROM reach r JOIN sym s ON s.a = r.y), comp AS MATERIALIZED (SELECT x AS node, CAST(min(y) AS BIGINT) AS c FROM reach GROUP BY 1), ecs AS (SELECT cp.c, CAST(count(*) AS BIGINT) AS ec FROM ed JOIN comp cp ON cp.node = ed.a GROUP BY 1), dcs AS (SELECT cp.c, CAST(count(*) AS BIGINT) AS dc FROM sym JOIN comp cp ON cp.node = sym.a GROUP BY 1), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed), q AS (SELECT CAST(sum(4 * (SELECT m FROM mm) * COALESCE(e.ec, 0) - d.dc * d.dc) AS BIGINT) AS qn FROM dcs d LEFT JOIN ecs e USING (c)) SELECT (SELECT m FROM mm) AS n_edges, (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM comp) AS n_components, q.qn AS q_num, 4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS q_den FROM q",
     }
