@@ -16026,6 +16026,60 @@ def q_modularity(sf_dir: str):
         "q_num": q_num, "q_den": 4 * m * m}]).astype("int64")
 
 
+def q_runs_test(sf_dir: str):
+    """WALD–WOLFOWITZ RUNS TEST for randomness of the daily revenue
+    series (the regime-shift screen before trend fitting): days are
+    marked above/below the series' lower median (ties → below,
+    documented), R = number of runs, z = (R − μ)/σ with the exact
+    textbook moments — integer (R, n1, n2) from the data, one float
+    composition mirrored verbatim in the SQL twin, rounded to nanos.
+    The corpus-scale part is the per-day revenue combiner; the series
+    itself is time-dimension-scale (the revenue_autocorr policy)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100)), pa.int64())
+        out = pa.table({"day": day, "rev": cents})
+        return out.group_by(["day"]).aggregate(
+            [("rev", "sum")]).rename_columns(["day", "rev"])
+
+    series = hash_agg(orders.map_batches(pre, batch_format="pyarrow"),
+                      "day", [("rev", "sum", "rev")]).to_pandas()
+    series = series.sort_values("day").reset_index(drop=True)
+    rev = series["rev"].to_numpy().astype(np.int64)
+    day = series["day"].to_numpy().astype(np.int64)
+    n = len(rev)
+    order = np.lexsort((day, rev))
+    med = int(rev[order[(n - 1) // 2]])
+    sign = rev > med
+    n1 = int(sign.sum())
+    n2 = n - n1
+    runs = 1 + int((sign[1:] != sign[:-1]).sum()) if n else 0
+    if n1 == 0 or n2 == 0 or n < 2:
+        z_nano = 0
+    else:
+        num = runs - (2.0 * n1 * n2 / n + 1.0)
+        den = math.sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n))
+                        / (n * n * (n - 1.0)))
+        z_nano = int(math.floor(num / den * 1e9 + 0.5))
+    return pd.DataFrame([{
+        "n_days": n, "n_above": n1, "n_below": n2,
+        "n_runs": runs, "z_nano": z_nano}]).astype("int64")
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16390,6 +16444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_order_costs": q_join_order_costs,
         "shapley_coverage": q_shapley_coverage,
         "modularity": q_modularity,
+        "runs_test": q_runs_test,
     }
 
 
@@ -19929,4 +19984,5 @@ def oracle_sql() -> dict[str, str]:
         "join_order_costs": "WITH s AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS nc, (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS dcc, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS no_, (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS doc_, (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS doo, (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nl, (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dlo), x AS (SELECT *, (nc * no_) // greatest(dcc, doc_) AS n1a, (nl * no_) // greatest(dlo, doo) AS n1b FROM s), y AS (SELECT *, n1a + (n1a * nl) // greatest(least(doo, n1a), dlo) AS costa, n1b + (n1b * nc) // greatest(least(doc_, n1b), dcc) AS costb FROM x), r AS (SELECT 'C,O,L' AS join_order, costa AS cost FROM y UNION ALL SELECT 'O,C,L', costa FROM y UNION ALL SELECT 'L,O,C', costb FROM y UNION ALL SELECT 'O,L,C', costb FROM y) SELECT join_order, cost, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best FROM (SELECT *, row_number() OVER (ORDER BY cost, join_order) AS rn FROM r) ORDER BY join_order",
         "shapley_coverage": "WITH lx AS MATERIALIZED (SELECT lang, CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS li FROM (SELECT DISTINCT lang FROM documents)), tl AS MATERIALIZED (SELECT DISTINCT t.term, lx.li FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents) t JOIN lx USING (lang)), tm AS (SELECT term, CAST(sum(1 << li) AS BIGINT) AS mask FROM tl GROUP BY 1), mc AS MATERIALIZED (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM tm GROUP BY 1), subsets AS (SELECT CAST(t.i AS BIGINT) AS s FROM range(32) t(i)), vv AS MATERIALIZED (SELECT su.s, CAST(COALESCE(sum(CASE WHEN CAST(mc.mask AS BIGINT) & su.s <> 0 THEN mc.c ELSE 0 END), 0) AS BIGINT) AS v FROM subsets su CROSS JOIN mc GROUP BY 1), phi AS (SELECT l.lang, l.li, CAST(sum((CASE bit_count(su.s) WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 6 ELSE 24 END) * (v1.v - v0.v)) AS BIGINT) AS phi_num FROM lx l JOIN subsets su ON (su.s & (1 << l.li)) = 0 JOIN vv v0 ON v0.s = su.s JOIN vv v1 ON v1.s = (su.s | (1 << l.li)) GROUP BY 1, 2) SELECT p.lang, p.phi_num, CAST(120 AS BIGINT) AS phi_den, (SELECT v FROM vv WHERE s = (1 << p.li)) AS v_solo, (SELECT v FROM vv WHERE s = 31) AS v_all FROM phi p ORDER BY p.lang",
         "modularity": "WITH RECURSIVE ui AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), prs AS (SELECT a.item AS ia, b.item AS ib FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2), ed AS MATERIALIZED (SELECT ia AS a, ib AS b FROM prs), sym AS MATERIALIZED (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed), nodes AS (SELECT DISTINCT a AS node FROM sym), reach(x, y) AS (SELECT node, node FROM nodes UNION SELECT r.x, s.b FROM reach r JOIN sym s ON s.a = r.y), comp AS MATERIALIZED (SELECT x AS node, CAST(min(y) AS BIGINT) AS c FROM reach GROUP BY 1), ecs AS (SELECT cp.c, CAST(count(*) AS BIGINT) AS ec FROM ed JOIN comp cp ON cp.node = ed.a GROUP BY 1), dcs AS (SELECT cp.c, CAST(count(*) AS BIGINT) AS dc FROM sym JOIN comp cp ON cp.node = sym.a GROUP BY 1), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed), q AS (SELECT CAST(sum(4 * (SELECT m FROM mm) * COALESCE(e.ec, 0) - d.dc * d.dc) AS BIGINT) AS qn FROM dcs d LEFT JOIN ecs e USING (c)) SELECT (SELECT m FROM mm) AS n_edges, (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM comp) AS n_components, q.qn AS q_num, 4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS q_den FROM q",
+        "runs_test": 'WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), md AS (SELECT rev AS med FROM (SELECT rev, row_number() OVER (ORDER BY rev, day) AS rn, count(*) OVER () AS n FROM d) WHERE rn = (n - 1) // 2 + 1), sg AS (SELECT day, CASE WHEN rev > (SELECT med FROM md) THEN 1 ELSE 0 END AS s, LAG(CASE WHEN rev > (SELECT med FROM md) THEN 1 ELSE 0 END) OVER (ORDER BY day) AS ps FROM d), st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1, CAST(count(*) - sum(s) AS BIGINT) AS n2, CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 ELSE 0 END) AS BIGINT) AS r FROM sg) SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs, CAST(CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN 0 ELSE floor((r - (2.0 * n1 * n2 / n + 1.0)) / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))) * 1000000000 + 0.5) END AS BIGINT) AS z_nano FROM st',
     }

@@ -59,7 +59,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "join_cardinality_model", "oov_rate", "pps_systematic",
         "hill_tail", "gini_split", "term_burstiness",
         "coverage_select", "curation_pipeline", "good_turing",
-        "join_order_costs", "shapley_coverage", "modularity"]
+        "join_order_costs", "shapley_coverage", "modularity",
+        "runs_test"]
 
 
 @pytest.fixture(scope="module")
