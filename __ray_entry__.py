@@ -16080,6 +16080,107 @@ def q_runs_test(sf_dir: str):
         "n_runs": runs, "z_nano": z_nano}]).astype("int64")
 
 
+def q_heaps_fit(sf_dir: str):
+    """HEAPS'-LAW FIT V = K·Nᵝ over the word-trigram growth curve
+    (q_vocab_growth's diagnostic turned into the two sizing constants):
+    per 50-doc bucket, cumulative trigram OCCURRENCES N and cumulative
+    distinct vocabulary V (per-trigram min-doc exchange), then log-log
+    OLS with per-point nano logs and exact integer sums (the
+    zipf_slope idiom) — β is scale-free in the nano logs; ln K comes
+    back in nanos. Output (n_points, beta_nano, logk_nano)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    W = 50
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def trigrams(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        ntok = len(flat)
+        if ntok < 3:
+            return pa.table({"ng": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64())})
+        parts = [flat.slice(i, ntok - 2) for i in range(3)]
+        ngrams = pc.binary_join_element_wise(*parts, " ")
+        pnp = parent.to_numpy(zero_copy_only=False)
+        same = pa.array(pnp[:ntok - 2] == pnp[2:])
+        ngrams = ngrams.filter(same)
+        ids = pc.cast(t.column("doc_id").take(
+            pa.array(pnp[:ntok - 2][same.to_numpy(
+                zero_copy_only=False)])), pa.int64())
+        return pa.table({"ng": ngrams, "doc_id": ids})
+
+    tg = docs.map_batches(trigrams, batch_format="pyarrow") \
+        .materialize()
+
+    def occ_part(t: pa.Table) -> pa.Table:
+        b = t.column("doc_id").to_numpy(zero_copy_only=False) // W
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())})
+
+    occ = hash_agg(tg.map_batches(occ_part, batch_format="pyarrow"),
+                   "b", [("c", "sum", "c")]).to_pandas()
+
+    def md_part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["ng"]).aggregate([("doc_id", "min")])
+        return pa.table({"ng": g.column("ng"),
+                         "md": pc.cast(g.column("doc_id_min"),
+                                       pa.int64())})
+
+    firsts = hash_agg(tg.map_batches(md_part, batch_format="pyarrow"),
+                      "ng", [("md", "min", "md")])
+
+    def vb_part(t: pa.Table) -> pa.Table:
+        b = t.column("md").to_numpy(zero_copy_only=False) // W
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(u, pa.int64()),
+                         "v": pa.array(c.astype(np.int64), pa.int64())})
+
+    vb = hash_agg(firsts.map_batches(vb_part, batch_format="pyarrow"),
+                  "b", [("v", "sum", "v")]).to_pandas()
+
+    merged = occ.set_index("b").join(vb.set_index("b"), how="outer") \
+        .fillna(0).astype("int64").sort_index()
+    cn = merged["c"].cumsum().to_numpy()
+    cv = merged["v"].cumsum().to_numpy()
+    keep = (cn > 0) & (cv > 0)
+    x = np.floor(np.log(cn[keep].astype(np.float64)) * 1e9
+                 + 0.5).astype(np.int64)
+    y = np.floor(np.log(cv[keep].astype(np.float64)) * 1e9
+                 + 0.5).astype(np.int64)
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = sum(int(a) * int(a) for a in x)
+    sxy = sum(int(a) * int(b_) for a, b_ in zip(x, y))
+    beta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    beta_nano = int(math.floor(beta * 1e9 + 0.5))
+    logk_nano = int(math.floor((sy - beta * sx) / n + 0.5))
+    return pd.DataFrame([{"n_points": n, "beta_nano": beta_nano,
+                          "logk_nano": logk_nano}]).astype("int64")
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16445,6 +16546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shapley_coverage": q_shapley_coverage,
         "modularity": q_modularity,
         "runs_test": q_runs_test,
+        "heaps_fit": q_heaps_fit,
     }
 
 
@@ -19985,4 +20087,5 @@ def oracle_sql() -> dict[str, str]:
         "shapley_coverage": "WITH lx AS MATERIALIZED (SELECT lang, CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS li FROM (SELECT DISTINCT lang FROM documents)), tl AS MATERIALIZED (SELECT DISTINCT t.term, lx.li FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')) AS term FROM documents) t JOIN lx USING (lang)), tm AS (SELECT term, CAST(sum(1 << li) AS BIGINT) AS mask FROM tl GROUP BY 1), mc AS MATERIALIZED (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM tm GROUP BY 1), subsets AS (SELECT CAST(t.i AS BIGINT) AS s FROM range(32) t(i)), vv AS MATERIALIZED (SELECT su.s, CAST(COALESCE(sum(CASE WHEN CAST(mc.mask AS BIGINT) & su.s <> 0 THEN mc.c ELSE 0 END), 0) AS BIGINT) AS v FROM subsets su CROSS JOIN mc GROUP BY 1), phi AS (SELECT l.lang, l.li, CAST(sum((CASE bit_count(su.s) WHEN 0 THEN 24 WHEN 1 THEN 6 WHEN 2 THEN 4 WHEN 3 THEN 6 ELSE 24 END) * (v1.v - v0.v)) AS BIGINT) AS phi_num FROM lx l JOIN subsets su ON (su.s & (1 << l.li)) = 0 JOIN vv v0 ON v0.s = su.s JOIN vv v1 ON v1.s = (su.s | (1 << l.li)) GROUP BY 1, 2) SELECT p.lang, p.phi_num, CAST(120 AS BIGINT) AS phi_den, (SELECT v FROM vv WHERE s = (1 << p.li)) AS v_solo, (SELECT v FROM vv WHERE s = 31) AS v_all FROM phi p ORDER BY p.lang",
         "modularity": "WITH RECURSIVE ui AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), prs AS (SELECT a.item AS ia, b.item AS ib FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2), ed AS MATERIALIZED (SELECT ia AS a, ib AS b FROM prs), sym AS MATERIALIZED (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed), nodes AS (SELECT DISTINCT a AS node FROM sym), reach(x, y) AS (SELECT node, node FROM nodes UNION SELECT r.x, s.b FROM reach r JOIN sym s ON s.a = r.y), comp AS MATERIALIZED (SELECT x AS node, CAST(min(y) AS BIGINT) AS c FROM reach GROUP BY 1), ecs AS (SELECT cp.c, CAST(count(*) AS BIGINT) AS ec FROM ed JOIN comp cp ON cp.node = ed.a GROUP BY 1), dcs AS (SELECT cp.c, CAST(count(*) AS BIGINT) AS dc FROM sym JOIN comp cp ON cp.node = sym.a GROUP BY 1), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed), q AS (SELECT CAST(sum(4 * (SELECT m FROM mm) * COALESCE(e.ec, 0) - d.dc * d.dc) AS BIGINT) AS qn FROM dcs d LEFT JOIN ecs e USING (c)) SELECT (SELECT m FROM mm) AS n_edges, (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM comp) AS n_components, q.qn AS q_num, 4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS q_den FROM q",
         "runs_test": 'WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), md AS (SELECT rev AS med FROM (SELECT rev, row_number() OVER (ORDER BY rev, day) AS rn, count(*) OVER () AS n FROM d) WHERE rn = (n - 1) // 2 + 1), sg AS (SELECT day, CASE WHEN rev > (SELECT med FROM md) THEN 1 ELSE 0 END AS s, LAG(CASE WHEN rev > (SELECT med FROM md) THEN 1 ELSE 0 END) OVER (ORDER BY day) AS ps FROM d), st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1, CAST(count(*) - sum(s) AS BIGINT) AS n2, CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 ELSE 0 END) AS BIGINT) AS r FROM sg) SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs, CAST(CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN 0 ELSE floor((r - (2.0 * n1 * n2 / n + 1.0)) / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))) * 1000000000 + 0.5) END AS BIGINT) AS z_nano FROM st',
+        "heaps_fit": "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), tg AS MATERIALIZED (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws) - 1, 1))]) AS ng FROM toks), occ AS (SELECT doc_id // 50 AS b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1), fs AS (SELECT ng, min(doc_id) AS md FROM tg GROUP BY 1), vb AS (SELECT md // 50 AS b, CAST(count(*) AS BIGINT) AS v FROM fs GROUP BY 1), grid AS (SELECT b FROM occ UNION SELECT b FROM vb), mg AS (SELECT g.b, COALESCE(o.c, 0) AS c, COALESCE(vb.v, 0) AS v FROM grid g LEFT JOIN occ o ON o.b = g.b LEFT JOIN vb ON vb.b = g.b), cum AS (SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cn, CAST(sum(v) OVER (ORDER BY b) AS BIGINT) AS cv FROM mg), pts AS (SELECT CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS x, CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS y FROM cum WHERE cn > 0 AND cv > 0), s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy FROM pts) SELECT n AS n_points, CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS beta_nano, CAST(floor((sy - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx AS DOUBLE) * sx) / n + 0.5) AS BIGINT) AS logk_nano FROM s",
     }
