@@ -245,7 +245,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "padding_waste", "rank_rbo", "clustering_coefficient",
              "markov_stationary", "join_cardinality_model", "oov_rate",
              "pps_systematic", "hill_tail", "gini_split",
-             "term_burstiness", "coverage_select", "curation_pipeline"]
+             "term_burstiness", "coverage_select", "curation_pipeline",
+             "good_turing", "join_order_costs", "shapley_coverage",
+             "modularity", "runs_test", "heaps_fit"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
