@@ -16181,6 +16181,59 @@ def q_heaps_fit(sf_dir: str):
                           "logk_nano": logk_nano}]).astype("int64")
 
 
+def q_lead_lag(sf_dir: str):
+    """LEAD–LAG cross-covariance scan between the daily view and
+    purchase count series (does engagement LEAD conversion, and by how
+    many days?): for every lag 0..7, the exact integer covariance
+    numerator n·Σxy − Σx·Σy of (views_t, purchases_{t+lag}) over the
+    overlapping days — emitted for ALL lags as integers (num, n_pairs)
+    so the argmax is the consumer's exact integer comparison, never a
+    float. One per-day combiner; the 8-lag sweep runs on the
+    time-dimension-scale series."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["ts", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()),
+                        86_400_000_000)
+        isv = pc.cast(pc.equal(t.column("event_type"), "view"),
+                      pa.int64())
+        isp = pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                      pa.int64())
+        out = pa.table({"day": day, "v": isv, "p": isp})
+        return out.group_by(["day"]).aggregate(
+            [("v", "sum"), ("p", "sum")]).rename_columns(
+            ["day", "v", "p"])
+
+    series = hash_agg(ev.map_batches(pre, batch_format="pyarrow"),
+                      "day", [("v", "sum", "v"), ("p", "sum", "p")]
+                      ).to_pandas().sort_values("day").reset_index(
+        drop=True)
+    day = series["day"].to_numpy().astype(np.int64)
+    v = series["v"].to_numpy().astype(np.int64)
+    p = series["p"].to_numpy().astype(np.int64)
+    # dense day grid (missing days = 0 counts), mirrors the SQL grid
+    lo, hi = int(day.min()), int(day.max())
+    grid = np.zeros((hi - lo + 1, 2), np.int64)
+    grid[day - lo, 0] = v
+    grid[day - lo, 1] = p
+    rows = []
+    for lag in range(8):
+        x = grid[:len(grid) - lag, 0]
+        y = grid[lag:, 1]
+        n = len(x)
+        num = n * int(x @ y) - int(x.sum()) * int(y.sum())
+        rows.append({"lag": lag, "n_pairs": n, "cov_num": num})
+    return pd.DataFrame(rows).astype("int64")
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16547,6 +16600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity": q_modularity,
         "runs_test": q_runs_test,
         "heaps_fit": q_heaps_fit,
+        "lead_lag": q_lead_lag,
     }
 
 
@@ -20088,4 +20142,5 @@ def oracle_sql() -> dict[str, str]:
         "modularity": "WITH RECURSIVE ui AS (SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events WHERE event_type = 'view'), prs AS (SELECT a.item AS ia, b.item AS ib FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2), ed AS MATERIALIZED (SELECT ia AS a, ib AS b FROM prs), sym AS MATERIALIZED (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed), nodes AS (SELECT DISTINCT a AS node FROM sym), reach(x, y) AS (SELECT node, node FROM nodes UNION SELECT r.x, s.b FROM reach r JOIN sym s ON s.a = r.y), comp AS MATERIALIZED (SELECT x AS node, CAST(min(y) AS BIGINT) AS c FROM reach GROUP BY 1), ecs AS (SELECT cp.c, CAST(count(*) AS BIGINT) AS ec FROM ed JOIN comp cp ON cp.node = ed.a GROUP BY 1), dcs AS (SELECT cp.c, CAST(count(*) AS BIGINT) AS dc FROM sym JOIN comp cp ON cp.node = sym.a GROUP BY 1), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed), q AS (SELECT CAST(sum(4 * (SELECT m FROM mm) * COALESCE(e.ec, 0) - d.dc * d.dc) AS BIGINT) AS qn FROM dcs d LEFT JOIN ecs e USING (c)) SELECT (SELECT m FROM mm) AS n_edges, (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM comp) AS n_components, q.qn AS q_num, 4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS q_den FROM q",
         "runs_test": 'WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), md AS (SELECT rev AS med FROM (SELECT rev, row_number() OVER (ORDER BY rev, day) AS rn, count(*) OVER () AS n FROM d) WHERE rn = (n - 1) // 2 + 1), sg AS (SELECT day, CASE WHEN rev > (SELECT med FROM md) THEN 1 ELSE 0 END AS s, LAG(CASE WHEN rev > (SELECT med FROM md) THEN 1 ELSE 0 END) OVER (ORDER BY day) AS ps FROM d), st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1, CAST(count(*) - sum(s) AS BIGINT) AS n2, CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 ELSE 0 END) AS BIGINT) AS r FROM sg) SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs, CAST(CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN 0 ELSE floor((r - (2.0 * n1 * n2 / n + 1.0)) / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))) * 1000000000 + 0.5) END AS BIGINT) AS z_nano FROM st',
         "heaps_fit": "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), tg AS MATERIALIZED (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws) - 1, 1))]) AS ng FROM toks), occ AS (SELECT doc_id // 50 AS b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1), fs AS (SELECT ng, min(doc_id) AS md FROM tg GROUP BY 1), vb AS (SELECT md // 50 AS b, CAST(count(*) AS BIGINT) AS v FROM fs GROUP BY 1), grid AS (SELECT b FROM occ UNION SELECT b FROM vb), mg AS (SELECT g.b, COALESCE(o.c, 0) AS c, COALESCE(vb.v, 0) AS v FROM grid g LEFT JOIN occ o ON o.b = g.b LEFT JOIN vb ON vb.b = g.b), cum AS (SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cn, CAST(sum(v) OVER (ORDER BY b) AS BIGINT) AS cv FROM mg), pts AS (SELECT CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS x, CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS y FROM cum WHERE cn > 0 AND cv > 0), s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy FROM pts) SELECT n AS n_points, CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS beta_nano, CAST(floor((sy - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx AS DOUBLE) * sx) / n + 0.5) AS BIGINT) AS logk_nano FROM s",
+        "lead_lag": "WITH RECURSIVE d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p FROM events GROUP BY 1), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d), grid(day) AS (SELECT lo FROM bounds UNION ALL SELECT day + 1 FROM grid WHERE day < (SELECT hi FROM bounds)), g AS MATERIALIZED (SELECT grid.day, COALESCE(d.v, 0) AS v, COALESCE(d.p, 0) AS p FROM grid LEFT JOIN d USING (day)), lags AS (SELECT CAST(t.i AS BIGINT) AS lag FROM range(8) t(i)), pr AS (SELECT l.lag, a.v AS x, b.p AS y FROM lags l JOIN g a ON TRUE JOIN g b ON b.day = a.day + l.lag), s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy FROM pr GROUP BY 1) SELECT lag, n AS n_pairs, n * sxy - sx * sy AS cov_num FROM s ORDER BY lag",
     }
