@@ -16234,6 +16234,52 @@ def q_lead_lag(sf_dir: str):
     return pd.DataFrame(rows).astype("int64")
 
 
+def q_video_framesample(sf_dir: str):
+    """VIDEO frame-sampling plumbing, end-to-end through the driver
+    surface (the video twin of audio_metadata): one deterministic video
+    ref per doc → fetch_media_stub synthesizes the payload + md5-seeded
+    duration → stages/multimodal.VideoFrameSampler (actor pool,
+    fake frames behind the decoder injection seam — no offline video
+    codec exists) samples every 5th frame of the 25 fps stream. The
+    SAMPLING SCHEDULE columns (n_frames, n_sampled, first/last index)
+    are pure arithmetic on the md5-derived duration, re-derived
+    independently by the SQL twin; frame-content features stay in the
+    pytest that injects a real decoder callable."""
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.multimodal import (
+        VideoFrameSampler, fetch_media_stub)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_refs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "media_ref": pa.array(
+                [f"https://media.example/{i}/clip-0.mp4"
+                 for i in ids], pa.string()),
+            "kind": pa.array(["video"] * len(ids), pa.string())})
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        media = fetch_media_stub(batch)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "media_ref": media.column("media_ref"),
+                         "payload": media.column("payload"),
+                         "duration_ms": media.column("duration_ms")})
+
+    sampled = docs.map_batches(to_refs, batch_format="pyarrow") \
+        .map_batches(fetch, batch_format="pyarrow") \
+        .map_batches(VideoFrameSampler, batch_format="pyarrow",
+                     fn_constructor_kwargs={"fake": True},
+                     batch_size=256, concurrency=(1, 8))
+    return sampled.map_batches(
+        lambda t: t.select(["doc_id", "media_ref", "duration_ms",
+                            "n_frames", "n_sampled", "first_idx",
+                            "last_idx"]),
+        batch_format="pyarrow").sort("doc_id")
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16601,6 +16647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "runs_test": q_runs_test,
         "heaps_fit": q_heaps_fit,
         "lead_lag": q_lead_lag,
+        "video_framesample": q_video_framesample,
     }
 
 
@@ -20143,4 +20190,5 @@ def oracle_sql() -> dict[str, str]:
         "runs_test": 'WITH d AS (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), md AS (SELECT rev AS med FROM (SELECT rev, row_number() OVER (ORDER BY rev, day) AS rn, count(*) OVER () AS n FROM d) WHERE rn = (n - 1) // 2 + 1), sg AS (SELECT day, CASE WHEN rev > (SELECT med FROM md) THEN 1 ELSE 0 END AS s, LAG(CASE WHEN rev > (SELECT med FROM md) THEN 1 ELSE 0 END) OVER (ORDER BY day) AS ps FROM d), st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1, CAST(count(*) - sum(s) AS BIGINT) AS n2, CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 ELSE 0 END) AS BIGINT) AS r FROM sg) SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs, CAST(CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 THEN 0 ELSE floor((r - (2.0 * n1 * n2 / n + 1.0)) / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))) * 1000000000 + 0.5) END AS BIGINT) AS z_nano FROM st',
         "heaps_fit": "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), tg AS MATERIALIZED (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws) - 1, 1))]) AS ng FROM toks), occ AS (SELECT doc_id // 50 AS b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1), fs AS (SELECT ng, min(doc_id) AS md FROM tg GROUP BY 1), vb AS (SELECT md // 50 AS b, CAST(count(*) AS BIGINT) AS v FROM fs GROUP BY 1), grid AS (SELECT b FROM occ UNION SELECT b FROM vb), mg AS (SELECT g.b, COALESCE(o.c, 0) AS c, COALESCE(vb.v, 0) AS v FROM grid g LEFT JOIN occ o ON o.b = g.b LEFT JOIN vb ON vb.b = g.b), cum AS (SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cn, CAST(sum(v) OVER (ORDER BY b) AS BIGINT) AS cv FROM mg), pts AS (SELECT CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS x, CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS y FROM cum WHERE cn > 0 AND cv > 0), s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy FROM pts) SELECT n AS n_points, CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS beta_nano, CAST(floor((sy - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx AS DOUBLE) * sx) / n + 0.5) AS BIGINT) AS logk_nano FROM s",
         "lead_lag": "WITH RECURSIVE d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p FROM events GROUP BY 1), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d), grid(day) AS (SELECT lo FROM bounds UNION ALL SELECT day + 1 FROM grid WHERE day < (SELECT hi FROM bounds)), g AS MATERIALIZED (SELECT grid.day, COALESCE(d.v, 0) AS v, COALESCE(d.p, 0) AS p FROM grid LEFT JOIN d USING (day)), lags AS (SELECT CAST(t.i AS BIGINT) AS lag FROM range(8) t(i)), pr AS (SELECT l.lag, a.v AS x, b.p AS y FROM lags l JOIN g a ON TRUE JOIN g b ON b.day = a.day + l.lag), s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy FROM pr GROUP BY 1) SELECT lag, n AS n_pairs, n * sxy - sx * sy AS cov_num FROM s ORDER BY lag",
+        "video_framesample": "WITH r AS (SELECT doc_id, 'https://media.example/' || doc_id || '/clip-0.mp4' AS media_ref FROM documents), d AS (SELECT doc_id, media_ref, 1000 + CAST(concat('0x', substr(md5(media_ref), 5, 2)) AS INTEGER) * 37 AS dur FROM r), f AS (SELECT doc_id, media_ref, dur, (dur * 25) // 1000 AS nf FROM d) SELECT doc_id, media_ref, CAST(dur AS BIGINT) AS duration_ms, CAST(nf AS BIGINT) AS n_frames, CAST(CASE WHEN nf > 0 THEN (nf + 4) // 5 ELSE 0 END AS BIGINT) AS n_sampled, CAST(CASE WHEN nf > 0 THEN 0 ELSE -1 END AS BIGINT) AS first_idx, CAST(CASE WHEN nf > 0 THEN ((nf - 1) // 5) * 5 ELSE -1 END AS BIGINT) AS last_idx FROM f ORDER BY doc_id",
     }

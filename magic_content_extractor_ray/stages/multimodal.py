@@ -355,6 +355,61 @@ class AudioFrameSampler:
             "frame_offsets_ms", pa.array(offsets, pa.list_(pa.int32())))
 
 
+class VideoFrameSampler:
+    """Actor-pool VIDEO frame-sampling stage: every ``every``-th frame
+    of a ``fps`` stream, with the decode behind an injection seam —
+    ``decoder(payload) -> (n_frames, h, w, 3) uint8`` when a real codec
+    is available (none exists offline: without one and with
+    ``fake=False`` this raises, the honest stub), ``fake=True``
+    synthesizes deterministic frames seeded from the payload so the
+    Ray-side plumbing (schema, batching, actor signature, output
+    layout) is real and tested. The SAMPLING SCHEDULE — n_frames =
+    duration·fps//1000, indices 0, every, 2·every, … — is pure
+    arithmetic on the md5-derived duration, so the driver query checks
+    it against an independent SQL restatement (the audio_metadata
+    idiom); frame content features stay pytest-only."""
+
+    def __init__(self, decoder=None, fake: bool = False,
+                 fps: int = 25, every: int = 5):
+        self.decoder = decoder
+        self.fake = fake
+        self.fps = fps
+        self.every = every
+
+    def _frames(self, payload: bytes, dur_ms: int) -> np.ndarray:
+        if self.decoder is not None:
+            return np.asarray(self.decoder(payload), dtype=np.uint8)
+        if not self.fake:
+            raise NotImplementedError(
+                "video decode requires ffmpeg/pyav; not available "
+                "offline — pass decoder= or fake=True")
+        n = dur_ms * self.fps // 1000
+        rng = np.random.RandomState(int.from_bytes(
+            hashlib.md5((payload or b"")[:16]).digest()[:4], "big"))
+        return rng.randint(0, 256, (max(n, 0), 4, 4, 3), np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        durs = batch.column("duration_ms").to_pylist()
+        nf, ns, fi, li, fm = [], [], [], [], []
+        for p, d in zip(payloads, durs):
+            frames = self._frames(p or b"", int(d))
+            n = len(frames)
+            idx = list(range(0, n, self.every))
+            nf.append(n)
+            ns.append(len(idx))
+            fi.append(idx[0] if idx else -1)
+            li.append(idx[-1] if idx else -1)
+            fm.append(float(frames[idx].mean()) if idx else 0.0)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("n_frames", pa.array(nf, pa.int64()))
+        out = out.append_column("n_sampled", pa.array(ns, pa.int64()))
+        out = out.append_column("first_idx", pa.array(fi, pa.int64()))
+        out = out.append_column("last_idx", pa.array(li, pa.int64()))
+        return out.append_column("frame_mean",
+                                 pa.array(fm, pa.float64()))
+
+
 def media_pipeline(docs_extracted_ds, *, fake: bool = True,
                    batch_size: int = 16):
     """Extracted docs → media table → fetch → decode/features.

@@ -4298,3 +4298,34 @@ def test_shapley_coverage_efficiency(ray_session):
     assert int(out["phi_num"].sum()) == 120 * int(out["v_all"].iloc[0])
     assert (out["phi_num"] >= 0).all()
     assert (out["phi_num"] <= 120 * out["v_solo"]).all()
+
+
+def test_video_framesampler_injected_decoder(ray_session):
+    """The decoder injection seam is real: a fake 'codec' callable
+    drives the same sampling math, and frame_mean comes from the
+    decoded frames (not the duration arithmetic)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.multimodal import (
+        VideoFrameSampler)
+
+    def codec(payload: bytes) -> np.ndarray:
+        n = payload[0]                      # frames from first byte
+        return np.full((n, 2, 2, 3), payload[1], np.uint8)
+
+    batch = pa.table({
+        "payload": pa.array([bytes([12, 100]), bytes([3, 7]),
+                             bytes([0, 0])], pa.binary()),
+        "duration_ms": pa.array([999, 999, 999], pa.int32())})
+    out = VideoFrameSampler(decoder=codec, every=5)(batch)
+    assert out.column("n_frames").to_pylist() == [12, 3, 0]
+    assert out.column("n_sampled").to_pylist() == [3, 1, 0]
+    assert out.column("first_idx").to_pylist() == [0, 0, -1]
+    assert out.column("last_idx").to_pylist() == [10, 0, -1]
+    assert out.column("frame_mean").to_pylist() == [100.0, 7.0, 0.0]
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler()(batch)          # honest stub without codec
