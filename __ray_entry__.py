@@ -16280,6 +16280,76 @@ def q_video_framesample(sf_dir: str):
         batch_format="pyarrow").sort("doc_id")
 
 
+def q_jonckheere(sf_dir: str):
+    """JONCKHEERE–TERPSTRA ordered-alternative trend test: does doc
+    length trend upward across sources taken in name order? J* = Σ over
+    ordered source pairs (i < j) of [#(x < y) pairs + ½·#ties],
+    reported doubled (j2 = 2·#less + #ties) so everything stays exact
+    integers; the null moments are the closed forms μ = (N² − Σnᵢ²)/4
+    and σ² = (N²(2N+3) − Σnᵢ²(2nᵢ+3))/72 (no-ties form, documented) —
+    z in nanos from one mirrored float composition. All pair counts
+    come from the per-(source, value) HISTOGRAM (the length_emd
+    machinery: O(distinct values) per pair, never row pairs)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["source", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "source": t.column("source"),
+            "v": pc.cast(t.column("n_chars"), pa.int64()),
+            "c": pa.array(np.ones(len(t), np.int64), pa.int64())})
+        return out.group_by(["source", "v"]).aggregate(
+            [("c", "sum")]).rename_columns(["source", "v", "c"])
+
+    hist = hash_agg(docs.map_batches(pre, batch_format="pyarrow"),
+                    "source", [("c", "sum", "c")],
+                    group_cols=["source", "v"]).to_pandas()
+
+    srcs = sorted(hist["source"].unique())
+    by_src = {}
+    for s in srcs:
+        g = hist[hist.source == s].sort_values("v")
+        by_src[s] = (g["v"].to_numpy().astype(np.int64),
+                     g["c"].to_numpy().astype(np.int64))
+    j2 = 0
+    for a in range(len(srcs)):
+        va, ca = by_src[srcs[a]]
+        for b in range(a + 1, len(srcs)):
+            vb, cb = by_src[srcs[b]]
+            # #(x < y): for each y value, count of a-values below it
+            cum_a = np.cumsum(ca)
+            below = np.searchsorted(va, vb, side="left")
+            less = int((np.where(below > 0, cum_a[below - 1], 0)
+                        * cb).sum())
+            eq_idx = np.searchsorted(va, vb, side="left")
+            eq_mask = (eq_idx < len(va)) & (va[np.minimum(
+                eq_idx, len(va) - 1)] == vb)
+            ties = int((np.where(eq_mask, ca[np.minimum(
+                eq_idx, len(va) - 1)], 0) * cb).sum())
+            j2 += 2 * less + ties
+    n_i = np.array([int(c.sum()) for _, c in by_src.values()],
+                   dtype=np.int64)
+    n = int(n_i.sum())
+    sum_sq = int((n_i * n_i).sum())
+    sum_cu = int((n_i * n_i * (2 * n_i + 3)).sum())
+    mu2 = (n * n - sum_sq) // 2          # 2·μ (exact: N²−Σn² is even)
+    var = (n * n * (2 * n + 3) - sum_cu) / 72.0
+    z = ((j2 - mu2) / 2.0) / math.sqrt(var)
+    z_nano = int(math.floor(z * 1e9 + 0.5))
+    return pd.DataFrame([{
+        "n": n, "k_groups": len(srcs), "j2": j2, "mu2": mu2,
+        "z_nano": z_nano}]).astype("int64")
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16648,6 +16718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_fit": q_heaps_fit,
         "lead_lag": q_lead_lag,
         "video_framesample": q_video_framesample,
+        "jonckheere": q_jonckheere,
     }
 
 
@@ -20191,4 +20262,5 @@ def oracle_sql() -> dict[str, str]:
         "heaps_fit": "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), tg AS MATERIALIZED (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws) - 1, 1))]) AS ng FROM toks), occ AS (SELECT doc_id // 50 AS b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1), fs AS (SELECT ng, min(doc_id) AS md FROM tg GROUP BY 1), vb AS (SELECT md // 50 AS b, CAST(count(*) AS BIGINT) AS v FROM fs GROUP BY 1), grid AS (SELECT b FROM occ UNION SELECT b FROM vb), mg AS (SELECT g.b, COALESCE(o.c, 0) AS c, COALESCE(vb.v, 0) AS v FROM grid g LEFT JOIN occ o ON o.b = g.b LEFT JOIN vb ON vb.b = g.b), cum AS (SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cn, CAST(sum(v) OVER (ORDER BY b) AS BIGINT) AS cv FROM mg), pts AS (SELECT CAST(floor(ln(CAST(cn AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS x, CAST(floor(ln(CAST(cv AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS y FROM cum WHERE cn > 0 AND cv > 0), s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy FROM pts) SELECT n AS n_points, CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS beta_nano, CAST(floor((sy - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / CAST(n * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * sx AS DOUBLE) * sx) / n + 0.5) AS BIGINT) AS logk_nano FROM s",
         "lead_lag": "WITH RECURSIVE d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p FROM events GROUP BY 1), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d), grid(day) AS (SELECT lo FROM bounds UNION ALL SELECT day + 1 FROM grid WHERE day < (SELECT hi FROM bounds)), g AS MATERIALIZED (SELECT grid.day, COALESCE(d.v, 0) AS v, COALESCE(d.p, 0) AS p FROM grid LEFT JOIN d USING (day)), lags AS (SELECT CAST(t.i AS BIGINT) AS lag FROM range(8) t(i)), pr AS (SELECT l.lag, a.v AS x, b.p AS y FROM lags l JOIN g a ON TRUE JOIN g b ON b.day = a.day + l.lag), s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy FROM pr GROUP BY 1) SELECT lag, n AS n_pairs, n * sxy - sx * sy AS cov_num FROM s ORDER BY lag",
         "video_framesample": "WITH r AS (SELECT doc_id, 'https://media.example/' || doc_id || '/clip-0.mp4' AS media_ref FROM documents), d AS (SELECT doc_id, media_ref, 1000 + CAST(concat('0x', substr(md5(media_ref), 5, 2)) AS INTEGER) * 37 AS dur FROM r), f AS (SELECT doc_id, media_ref, dur, (dur * 25) // 1000 AS nf FROM d) SELECT doc_id, media_ref, CAST(dur AS BIGINT) AS duration_ms, CAST(nf AS BIGINT) AS n_frames, CAST(CASE WHEN nf > 0 THEN (nf + 4) // 5 ELSE 0 END AS BIGINT) AS n_sampled, CAST(CASE WHEN nf > 0 THEN 0 ELSE -1 END AS BIGINT) AS first_idx, CAST(CASE WHEN nf > 0 THEN ((nf - 1) // 5) * 5 ELSE -1 END AS BIGINT) AS last_idx FROM f ORDER BY doc_id",
+        "jonckheere": 'WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), pr AS (SELECT a.v AS va, a.c AS ca, b.v AS vb, b.c AS cb FROM h a JOIN h b ON a.source < b.source), j AS (SELECT CAST(sum(CASE WHEN va < vb THEN 2 * ca * cb WHEN va = vb THEN ca * cb ELSE 0 END) AS BIGINT) AS j2 FROM pr), ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ni FROM h GROUP BY 1), s AS (SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ni * ni) AS BIGINT) AS ssq, CAST(sum(ni * ni * (2 * ni + 3)) AS BIGINT) AS scu, CAST(count(*) AS BIGINT) AS k FROM ns) SELECT s.n, s.k AS k_groups, j.j2, (s.n * s.n - s.ssq) // 2 AS mu2, CAST(floor(((j.j2 - (s.n * s.n - s.ssq) // 2) / 2.0) / sqrt(CAST(s.n * s.n * (2 * s.n + 3) - s.scu AS DOUBLE) / 72.0) * 1000000000 + 0.5) AS BIGINT) AS z_nano FROM s, j',
     }

@@ -60,7 +60,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "hill_tail", "gini_split", "term_burstiness",
         "coverage_select", "curation_pipeline", "good_turing",
         "join_order_costs", "shapley_coverage", "modularity",
-        "runs_test", "heaps_fit", "lead_lag", "video_framesample"]
+        "runs_test", "heaps_fit", "lead_lag", "video_framesample",
+        "jonckheere"]
 
 
 @pytest.fixture(scope="module")

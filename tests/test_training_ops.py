@@ -4329,3 +4329,25 @@ def test_video_framesampler_injected_decoder(ray_session):
 
     with pytest.raises(NotImplementedError):
         VideoFrameSampler()(batch)          # honest stub without codec
+
+
+def test_jonckheere_matches_bruteforce(ray_session):
+    """2J must equal the O(n²) pairwise count on the raw rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["jonckheere"](sf)
+    df = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["source", "n_chars"]).to_pandas()
+    srcs = sorted(df.source.unique())
+    j2 = 0
+    for i in range(len(srcs)):
+        a = df[df.source == srcs[i]]["n_chars"].to_numpy()
+        for k in range(i + 1, len(srcs)):
+            b = df[df.source == srcs[k]]["n_chars"].to_numpy()
+            j2 += 2 * int((a[:, None] < b[None, :]).sum()) \
+                + int((a[:, None] == b[None, :]).sum())
+    assert int(out["j2"].iloc[0]) == j2
