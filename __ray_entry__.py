@@ -16350,6 +16350,71 @@ def q_jonckheere(sf_dir: str):
         "z_nano": z_nano}]).astype("int64")
 
 
+def q_james_stein(sf_dir: str):
+    """JAMES–STEIN (positive-part) shrinkage of per-source mean doc
+    lengths toward the grand mean — the empirical-Bayes stabilizer for
+    small-sample per-slice statistics — formulated ENTIRELY on the
+    micro-integer grid so both engines agree bit-for-bit: per-source
+    means floor to micro units, the between-source spread S², the mean
+    squared standard error v̄, and the positive-part factor
+    F = max(0, S² − (k−3)·v̄) are exact integers, and the shrunk mean
+    is m̄ + trunc(F·(mᵢ−m̄)/S²) (TRUNCATING division — DuckDB's //
+    truncates toward zero on negatives, unlike Python's floor; the
+    Python side mirrors truncation). One combiner exchange carries the
+    (n, Σx, Σx²) sufficient stats; everything after is k-row driver
+    arithmetic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    M = 1_000_000
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["source", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column("n_chars"), pa.int64())
+        out = pa.table({"source": t.column("source"), "s": v,
+                        "q": pc.multiply(v, v),
+                        "n": pa.array(np.ones(len(t), np.int64),
+                                      pa.int64())})
+        return out.group_by(["source"]).aggregate(
+            [("s", "sum"), ("q", "sum"), ("n", "sum")]).rename_columns(
+            ["source", "s", "q", "n"])
+
+    st = hash_agg(docs.map_batches(pre, batch_format="pyarrow"),
+                  "source", [("s", "sum", "s"), ("q", "sum", "q"),
+                             ("n", "sum", "n")]).to_pandas()
+    st = st.sort_values("source").reset_index(drop=True)
+    k = len(st)
+    srcs = st["source"].tolist()
+    nn = [int(x) for x in st["n"]]
+    ss = [int(x) for x in st["s"]]
+    qq = [int(x) for x in st["q"]]
+
+    mi = [(M * s) // n for s, n in zip(ss, nn)]
+    mbar = sum(mi) // k
+    dev = [m - mbar for m in mi]
+    s2 = sum(d * d for d in dev)
+    vmi = [(M * M * (n * q - s * s)) // (n * n * n)
+           for n, s, q in zip(nn, ss, qq)]
+    vbar = sum(vmi) // k
+    f = max(0, s2 - (k - 3) * vbar)
+
+    def tdiv(a: int, b: int) -> int:      # truncating division
+        return -((-a) // b) if a < 0 else a // b
+
+    shrunk = [mbar + tdiv(f * d, s2) if s2 else mbar for d in dev]
+    return pd.DataFrame({
+        "source": srcs,
+        "n": pd.Series(nn, dtype="int64"),
+        "mean_micro": pd.Series(mi, dtype="int64"),
+        "shrunk_micro": pd.Series(shrunk, dtype="int64")})
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16719,6 +16784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lead_lag": q_lead_lag,
         "video_framesample": q_video_framesample,
         "jonckheere": q_jonckheere,
+        "james_stein": q_james_stein,
     }
 
 
@@ -20263,4 +20329,5 @@ def oracle_sql() -> dict[str, str]:
         "lead_lag": "WITH RECURSIVE d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p FROM events GROUP BY 1), bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d), grid(day) AS (SELECT lo FROM bounds UNION ALL SELECT day + 1 FROM grid WHERE day < (SELECT hi FROM bounds)), g AS MATERIALIZED (SELECT grid.day, COALESCE(d.v, 0) AS v, COALESCE(d.p, 0) AS p FROM grid LEFT JOIN d USING (day)), lags AS (SELECT CAST(t.i AS BIGINT) AS lag FROM range(8) t(i)), pr AS (SELECT l.lag, a.v AS x, b.p AS y FROM lags l JOIN g a ON TRUE JOIN g b ON b.day = a.day + l.lag), s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy FROM pr GROUP BY 1) SELECT lag, n AS n_pairs, n * sxy - sx * sy AS cov_num FROM s ORDER BY lag",
         "video_framesample": "WITH r AS (SELECT doc_id, 'https://media.example/' || doc_id || '/clip-0.mp4' AS media_ref FROM documents), d AS (SELECT doc_id, media_ref, 1000 + CAST(concat('0x', substr(md5(media_ref), 5, 2)) AS INTEGER) * 37 AS dur FROM r), f AS (SELECT doc_id, media_ref, dur, (dur * 25) // 1000 AS nf FROM d) SELECT doc_id, media_ref, CAST(dur AS BIGINT) AS duration_ms, CAST(nf AS BIGINT) AS n_frames, CAST(CASE WHEN nf > 0 THEN (nf + 4) // 5 ELSE 0 END AS BIGINT) AS n_sampled, CAST(CASE WHEN nf > 0 THEN 0 ELSE -1 END AS BIGINT) AS first_idx, CAST(CASE WHEN nf > 0 THEN ((nf - 1) // 5) * 5 ELSE -1 END AS BIGINT) AS last_idx FROM f ORDER BY doc_id",
         "jonckheere": 'WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), pr AS (SELECT a.v AS va, a.c AS ca, b.v AS vb, b.c AS cb FROM h a JOIN h b ON a.source < b.source), j AS (SELECT CAST(sum(CASE WHEN va < vb THEN 2 * ca * cb WHEN va = vb THEN ca * cb ELSE 0 END) AS BIGINT) AS j2 FROM pr), ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ni FROM h GROUP BY 1), s AS (SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ni * ni) AS BIGINT) AS ssq, CAST(sum(ni * ni * (2 * ni + 3)) AS BIGINT) AS scu, CAST(count(*) AS BIGINT) AS k FROM ns) SELECT s.n, s.k AS k_groups, j.j2, (s.n * s.n - s.ssq) // 2 AS mu2, CAST(floor(((j.j2 - (s.n * s.n - s.ssq) // 2) / 2.0) / sqrt(CAST(s.n * s.n * (2 * s.n + 3) - s.scu AS DOUBLE) / 72.0) * 1000000000 + 0.5) AS BIGINT) AS z_nano FROM s, j',
+        "james_stein": 'WITH st AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS s, CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS HUGEINT) AS q, CAST(count(*) AS HUGEINT) AS n FROM documents GROUP BY 1), mi AS (SELECT source, n, (1000000 * s) // n AS m, (CAST(1000000 AS HUGEINT) * 1000000 * (n * q - s * s)) // (n * n * n) AS vm FROM st), g AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(m) AS sm, sum(vm) AS svm FROM mi), g2 AS (SELECT k, sm // k AS mbar, svm // k AS vbar FROM g), s2t AS (SELECT CAST(sum((m - (SELECT mbar FROM g2)) * (m - (SELECT mbar FROM g2))) AS HUGEINT) AS s2 FROM mi), ft AS (SELECT greatest(CAST(0 AS HUGEINT), (SELECT s2 FROM s2t) - ((SELECT k FROM g2) - 3) * (SELECT vbar FROM g2)) AS f) SELECT source, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS mean_micro, CAST(CASE WHEN (SELECT s2 FROM s2t) = 0 THEN (SELECT mbar FROM g2) ELSE (SELECT mbar FROM g2) + ((SELECT f FROM ft) * (m - (SELECT mbar FROM g2))) // (SELECT s2 FROM s2t) END AS BIGINT) AS shrunk_micro FROM mi ORDER BY source',
     }

@@ -4351,3 +4351,18 @@ def test_jonckheere_matches_bruteforce(ray_session):
             j2 += 2 * int((a[:, None] < b[None, :]).sum()) \
                 + int((a[:, None] == b[None, :]).sum())
     assert int(out["j2"].iloc[0]) == j2
+
+
+def test_james_stein_shrinks_toward_grand_mean(ray_session):
+    """Every shrunk mean lies between its raw mean and the grand mean
+    (positive-part contraction), and extremes move the most."""
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["james_stein"]("/root/testdata/sf0.001")
+    mbar = int(out["mean_micro"].sum()) // len(out)
+    for r in out.itertuples(index=False):
+        lo, hi = sorted((r.mean_micro, mbar))
+        assert lo - 1 <= r.shrunk_micro <= hi + 1, r
+    raw_spread = out["mean_micro"].max() - out["mean_micro"].min()
+    new_spread = out["shrunk_micro"].max() - out["shrunk_micro"].min()
+    assert new_spread <= raw_spread
