@@ -16415,6 +16415,81 @@ def q_james_stein(sf_dir: str):
         "shrunk_micro": pd.Series(shrunk, dtype="int64")})
 
 
+def q_lttb_downsample(sf_dir: str):
+    """LARGEST-TRIANGLE-THREE-BUCKETS downsampling of the daily revenue
+    series (Steinarsson 2013 — the visualization downsampler): first
+    and last points kept, the interior split into 20 integer-bound
+    buckets, and each bucket contributes the point maximizing the
+    triangle area against the PREVIOUS pick and the NEXT bucket's
+    average — the sequential dependency that makes this a DP-flavored
+    op. Areas are compared as EXACT integers (the next-bucket average
+    rides as (Σx, Σy, den) and the 2·den-scaled cross product never
+    divides; ties → earlier day). The corpus-scale part is the per-day
+    revenue combiner; the 22-point sweep runs on the time-dimension
+    series (the runs_test policy). SQL twin: one pick per recursive-CTE
+    iteration."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    B = 20
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100)), pa.int64())
+        out = pa.table({"day": day, "rev": cents})
+        return out.group_by(["day"]).aggregate(
+            [("rev", "sum")]).rename_columns(["day", "rev"])
+
+    series = hash_agg(orders.map_batches(pre, batch_format="pyarrow"),
+                      "day", [("rev", "sum", "rev")]).to_pandas()
+    series = series.sort_values("day").reset_index(drop=True)
+    x = series["day"].to_numpy().astype(np.int64)
+    y = series["rev"].to_numpy().astype(np.int64)
+    m = len(x)
+
+    picks = [(int(x[0]), int(y[0]))]
+    if m > 2:
+        for b in range(B):
+            lo = 1 + b * (m - 2) // B
+            hi = 1 + (b + 1) * (m - 2) // B
+            if lo >= hi:
+                break
+            if b < B - 1:
+                nlo = 1 + (b + 1) * (m - 2) // B
+                nhi = 1 + (b + 2) * (m - 2) // B
+                sxn = int(x[nlo:nhi].sum())
+                syn = int(y[nlo:nhi].sum())
+                den = nhi - nlo
+                if den == 0:
+                    sxn, syn, den = int(x[m - 1]), int(y[m - 1]), 1
+            else:
+                sxn, syn, den = int(x[m - 1]), int(y[m - 1]), 1
+            pd_, pr_ = picks[-1]
+            best = None
+            for i in range(lo, hi):
+                a = abs((pd_ * den - sxn) * (int(y[i]) - pr_)
+                        - (pd_ - int(x[i])) * (syn - pr_ * den))
+                key = (-a, int(x[i]))
+                if best is None or key < best[0]:
+                    best = (key, (int(x[i]), int(y[i])))
+            picks.append(best[1])
+    if m > 1:
+        picks.append((int(x[m - 1]), int(y[m - 1])))
+    return pd.DataFrame({
+        "ord": pd.Series(range(len(picks)), dtype="int64"),
+        "day": pd.Series([p[0] for p in picks], dtype="int64"),
+        "rev": pd.Series([p[1] for p in picks], dtype="int64")})
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16785,6 +16860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_framesample": q_video_framesample,
         "jonckheere": q_jonckheere,
         "james_stein": q_james_stein,
+        "lttb_downsample": q_lttb_downsample,
     }
 
 
@@ -20330,4 +20406,5 @@ def oracle_sql() -> dict[str, str]:
         "video_framesample": "WITH r AS (SELECT doc_id, 'https://media.example/' || doc_id || '/clip-0.mp4' AS media_ref FROM documents), d AS (SELECT doc_id, media_ref, 1000 + CAST(concat('0x', substr(md5(media_ref), 5, 2)) AS INTEGER) * 37 AS dur FROM r), f AS (SELECT doc_id, media_ref, dur, (dur * 25) // 1000 AS nf FROM d) SELECT doc_id, media_ref, CAST(dur AS BIGINT) AS duration_ms, CAST(nf AS BIGINT) AS n_frames, CAST(CASE WHEN nf > 0 THEN (nf + 4) // 5 ELSE 0 END AS BIGINT) AS n_sampled, CAST(CASE WHEN nf > 0 THEN 0 ELSE -1 END AS BIGINT) AS first_idx, CAST(CASE WHEN nf > 0 THEN ((nf - 1) // 5) * 5 ELSE -1 END AS BIGINT) AS last_idx FROM f ORDER BY doc_id",
         "jonckheere": 'WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), pr AS (SELECT a.v AS va, a.c AS ca, b.v AS vb, b.c AS cb FROM h a JOIN h b ON a.source < b.source), j AS (SELECT CAST(sum(CASE WHEN va < vb THEN 2 * ca * cb WHEN va = vb THEN ca * cb ELSE 0 END) AS BIGINT) AS j2 FROM pr), ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ni FROM h GROUP BY 1), s AS (SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ni * ni) AS BIGINT) AS ssq, CAST(sum(ni * ni * (2 * ni + 3)) AS BIGINT) AS scu, CAST(count(*) AS BIGINT) AS k FROM ns) SELECT s.n, s.k AS k_groups, j.j2, (s.n * s.n - s.ssq) // 2 AS mu2, CAST(floor(((j.j2 - (s.n * s.n - s.ssq) // 2) / 2.0) / sqrt(CAST(s.n * s.n * (2 * s.n + 3) - s.scu AS DOUBLE) / 72.0) * 1000000000 + 0.5) AS BIGINT) AS z_nano FROM s, j',
         "james_stein": 'WITH st AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS s, CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS HUGEINT) AS q, CAST(count(*) AS HUGEINT) AS n FROM documents GROUP BY 1), mi AS (SELECT source, n, (1000000 * s) // n AS m, (CAST(1000000 AS HUGEINT) * 1000000 * (n * q - s * s)) // (n * n * n) AS vm FROM st), g AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(m) AS sm, sum(vm) AS svm FROM mi), g2 AS (SELECT k, sm // k AS mbar, svm // k AS vbar FROM g), s2t AS (SELECT CAST(sum((m - (SELECT mbar FROM g2)) * (m - (SELECT mbar FROM g2))) AS HUGEINT) AS s2 FROM mi), ft AS (SELECT greatest(CAST(0 AS HUGEINT), (SELECT s2 FROM s2t) - ((SELECT k FROM g2) - 3) * (SELECT vbar FROM g2)) AS f) SELECT source, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS mean_micro, CAST(CASE WHEN (SELECT s2 FROM s2t) = 0 THEN (SELECT mbar FROM g2) ELSE (SELECT mbar FROM g2) + ((SELECT f FROM ft) * (m - (SELECT mbar FROM g2))) // (SELECT s2 FROM s2t) END AS BIGINT) AS shrunk_micro FROM mi ORDER BY source',
+        "lttb_downsample": 'WITH RECURSIVE d AS MATERIALIZED (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), idx AS MATERIALIZED (SELECT day, rev, row_number() OVER (ORDER BY day) - 1 AS i FROM d), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM idx), sel(b, pd, pr) AS (SELECT CAST(-1 AS BIGINT), (SELECT day FROM idx WHERE i = 0), (SELECT rev FROM idx WHERE i = 0) UNION ALL SELECT nb, day, rev FROM (WITH cur AS (SELECT * FROM sel), st AS (SELECT cur.b + 1 AS nb, cur.pd, cur.pr, (SELECT m FROM mm) AS m FROM cur), cand AS (SELECT s.nb, s.pd, s.pr, s.m, i.day, i.rev FROM st s JOIN idx i ON i.i >= 1 + s.nb * (s.m - 2) // 20 AND i.i < 1 + (s.nb + 1) * (s.m - 2) // 20 WHERE s.nb < 20 AND s.m > 2), nxtb AS (SELECT s.nb, CAST(sum(i.day) AS BIGINT) AS sxn, CAST(sum(i.rev) AS BIGINT) AS syn, CAST(count(*) AS BIGINT) AS den FROM st s JOIN idx i ON i.i >= 1 + (s.nb + 1) * (s.m - 2) // 20 AND i.i < 1 + (s.nb + 2) * (s.m - 2) // 20 WHERE s.nb < 19 GROUP BY 1), anchor AS (SELECT s.nb, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.sxn ELSE (SELECT day FROM idx WHERE i = s.m - 1) END AS sxn, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.syn ELSE (SELECT rev FROM idx WHERE i = s.m - 1) END AS syn, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.den ELSE 1 END AS den FROM st s LEFT JOIN nxtb nx ON nx.nb = s.nb), scored AS (SELECT c.nb, c.day, c.rev, abs((c.pd * a.den - a.sxn) * (c.rev - c.pr) - (c.pd - c.day) * (a.syn - c.pr * a.den)) AS sc FROM cand c JOIN anchor a ON a.nb = c.nb) SELECT nb, day, rev FROM scored ORDER BY sc DESC, day LIMIT 1)), pts AS (SELECT b, pd AS day, pr AS rev FROM sel UNION ALL SELECT 99, (SELECT day FROM idx WHERE i = (SELECT m FROM mm) - 1), (SELECT rev FROM idx WHERE i = (SELECT m FROM mm) - 1) WHERE (SELECT m FROM mm) > 1) SELECT CAST(row_number() OVER (ORDER BY b) - 1 AS BIGINT) AS ord, day, rev FROM pts ORDER BY ord',
     }
