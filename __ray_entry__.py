@@ -16490,6 +16490,76 @@ def q_lttb_downsample(sf_dir: str):
         "rev": pd.Series([p[1] for p in picks], dtype="int64")})
 
 
+def q_sprt_crossing(sf_dir: str):
+    """WALD SPRT over the event stream (the sequential A/B stopping
+    rule): H₀ purchase-rate 0.2 vs H₁ 0.25, α = β = 0.05. Per-event
+    log-likelihood-ratio increments are HARDCODED nano integers
+    (+223143551 per purchase, −64538521 otherwise — precomputed once so
+    no runtime libm call can disagree), the running LLR is the
+    two-phase prefix-sum scan in (ts, event_id) order, and the verdict
+    is the FIRST row where the cumulative LLR exits
+    (−2944438979, +2944438979) = ±ln 19 — found distributed (per-batch
+    earliest-crossing candidates, driver final min). Output one row:
+    (decision, crossing_rank, cum_llr_nano) with decision 1 = accept
+    H₁, −1 = accept H₀, 0 = never crossed (rank −1)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.scan import keyed_prefix_sum
+
+    A, B_, UP = 223143551, -64538521, 2944438979
+
+    ev = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["ts", "event_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        isp = pc.equal(t.column("event_type"), "purchase")
+        llr = pc.if_else(isp, pa.scalar(A, pa.int64()),
+                         pa.scalar(B_, pa.int64()))
+        return pa.table({
+            "tsu": pc.cast(t.column("ts"), pa.int64()),
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "llr": llr,
+            "one": pa.array(np.ones(len(t), np.int64))})
+
+    base = ev.map_batches(pre, batch_format="pyarrow")
+    cum = keyed_prefix_sum(base, key_column="tsu", value_column="llr",
+                           tie_column="event_id", out_column="c0",
+                           bucket_width=86_400_000_000)
+    ranked = keyed_prefix_sum(
+        cum.map_batches(lambda df: df, batch_format="pandas"),
+        key_column="tsu", value_column="one", tie_column="event_id",
+        out_column="r0", bucket_width=86_400_000_000)
+
+    def crossers(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c0"].to_numpy(dtype="int64") + df["llr"].to_numpy(
+            dtype="int64")                      # inclusive cum
+        r = df["r0"].to_numpy(dtype="int64")
+        hit = (c >= UP) | (c <= -UP)
+        if not hit.any():
+            return pd.DataFrame({"r": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        j = int(r[hit].argmin())
+        rr = r[hit][j]
+        cc = c[hit][j]
+        return pd.DataFrame({"r": pd.Series([rr], dtype="int64"),
+                             "c": pd.Series([cc], dtype="int64")})
+
+    cands = ranked.map_batches(crossers,
+                               batch_format="pandas").to_pandas()
+    if len(cands):
+        row = cands.sort_values("r").iloc[0]
+        rank, c = int(row["r"]), int(row["c"])
+        decision = 1 if c >= UP else -1
+    else:
+        rank, c, decision = -1, 0, 0
+    return pd.DataFrame([{
+        "decision": decision, "crossing_rank": rank,
+        "cum_llr_nano": c}]).astype("int64")
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16861,6 +16931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jonckheere": q_jonckheere,
         "james_stein": q_james_stein,
         "lttb_downsample": q_lttb_downsample,
+        "sprt_crossing": q_sprt_crossing,
     }
 
 
@@ -20407,4 +20478,5 @@ def oracle_sql() -> dict[str, str]:
         "jonckheere": 'WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2), pr AS (SELECT a.v AS va, a.c AS ca, b.v AS vb, b.c AS cb FROM h a JOIN h b ON a.source < b.source), j AS (SELECT CAST(sum(CASE WHEN va < vb THEN 2 * ca * cb WHEN va = vb THEN ca * cb ELSE 0 END) AS BIGINT) AS j2 FROM pr), ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ni FROM h GROUP BY 1), s AS (SELECT CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ni * ni) AS BIGINT) AS ssq, CAST(sum(ni * ni * (2 * ni + 3)) AS BIGINT) AS scu, CAST(count(*) AS BIGINT) AS k FROM ns) SELECT s.n, s.k AS k_groups, j.j2, (s.n * s.n - s.ssq) // 2 AS mu2, CAST(floor(((j.j2 - (s.n * s.n - s.ssq) // 2) / 2.0) / sqrt(CAST(s.n * s.n * (2 * s.n + 3) - s.scu AS DOUBLE) / 72.0) * 1000000000 + 0.5) AS BIGINT) AS z_nano FROM s, j',
         "james_stein": 'WITH st AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS s, CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS HUGEINT) AS q, CAST(count(*) AS HUGEINT) AS n FROM documents GROUP BY 1), mi AS (SELECT source, n, (1000000 * s) // n AS m, (CAST(1000000 AS HUGEINT) * 1000000 * (n * q - s * s)) // (n * n * n) AS vm FROM st), g AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(m) AS sm, sum(vm) AS svm FROM mi), g2 AS (SELECT k, sm // k AS mbar, svm // k AS vbar FROM g), s2t AS (SELECT CAST(sum((m - (SELECT mbar FROM g2)) * (m - (SELECT mbar FROM g2))) AS HUGEINT) AS s2 FROM mi), ft AS (SELECT greatest(CAST(0 AS HUGEINT), (SELECT s2 FROM s2t) - ((SELECT k FROM g2) - 3) * (SELECT vbar FROM g2)) AS f) SELECT source, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS mean_micro, CAST(CASE WHEN (SELECT s2 FROM s2t) = 0 THEN (SELECT mbar FROM g2) ELSE (SELECT mbar FROM g2) + ((SELECT f FROM ft) * (m - (SELECT mbar FROM g2))) // (SELECT s2 FROM s2t) END AS BIGINT) AS shrunk_micro FROM mi ORDER BY source',
         "lttb_downsample": 'WITH RECURSIVE d AS MATERIALIZED (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), idx AS MATERIALIZED (SELECT day, rev, row_number() OVER (ORDER BY day) - 1 AS i FROM d), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM idx), sel(b, pd, pr) AS (SELECT CAST(-1 AS BIGINT), (SELECT day FROM idx WHERE i = 0), (SELECT rev FROM idx WHERE i = 0) UNION ALL SELECT nb, day, rev FROM (WITH cur AS (SELECT * FROM sel), st AS (SELECT cur.b + 1 AS nb, cur.pd, cur.pr, (SELECT m FROM mm) AS m FROM cur), cand AS (SELECT s.nb, s.pd, s.pr, s.m, i.day, i.rev FROM st s JOIN idx i ON i.i >= 1 + s.nb * (s.m - 2) // 20 AND i.i < 1 + (s.nb + 1) * (s.m - 2) // 20 WHERE s.nb < 20 AND s.m > 2), nxtb AS (SELECT s.nb, CAST(sum(i.day) AS BIGINT) AS sxn, CAST(sum(i.rev) AS BIGINT) AS syn, CAST(count(*) AS BIGINT) AS den FROM st s JOIN idx i ON i.i >= 1 + (s.nb + 1) * (s.m - 2) // 20 AND i.i < 1 + (s.nb + 2) * (s.m - 2) // 20 WHERE s.nb < 19 GROUP BY 1), anchor AS (SELECT s.nb, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.sxn ELSE (SELECT day FROM idx WHERE i = s.m - 1) END AS sxn, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.syn ELSE (SELECT rev FROM idx WHERE i = s.m - 1) END AS syn, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.den ELSE 1 END AS den FROM st s LEFT JOIN nxtb nx ON nx.nb = s.nb), scored AS (SELECT c.nb, c.day, c.rev, abs((c.pd * a.den - a.sxn) * (c.rev - c.pr) - (c.pd - c.day) * (a.syn - c.pr * a.den)) AS sc FROM cand c JOIN anchor a ON a.nb = c.nb) SELECT nb, day, rev FROM scored ORDER BY sc DESC, day LIMIT 1)), pts AS (SELECT b, pd AS day, pr AS rev FROM sel UNION ALL SELECT 99, (SELECT day FROM idx WHERE i = (SELECT m FROM mm) - 1), (SELECT rev FROM idx WHERE i = (SELECT m FROM mm) - 1) WHERE (SELECT m FROM mm) > 1) SELECT CAST(row_number() OVER (ORDER BY b) - 1 AS BIGINT) AS ord, day, rev FROM pts ORDER BY ord',
+        "sprt_crossing": "WITH e AS (SELECT epoch_us(ts) AS tsu, event_id, CASE WHEN event_type = 'purchase' THEN 223143551 ELSE -64538521 END AS llr FROM events), w AS (SELECT CAST(sum(llr) OVER (ORDER BY tsu, event_id) AS BIGINT) AS c, CAST(row_number() OVER (ORDER BY tsu, event_id) - 1 AS BIGINT) AS r FROM e), x AS (SELECT r, c FROM w WHERE c >= 2944438979 OR c <= -2944438979 ORDER BY r LIMIT 1) SELECT CAST(COALESCE(CASE WHEN (SELECT c FROM x) >= 2944438979 THEN 1 WHEN (SELECT c FROM x) <= -2944438979 THEN -1 END, 0) AS BIGINT) AS decision, CAST(COALESCE((SELECT r FROM x), -1) AS BIGINT) AS crossing_rank, CAST(COALESCE((SELECT c FROM x), 0) AS BIGINT) AS cum_llr_nano",
     }

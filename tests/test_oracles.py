@@ -61,7 +61,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "coverage_select", "curation_pipeline", "good_turing",
         "join_order_costs", "shapley_coverage", "modularity",
         "runs_test", "heaps_fit", "lead_lag", "video_framesample",
-        "jonckheere", "james_stein", "lttb_downsample"]
+        "jonckheere", "james_stein", "lttb_downsample",
+        "sprt_crossing"]
 
 
 @pytest.fixture(scope="module")
