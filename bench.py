@@ -247,7 +247,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "pps_systematic", "hill_tail", "gini_split",
              "term_burstiness", "coverage_select", "curation_pipeline",
              "good_turing", "join_order_costs", "shapley_coverage",
-             "modularity", "runs_test", "heaps_fit"]
+             "modularity", "runs_test", "heaps_fit", "lead_lag",
+             "video_framesample", "jonckheere", "james_stein",
+             "lttb_downsample", "sprt_crossing"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
