@@ -16560,6 +16560,56 @@ def q_sprt_crossing(sf_dir: str):
         "cum_llr_nano": c}]).astype("int64")
 
 
+def q_lis_revenue(sf_dir: str):
+    """LONGEST STRICTLY-INCREASING SUBSEQUENCE of the daily revenue
+    series (the monotone-regime probe; patience-sorting DP): output the
+    LIS length plus, for determinism, the lexicographically smallest
+    day sequence's END day — computed as the exact DP L[i] = 1 +
+    max L[j] over j < i with rev[j] < rev[i] (O(m²) on the
+    time-dimension series after the per-day combiner, the runs_test
+    policy; SQL twin does the identical DP via a recursive CTE over
+    rounds). Deterministic pick: among LIS-length ends, the earliest
+    day."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()),
+                        86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), 100)), pa.int64())
+        out = pa.table({"day": day, "rev": cents})
+        return out.group_by(["day"]).aggregate(
+            [("rev", "sum")]).rename_columns(["day", "rev"])
+
+    series = hash_agg(orders.map_batches(pre, batch_format="pyarrow"),
+                      "day", [("rev", "sum", "rev")]).to_pandas()
+    series = series.sort_values("day").reset_index(drop=True)
+    rev = series["rev"].to_numpy().astype(np.int64)
+    day = series["day"].to_numpy().astype(np.int64)
+    m = len(rev)
+    L = np.ones(m, np.int64)
+    for i in range(m):
+        better = rev[:i] < rev[i]
+        if better.any():
+            L[i] = 1 + int(L[:i][better].max())
+    if m:
+        best = int(L.max())
+        end_day = int(day[np.flatnonzero(L == best)[0]])
+    else:
+        best, end_day = 0, -1
+    return pd.DataFrame([{
+        "n_days": m, "lis_len": best, "end_day": end_day}]).astype(
+        "int64")
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16932,6 +16982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "james_stein": q_james_stein,
         "lttb_downsample": q_lttb_downsample,
         "sprt_crossing": q_sprt_crossing,
+        "lis_revenue": q_lis_revenue,
     }
 
 
@@ -20479,4 +20530,5 @@ def oracle_sql() -> dict[str, str]:
         "james_stein": 'WITH st AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS s, CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS HUGEINT) AS q, CAST(count(*) AS HUGEINT) AS n FROM documents GROUP BY 1), mi AS (SELECT source, n, (1000000 * s) // n AS m, (CAST(1000000 AS HUGEINT) * 1000000 * (n * q - s * s)) // (n * n * n) AS vm FROM st), g AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(m) AS sm, sum(vm) AS svm FROM mi), g2 AS (SELECT k, sm // k AS mbar, svm // k AS vbar FROM g), s2t AS (SELECT CAST(sum((m - (SELECT mbar FROM g2)) * (m - (SELECT mbar FROM g2))) AS HUGEINT) AS s2 FROM mi), ft AS (SELECT greatest(CAST(0 AS HUGEINT), (SELECT s2 FROM s2t) - ((SELECT k FROM g2) - 3) * (SELECT vbar FROM g2)) AS f) SELECT source, CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS mean_micro, CAST(CASE WHEN (SELECT s2 FROM s2t) = 0 THEN (SELECT mbar FROM g2) ELSE (SELECT mbar FROM g2) + ((SELECT f FROM ft) * (m - (SELECT mbar FROM g2))) // (SELECT s2 FROM s2t) END AS BIGINT) AS shrunk_micro FROM mi ORDER BY source',
         "lttb_downsample": 'WITH RECURSIVE d AS MATERIALIZED (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), idx AS MATERIALIZED (SELECT day, rev, row_number() OVER (ORDER BY day) - 1 AS i FROM d), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM idx), sel(b, pd, pr) AS (SELECT CAST(-1 AS BIGINT), (SELECT day FROM idx WHERE i = 0), (SELECT rev FROM idx WHERE i = 0) UNION ALL SELECT nb, day, rev FROM (WITH cur AS (SELECT * FROM sel), st AS (SELECT cur.b + 1 AS nb, cur.pd, cur.pr, (SELECT m FROM mm) AS m FROM cur), cand AS (SELECT s.nb, s.pd, s.pr, s.m, i.day, i.rev FROM st s JOIN idx i ON i.i >= 1 + s.nb * (s.m - 2) // 20 AND i.i < 1 + (s.nb + 1) * (s.m - 2) // 20 WHERE s.nb < 20 AND s.m > 2), nxtb AS (SELECT s.nb, CAST(sum(i.day) AS BIGINT) AS sxn, CAST(sum(i.rev) AS BIGINT) AS syn, CAST(count(*) AS BIGINT) AS den FROM st s JOIN idx i ON i.i >= 1 + (s.nb + 1) * (s.m - 2) // 20 AND i.i < 1 + (s.nb + 2) * (s.m - 2) // 20 WHERE s.nb < 19 GROUP BY 1), anchor AS (SELECT s.nb, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.sxn ELSE (SELECT day FROM idx WHERE i = s.m - 1) END AS sxn, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.syn ELSE (SELECT rev FROM idx WHERE i = s.m - 1) END AS syn, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.den ELSE 1 END AS den FROM st s LEFT JOIN nxtb nx ON nx.nb = s.nb), scored AS (SELECT c.nb, c.day, c.rev, abs((c.pd * a.den - a.sxn) * (c.rev - c.pr) - (c.pd - c.day) * (a.syn - c.pr * a.den)) AS sc FROM cand c JOIN anchor a ON a.nb = c.nb) SELECT nb, day, rev FROM scored ORDER BY sc DESC, day LIMIT 1)), pts AS (SELECT b, pd AS day, pr AS rev FROM sel UNION ALL SELECT 99, (SELECT day FROM idx WHERE i = (SELECT m FROM mm) - 1), (SELECT rev FROM idx WHERE i = (SELECT m FROM mm) - 1) WHERE (SELECT m FROM mm) > 1) SELECT CAST(row_number() OVER (ORDER BY b) - 1 AS BIGINT) AS ord, day, rev FROM pts ORDER BY ord',
         "sprt_crossing": "WITH e AS (SELECT epoch_us(ts) AS tsu, event_id, CASE WHEN event_type = 'purchase' THEN 223143551 ELSE -64538521 END AS llr FROM events), w AS (SELECT CAST(sum(llr) OVER (ORDER BY tsu, event_id) AS BIGINT) AS c, CAST(row_number() OVER (ORDER BY tsu, event_id) - 1 AS BIGINT) AS r FROM e), x AS (SELECT r, c FROM w WHERE c >= 2944438979 OR c <= -2944438979 ORDER BY r LIMIT 1) SELECT CAST(COALESCE(CASE WHEN (SELECT c FROM x) >= 2944438979 THEN 1 WHEN (SELECT c FROM x) <= -2944438979 THEN -1 END, 0) AS BIGINT) AS decision, CAST(COALESCE((SELECT r FROM x), -1) AS BIGINT) AS crossing_rank, CAST(COALESCE((SELECT c FROM x), 0) AS BIGINT) AS cum_llr_nano",
+        "lis_revenue": 'WITH RECURSIVE d AS MATERIALIZED (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), idx AS MATERIALIZED (SELECT day, rev, row_number() OVER (ORDER BY day) - 1 AS i FROM d), lis(i, l) AS (SELECT i, CAST(1 AS BIGINT) FROM idx UNION SELECT b.i, a.l + 1 FROM lis a JOIN idx xa ON xa.i = a.i JOIN idx b ON b.i > xa.i AND b.rev > xa.rev), ml AS (SELECT i, CAST(max(l) AS BIGINT) AS l FROM lis GROUP BY 1), mx AS (SELECT max(l) AS best FROM ml) SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days, CAST(COALESCE((SELECT best FROM mx), 0) AS BIGINT) AS lis_len, CAST(COALESCE((SELECT min(idx.day) FROM ml JOIN idx ON idx.i = ml.i WHERE ml.l = (SELECT best FROM mx)), -1) AS BIGINT) AS end_day',
     }
