@@ -16610,6 +16610,100 @@ def q_lis_revenue(sf_dir: str):
         "int64")
 
 
+def q_voptimal_histogram(sf_dir: str):
+    """V-OPTIMAL HISTOGRAM construction (Jagadish et al. 1998 — the
+    planner's minimum-variance bucket boundaries): doc lengths pre-bin
+    into 64 equi-width cells with PURE integer arithmetic
+    ((v−mn)·64 // (mx−mn+1) — no float bin edges), each cell carries
+    exact (count, Σx, Σx²) from one combiner pass, and the 8-bucket
+    partition minimizing total SSE is the classic DP over the 64-cell
+    prefix sums — run on per-segment costs FLOORED to micro units
+    (cost = (N·ΣQ − S²)·10⁶ // N, so the DP and its unrolled SQL twin
+    compare identical integers; argmin ties → smaller split index).
+    Output: 8 rows (seg, start_cell, end_cell, cost_micro)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    CELLS, K = 64, 8
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["n_chars"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars")
+        return pa.table({"mn": pa.array([pc.min(v).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(v).as_py()],
+                                        pa.int64())})
+
+    mm = docs.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mn, mx = int(mm["mn"].min()), int(mm["mx"].max())
+    span = mx - mn + 1
+
+    def cells(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = (v - mn) * CELLS // span
+        out = pa.table({"cell": pa.array(b, pa.int64()),
+                        "c": pa.array(np.ones(len(v), np.int64),
+                                      pa.int64()),
+                        "s": pa.array(v, pa.int64()),
+                        "q": pa.array(v * v, pa.int64())})
+        return out.group_by(["cell"]).aggregate(
+            [("c", "sum"), ("s", "sum"), ("q", "sum")]).rename_columns(
+            ["cell", "c", "s", "q"])
+
+    agg = hash_agg(docs.map_batches(cells, batch_format="pyarrow"),
+                   "cell", [("c", "sum", "c"), ("s", "sum", "s"),
+                            ("q", "sum", "q")]).to_pandas()
+    cn = np.zeros(CELLS, dtype=object)
+    sn = np.zeros(CELLS, dtype=object)
+    qn = np.zeros(CELLS, dtype=object)
+    for r in agg.itertuples(index=False):
+        cn[int(r.cell)] = int(r.c)
+        sn[int(r.cell)] = int(r.s)
+        qn[int(r.cell)] = int(r.q)
+    pc_ = np.concatenate([[0], np.cumsum(cn)])
+    ps = np.concatenate([[0], np.cumsum(sn)])
+    pq_ = np.concatenate([[0], np.cumsum(qn)])
+
+    def cost(i: int, j: int) -> int:      # cells i..j inclusive, micro
+        n = int(pc_[j + 1] - pc_[i])
+        if n == 0:
+            return 0
+        s = int(ps[j + 1] - ps[i])
+        q = int(pq_[j + 1] - pq_[i])
+        return ((n * q - s * s) * 1_000_000) // n
+
+    INF = 1 << 126
+    d = [[INF] * CELLS for _ in range(K + 1)]
+    bk = [[-1] * CELLS for _ in range(K + 1)]
+    for j in range(CELLS):
+        d[1][j] = cost(0, j)
+    for k in range(2, K + 1):
+        for j in range(k - 1, CELLS):
+            best, arg = INF, -1
+            for i in range(k - 2, j):
+                v = d[k - 1][i] + cost(i + 1, j)
+                if v < best:              # strict: ties keep smaller i
+                    best, arg = v, i
+            d[k][j] = best
+            bk[k][j] = arg
+
+    rows = []
+    e = CELLS - 1
+    for k in range(K, 0, -1):
+        s_ = bk[k][e] + 1 if k > 1 else 0
+        rows.append({"seg": k, "start_cell": s_, "end_cell": e,
+                     "cost_micro": cost(s_, e)})
+        e = s_ - 1
+    rows.reverse()
+    return pd.DataFrame(rows).astype("int64")
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -16664,6 +16758,64 @@ def q_good_turing(sf_dir: str):
                        for x in r], dtype=np.int64)
     return pd.DataFrame({"r": r, "n_r": nr, "gt_num": gt_num,
                          "gt_den": nr}).astype("int64")
+
+
+def _voptimal_oracle(cells: int = 64, k: int = 8) -> str:
+    """Unrolled V-optimal DP twin of q_voptimal_histogram: exact
+    HUGEINT prefix sums → micro-floored per-segment costs → k rounds of
+    the split DP with (cost asc, split asc) argmin, then a backpointer
+    walk emitting the k segments."""
+    parts = [
+        "WITH mmx AS (SELECT CAST(min(n_chars) AS BIGINT) AS mn, "
+        "CAST(max(n_chars) AS BIGINT) AS mx FROM documents), "
+        "cl AS (SELECT (CAST(n_chars AS BIGINT) - (SELECT mn FROM mmx)) "
+        f"* {cells} // ((SELECT mx - mn + 1 FROM mmx)) AS cell, "
+        "CAST(n_chars AS BIGINT) AS v FROM documents), "
+        "ag AS (SELECT cell, CAST(count(*) AS HUGEINT) AS c, "
+        "CAST(sum(v) AS HUGEINT) AS s, CAST(sum(v * v) AS HUGEINT) AS q "
+        "FROM cl GROUP BY 1), "
+        f"grid AS (SELECT CAST(t.i AS BIGINT) AS cell FROM "
+        f"range({cells}) t(i)), "
+        "fc AS MATERIALIZED (SELECT g.cell, COALESCE(a.c, 0) AS c, "
+        "COALESCE(a.s, 0) AS s, COALESCE(a.q, 0) AS q FROM grid g "
+        "LEFT JOIN ag a USING (cell)), "
+        "pre AS MATERIALIZED (SELECT cell, "
+        "sum(c) OVER (ORDER BY cell) AS pc, "
+        "sum(s) OVER (ORDER BY cell) AS ps, "
+        "sum(q) OVER (ORDER BY cell) AS pq FROM fc), "
+        "seg AS MATERIALIZED (SELECT g.cell AS i, j.cell AS j, "
+        "CASE WHEN (j.pc - COALESCE(p0.pc, 0)) = 0 THEN 0 ELSE "
+        "(((j.pc - COALESCE(p0.pc, 0)) * (j.pq - COALESCE(p0.pq, 0)) "
+        "- (j.ps - COALESCE(p0.ps, 0)) * (j.ps - COALESCE(p0.ps, 0))) "
+        "* 1000000) // (j.pc - COALESCE(p0.pc, 0)) END AS cost "
+        "FROM grid g JOIN pre j ON j.cell >= g.cell "
+        "LEFT JOIN pre p0 ON p0.cell = g.cell - 1), "
+        "d1 AS MATERIALIZED (SELECT j, cost AS d FROM seg WHERE i = 0)"]
+    for r in range(2, k + 1):
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT j, d, bi FROM ("
+            f"SELECT s2.j AS j, p.d + s2.cost AS d, p.j AS bi, "
+            f"row_number() OVER (PARTITION BY s2.j "
+            f"ORDER BY p.d + s2.cost, s2.i) AS rn "
+            f"FROM d{r-1} p JOIN seg s2 ON s2.i = p.j + 1) WHERE rn = 1)")
+    # backpointer walk: e_k chain as scalar CTEs
+    parts.append(f", e{k} AS (SELECT CAST({cells - 1} AS BIGINT) AS e)")
+    for r in range(k, 1, -1):
+        parts.append(
+            f", b{r} AS (SELECT (SELECT bi FROM d{r} "
+            f"WHERE j = (SELECT e FROM e{r})) AS b)"
+            f", e{r-1} AS (SELECT (SELECT b FROM b{r}) AS e)")
+    sel = []
+    for r in range(1, k + 1):
+        start = ("CAST(0 AS BIGINT)" if r == 1
+                 else f"(SELECT b FROM b{r}) + 1")
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS seg, {start} AS start_cell, "
+            f"(SELECT e FROM e{r}) AS end_cell, "
+            f"CAST((SELECT cost FROM seg WHERE i = {start} "
+            f"AND j = (SELECT e FROM e{r})) AS BIGINT) AS cost_micro")
+    parts.append(" " + " UNION ALL ".join(sel) + " ORDER BY seg")
+    return "".join(parts)
 
 
 _CURATION_SQL ="\nWITH d0 AS (SELECT doc_id, source, text,\n            CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt\n            FROM documents),\nq AS (SELECT doc_id, source, text, nt FROM d0 WHERE nt >= 10),\nhh AS (SELECT doc_id, source, nt, md5(text) AS h FROM q),\ndd AS MATERIALIZED (SELECT doc_id, source, nt FROM\n  (SELECT doc_id, source, nt,\n          min(doc_id) OVER (PARTITION BY h) AS md FROM hh)\n  WHERE doc_id = md),\nns AS MATERIALIZED (SELECT source, CAST(sum(nt) AS BIGINT) AS n\n                    FROM dd GROUP BY 1),\ntot AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS b, count(*) AS m FROM ns),\nordered AS (SELECT source, n, row_number() OVER (ORDER BY n, source) AS k,\n            COALESCE(CAST(sum(n) OVER (ORDER BY n, source\n            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),\n            0) AS p FROM ns),\ncand AS (SELECT DISTINCT t FROM (SELECT n AS t FROM ns UNION ALL\n         SELECT greatest(0, ((SELECT b FROM tot) - p) //\n                ((SELECT m FROM tot) - k + 1)) FROM ordered)),\nev AS (SELECT c.t, CAST(sum(least(ns.n, c.t)) AS BIGINT) AS f\n       FROM cand c CROSS JOIN ns GROUP BY 1),\nts AS (SELECT COALESCE(max(t), 0) AS tstar FROM ev\n       WHERE f <= (SELECT b FROM tot)),\nlv AS (SELECT (SELECT b FROM tot) - CAST(sum(least(n,\n       (SELECT tstar FROM ts))) AS BIGINT) AS l FROM ns),\npri AS (SELECT source, row_number() OVER (ORDER BY n DESC, source) AS r\n        FROM ns WHERE n > (SELECT tstar FROM ts)),\nalloc AS MATERIALIZED (SELECT ns.source,\n        least(ns.n, (SELECT tstar FROM ts)) + CASE WHEN pri.r IS NOT NULL\n        AND pri.r <= (SELECT l FROM lv) THEN 1 ELSE 0 END AS a\n        FROM ns LEFT JOIN pri USING (source)),\ncum AS (SELECT dd.doc_id, dd.source, dd.nt,\n        COALESCE(CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id\n        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)\n        AS cum0 FROM dd),\ncapped AS MATERIALIZED (SELECT c.doc_id, c.source, c.nt FROM cum c\n        JOIN alloc a USING (source) WHERE c.cum0 + c.nt <= a.a),\nb2 AS (SELECT doc_id, source, nt,\n       CAST(ntile(10) OVER (ORDER BY nt, doc_id) AS BIGINT) AS decile\n       FROM capped),\nr2 AS (SELECT doc_id, source, nt, decile,\n       row_number() OVER (PARTITION BY decile, source\n       ORDER BY nt, doc_id) - 1 AS rr FROM b2)\nSELECT doc_id, source, nt AS n_tokens,\n       CAST(row_number() OVER (ORDER BY decile, rr, source) - 1\n       AS BIGINT) AS position\nFROM r2 ORDER BY doc_id"
@@ -16983,6 +17135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lttb_downsample": q_lttb_downsample,
         "sprt_crossing": q_sprt_crossing,
         "lis_revenue": q_lis_revenue,
+        "voptimal_histogram": q_voptimal_histogram,
     }
 
 
@@ -20531,4 +20684,5 @@ def oracle_sql() -> dict[str, str]:
         "lttb_downsample": 'WITH RECURSIVE d AS MATERIALIZED (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), idx AS MATERIALIZED (SELECT day, rev, row_number() OVER (ORDER BY day) - 1 AS i FROM d), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM idx), sel(b, pd, pr) AS (SELECT CAST(-1 AS BIGINT), (SELECT day FROM idx WHERE i = 0), (SELECT rev FROM idx WHERE i = 0) UNION ALL SELECT nb, day, rev FROM (WITH cur AS (SELECT * FROM sel), st AS (SELECT cur.b + 1 AS nb, cur.pd, cur.pr, (SELECT m FROM mm) AS m FROM cur), cand AS (SELECT s.nb, s.pd, s.pr, s.m, i.day, i.rev FROM st s JOIN idx i ON i.i >= 1 + s.nb * (s.m - 2) // 20 AND i.i < 1 + (s.nb + 1) * (s.m - 2) // 20 WHERE s.nb < 20 AND s.m > 2), nxtb AS (SELECT s.nb, CAST(sum(i.day) AS BIGINT) AS sxn, CAST(sum(i.rev) AS BIGINT) AS syn, CAST(count(*) AS BIGINT) AS den FROM st s JOIN idx i ON i.i >= 1 + (s.nb + 1) * (s.m - 2) // 20 AND i.i < 1 + (s.nb + 2) * (s.m - 2) // 20 WHERE s.nb < 19 GROUP BY 1), anchor AS (SELECT s.nb, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.sxn ELSE (SELECT day FROM idx WHERE i = s.m - 1) END AS sxn, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.syn ELSE (SELECT rev FROM idx WHERE i = s.m - 1) END AS syn, CASE WHEN s.nb < 19 AND nx.den > 0 THEN nx.den ELSE 1 END AS den FROM st s LEFT JOIN nxtb nx ON nx.nb = s.nb), scored AS (SELECT c.nb, c.day, c.rev, abs((c.pd * a.den - a.sxn) * (c.rev - c.pr) - (c.pd - c.day) * (a.syn - c.pr * a.den)) AS sc FROM cand c JOIN anchor a ON a.nb = c.nb) SELECT nb, day, rev FROM scored ORDER BY sc DESC, day LIMIT 1)), pts AS (SELECT b, pd AS day, pr AS rev FROM sel UNION ALL SELECT 99, (SELECT day FROM idx WHERE i = (SELECT m FROM mm) - 1), (SELECT rev FROM idx WHERE i = (SELECT m FROM mm) - 1) WHERE (SELECT m FROM mm) > 1) SELECT CAST(row_number() OVER (ORDER BY b) - 1 AS BIGINT) AS ord, day, rev FROM pts ORDER BY ord',
         "sprt_crossing": "WITH e AS (SELECT epoch_us(ts) AS tsu, event_id, CASE WHEN event_type = 'purchase' THEN 223143551 ELSE -64538521 END AS llr FROM events), w AS (SELECT CAST(sum(llr) OVER (ORDER BY tsu, event_id) AS BIGINT) AS c, CAST(row_number() OVER (ORDER BY tsu, event_id) - 1 AS BIGINT) AS r FROM e), x AS (SELECT r, c FROM w WHERE c >= 2944438979 OR c <= -2944438979 ORDER BY r LIMIT 1) SELECT CAST(COALESCE(CASE WHEN (SELECT c FROM x) >= 2944438979 THEN 1 WHEN (SELECT c FROM x) <= -2944438979 THEN -1 END, 0) AS BIGINT) AS decision, CAST(COALESCE((SELECT r FROM x), -1) AS BIGINT) AS crossing_rank, CAST(COALESCE((SELECT c FROM x), 0) AS BIGINT) AS cum_llr_nano",
         "lis_revenue": 'WITH RECURSIVE d AS MATERIALIZED (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), idx AS MATERIALIZED (SELECT day, rev, row_number() OVER (ORDER BY day) - 1 AS i FROM d), lis(i, l) AS (SELECT i, CAST(1 AS BIGINT) FROM idx UNION SELECT b.i, a.l + 1 FROM lis a JOIN idx xa ON xa.i = a.i JOIN idx b ON b.i > xa.i AND b.rev > xa.rev), ml AS (SELECT i, CAST(max(l) AS BIGINT) AS l FROM lis GROUP BY 1), mx AS (SELECT max(l) AS best FROM ml) SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days, CAST(COALESCE((SELECT best FROM mx), 0) AS BIGINT) AS lis_len, CAST(COALESCE((SELECT min(idx.day) FROM ml JOIN idx ON idx.i = ml.i WHERE ml.l = (SELECT best FROM mx)), -1) AS BIGINT) AS end_day',
+        "voptimal_histogram": _voptimal_oracle(),
     }

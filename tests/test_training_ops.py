@@ -4366,3 +4366,57 @@ def test_james_stein_shrinks_toward_grand_mean(ray_session):
     raw_spread = out["mean_micro"].max() - out["mean_micro"].min()
     new_spread = out["shrunk_micro"].max() - out["shrunk_micro"].min()
     assert new_spread <= raw_spread
+
+
+def test_voptimal_histogram_is_optimal(ray_session):
+    """The chosen 8-segment partition must achieve the exact DP
+    optimum: no alternative split of the same cell grid beats the sum
+    of chosen segment costs (checked against an independent O(C²K)
+    numpy DP on the same floored costs)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["voptimal_histogram"](sf)
+    total = int(out["cost_micro"].sum())
+
+    v = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["n_chars"]).column(
+        "n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+    mn, mx = int(v.min()), int(v.max())
+    b = (v - mn) * 64 // (mx - mn + 1)
+    C, K = 64, 8
+    cnt = np.bincount(b, minlength=C).astype(object)
+    s = np.bincount(b, weights=v, minlength=C).astype(np.int64) \
+        .astype(object)
+    q = np.bincount(b, weights=(v * v).astype(np.float64),
+                    minlength=C)
+    q = np.array([int(round(x)) for x in q], dtype=object)
+    pcu = np.concatenate([[0], np.cumsum(cnt)])
+    psu = np.concatenate([[0], np.cumsum(s)])
+    pqu = np.concatenate([[0], np.cumsum(q)])
+
+    def cost(i, j):
+        n = int(pcu[j + 1] - pcu[i])
+        if n == 0:
+            return 0
+        ss = int(psu[j + 1] - psu[i])
+        qq = int(pqu[j + 1] - pqu[i])
+        return ((n * qq - ss * ss) * 1_000_000) // n
+
+    INF = 1 << 126
+    d = [[INF] * C for _ in range(K + 1)]
+    for j in range(C):
+        d[1][j] = cost(0, j)
+    for k in range(2, K + 1):
+        for j in range(k - 1, C):
+            d[k][j] = min(d[k - 1][i] + cost(i + 1, j)
+                          for i in range(k - 2, j))
+    assert total == d[K][C - 1]
+    # segments tile [0, 63] exactly
+    assert out["start_cell"].iloc[0] == 0
+    assert out["end_cell"].iloc[-1] == 63
+    assert (out["start_cell"].iloc[1:].to_numpy()
+            == out["end_cell"].iloc[:-1].to_numpy() + 1).all()
