@@ -16704,6 +16704,131 @@ def q_voptimal_histogram(sf_dir: str):
     return pd.DataFrame(rows).astype("int64")
 
 
+def q_knapsack_sources(sf_dir: str):
+    """0/1 KNAPSACK source selection: choose whole sources maximizing
+    total DISTINCT-trigram value under a token budget of half the
+    corpus (weights in 100-token units, floor) — the exact-optimization
+    complement of q_token_waterfill's fractional caps and
+    q_coverage_select's greedy. Weights/values are two combiner passes
+    (token counts; per-source distinct trigram counts via one
+    (source, trigram)-keyed exchange); the m×C DP table is exact
+    integers, ties resolved by NOT taking (d_take must strictly beat
+    d_skip), items processed in source-name order — the unrolled
+    recursive-CTE twin replays both the forward table and the
+    backtrack. Output: (source, w_units, value, chosen)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions, segment_lengths, segment_starts)
+
+    UNIT = 100
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["source", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.count_substring_regex(
+            t.column("text"), pattern=r"\S+"), pa.int64())
+        out = pa.table({"source": t.column("source"), "nt": nt})
+        return out.group_by(["source"]).aggregate(
+            [("nt", "sum")]).rename_columns(["source", "nt"])
+
+    toks = hash_agg(docs.map_batches(tok_counts,
+                                     batch_format="pyarrow"),
+                    "source", [("nt", "sum", "nt")]).to_pandas()
+
+    def tri_pairs(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        ntok = len(flat)
+        if ntok < 3:
+            return pa.table({"ng": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string())})
+        parts = [flat.slice(i, ntok - 2) for i in range(3)]
+        ngrams = pc.binary_join_element_wise(*parts, " ")
+        pnp = parent.to_numpy(zero_copy_only=False)
+        same = pa.array(pnp[:ntok - 2] == pnp[2:])
+        ngrams = ngrams.filter(same)
+        src = t.column("source").take(pa.array(
+            pnp[:ntok - 2][same.to_numpy(zero_copy_only=False)]))
+        g = pa.table({"ng": ngrams, "source": src}).group_by(
+            ["ng", "source"]).aggregate([])
+        return g
+
+    def distinct_count(t: pa.Table) -> pa.Table:
+        ng = t.column("ng").to_numpy(zero_copy_only=False)
+        if not len(ng):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64())})
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        # rows sorted by ng: factorize both sides to ints, dedup pairs
+        starts = segment_starts(ng)
+        lens = segment_lengths(starts, len(ng))
+        ngidx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        usrc, sidx = np.unique(src, return_inverse=True)
+        pk = ngidx * np.int64(len(usrc)) + sidx
+        upk = np.unique(pk)
+        uu, cnt = np.unique(upk % np.int64(len(usrc)),
+                            return_counts=True)
+        return pa.table({"source": pa.array(usrc[uu], pa.string()),
+                         "v": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    vals = hash_agg(
+        map_key_partitions(
+            docs.map_batches(tri_pairs, batch_format="pyarrow"),
+            "ng", distinct_count, coalesce_rows=262144,
+            producer_expands=True),
+        "source", [("v", "sum", "v")]).to_pandas()
+
+    st = toks.set_index("source").join(
+        vals.set_index("source"), how="outer").fillna(0).astype(
+        "int64").sort_index()
+    srcs = st.index.tolist()
+    w = [int(x) // UNIT for x in st["nt"]]
+    v = [int(x) for x in st["v"]]
+    cap = (int(st["nt"].sum()) // 2) // UNIT
+    m = len(srcs)
+
+    prev = [0] * (cap + 1)
+    rows_d = [prev[:]]
+    for i in range(m):
+        cur = prev[:]
+        wi, vi = w[i], v[i]
+        for c in range(wi, cap + 1):
+            cand = prev[c - wi] + vi
+            if cand > cur[c]:          # strict: tie keeps skip
+                cur[c] = cand
+        rows_d.append(cur)
+        prev = cur
+    chosen = [0] * m
+    c = cap
+    for i in range(m - 1, -1, -1):
+        if rows_d[i + 1][c] != rows_d[i][c]:
+            chosen[i] = 1
+            c -= w[i]
+    return pd.DataFrame({
+        "source": srcs,
+        "w_units": pd.Series(w, dtype="int64"),
+        "value": pd.Series(v, dtype="int64"),
+        "chosen": pd.Series(chosen, dtype="int64")})
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -17136,6 +17261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sprt_crossing": q_sprt_crossing,
         "lis_revenue": q_lis_revenue,
         "voptimal_histogram": q_voptimal_histogram,
+        "knapsack_sources": q_knapsack_sources,
     }
 
 
@@ -20685,4 +20811,5 @@ def oracle_sql() -> dict[str, str]:
         "sprt_crossing": "WITH e AS (SELECT epoch_us(ts) AS tsu, event_id, CASE WHEN event_type = 'purchase' THEN 223143551 ELSE -64538521 END AS llr FROM events), w AS (SELECT CAST(sum(llr) OVER (ORDER BY tsu, event_id) AS BIGINT) AS c, CAST(row_number() OVER (ORDER BY tsu, event_id) - 1 AS BIGINT) AS r FROM e), x AS (SELECT r, c FROM w WHERE c >= 2944438979 OR c <= -2944438979 ORDER BY r LIMIT 1) SELECT CAST(COALESCE(CASE WHEN (SELECT c FROM x) >= 2944438979 THEN 1 WHEN (SELECT c FROM x) <= -2944438979 THEN -1 END, 0) AS BIGINT) AS decision, CAST(COALESCE((SELECT r FROM x), -1) AS BIGINT) AS crossing_rank, CAST(COALESCE((SELECT c FROM x), 0) AS BIGINT) AS cum_llr_nano",
         "lis_revenue": 'WITH RECURSIVE d AS MATERIALIZED (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), idx AS MATERIALIZED (SELECT day, rev, row_number() OVER (ORDER BY day) - 1 AS i FROM d), lis(i, l) AS (SELECT i, CAST(1 AS BIGINT) FROM idx UNION SELECT b.i, a.l + 1 FROM lis a JOIN idx xa ON xa.i = a.i JOIN idx b ON b.i > xa.i AND b.rev > xa.rev), ml AS (SELECT i, CAST(max(l) AS BIGINT) AS l FROM lis GROUP BY 1), mx AS (SELECT max(l) AS best FROM ml) SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days, CAST(COALESCE((SELECT best FROM mx), 0) AS BIGINT) AS lis_len, CAST(COALESCE((SELECT min(idx.day) FROM ml JOIN idx ON idx.i = ml.i WHERE ml.l = (SELECT best FROM mx)), -1) AS BIGINT) AS end_day',
         "voptimal_histogram": _voptimal_oracle(),
+        "knapsack_sources": "WITH RECURSIVE stt AS MATERIALIZED (SELECT source, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS nt FROM documents GROUP BY 1), toks AS (SELECT source, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), tri AS (SELECT DISTINCT source, ng FROM (SELECT source, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws) - 1, 1))]) AS ng FROM toks)), vv AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM tri GROUP BY 1), it AS MATERIALIZED (SELECT s.source, CAST(s.nt // 100 AS BIGINT) AS w, CAST(COALESCE(vv.v, 0) AS BIGINT) AS v, CAST(row_number() OVER (ORDER BY s.source) AS BIGINT) AS i FROM stt s LEFT JOIN vv USING (source)), cap AS (SELECT CAST((sum(nt) // 2) // 100 AS BIGINT) AS c FROM stt), caps(c) AS (SELECT CAST(0 AS BIGINT) UNION ALL SELECT c + 1 FROM caps WHERE c < (SELECT c FROM cap)), kn(i, c, d) AS (SELECT CAST(0 AS BIGINT), c, CAST(0 AS BIGINT) FROM caps UNION ALL SELECT i, c, d FROM (WITH cur AS (SELECT * FROM kn), stp AS (SELECT cur.i + 1 AS ni, (SELECT w FROM it WHERE it.i = cur.i + 1) AS wi, (SELECT v FROM it WHERE it.i = cur.i + 1) AS vi, cur.c, cur.d FROM cur WHERE cur.i + 1 <= (SELECT count(*) FROM it)) SELECT s.ni AS i, s.c AS c, CASE WHEN tk.d IS NOT NULL AND tk.d + s.vi > s.d THEN tk.d + s.vi ELSE s.d END AS d FROM stp s LEFT JOIN cur tk ON tk.c = s.c - s.wi)), bt(i, c) AS (SELECT CAST((SELECT count(*) FROM it) AS BIGINT), (SELECT c FROM cap) UNION ALL SELECT b.i - 1, b.c - CASE WHEN (SELECT d FROM kn k1 WHERE k1.i = b.i AND k1.c = b.c) <> (SELECT d FROM kn k0 WHERE k0.i = b.i - 1 AND k0.c = b.c) THEN (SELECT w FROM it WHERE it.i = b.i) ELSE 0 END FROM bt b WHERE b.i >= 1) SELECT it.source, it.w AS w_units, it.v AS value, CAST(CASE WHEN (SELECT d FROM kn k1 WHERE k1.i = it.i AND k1.c = bt.c) <> (SELECT d FROM kn k0 WHERE k0.i = it.i - 1 AND k0.c = bt.c) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM it JOIN bt ON bt.i = it.i ORDER BY it.source",
     }

@@ -62,7 +62,8 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "join_order_costs", "shapley_coverage", "modularity",
         "runs_test", "heaps_fit", "lead_lag", "video_framesample",
         "jonckheere", "james_stein", "lttb_downsample",
-        "sprt_crossing", "lis_revenue", "voptimal_histogram"]
+        "sprt_crossing", "lis_revenue", "voptimal_histogram",
+        "knapsack_sources"]
 
 
 @pytest.fixture(scope="module")

@@ -4420,3 +4420,40 @@ def test_voptimal_histogram_is_optimal(ray_session):
     assert out["end_cell"].iloc[-1] == 63
     assert (out["start_cell"].iloc[1:].to_numpy()
             == out["end_cell"].iloc[:-1].to_numpy() + 1).all()
+
+
+def test_knapsack_sources_optimality(ray_session):
+    """The chosen set must be feasible and match an exhaustive 2^m
+    search over the same weights/values (m = 20 is enumerable)."""
+    import itertools
+
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["knapsack_sources"]("/root/testdata/sf0.001")
+    w = out["w_units"].tolist()
+    v = out["value"].tolist()
+    ch = out["chosen"].tolist()
+    # capacity reconstruction: (sum of raw tokens // 2) // 100 — bound
+    # the chosen weight by the best exhaustive solution's capacity use
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["text"])
+    total = int(pc.sum(pc.count_substring_regex(
+        t.column("text"), pattern=r"\S+")).as_py())
+    cap = (total // 2) // 100
+    assert sum(wi for wi, c in zip(w, ch) if c) <= cap
+
+    best = 0
+    m = len(w)
+    for mask in range(1 << m):
+        tw = tv = 0
+        for i in range(m):
+            if mask >> i & 1:
+                tw += w[i]
+                tv += v[i]
+        if tw <= cap and tv > best:
+            best = tv
+    got = sum(vi for vi, c in zip(v, ch) if c)
+    assert got == best, (got, best)
