@@ -249,7 +249,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "good_turing", "join_order_costs", "shapley_coverage",
              "modularity", "runs_test", "heaps_fit", "lead_lag",
              "video_framesample", "jonckheere", "james_stein",
-             "lttb_downsample", "sprt_crossing"]
+             "lttb_downsample", "sprt_crossing", "lis_revenue",
+             "voptimal_histogram", "knapsack_sources"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
