@@ -16829,6 +16829,94 @@ def q_knapsack_sources(sf_dir: str):
         "chosen": pd.Series(chosen, dtype="int64")})
 
 
+def q_theil_index(sf_dir: str):
+    """THEIL T INEQUALITY decomposition of doc lengths: the total index
+    T = (1/n)Σ (x/μ)ln(x/μ), its between-source component
+    Σ shareᵢ·ln(μᵢ/μ), and each source's within component — the
+    inequality diagnostic whose between/within split tells you whether
+    length skew lives ACROSS sources or INSIDE them (Gini can't
+    decompose). Every log term is computed per row / per source from
+    exact integer (x, nᵢ, Sᵢ, n, S) in one fixed operation order and
+    floored to nanos BEFORE any sum (the nano-nat idiom); sums are
+    exact int64; the final divide-by-count is integer. Components are
+    emitted as computed — the float decomposition identity holds only
+    approximately at nano grain and is asserted loosely in pytest.
+    One stats combiner + one streaming row pass."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["source", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column("n_chars"), pa.int64())
+        out = pa.table({"source": t.column("source"), "s": v,
+                        "n": pa.array(np.ones(len(t), np.int64),
+                                      pa.int64())})
+        return out.group_by(["source"]).aggregate(
+            [("s", "sum"), ("n", "sum")]).rename_columns(
+            ["source", "s", "n"])
+
+    st = hash_agg(docs.map_batches(pre, batch_format="pyarrow"),
+                  "source", [("s", "sum", "s"), ("n", "sum", "n")]
+                  ).to_pandas().sort_values("source")
+    S = int(st["s"].sum())
+    N = int(st["n"].sum())
+    info = {r.source: (int(r.s), int(r.n))
+            for r in st.itertuples(index=False)}
+    iref = ray.put(info)
+
+    def row_terms(t: pa.Table, _i=iref) -> pa.Table:
+        inf = ray.get(_i)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        x = t.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        si = np.array([inf[s][0] for s in src], np.int64)
+        ni = np.array([inf[s][1] for s in src], np.int64)
+        tw = x.astype(np.float64) * ni / si          # x/μᵢ
+        tg = x.astype(np.float64) * N / S            # x/μ
+        wn = np.floor(tw * np.log(tw) * 1e9 + 0.5).astype(np.int64)
+        gn = np.floor(tg * np.log(tg) * 1e9 + 0.5).astype(np.int64)
+        us, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "source": pa.array(us, pa.string()),
+            "w": pa.array(np.bincount(inv, weights=wn,
+                                      minlength=len(us))
+                          .astype(np.int64), pa.int64()),
+            "g": pa.array(np.bincount(inv, weights=gn,
+                                      minlength=len(us))
+                          .astype(np.int64), pa.int64())})
+
+    sums = hash_agg(docs.map_batches(row_terms, batch_format="pyarrow"),
+                    "source", [("w", "sum", "w"), ("g", "sum", "g")]
+                    ).to_pandas().sort_values("source")
+
+    import math
+
+    rows = []
+    g_total = 0
+    between = 0
+    for r in sums.itertuples(index=False):
+        si, ni = info[r.source]
+        rows.append({"scope": "within", "source": r.source,
+                     "t_nano": int(r.w) // ni})
+        g_total += int(r.g)
+        share = si / S
+        ratio = (si * N) / (S * ni)
+        between += int(math.floor(share * math.log(ratio) * 1e9 + 0.5))
+    rows.append({"scope": "between", "source": "*", "t_nano": between})
+    rows.append({"scope": "total", "source": "*",
+                 "t_nano": g_total // N})
+    return pd.DataFrame(rows).astype({"t_nano": "int64"}).sort_values(
+        ["scope", "source"]).reset_index(drop=True)
+
+
 def q_good_turing(sf_dir: str):
     """GOOD-TURING frequency-of-frequencies table for the corpus
     unigram distribution (the classical smoothing estimator's input):
@@ -17262,6 +17350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lis_revenue": q_lis_revenue,
         "voptimal_histogram": q_voptimal_histogram,
         "knapsack_sources": q_knapsack_sources,
+        "theil_index": q_theil_index,
     }
 
 
@@ -20812,4 +20901,5 @@ def oracle_sql() -> dict[str, str]:
         "lis_revenue": 'WITH RECURSIVE d AS MATERIALIZED (SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), idx AS MATERIALIZED (SELECT day, rev, row_number() OVER (ORDER BY day) - 1 AS i FROM d), lis(i, l) AS (SELECT i, CAST(1 AS BIGINT) FROM idx UNION SELECT b.i, a.l + 1 FROM lis a JOIN idx xa ON xa.i = a.i JOIN idx b ON b.i > xa.i AND b.rev > xa.rev), ml AS (SELECT i, CAST(max(l) AS BIGINT) AS l FROM lis GROUP BY 1), mx AS (SELECT max(l) AS best FROM ml) SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days, CAST(COALESCE((SELECT best FROM mx), 0) AS BIGINT) AS lis_len, CAST(COALESCE((SELECT min(idx.day) FROM ml JOIN idx ON idx.i = ml.i WHERE ml.l = (SELECT best FROM mx)), -1) AS BIGINT) AS end_day',
         "voptimal_histogram": _voptimal_oracle(),
         "knapsack_sources": "WITH RECURSIVE stt AS MATERIALIZED (SELECT source, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS nt FROM documents GROUP BY 1), toks AS (SELECT source, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws FROM documents), tri AS (SELECT DISTINCT source, ng FROM (SELECT source, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws) - 1, 1))]) AS ng FROM toks)), vv AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM tri GROUP BY 1), it AS MATERIALIZED (SELECT s.source, CAST(s.nt // 100 AS BIGINT) AS w, CAST(COALESCE(vv.v, 0) AS BIGINT) AS v, CAST(row_number() OVER (ORDER BY s.source) AS BIGINT) AS i FROM stt s LEFT JOIN vv USING (source)), cap AS (SELECT CAST((sum(nt) // 2) // 100 AS BIGINT) AS c FROM stt), caps(c) AS (SELECT CAST(0 AS BIGINT) UNION ALL SELECT c + 1 FROM caps WHERE c < (SELECT c FROM cap)), kn(i, c, d) AS (SELECT CAST(0 AS BIGINT), c, CAST(0 AS BIGINT) FROM caps UNION ALL SELECT i, c, d FROM (WITH cur AS (SELECT * FROM kn), stp AS (SELECT cur.i + 1 AS ni, (SELECT w FROM it WHERE it.i = cur.i + 1) AS wi, (SELECT v FROM it WHERE it.i = cur.i + 1) AS vi, cur.c, cur.d FROM cur WHERE cur.i + 1 <= (SELECT count(*) FROM it)) SELECT s.ni AS i, s.c AS c, CASE WHEN tk.d IS NOT NULL AND tk.d + s.vi > s.d THEN tk.d + s.vi ELSE s.d END AS d FROM stp s LEFT JOIN cur tk ON tk.c = s.c - s.wi)), bt(i, c) AS (SELECT CAST((SELECT count(*) FROM it) AS BIGINT), (SELECT c FROM cap) UNION ALL SELECT b.i - 1, b.c - CASE WHEN (SELECT d FROM kn k1 WHERE k1.i = b.i AND k1.c = b.c) <> (SELECT d FROM kn k0 WHERE k0.i = b.i - 1 AND k0.c = b.c) THEN (SELECT w FROM it WHERE it.i = b.i) ELSE 0 END FROM bt b WHERE b.i >= 1) SELECT it.source, it.w AS w_units, it.v AS value, CAST(CASE WHEN (SELECT d FROM kn k1 WHERE k1.i = it.i AND k1.c = bt.c) <> (SELECT d FROM kn k0 WHERE k0.i = it.i - 1 AND k0.c = bt.c) THEN 1 ELSE 0 END AS BIGINT) AS chosen FROM it JOIN bt ON bt.i = it.i ORDER BY it.source",
+        "theil_index": "WITH st AS MATERIALIZED (SELECT source, CAST(sum(n_chars) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1), g AS (SELECT CAST(sum(s) AS BIGINT) AS gs, CAST(sum(n) AS BIGINT) AS gn FROM st), rw AS (SELECT d.source, CAST(floor((CAST(d.n_chars AS DOUBLE) * st.n / st.s) * ln(CAST(d.n_chars AS DOUBLE) * st.n / st.s) * 1000000000 + 0.5) AS BIGINT) AS wn, CAST(floor((CAST(d.n_chars AS DOUBLE) * (SELECT gn FROM g) / (SELECT gs FROM g)) * ln(CAST(d.n_chars AS DOUBLE) * (SELECT gn FROM g) / (SELECT gs FROM g)) * 1000000000 + 0.5) AS BIGINT) AS gt FROM documents d JOIN st USING (source)), ws AS (SELECT source, CAST(sum(wn) AS BIGINT) AS w, CAST(sum(gt) AS BIGINT) AS gg FROM rw GROUP BY 1), wt AS (SELECT 'within' AS scope, ws.source, ws.w // st.n AS t_nano FROM ws JOIN st USING (source)), bt AS (SELECT 'between' AS scope, '*' AS source, CAST(sum(CAST(floor((CAST(st.s AS DOUBLE) / (SELECT gs FROM g)) * ln(CAST(st.s * (SELECT gn FROM g) AS DOUBLE) / CAST((SELECT gs FROM g) * st.n AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS t_nano FROM st), tt AS (SELECT 'total' AS scope, '*' AS source, CAST((SELECT sum(gg) FROM ws) // (SELECT gn FROM g) AS BIGINT) AS t_nano) SELECT * FROM wt UNION ALL SELECT * FROM bt UNION ALL SELECT * FROM tt ORDER BY scope, source",
     }

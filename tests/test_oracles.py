@@ -63,7 +63,7 @@ FAST = ["dedup_exact", "token_count", "quality_counts", "lang_stats",
         "runs_test", "heaps_fit", "lead_lag", "video_framesample",
         "jonckheere", "james_stein", "lttb_downsample",
         "sprt_crossing", "lis_revenue", "voptimal_histogram",
-        "knapsack_sources"]
+        "knapsack_sources", "theil_index"]
 
 
 @pytest.fixture(scope="module")

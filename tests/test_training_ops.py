@@ -4457,3 +4457,24 @@ def test_knapsack_sources_optimality(ray_session):
             best = tv
     got = sum(vi for vi, c in zip(v, ch) if c)
     assert got == best, (got, best)
+
+
+def test_theil_decomposition_identity(ray_session):
+    """T_total ≈ T_between + Σ shareᵢ·T_withinᵢ (loose: nano rounding
+    accumulates), and all components are finite with T_total ≥ 0."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = entrymod.queries()["theil_index"](sf)
+    st = pq.read_table(f"{sf}/documents.parquet",
+                       columns=["source", "n_chars"]).to_pandas()
+    shares = st.groupby("source")["n_chars"].sum() / st.n_chars.sum()
+    within = out[out.scope == "within"].set_index("source")["t_nano"]
+    t_b = int(out[out.scope == "between"]["t_nano"].iloc[0])
+    t_t = int(out[out.scope == "total"]["t_nano"].iloc[0])
+    recomposed = t_b + sum(shares[s] * within[s] for s in within.index)
+    assert t_t >= 0
+    assert abs(recomposed - t_t) < 1e-3 * max(abs(t_t), 1e6), \
+        (recomposed, t_t)
