@@ -250,7 +250,7 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
              "modularity", "runs_test", "heaps_fit", "lead_lag",
              "video_framesample", "jonckheere", "james_stein",
              "lttb_downsample", "sprt_crossing", "lis_revenue",
-             "voptimal_histogram", "knapsack_sources"]
+             "voptimal_histogram", "knapsack_sources", "theil_index"]
     qs = entrymod.queries()
     times = {}
     # Long-lived sessions AGE: after ~100 sequential queries the same
