@@ -37,6 +37,19 @@ def _ws_split_lists(texts):
     return pc.split_pattern_regex(texts, pattern=r"\s+")
 
 
+def _bincount_i64(inv, w, minlength=0):
+    """Exact int64 grouped sum: like np.bincount(inv, weights=w) but
+    accumulating in int64 via np.add.at (unbuffered integer adds), so
+    per-group sums are exact for any magnitude below 2^63 — no float64
+    accumulator, no 2^53 low-bit loss. inv must be non-negative ints."""
+    import numpy as np
+
+    n = max(int(minlength), int(inv.max()) + 1 if len(inv) else 0)
+    out = np.zeros(n, np.int64)
+    np.add.at(out, inv, np.asarray(w).astype(np.int64))
+    return out
+
+
 def _read_pq(path: str, *, columns=None, **kwargs):
     """Column-pruned parquet read with a metadata-free schema (keeps Ray's
     block-schema dedup working; see sources/io.read_parquet_clean)."""
@@ -7505,6 +7518,10 @@ def q_embedding_covariance(sf_dir: str):
     DIM, SCALE = 64, 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"i": z, "j": z, "sxy": z, "sx": z,
+                             "sy": z, "n": z})
         m = np.stack(batch.column("embedding").to_numpy(
             zero_copy_only=False)).astype(np.float64) * SCALE
         q = np.where(m >= 0, np.floor(m + 0.5),
@@ -13130,6 +13147,10 @@ def q_pca_power(sf_dir: str):
     DIM, SCALE, SQUARINGS = 64, 1_000_000, 10
 
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"i": z, "j": z, "sxy": z, "sx": z,
+                             "sy": z, "n": z})
         m = np.stack(batch.column("embedding").to_numpy(
             zero_copy_only=False)).astype(np.float64) * SCALE
         q = np.where(m >= 0, np.floor(m + 0.5),
@@ -13505,9 +13526,8 @@ def q_decayed_popularity(sf_dir: str):
         uit, inv = np.unique(item, return_inverse=True)
         return pa.table({
             "item": pa.array(uit, pa.int64()),
-            "w": pa.array(np.bincount(inv, weights=w,
-                                      minlength=len(uit))
-                          .astype(np.int64), pa.int64()),
+            "w": pa.array(_bincount_i64(inv, w, minlength=len(uit)),
+                          pa.int64()),
             "n": pa.array(np.bincount(inv, minlength=len(uit))
                           .astype(np.int64), pa.int64())})
 
@@ -14202,6 +14222,10 @@ def q_hbos_outliers(sf_dir: str):
             zero_copy_only=False)).astype(np.float64)
 
     def minmax(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            z64 = pa.array([], pa.int64())
+            zf = pa.array([], pa.float64())
+            return pa.table({"d": z64, "mn": zf, "mx": zf, "n": z64})
         m = mat_of(batch)
         return pa.table({
             "d": pa.array(np.arange(DIM, dtype=np.int64), pa.int64()),
@@ -14232,6 +14256,9 @@ def q_hbos_outliers(sf_dir: str):
     mm_ref = ray.put({"mn": mn, "mx": mx})
 
     def cells(batch: pa.Table, _r=mm_ref) -> pa.Table:
+        if len(batch) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"cell": z, "c": z})
         m = mat_of(batch)
         b = bins_of(m)
         flat = (np.arange(DIM, dtype=np.int64)[None, :] * BINS +
@@ -14254,6 +14281,9 @@ def q_hbos_outliers(sf_dir: str):
     term_ref = ray.put(term)
 
     def score(batch: pa.Table, _t=term_ref) -> pa.Table:
+        if len(batch) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"vec_id": z, "hbos_nano": z})
         tm = ray.get(_t)
         m = mat_of(batch)
         b = bins_of(m)
@@ -15196,9 +15226,8 @@ def q_oov_rate(sf_dir: str):
             "source": pa.array(us, pa.string()),
             "n_tokens": pa.array(np.bincount(iv, minlength=len(us))
                                  .astype(np.int64), pa.int64()),
-            "n_oov": pa.array(np.bincount(iv, weights=inv,
-                                          minlength=len(us))
-                              .astype(np.int64), pa.int64())})
+            "n_oov": pa.array(_bincount_i64(iv, inv, minlength=len(us)),
+                              pa.int64())})
 
     agg = hash_agg(docs.map_batches(per_source, batch_format="pyarrow"),
                    "source", [("n_tokens", "sum", "n_tokens"),
@@ -16886,12 +16915,10 @@ def q_theil_index(sf_dir: str):
         us, inv = np.unique(src, return_inverse=True)
         return pa.table({
             "source": pa.array(us, pa.string()),
-            "w": pa.array(np.bincount(inv, weights=wn,
-                                      minlength=len(us))
-                          .astype(np.int64), pa.int64()),
-            "g": pa.array(np.bincount(inv, weights=gn,
-                                      minlength=len(us))
-                          .astype(np.int64), pa.int64())})
+            "w": pa.array(_bincount_i64(inv, wn, minlength=len(us)),
+                          pa.int64()),
+            "g": pa.array(_bincount_i64(inv, gn, minlength=len(us)),
+                          pa.int64())})
 
     sums = hash_agg(docs.map_batches(row_terms, batch_format="pyarrow"),
                     "source", [("w", "sum", "w"), ("g", "sum", "g")]

@@ -537,6 +537,13 @@ def kcenter_select(ds, *, k: int = 8, column: str = "embedding",
 
     seed_rows = codes_ds.map_batches(
         partial_min_id, batch_format="pyarrow").take_all()
+    if not seed_rows:                     # empty input: empty selection
+        import pandas as pd
+
+        return pd.DataFrame({
+            "round": pd.array([], dtype="int64"),
+            id_column: pd.array([], dtype="int64"),
+            "dist_sq": pd.array([], dtype="int64")})
     seed = min(seed_rows, key=lambda r: r[id_column])
     chosen_ids = [int(seed[id_column])]
     chosen_codes = [np.asarray(seed["code"], dtype=np.int64)]
@@ -632,6 +639,13 @@ def mmr_select(ds, *, k: int = 8, column: str = "embedding",
 
     seed_rows = codes_ds.map_batches(
         partial_min_id, batch_format="pyarrow").take_all()
+    if not seed_rows:                     # empty input: empty selection
+        import pandas as pd
+
+        return pd.DataFrame({
+            "round": pd.array([], dtype="int64"),
+            id_column: pd.array([], dtype="int64"),
+            "score2": pd.array([], dtype="int64")})
     qrow = min(seed_rows, key=lambda r: r[id_column])
     qid = int(qrow[id_column])
     qcode = np.asarray(qrow["code"], dtype=np.int64)
