@@ -11187,58 +11187,40 @@ def q_mutual_nn(sf_dir: str):
     (ray.put once, fetched per actor) — each vector's top-1 is
     decided in the one batch that carries it, so there is NO
     cross-batch merge; mutuality is then one hash_agg over packed
-    pair keys (mutual ⟺ the unordered pair appears twice). The
-    broadcast full matrix is the exact-at-test-scale path; at corpus
-    scale swap the broadcast for the IVF-bucketed variant
-    (stages/ann.ivf_topk) and verify mutuality the same way.
-    float64 throughout (rank-level agreement with DuckDB's double
-    list_cosine_similarity, the ann_topk convention)."""
+    pair keys (mutual ⟺ the unordered pair appears twice). Top-1
+    comes from stages/ann.knn_edges: exact float64 broadcast at
+    oracle scale (≤4096 rows — rank-level agreement with DuckDB's
+    double list_cosine_similarity, the ann_topk convention) and the
+    IVF-bucketed exchange above it, which ships each vector to only
+    its nprobe probe lists (no corpus broadcast) and self-asserts
+    sampled recall ≥ 0.9 vs exact brute force in the same run."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
-    import ray
 
-    from magic_content_extractor_ray.stages.ann import (
-        _batch_matrix, _normalize)
+    from magic_content_extractor_ray.stages.ann import knn_edges
     from magic_content_extractor_ray.stages.window import hash_agg
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).sort_by(
-        "vec_id")
-    all_ids = full.column("vec_id").to_numpy(zero_copy_only=False
-                                             ).astype(np.int64)
-    qmat = _normalize(_batch_matrix(full, "embedding", np.float64))
-    ref = ray.put({"ids": all_ids, "matrix": qmat})
+    n_rows = pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    edges = knn_edges(
+        _read_pq(f"{sf_dir}/embeddings.parquet",
+                 columns=["vec_id", "embedding"]),
+        k=1, n_rows=n_rows)
 
-    class Top1:
-        def __init__(self):
-            q = ray.get(ref)
-            self.ids = q["ids"]
-            self.mat = q["matrix"]
+    def to_pk(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        nbr = t.column("t").to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(s, nbr), np.maximum(s, nbr)
+        if len(lo) and (lo.min() < 0 or hi.max() >= (1 << 31)):
+            raise ValueError("mutual_nn packs pairs into int64; "
+                             "vec_ids must be in [0, 2^31)")
+        return pa.table({
+            "pk": pa.array((lo << np.int64(31)) | hi, pa.int64()),
+            "c": pa.array(np.ones(len(lo), np.int64), pa.int64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch.column("vec_id").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            m = _normalize(_batch_matrix(batch, "embedding",
-                                         np.float64))
-            sims = m @ self.mat.T  # (nb, n_all)
-            self_col = np.searchsorted(self.ids, bids)
-            sims[np.arange(len(bids)), self_col] = -np.inf
-            best = np.argmax(sims, axis=1)  # first max = smallest id
-            nbr = self.ids[best]
-            lo, hi = np.minimum(bids, nbr), np.maximum(bids, nbr)
-            if len(lo) and (lo.min() < 0 or hi.max() >= (1 << 31)):
-                raise ValueError("mutual_nn packs pairs into int64; "
-                                 "vec_ids must be in [0, 2^31)")
-            return pa.table({
-                "pk": pa.array((lo << np.int64(31)) | hi, pa.int64()),
-                "c": pa.array(np.ones(len(lo), np.int64), pa.int64())})
-
-    top1 = _read_pq(f"{sf_dir}/embeddings.parquet",
-                    columns=["vec_id", "embedding"]).map_batches(
-        Top1, batch_format="pyarrow", concurrency=(1, 8),
-        batch_size=1024)
+    top1 = edges.map_batches(to_pk, batch_format="pyarrow")
     mutual = hash_agg(top1, "pk", [("c", "sum", "n")]).filter(
         lambda r: r["n"] == 2).to_pandas()
     pk = np.sort(mutual["pk"].to_numpy(dtype=np.int64))
@@ -13818,14 +13800,17 @@ def q_label_propagation(sf_dir: str):
     are seeds and keep their true label; every other vector recomputes,
     for 3 synchronous rounds, the majority label among its 5 nearest
     neighbors' previous-round labels (ties → smaller label; no labeled
-    neighbor → unlabeled −1). kNN edges come from the mutual_nn
-    broadcast-matrix pass (each vector's top-5 decided in its own
-    batch, rank-level float agreement with DuckDB's
-    list_cosine_similarity); each round is a distributed vote — edge
-    map + count combiner + per-vector majority exchange — with only the
-    n-sized label vector crossing to the driver per round (the
-    pagerank broadcast-mode policy; beyond ~millions of vectors switch
-    the state to a Dataset and the update to a keyed join)."""
+    neighbor → unlabeled −1). kNN edges come from stages/ann.knn_edges:
+    EXACT broadcast top-5 at oracle scale (≤4096 rows, rank-level float
+    agreement with DuckDB's list_cosine_similarity, oracle-pinned) and
+    the IVF-BUCKETED exchange above it — no corpus broadcast, FLOPs cut
+    to ~nprobe/n_centroids of brute force, self-asserting sampled
+    recall ≥ 0.9 vs exact brute force in the same run. Each round is a
+    distributed vote — edge map + count combiner + per-vector majority
+    exchange — with only the n-sized label vector crossing to the
+    driver per round (the pagerank broadcast-mode policy; beyond
+    ~millions of vectors switch the state to a Dataset and the update
+    to a keyed join)."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -13833,51 +13818,22 @@ def q_label_propagation(sf_dir: str):
 
     import ray
 
-    from magic_content_extractor_ray.stages.ann import (
-        _batch_matrix, _normalize)
+    from magic_content_extractor_ray.stages.ann import knn_edges
     from magic_content_extractor_ray.stages.window import (
         hash_agg, map_key_partitions, segment_starts)
 
     K, ROUNDS = 5, 3
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).sort_by(
-        "vec_id")
-    all_ids = full.column("vec_id").to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    qmat = _normalize(_batch_matrix(full, "embedding", np.float64))
-    ref = ray.put({"ids": all_ids, "matrix": qmat})
-
-    class TopK:
-        def __init__(self):
-            q = ray.get(ref)
-            self.ids = q["ids"]
-            self.mat = q["matrix"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch.column("vec_id").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            m = _normalize(_batch_matrix(batch, "embedding",
-                                         np.float64))
-            sims = m @ self.mat.T
-            rows = np.arange(len(bids))
-            sims[rows, np.searchsorted(self.ids, bids)] = -np.inf
-            # stable argsort on -sims: ties fall to the smaller column
-            # index = smaller vec_id (ids are sorted) — the SQL
-            # row_number(ORDER BY sc DESC, t) convention
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :K]
-            return pa.table({
-                "s": pa.array(np.repeat(bids, K), pa.int64()),
-                "t": pa.array(self.ids[top.ravel()], pa.int64())})
-
+    n_rows = pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet").metadata.num_rows
     emb = _read_pq(f"{sf_dir}/embeddings.parquet",
                    columns=["vec_id", "embedding"])
-    edges = emb.map_batches(TopK, batch_format="pyarrow",
-                            batch_size=1024,
-                            concurrency=(1, 8)).materialize()
+    edges = knn_edges(emb, k=K, n_rows=n_rows).materialize()
 
     lab_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "label"]).sort_by("vec_id")
+    all_ids = lab_t.column("vec_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
     true_lab = lab_t.column("label").to_numpy(
         zero_copy_only=False).astype(np.int64)
     seed = (all_ids % 5) == 0

@@ -708,3 +708,242 @@ def mmr_select(ds, *, k: int = 8, column: str = "embedding",
         "round": pd.array(range(1, len(chosen_ids) + 1), dtype="int64"),
         id_column: pd.array(chosen_ids, dtype="int64"),
         "score2": pd.array(scores, dtype="int64")})
+
+
+def knn_edges(ds, *, k: int = 5, n_rows: int | None = None,
+              threshold: int = 4096, column: str = "embedding",
+              id_column: str = "vec_id", n_centroids: int | None = None,
+              nprobe: int | None = None, recall_sample: int = 256,
+              min_recall: float = 0.9):
+    """All-pairs cosine k-nearest-neighbor EDGE LIST (``s``, ``t``):
+    every vector is a query; ``t`` ranges over its k nearest neighbors
+    (self excluded, ties to the smaller id — the stable-argsort /
+    ``row_number(ORDER BY sc DESC, t)`` convention shared with the SQL
+    oracles). This is the kNN-graph builder behind mutual-NN pairing
+    and label propagation.
+
+    Two paths, switched on the row count:
+
+    - ``n ≤ threshold`` — EXACT: the whole id-sorted matrix is gathered
+      once (bounded by ``threshold`` rows), broadcast via ``ray.put``,
+      and each batch takes its float64 top-k against it. Bitwise
+      identical to the historical broadcast-matmul implementation, so
+      the sf0.01 oracles are unchanged.
+    - ``n > threshold`` — IVF-BUCKETED, no corpus broadcast: centroids
+      = the deterministic lowest-id seed set (``sample_centroids``);
+      ONE expansion map emits each vector once as a MEMBER of its
+      nearest-centroid list and ``nprobe`` times as a QUERY of its
+      closest lists; one ``map_key_partitions`` exchange per list runs
+      the local queries×members matmul and keeps per-query local
+      top-(k+1); a second exchange keyed by query merges local
+      candidates into the global top-k. FLOPs drop from O(n²d) to
+      ~(nprobe/n_centroids)·n²d and only (1+nprobe)·n rows shuffle —
+      the 100 TB shape (each list partition holds ~n/n_centroids
+      vectors regardless of cluster count). Every IVF run self-asserts:
+      ``recall_sample`` hash-sampled queries are re-answered by the
+      exact broadcast brute force (O(sample·n·d), cheap) and the run
+      RAISES below ``min_recall`` — the q_ann_ivf in-query recall
+      policy, sampled so the gate itself stays sub-quadratic."""
+    import ray
+
+    from ..util import actor_pool
+    from .window import map_key_partitions, segment_starts
+
+    if n_rows is None:
+        n_rows = ds.count()
+    if n_rows <= threshold:
+        rows = ds.select_columns([id_column, column]).take_all()
+        rows.sort(key=lambda r: r[id_column])
+        all_ids = np.asarray([r[id_column] for r in rows], np.int64)
+        qmat = _normalize(np.asarray(
+            [r[column] for r in rows], np.float64))
+        ref = ray.put({"ids": all_ids, "matrix": qmat})
+
+        class _ExactTopK:
+            def __init__(self):
+                q = ray.get(ref)
+                self.ids = q["ids"]
+                self.mat = q["matrix"]
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if len(batch) == 0:
+                    z = pa.array([], pa.int64())
+                    return pa.table({"s": z, "t": z})
+                bids = batch.column(id_column).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                m = _normalize(_batch_matrix(batch, column, np.float64))
+                sims = m @ self.mat.T
+                rows_ix = np.arange(len(bids))
+                sims[rows_ix, np.searchsorted(self.ids, bids)] = -np.inf
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+                return pa.table({
+                    "s": pa.array(np.repeat(bids, k), pa.int64()),
+                    "t": pa.array(self.ids[top.ravel()], pa.int64())})
+
+        return ds.select_columns([id_column, column]).map_batches(
+            _ExactTopK, batch_format="pyarrow", batch_size=1024,
+            concurrency=(1, 8))
+
+    # ---- IVF-bucketed path ----
+    if n_centroids is None:
+        n_centroids = max(16, int(np.sqrt(n_rows)))
+    if nprobe is None:
+        # measured at 20k vectors (BASELINE.md): recall 1.0 from
+        # nprobe=6 up on clustered embeddings; 12/sqrt(n) lists keeps
+        # the exchange ~9% of brute-force FLOPs with headroom
+        nprobe = max(8, n_centroids // 12)
+    nprobe = min(nprobe, n_centroids)
+    centroids = sample_centroids(ds, n_centroids, column=column,
+                                 id_column=id_column)
+    cref = ray.put(centroids)
+
+    class _Expand:
+        """member row (role 0, own list) + nprobe query rows (role 1)."""
+
+        def __init__(self):
+            self.cent = ray.get(cref).astype(np.float32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                z = pa.array([], pa.int64())
+                return pa.table({
+                    "list": z, "role": z, "vid": z,
+                    "vec": pa.array([], pa.list_(pa.float32()))})
+            ids = batch.column(id_column).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            m = _normalize(_batch_matrix(batch, column, np.float32))
+            cs = m @ self.cent.T
+            probes = np.argsort(-cs, axis=1, kind="stable")[:, :nprobe]
+            n, dim = m.shape
+            own = probes[:, 0]
+            lists = np.concatenate([own, probes.ravel()])
+            roles = np.concatenate([np.zeros(n, np.int64),
+                                    np.ones(n * nprobe, np.int64)])
+            vids = np.concatenate([ids, np.repeat(ids, nprobe)])
+            mats = np.concatenate([m, np.repeat(m, nprobe, axis=0)])
+            vec = pa.FixedSizeListArray.from_arrays(
+                pa.array(mats.ravel(), pa.float32()), dim)
+            return pa.table({
+                "list": pa.array(lists.astype(np.int64), pa.int64()),
+                "role": pa.array(roles, pa.int64()),
+                "vid": pa.array(vids, pa.int64()),
+                "vec": vec})
+
+    expanded = ds.select_columns([id_column, column]).map_batches(
+        _Expand, batch_format="pyarrow", batch_size=2048,
+        concurrency=actor_pool())
+
+    def scan_lists(t: pa.Table) -> pa.Table:
+        lists = t.column("list").to_numpy(zero_copy_only=False)
+        out_q, out_t, out_s = [], [], []
+        if len(lists):
+            roles = t.column("role").to_numpy(zero_copy_only=False)
+            vids = t.column("vid").to_numpy(zero_copy_only=False)
+            col = t.column("vec")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                len(t), -1).astype(np.float64)
+            for s in segment_starts(lists):
+                e = int(np.searchsorted(lists, lists[s], side="right"))
+                seg = slice(int(s), e)
+                mem = roles[seg] == 0
+                qm = ~mem
+                if not mem.any() or not qm.any():
+                    continue
+                mids = vids[seg][mem]
+                qids = vids[seg][qm]
+                sims = mat[seg][qm] @ mat[seg][mem].T
+                kk = min(k + 1, sims.shape[1])
+                # per-query candidates by (sim desc, member id asc)
+                ordm = np.argsort(mids, kind="stable")
+                mids_s = mids[ordm]
+                sims_s = sims[:, ordm]
+                part = np.argsort(-sims_s, axis=1, kind="stable")[:, :kk]
+                out_q.append(np.repeat(qids, kk))
+                out_t.append(mids_s[part.ravel()])
+                out_s.append(np.take_along_axis(
+                    sims_s, part, axis=1).ravel())
+        if not out_q:
+            z = pa.array([], pa.int64())
+            return pa.table({"q": z, "t": z,
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "q": pa.array(np.concatenate(out_q), pa.int64()),
+            "t": pa.array(np.concatenate(out_t), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    cands = map_key_partitions(expanded, "list", scan_lists,
+                               producer_expands=True)
+
+    def merge_q(t: pa.Table) -> pa.Table:
+        qs = t.column("q").to_numpy(zero_copy_only=False)
+        out_s, out_t = [], []
+        if len(qs):
+            ts = t.column("t").to_numpy(zero_copy_only=False)
+            sims = t.column("sim").to_numpy(zero_copy_only=False)
+            for s in segment_starts(qs):
+                e = int(np.searchsorted(qs, qs[s], side="right"))
+                seg = slice(int(s), e)
+                tt, ss = ts[seg], sims[seg]
+                keep = tt != qs[s]
+                tt, ss = tt[keep], ss[keep]
+                if not len(tt):
+                    continue
+                order = np.lexsort((tt, -ss))[:k]
+                out_s.append(np.full(len(order), qs[s], np.int64))
+                out_t.append(tt[order])
+        if not out_s:
+            z = pa.array([], pa.int64())
+            return pa.table({"s": z, "t": z})
+        return pa.table({
+            "s": pa.array(np.concatenate(out_s), pa.int64()),
+            "t": pa.array(np.concatenate(out_t), pa.int64())})
+
+    edges = map_key_partitions(cands, "q", merge_q).materialize()
+
+    # ---- sampled recall gate vs exact brute force ----
+    if recall_sample and min_recall > 0:
+        step = max(1, n_rows // recall_sample)
+
+        def pick_sample(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_column).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            keep = (ids % step) == 0
+            return batch.filter(pa.array(keep)).select(
+                [id_column, column])
+
+        srows = ds.select_columns([id_column, column]).map_batches(
+            pick_sample, batch_format="pyarrow").take_all()
+        srows.sort(key=lambda r: r[id_column])
+        squeries = {
+            "ids": [int(r[id_column]) for r in srows],
+            "matrix": np.asarray([r[column] for r in srows],
+                                 np.float64)}
+        # k+1 then drop self: corpus queries' top-1 is themselves
+        exact = brute_force_topk(ds, squeries, k=k + 1, column=column,
+                                 id_column=id_column, dtype="float64")
+        noself = exact[exact["query_id"] != exact["neighbor_id"]]
+        noself = noself.sort_values(["query_id", "rank"]).groupby(
+            "query_id").head(k)
+        exact_pairs = {(int(q), int(t)) for q, t in zip(
+            noself["query_id"], noself["neighbor_id"])}
+        sids = set(squeries["ids"])
+
+        def count_hits(batch: pa.Table) -> pa.Table:
+            ss = batch.column("s").to_numpy(zero_copy_only=False)
+            tt = batch.column("t").to_numpy(zero_copy_only=False)
+            hits = sum(1 for a, b in zip(ss, tt)
+                       if int(a) in sids and (int(a), int(b))
+                       in exact_pairs)
+            return pa.table({"hits": pa.array([hits], pa.int64())})
+
+        got = sum(r["hits"] for r in edges.map_batches(
+            count_hits, batch_format="pyarrow").take_all())
+        recall = got / max(1, len(exact_pairs))
+        if recall < min_recall:
+            raise AssertionError(
+                f"knn_edges IVF sampled recall@{k} = {recall:.3f} < "
+                f"{min_recall} vs exact brute force "
+                f"({len(sids)} sampled queries)")
+    return edges

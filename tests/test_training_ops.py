@@ -4478,3 +4478,62 @@ def test_theil_decomposition_identity(ray_session):
     assert t_t >= 0
     assert abs(recomposed - t_t) < 1e-3 * max(abs(t_t), 1e6), \
         (recomposed, t_t)
+
+
+@pytest.fixture(scope="module")
+def clustered_emb_ds(ray_session):
+    """600 vectors in 6 well-separated clusters — the IVF-friendly
+    shape (random gaussians have no list structure to exploit)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(6, 16).astype(np.float64) * 10
+    mat = np.concatenate([
+        centers[i % 6] + 0.1 * rng.randn(16) for i in range(600)
+    ]).reshape(600, 16).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()}
+            for i in range(600)]
+    return rd.from_items(rows), mat
+
+
+def _exact_knn_pairs(mat, k):
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    return {(i, int(j)) for i in range(len(m)) for j in top[i]}
+
+
+def test_knn_edges_exact_path_matches_numpy(clustered_emb_ds):
+    from magic_content_extractor_ray.stages.ann import knn_edges
+
+    ds, mat = clustered_emb_ds
+    df = knn_edges(ds, k=3, n_rows=600).to_pandas()
+    got = set(zip(df["s"].astype(int), df["t"].astype(int)))
+    assert got == _exact_knn_pairs(mat, 3)
+
+
+def test_knn_edges_ivf_path_recall(clustered_emb_ds):
+    from magic_content_extractor_ray.stages.ann import knn_edges
+
+    ds, mat = clustered_emb_ds
+    # threshold=10 forces the IVF-bucketed exchange on 600 rows
+    df = knn_edges(ds, k=3, n_rows=600, threshold=10, n_centroids=24,
+                   nprobe=6, recall_sample=64).to_pandas()
+    truth = _exact_knn_pairs(mat, 3)
+    got = set(zip(df["s"].astype(int), df["t"].astype(int)))
+    # every vector got exactly k edges, all ranked, self excluded
+    assert len(df) == 600 * 3
+    assert (df["s"] != df["t"]).all()
+    assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_knn_edges_recall_gate_fires(clustered_emb_ds):
+    from magic_content_extractor_ray.stages.ann import knn_edges
+
+    ds, _ = clustered_emb_ds
+    # an unsatisfiable bar proves the sampled gate actually runs
+    with pytest.raises(AssertionError, match="sampled recall"):
+        knn_edges(ds, k=3, n_rows=600, threshold=10, n_centroids=24,
+                  nprobe=6, recall_sample=64, min_recall=1.01)
