@@ -1,0 +1,887 @@
+"""Deduplication / decontamination / fingerprint queries.
+
+Split from the original __ray_entry__ monolith (round-5 verdict item 3);
+bodies are unchanged — oracle hashes and goldens are preserved.
+"""
+from __future__ import annotations
+
+from ._common import _ascii_words, _pool, _read_pq, _tag_set_overlap  # noqa: F401
+from .text import q_doc_chunks  # noqa: F401
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import exact_dedup
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def _texts_of(sf_dir: str, ids) -> dict:
+    """Gather the text of a RESULT-BOUNDED id set (near-dup pairs /
+    cluster members — never the corpus): one filtered streaming pass,
+    take_all bounded by len(ids)."""
+    import numpy as np
+    import pyarrow as pa
+
+    idarr = np.array(sorted(int(i) for i in ids), np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(d, idarr)))
+
+    rows = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]).map_batches(
+        pick, batch_format="pyarrow").take_all()
+    return {int(r["doc_id"]): r["text"] for r in rows}
+
+
+def _exact_char_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = {a[i:i + k] for i in range(max(0, len(a) - k + 1))}
+    sb = {b[i:i + k] for i in range(max(0, len(b) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup clusters. The snapshot oracle is anchored
+    IN-QUERY: every clustered doc must have a co-member whose EXACT
+    char-5-shingle Jaccard (recomputed here from raw text, independent
+    of the signature machinery) clears a floor consistent with the 0.6
+    signature threshold — a no-false-clustering precision gate that
+    runs on every invocation, incl. the driver gate."""
+    from itertools import combinations
+
+    from magic_content_extractor_ray.stages.dedup import minhash_lsh_dedup
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = minhash_lsh_dedup(docs, threshold=0.6).to_pandas()
+    texts = _texts_of(sf_dir, out["doc_id"])
+    # est_jaccard ≥ 0.6 on 64 permutations ⇒ exact J ≥ ~0.35 w.h.p.
+    FLOOR, CAP = 0.35, 30
+    for _, grp in out.groupby("cluster_id"):
+        members = [int(x) for x in grp["doc_id"]][:CAP]
+        if len(members) < 2:
+            raise AssertionError("singleton emitted as a cluster")
+        best = {m: 0.0 for m in members}
+        for a, b in combinations(members, 2):
+            j = _exact_char_jaccard(texts[a], texts[b])
+            best[a] = max(best[a], j)
+            best[b] = max(best[b], j)
+        weak = [m for m, j in best.items() if j < FLOOR]
+        if weak and len(members) < CAP:
+            raise AssertionError(
+                f"cluster members {weak} have no co-member with exact "
+                f"char-5 Jaccard ≥ {FLOOR} — false clustering")
+    return out
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs. Snapshot anchored IN-QUERY: every
+    reported pair's hamming distance is recomputed from raw text with
+    the single-doc reference simhash64 (the differential twin of the
+    vectorized batch path) and must match the reported value and the
+    max_hamming=3 bar — a per-pair precision gate on every run."""
+    from magic_content_extractor_ray.stages.dedup import (
+        SimHasher, simhash_dedup)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = simhash_dedup(docs, max_hamming=3).to_pandas()
+    texts = _texts_of(sf_dir, set(out["left_id"]) | set(out["right_id"]))
+    ref = SimHasher()
+    for l, r, h in zip(out["left_id"], out["right_id"], out["hamming"]):
+        got = bin(ref.simhash64(texts[int(l)])
+                  ^ ref.simhash64(texts[int(r)])).count("1")
+        if got != int(h) or got > 3:
+            raise AssertionError(
+                f"pair ({l},{r}): reported hamming {h}, reference "
+                f"recompute {got}")
+    return out
+
+def q_dedup_ngram(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs (no sketch): inverted
+    shingle index with stop-shingle (df > 32) pruning; candidates from
+    surviving posting lists, triangular-decode pair emission, one int-key
+    groupby for |A∩B|. The precise counterpart of dedup_minhash's
+    estimated Jaccard — both sides (Ray + DuckDB oracle) share the same
+    tokenization, df cap and universe."""
+    from magic_content_extractor_ray.stages.dedup import ngram_jaccard_dedup
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(docs, threshold=0.4, max_df=32)
+
+def q_cross_dedup(sf_dir: str):
+    """Cross-corpus near-dup decontamination: the held-out slice
+    (doc_id % 10 == 3) plays the eval set; train docs MinHash-similar
+    (est_jaccard ≥ 0.6) to any eval doc are flagged. One shared banded
+    LSH pass over the tagged union; only cross-side pairs survive."""
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.dedup import (
+        cross_corpus_near_dups)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def side(want_eval):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 10 == 3) == want_eval))
+        return f
+
+    train = docs.map_batches(side(False), batch_format="pyarrow")
+    evalset = docs.map_batches(side(True), batch_format="pyarrow")
+    out = cross_corpus_near_dups(train, evalset, threshold=0.6).to_pandas()
+    # IN-QUERY anchor: flagged pairs must respect the side split (train
+    # ids never ≡3 mod 10, eval ids always) and each flagged train doc
+    # must share exact char-5 shingle mass with its eval partner or
+    # with another flagged train doc (component-level flagging) — a
+    # cheap consistency + precision floor on every run
+    bad = [(t, e) for t, e in zip(out["train_id"], out["eval_id"])
+           if t % 10 == 3 or e % 10 != 3]
+    if bad:
+        raise AssertionError(f"side-split violated: {bad[:5]}")
+    texts = _texts_of(sf_dir, set(out["train_id"]) | set(out["eval_id"]))
+    for t, e in zip(out["train_id"], out["eval_id"]):
+        j_direct = _exact_char_jaccard(texts[int(t)], texts[int(e)])
+        if j_direct < 0.35:
+            j_any = max((_exact_char_jaccard(texts[int(t)],
+                                             texts[int(o)])
+                         for o in set(out["train_id"]) if o != t),
+                        default=0.0)
+            if j_any < 0.35:
+                raise AssertionError(
+                    f"flagged train doc {t} shares no shingle mass "
+                    f"with eval {e} nor any flagged train doc")
+    return out
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the embeddings table."""
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.dedup import embedding_dedup
+
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # the synthetic embeddings top out near cosine 0.51; 0.4 keeps the
+    # result non-trivial while staying in the far tail of the distribution
+    out = embedding_dedup(ds, threshold=0.4).to_pandas()
+    # IN-QUERY anchor: recompute every reported pair's cosine in float64
+    # from the raw vectors (independent of the bucketing/tiling path) —
+    # must agree with the reported value and clear the threshold
+    ids = np.array(sorted(set(out["left_id"]) | set(out["right_id"])),
+                   np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        d = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(d, ids)))
+
+    rows = _read_pq(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"]).map_batches(
+        pick, batch_format="pyarrow").take_all()
+    vec = {int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
+           for r in rows}
+    for l, r, c in zip(out["left_id"], out["right_id"], out["cosine"]):
+        a, b = vec[int(l)], vec[int(r)]
+        ref = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        if abs(ref - float(c)) > 1e-6 or ref < 0.4 - 1e-9:
+            raise AssertionError(
+                f"pair ({l},{r}): reported cosine {c}, float64 "
+                f"recompute {ref}")
+    return out
+
+def q_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.textops import fingerprint_batch
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"])
+
+def q_chunk_dedup(sf_dir: str):
+    """CHUNK-level exact dedup (paragraph-granularity dedup, the
+    FineWeb-style refinement of doc-level dedup): the chunking stage
+    feeds the md5-groupby dedup operator directly — chunks shared
+    across documents collapse to one representative."""
+    from magic_content_extractor_ray.stages.dedup import exact_dedup
+
+    chunks = q_doc_chunks(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "chunk_id", "chunk_text"]),
+        batch_format="pyarrow")
+
+    # id = doc_id * 1e6 + chunk_id so min-id keeps the earliest doc's copy
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pack_id(batch: pa.Table) -> pa.Table:
+        cid = pc.add(pc.multiply(batch.column("doc_id"),
+                                 pa.scalar(1_000_000, pa.int64())),
+                     batch.column("chunk_id"))
+        return pa.table({"chunk_key": cid,
+                         "chunk_text": batch.column("chunk_text")})
+
+    return exact_dedup(
+        chunks.map_batches(pack_id, batch_format="pyarrow"),
+        column="chunk_text", id_column="chunk_key").sort("chunk_key")
+
+def q_docs_decontaminated(sf_dir: str):
+    """DECONTAMINATION: drop every document containing any benchmark
+    phrase (the standard eval-leak filter). The phrase blocklist (here:
+    an 8-token phrase from each of the first 5 docs, derived
+    deterministically from the corpus itself) is broadcast once;
+    membership is a vectorized substring scan per phrase — map-side
+    only, no shuffle, scales to any corpus size with a bounded
+    blocklist."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    seed = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).sort_by("doc_id")
+    phrases = []
+    for i in range(5):
+        toks = _ascii_words(seed.column("text")[i].as_py())
+        phrases.append(" ".join(toks[10:18]))
+    phrases = [p for p in phrases if p]
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        hit = None
+        for p in phrases:
+            m = pc.match_substring(text, p)
+            hit = m if hit is None else pc.or_(hit, m)
+        return batch.filter(pc.invert(hit)).select(["doc_id"])
+
+    return _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(keep_clean, batch_format="pyarrow").sort("doc_id")
+
+def q_dup_passages(sf_dir: str):
+    """Per-document duplicated-passage stats: distinct word-3-grams,
+    how many are shared with ≥1 other doc, and the dup ratio — the
+    doc-level repeated-passage signal behind substring-dedup pruning
+    (stages/dedup.duplicate_passage_stats: ONE exchange on the ngram
+    key, df computed as in-partition run lengths, no df table/join)."""
+    from magic_content_extractor_ray.stages.dedup import (
+        duplicate_passage_stats)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return duplicate_passage_stats(docs, n=3, min_df=2).sort("doc_id")
+
+def q_eval_overlap(sf_dir: str):
+    """GPT-3-style n-gram overlap contamination score: for each eval
+    doc (doc_id % 10 == 0), the fraction of its distinct 3-grams found
+    anywhere in the train split (stages/decontam.ngram_overlap_scores:
+    tagged union, ONE exchange on the ngram key, train-presence read
+    off each sorted segment's first row)."""
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.decontam import (
+        ngram_overlap_scores)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def side(want_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id")
+            # doc_id % 10 == 0 (non-negative ids; arrow has no modulo)
+            mod = pc.subtract(
+                ids, pc.multiply(pc.divide(ids, 10), 10))
+            is_eval = pc.equal(mod, 0)
+            return t.filter(is_eval if want_eval else pc.invert(is_eval))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return ngram_overlap_scores(side(False), side(True), n=3).sort("doc_id")
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic deduplication over the embeddings table
+    (stages/cluster.semantic_dedup): k-means partitions the space, exact
+    pairwise cosine runs only WITHIN clusters (O(n²/k), bounded per
+    task), near-dup groups collapse to their min-id representative.
+    Iterative k-means is not SQL-expressible — snapshot oracle; the
+    planted-duplicate pytest pins semantics."""
+    from magic_content_extractor_ray.stages.cluster import semantic_dedup
+
+    import numpy as np
+    import pyarrow as pa
+
+    emb = _read_pq(f"{sf_dir}/embeddings.parquet",
+                   columns=["vec_id", "embedding"])
+    # the synthetic embeddings top out near cosine 0.51 (see
+    # q_dedup_embedding); 0.4 keeps the dup groups non-trivial
+    out = semantic_dedup(emb, k=8, threshold=0.4).sort(
+        "vec_id").to_pandas()
+    # IN-QUERY anchors (dup groups only — result-bounded, not corpus):
+    # rep_id = the group's min id; all members share a k-means cell;
+    # every member has a co-member at float64 cosine ≥ threshold
+    # (its union-find edge partner), recomputed from raw vectors.
+    groups = out.groupby("rep_id")
+    dup_ids = out[out["rep_id"].map(groups.size()) > 1]["vec_id"]
+    ids = np.array(sorted(int(i) for i in dup_ids), np.int64)
+
+    def pick(t: pa.Table) -> pa.Table:
+        d = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(d, ids)))
+
+    rows = _read_pq(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"]).map_batches(
+        pick, batch_format="pyarrow").take_all()
+    vec = {int(r["vec_id"]): np.asarray(r["embedding"], np.float64)
+           for r in rows}
+    for rep, grp in groups:
+        members = [int(x) for x in grp["vec_id"]]
+        if len(members) < 2:
+            continue
+        if int(rep) != min(members):
+            raise AssertionError(f"group rep {rep} is not its min id")
+        if grp["kcluster"].nunique() != 1:
+            raise AssertionError(f"group {rep} straddles k-means cells")
+        for m in members:
+            a = vec[m]
+            best = max(
+                float(a @ vec[o] / (np.linalg.norm(a)
+                                    * np.linalg.norm(vec[o])))
+                for o in members if o != m)
+            if best < 0.4 - 1e-9:
+                raise AssertionError(
+                    f"member {m} of group {rep} has no co-member at "
+                    f"cosine ≥ 0.4 (best {best:.4f})")
+    return out
+
+def q_intra_dup_ngrams(sf_dir: str):
+    """Gopher-style WITHIN-document repetition: the fraction of a doc's
+    word-3-gram occurrences that belong to a 3-gram repeated inside the
+    same doc (the 'duplicate n-gram fraction' pretraining filter) — the
+    intra-doc complement of dup_passages' corpus-level signal. One
+    vectorized map (two Arrow group_bys per batch), no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if isinstance(parent, pa.ChunkedArray):
+            parent = parent.combine_chunks()
+        n = len(flat)
+        import numpy as np
+
+        tot = np.zeros(len(t), np.int64)
+        dup = np.zeros(len(t), np.int64)
+        if n >= 3:
+            parts = [flat.slice(i, n - 2) for i in range(3)]
+            ngrams = pc.binary_join_element_wise(*parts, " ")
+            head = parent.slice(0, n - 2)
+            same = pc.equal(head, parent.slice(2, n - 2))
+            ngrams = ngrams.filter(same)
+            head = head.filter(same)
+            g = pa.table({"row": head, "ng": ngrams}).group_by(
+                ["row", "ng"]).aggregate([("ng", "count")])
+            rows = g.column("row").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cs = pc.cast(g.column("ng_count"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            tot = np.bincount(rows, weights=cs,
+                              minlength=len(t)).astype(np.int64)
+            dup = np.bincount(rows, weights=np.where(cs >= 2, cs, 0),
+                              minlength=len(t)).astype(np.int64)
+        ratio = np.zeros(len(t), np.float64)
+        nz = tot > 0
+        ratio[nz] = dup[nz] / tot[nz]
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_ngrams": pa.array(tot, pa.int64()),
+            "n_dup_occ": pa.array(dup, pa.int64()),
+            "intra_dup_ratio": pa.array(
+                np.floor(ratio * 1e6 + 0.5) / 1e6, pa.float64()),
+        })
+        return out.filter(pc.greater(out.column("n_ngrams"), 0))
+
+    return _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow").sort("doc_id")
+
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup with a KEEP-BEST policy (CCNet/RefinedWeb shape: of
+    several exact copies, keep the one from the most-trusted source,
+    not the min-id one) — stages/dedup.exact_dedup_keep_best resolves
+    the whole (priority, id) argmin as one packed-int64 min through
+    hash_agg. The synthetic corpus has no exact duplicates, so each
+    doc with doc_id % 5 == 0 is first re-emitted under a different
+    deterministic source (the DuckDB oracle performs the IDENTICAL
+    augmentation), giving 100 two-copy groups whose winner is decided
+    by the source-rank policy."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.dedup import (
+        exact_dedup_keep_best)
+
+    def augment(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 5 == 0
+        dup = batch.filter(pa.array(m))
+        dupids = ids[m]
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(dupids + 1000000, pa.int64()))
+        dup = dup.set_column(
+            dup.schema.get_field_index("source"), "source",
+            pa.array(["src" + str(int(i * 7 + 3) % 25) for i in dupids],
+                     pa.string()))
+        return pa.concat_tables([batch, dup])
+
+    def add_priority(batch: pa.Table) -> pa.Table:
+        # source rank: 'srcN' → N (smaller = more trusted)
+        pri = pc.cast(pc.utf8_slice_codeunits(batch.column("source"), 3, 99),
+                      pa.int64())
+        return batch.append_column("priority", pri)
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "text", "source"]).map_batches(
+        augment, batch_format="pyarrow").map_batches(
+        add_priority, batch_format="pyarrow")
+    return exact_dedup_keep_best(ds, priority_column="priority")
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken MOSS
+    local fingerprinting, distinct-window-min variant): word-3-gram md5
+    hashes, window-4 sliding minima, distinct per doc
+    (stages/textops.WinnowFingerprinter — gram-hash memo is actor
+    state, window math is one numpy sliding_window_view pass)."""
+    from magic_content_extractor_ray.stages.textops import (
+        winnow_fingerprints)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return winnow_fingerprints(docs, concurrency=_pool())
+
+def q_title_fuzzy(sf_dir: str):
+    """Fuzzy title self-join: all pairs of distinct 12-char document
+    prefixes at Levenshtein distance exactly 1
+    (stages/fuzzy.edit1_join) — SymSpell deletion-neighborhood
+    bucketing (complete, unlike LSH: distance ≤ 1 ⟹ a shared deletion
+    variant), exact O(L) verify, pair dedup via hash_agg. The DuckDB
+    oracle is a fully INDEPENDENT brute-force levenshtein cross join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.fuzzy import edit1_join
+
+    def titles(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.utf8_slice_codeunits(
+            batch.column("text"), 0, 12))
+        return pa.table({"title": t.filter(pc.not_equal(t, ""))})
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["text"]).map_batches(
+        titles, batch_format="pyarrow")
+    return edit1_join(ds, "title")
+
+def q_dedup_overlap(sf_dir: str):
+    """Asymmetric CONTAINMENT near-dup pairs: the overlap coefficient
+    |A∩B| / min(|A|,|B|) over exact word-3-gram sets — catches the
+    quote-expansion / subset duplicates Jaccard structurally misses (a
+    short doc fully contained in a long one scores 1.0 here, near 0 on
+    Jaccard). Same df-capped inverted-index machinery as dedup_ngram
+    (stages/dedup.ngram_jaccard_dedup metric='overlap'), only the final
+    vectorized score differs."""
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.dedup import (
+        ngram_jaccard_dedup)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    out = ngram_jaccard_dedup(docs, threshold=0.8, max_df=32,
+                              metric="overlap")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"left_id": t.column("left_id"),
+                         "right_id": t.column("right_id"),
+                         "n_common": t.column("n_common"),
+                         "overlap": t.column("jaccard")})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+def q_dup_size_histogram(sf_dir: str):
+    """Duplicate-CLUSTER-SIZE histogram (the corpus-health summary a
+    dedup run is judged by: how much mass sits in what size of exact-dup
+    group). Per-batch md5 fingerprint (reusing the exact-dedup content
+    key), one hash_agg per fingerprint for group sizes, then a 9-ish-row
+    combiner histogram over sizes — only (hash, count) rows ever
+    shuffle."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        t = pa.table({"h": pa.array(hs, pa.string())})
+        g = t.group_by("h").aggregate([([], "count_all")])
+        return pa.table({"h": g.column("h"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    sizes = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["text"]).map_batches(
+            fingerprint, batch_format="pyarrow"),
+        "h", [("n", "sum", "sz")])
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("sz").aggregate([([], "count_all"), ("sz", "sum")])
+        return pa.table({
+            "group_size": g.column("sz"),
+            "n_groups": pc.cast(g.column("count_all"), pa.int64()),
+            "n_docs": pc.cast(g.column("sz_sum"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return sizes.map_batches(hist, batch_format="pyarrow").groupby(
+        "group_size").aggregate(
+        Sum("n_groups", alias_name="n_groups"),
+        Sum("n_docs", alias_name="n_docs")).sort("group_size")
+
+def q_truncation_twins(sf_dir: str):
+    """Truncated-crawl detection: document groups sharing their first
+    50 characters (the classic signature of the same page crawled to
+    different depths / paywall cut-offs). One prefix hash_agg — only
+    (prefix, count, min/max length) cells shuffle; groups of >= 2 with
+    their length spread, largest groups first."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.window import hash_agg
+
+    P = 50
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pre = pc.utf8_slice_codeunits(batch.column("text"), 0, P)
+        t = pa.table({"prefix": pre, "n_chars": batch.column("n_chars")})
+        g = t.group_by("prefix").aggregate(
+            [([], "count_all"), ("n_chars", "min"), ("n_chars", "max")])
+        return pa.table({
+            "prefix": g.column("prefix"),
+            "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+            "min_chars": pc.cast(g.column("n_chars_min"), pa.int64()),
+            "max_chars": pc.cast(g.column("n_chars_max"), pa.int64())})
+
+    groups = hash_agg(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["text", "n_chars"]).map_batches(
+            prep, batch_format="pyarrow"),
+        "prefix", [("n_docs", "sum", "n_docs"),
+                   ("min_chars", "min", "min_chars"),
+                   ("max_chars", "max", "max_chars")])
+
+    out = groups.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_docs"), 2)),
+        batch_format="pyarrow").to_pandas()
+    out["len_spread"] = out["max_chars"] - out["min_chars"]
+    out = out.sort_values(["n_docs", "prefix"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["prefix", "n_docs", "min_chars", "max_chars",
+                "len_spread"]]
+
+def q_sorted_neighbor_dups(sf_dir: str):
+    """Sorted-neighborhood near-dup mining (Hernández–Stolfo blocking):
+    global sort by a 16-char lowercased prefix key WITHOUT a global
+    sort — per-prefix-bucket counts give driver-side rank offsets —
+    then a 4-row sliding window over the rank order with boundary-
+    replica groups, and exact word-set Jaccard >= 0.5 verification
+    vectorized inside each rank-range task (one sorted-membership probe
+    per window shift). See stages/dedup.sorted_neighborhood_dups."""
+    from magic_content_extractor_ray.stages.dedup import (
+        sorted_neighborhood_dups)
+
+    pairs = sorted_neighborhood_dups(
+        _read_pq(f"{sf_dir}/documents.parquet",
+                 columns=["doc_id", "text"]))
+    return pairs.to_pandas().sort_values(
+        ["left_id", "right_id"]).reset_index(drop=True)
+
+def q_cross_source_dups(sf_dir: str):
+    """Cross-SOURCE duplicate-content contamination matrix (mirror /
+    re-crawl detection): for every source pair, how many distinct
+    LEADING-CONTENT signatures (md5 of the first 200 chars — the
+    truncation-twin key at fixed length; full-text md5 finds nothing
+    because re-crawls are cut at different depths) appear in BOTH —
+    the _tag_set_overlap bitmask machinery over distinct
+    (signature, source)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.dedup import add_text_hash
+
+    P = 200
+
+    def prep(t: pa.Table) -> pa.Table:
+        pre = pa.table({
+            "text": pc.utf8_slice_codeunits(t.column("text"), 0, P),
+            "source": t.column("source")})
+        h = add_text_hash(pre)
+        return pa.table({"h": h.column("text_hash"),
+                         "source": t.column("source")}).group_by(
+            ["h", "source"]).aggregate([])
+
+    hs = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["text", "source"]
+                  ).map_batches(prep, batch_format="pyarrow")
+    return _tag_set_overlap(hs, key="h", tag="source", prefix="source")
+
+def q_title_entity_clusters(sf_dir: str):
+    """ENTITY RESOLUTION end-to-end with an INDEPENDENT oracle (the
+    LSH dedup clusterings are snapshot-pinned; this one is not):
+    edit-distance-1 title pairs (SymSpell deletion blocking, complete)
+    → connected components by MIN-LABEL propagation over the STRING
+    keys — per round one keyed exchange attaches each endpoint's
+    current label to its neighbors and a hash_agg min re-labels;
+    convergence is a tagged-union changed-row count; bounded at 64
+    rounds (≥ component diameter; edit-1 title chains longer than
+    that are pathological) with a loud failure. Survivorship: the
+    lexicographic MIN member is the canonical record. The SQL twin
+    re-derives pairs by brute-force levenshtein and runs the same
+    propagation as a recursive CTE."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from magic_content_extractor_ray.stages.fuzzy import edit1_join
+    from magic_content_extractor_ray.stages.window import (
+        hash_agg, map_key_partitions)
+
+    def titles(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.utf8_slice_codeunits(
+            batch.column("text"), 0, 12))
+        return pa.table({"title": t.filter(pc.not_equal(t, ""))})
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["text"]).map_batches(
+        titles, batch_format="pyarrow")
+    pairs = edit1_join(ds, "title").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([t.column("left").combine_chunks(),
+                                 t.column("right").combine_chunks()])
+        g = pa.table({"node": vals}).group_by("node").aggregate(
+            [([], "count_all")])
+        return pa.table({"node": g.column("node"),
+                         "label": g.column("node")})
+
+    labels = hash_agg(
+        pairs.map_batches(init_labels, batch_format="pyarrow"),
+        "node", [("label", "min", "label")]).materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        l = t.column("left").combine_chunks()
+        r = t.column("right").combine_chunks()
+        return pa.table({
+            "node": pa.concat_arrays([l, r]),
+            "other": pa.concat_arrays([r, l]),
+            "label": pa.nulls(2 * len(t), pa.string())})
+
+    for _ in range(64):
+        tagged = labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "other": pa.nulls(len(t), pa.string()),
+                                "label": t.column("label")}),
+            batch_format="pyarrow").union(
+            pairs.map_batches(edge_rows, batch_format="pyarrow"))
+
+        def propagate(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False)
+            other = t.column("other").to_numpy(zero_copy_only=False)
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            if not len(node):
+                return pa.table({"node": pa.array([], pa.string()),
+                                 "label": pa.array([], pa.string())})
+            # rows sorted by node; each node's single label row
+            # (other is null) seeds its segment
+            from magic_content_extractor_ray.stages.window import (
+                segment_lengths, segment_starts)
+
+            is_lab = pd.isna(other)
+            starts = segment_starts(node)
+            seg = np.searchsorted(starts, np.arange(len(node)),
+                                  side="right") - 1
+            seg_label = np.empty(len(starts), dtype=object)
+            seg_label[seg[is_lab]] = lab[is_lab]
+            out_n, out_l = [node[starts]], [seg_label]
+            em = ~is_lab
+            if em.any():
+                out_n.append(other[em])
+                out_l.append(seg_label[seg[em]])
+            return pa.table({
+                "node": pa.array(np.concatenate(out_n), pa.string()),
+                "label": pa.array(np.concatenate(out_l), pa.string())})
+
+        new_labels = hash_agg(
+            map_key_partitions(tagged, "node", propagate),
+            "node", [("label", "min", "label")]).materialize()
+        # convergence: any (node, label) row not present twice changed
+        changed = hash_agg(
+            labels.union(new_labels).map_batches(
+                lambda t: t.append_column("one", pa.array(
+                    np.ones(len(t), np.int64))),
+                batch_format="pyarrow"),
+            "node", [("one", "sum", "n")],
+            group_cols=["node", "label"]).filter(
+            lambda r: r["n"] == 1).count()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 64 "
+                           "rounds")
+
+    out = hash_agg(labels.map_batches(
+        lambda t: t.append_column("one", pa.array(
+            np.ones(len(t), np.int64))), batch_format="pyarrow"),
+        "label", [("one", "sum", "n_members")]).to_pandas()
+    out = out.rename(columns={"label": "canonical_title"})
+    return out.sort_values("canonical_title").reset_index(drop=True)
+
+_CDC_BJ = (1, 257, 66049, 16974593, 67503107, 168429323,
+           336663071, 623063367)  # 257^j mod (2^31-1), j = 0..7
+
+def q_cdc_chunks(sf_dir: str):
+    """CONTENT-DEFINED CHUNKING (the dedup-storage primitive: chunk
+    boundaries follow content, so an insertion only reshuffles local
+    chunks): a boundary closes after position i when the degree-8
+    polynomial rolling hash of the trailing window ≡ 0 (mod 64) —
+    expected ~64-char chunks. The whole batch is ONE flat codepoint
+    array: the 8 shifted-multiply terms are vectorized adds, doc
+    boundaries masked by in-doc offset. All integer (Σ c·(257^j mod
+    M) < 2^42, one final mod), so the SQL twin (LAG ladder over
+    unnested positions) matches exactly. Output per doc: chunk count
+    + length."""
+    import numpy as np
+    import pyarrow as pa
+
+    M = 2147483647
+    BJ = np.array(_CDC_BJ, dtype=np.int64)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        if not len(texts) or lens.sum() == 0:
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_chars": pa.array(lens, pa.int64()),
+                             "n_chunks": pa.array(
+                                 np.ones(len(ids), np.int64))})
+        codes = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        n = len(codes)
+        h = np.zeros(n, dtype=np.int64)
+        for j, bj in enumerate(BJ):
+            h[j:] += codes[:n - j if j else n] * bj
+        h %= M
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        offset = np.arange(n) - np.repeat(starts, lens)
+        doc = np.repeat(np.arange(len(ids)), lens)
+        # boundary closes after i: needs a full window and must not
+        # sit on the doc's last char (no empty trailing chunk)
+        boundary = ((h % 64 == 0) & (offset >= 7)
+                    & (offset <= np.repeat(lens, lens) - 2))
+        nb = np.bincount(doc[boundary], minlength=len(ids))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": pa.array(lens, pa.int64()),
+                         "n_chunks": pa.array(nb + 1, pa.int64())})
+
+    out = _read_pq(f"{sf_dir}/documents.parquet",
+                   columns=["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+def q_dup_spans(sf_dir: str):
+    """Merged duplicate-SPAN coverage per doc (Lee et al. 2022 substring
+    dedup at word granularity): fraction of each doc's tokens covered by
+    a word-5-gram occurring ≥2 times corpus-wide, duplicated positions
+    interval-merged (stages/dedup.duplicate_span_stats: one exchange on
+    the ngram hash where segment length = corpus frequency, one doc
+    exchange with a vectorized union-of-intervals sweep)."""
+    from magic_content_extractor_ray.stages.dedup import (
+        duplicate_span_stats)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+    return duplicate_span_stats(docs, n=5, min_count=2).sort("doc_id")
+
+def q_dedup_safe_folds(sf_dir: str):
+    """LEAKAGE-SAFE k-fold assignment: exact-duplicate clusters (md5 of
+    text, the dedup_exact universe) are assigned to folds as WHOLE
+    units — fold = md5(cluster:fold) % 5 of the cluster id, never the
+    doc id — so no duplicate pair ever straddles a train/validation
+    boundary (the eval-hygiene rule exact n-gram decontamination
+    enforces after the fact, applied at split time instead). One
+    exchange on the content hash (min doc id per segment becomes the
+    cluster id for every member), fold draw is the seeded-md5 idiom."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from magic_content_extractor_ray.stages.dedup import add_text_hash
+    from magic_content_extractor_ray.stages.window import (
+        map_key_partitions, segment_lengths, segment_starts)
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = add_text_hash(t)
+        return pa.table({"h": h.column("text_hash"),
+                         "doc_id": h.column("doc_id")})
+
+    def clusters(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        if not len(h):
+            z = pa.array([], pa.int64())
+            return pa.table({"doc_id": z, "cluster_id": z, "fold": z})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = segment_starts(h)
+        lens = segment_lengths(starts, len(h))
+        # sorted by (h, doc_id): segment head is the min doc id
+        cluster = np.repeat(ids[starts], lens)
+        folds = np.empty(len(starts), np.int64)
+        for i, c in enumerate(ids[starts]):
+            folds[i] = int(hashlib.md5(
+                f"{c}:fold".encode()).hexdigest()[:8], 16) % 5
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "fold": pa.array(np.repeat(folds, lens), pa.int64())})
+
+    out = map_key_partitions(docs.map_batches(keyed,
+                                              batch_format="pyarrow"),
+                             "h", clusters, sort_cols=["doc_id"])
+    return out.sort("doc_id")

@@ -107,3 +107,75 @@ def pack_documents(ds, *, budget: int = 4096, id_column: str = "doc_id",
         [id_column, "n_tokens"])
     return pack_deterministic(counted, budget=budget, id_column=id_column,
                               num_buckets=num_buckets, chunk=batch_size)
+
+
+def verify_pack_invariants(packs, counted=None, *, budget: int,
+                           id_column: str = "doc_id",
+                           tokens_column: str = "n_tokens",
+                           num_buckets: int = 64, chunk: int = 2048):
+    """Independent in-run anchors for the packing snapshot oracles —
+    RAISES on violation, so every invocation (driver gate, bench,
+    tests) re-proves the packer instead of trusting the frozen
+    snapshot alone:
+
+    - capacity: every non-overflow pack fits the budget; every overflow
+      pack is a true singleton heavier than it;
+    - any-fit optimality: first-fit leaves at most ONE ≤half-full bin
+      per packed chunk (two such bins contradict first-fit: the later
+      one's first item would have fit in the earlier), so
+      #half-empty-packs ≤ #chunks — a bin-count bound against the
+      trivial lower bound ⌈Σtokens/budget⌉ follows;
+    - conservation (when ``counted`` — the same (id, n_tokens) Dataset
+      the packer consumed — is given): Σ n_docs and Σ total_tokens
+      equal the corpus totals, recounted here with the SAME
+      deterministic bucketing the packer used, so the chunk count for
+      the bound is exact, not estimated.
+
+    ``packs``: pandas frame with (n_docs, total_tokens, is_overflow).
+    Driver-side work is O(#packs + num_buckets) — never corpus rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    nono = packs[~packs["is_overflow"]]
+    over = packs[packs["is_overflow"]]
+    if not (nono["total_tokens"] <= budget).all():
+        raise AssertionError("pack over budget without overflow flag")
+    if not ((over["n_docs"] == 1).all()
+            and (over["total_tokens"] > budget).all()):
+        raise AssertionError("overflow pack is not a >budget singleton")
+    if counted is None:
+        return
+    from .join import _bucket_array
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"b": z, "rows": z, "toks": z})
+        b = _bucket_array(t.column(id_column), num_buckets).to_numpy(
+            zero_copy_only=False)
+        toks = t.column(tokens_column).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = np.bincount(b, minlength=num_buckets).astype(np.int64)
+        tk = np.zeros(num_buckets, np.int64)
+        np.add.at(tk, b, toks)
+        return pa.table({
+            "b": pa.array(np.arange(num_buckets, dtype=np.int64)),
+            "rows": pa.array(rows), "toks": pa.array(tk)})
+
+    rows = np.zeros(num_buckets, np.int64)
+    toks = 0
+    for r in counted.map_batches(per_bucket,
+                                 batch_format="pyarrow").take_all():
+        rows[int(r["b"])] += int(r["rows"])
+        toks += int(r["toks"])
+    if int(packs["n_docs"].sum()) != int(rows.sum()):
+        raise AssertionError("packing lost or duplicated documents")
+    if int(packs["total_tokens"].sum()) != toks:
+        raise AssertionError("packing lost or duplicated tokens")
+    n_chunks = int(np.ceil(rows / chunk).sum())
+    half_empty = int((~packs["is_overflow"]
+                      & (packs["total_tokens"] * 2 <= budget)).sum())
+    if half_empty > n_chunks:
+        raise AssertionError(
+            f"{half_empty} half-empty packs > {n_chunks} chunks — "
+            "first-fit invariant broken")

@@ -226,3 +226,56 @@ def test_orc_roundtrip(ray_session, tmp_path):
     pruned = read_orc(orc_dir, columns=["doc_id"])
     assert pruned.schema().names == ["doc_id"]
     assert pruned.count() == 200
+
+
+def test_roundtrip_interleaved_docs_property(ray_session, tmp_path):
+    """Property round-trip over the INTERLEAVED document shape the north
+    rule names (text + media spans): randomized unicode text, binary
+    media payloads, nested list<struct> span sequences and nulls must
+    survive write_docs -> read_docs bit-for-bit on the parquet fallback
+    (and, by the dispatch contract test above, identically through the
+    Lance path once a wheel exists)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+
+    span_st = st.fixed_dictionaries({
+        "kind": st.sampled_from(["text", "image", "audio", "video"]),
+        "span_text": st.text(max_size=40),
+        "media_ref": st.one_of(st.none(), st.text(
+            alphabet="abc/0123456789.", min_size=1, max_size=20)),
+    })
+    doc_st = st.fixed_dictionaries({
+        "text": st.text(max_size=200),
+        "media": st.one_of(st.none(), st.binary(max_size=64)),
+        "spans": st.lists(span_st, max_size=5),
+    })
+    case_idx = [0]
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(doc_st, min_size=1, max_size=8))
+    def check(docs):
+        for i, d in enumerate(docs):
+            d["doc_id"] = i
+        t = pa.Table.from_pylist(docs)
+        case_idx[0] += 1
+        out = str(tmp_path / f"prop_{case_idx[0]}")
+        write_docs(rd.from_arrow(t), out)
+        back = read_docs(out)
+        got = pa.Table.from_pandas(
+            back.to_pandas().sort_values("doc_id").reset_index(drop=True),
+            preserve_index=False)
+        want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        gdf = got.to_pandas()
+        assert list(gdf["doc_id"]) == list(want["doc_id"])
+        assert list(gdf["text"]) == list(want["text"])
+        assert [bytes(x) if x is not None else None
+                for x in gdf["media"]] == list(want["media"])
+        # span sequences: order and every field preserved
+        for a, b in zip(gdf["spans"], want["spans"]):
+            aa = [dict(s) for s in (list(a) if a is not None else [])]
+            bb = list(b) if b is not None else []
+            assert aa == bb
+
+    check()
