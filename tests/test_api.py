@@ -56,3 +56,36 @@ def test_unknown_strategy_override_surfaces_error():
         "https://e.com/a", build_strategies(), "readabilty")  # sic
     assert "readabilty" in row["error"]
     assert row["platform"] == "error"
+
+
+def test_driver_registry_contract():
+    """The driver contract after the round-5 split: 310 unique query
+    keys, every key has an oracle_sql twin and a callable, the
+    extraction + dedup core holds the first registry slots (the
+    external gate checks dict order), and the thin __ray_entry__
+    re-export exposes the same surface as the package registry."""
+    import importlib.util
+    import os
+    import sys
+
+    from magic_content_extractor_ray.queries import oracle_sql, queries
+
+    qs = queries()
+    osql = oracle_sql()
+    assert len(qs) == 310
+    assert set(qs) == set(osql)
+    assert all(callable(v) for v in qs.values())
+    head = list(qs)[:20]
+    assert head[0] == "extract_pipeline"
+    assert {"dedup_exact", "dedup_minhash", "cross_dedup",
+            "semantic_dedup"} <= set(head)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry___contract", os.path.join(root, "__ray_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert list(m.queries()) == list(qs)
+    assert m.oracle_sql().keys() == osql.keys()
+    # the q_* re-exports tests/tools rely on
+    assert m.q_extract_pipeline is qs["extract_pipeline"]
