@@ -788,10 +788,13 @@ def knn_edges(ds, *, k: int = 5, n_rows: int | None = None,
     if n_centroids is None:
         n_centroids = max(16, int(np.sqrt(n_rows)))
     if nprobe is None:
-        # measured at 20k vectors (BASELINE.md): recall 1.0 from
-        # nprobe=6 up on clustered embeddings; 12/sqrt(n) lists keeps
-        # the exchange ~9% of brute-force FLOPs with headroom
-        nprobe = max(8, n_centroids // 12)
+        # measured at 20k and 200k vectors (BASELINE.md): recall 1.0
+        # from nprobe=6 up on clustered embeddings. nprobe is CAPPED —
+        # candidate volume is n·nprobe·(k+1) rows, so a probe count
+        # that grows with √n turns the merge exchange into the
+        # bottleneck (nprobe=37 at 200k: 44M candidate rows, 217 s;
+        # nprobe=16: same recall, far smaller exchange)
+        nprobe = max(8, min(16, n_centroids // 12))
     nprobe = min(nprobe, n_centroids)
     centroids = sample_centroids(ds, n_centroids, column=column,
                                  id_column=id_column)
