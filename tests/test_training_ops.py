@@ -4537,3 +4537,44 @@ def test_knn_edges_recall_gate_fires(clustered_emb_ds):
     with pytest.raises(AssertionError, match="sampled recall"):
         knn_edges(ds, k=3, n_rows=600, threshold=10, n_centroids=24,
                   nprobe=6, recall_sample=64, min_recall=1.01)
+
+
+def test_verify_pack_invariants_fires(ray_session):
+    """Each packing anchor must FIRE on a violating input — guards
+    against the in-query checks silently never triggering."""
+    import pandas as pd
+    import ray.data as rd
+    from magic_content_extractor_ray.stages.packing import (
+        verify_pack_invariants)
+
+    good = pd.DataFrame({
+        "n_docs": [2, 1], "total_tokens": [90, 150],
+        "is_overflow": [False, True]})
+    counted = rd.from_items([
+        {"doc_id": 1, "n_tokens": 40}, {"doc_id": 2, "n_tokens": 50},
+        {"doc_id": 3, "n_tokens": 150}])
+    verify_pack_invariants(good, counted, budget=100)  # passes
+
+    with pytest.raises(AssertionError, match="over budget"):
+        verify_pack_invariants(
+            pd.DataFrame({"n_docs": [2], "total_tokens": [120],
+                          "is_overflow": [False]}), None, budget=100)
+    with pytest.raises(AssertionError, match="singleton"):
+        verify_pack_invariants(
+            pd.DataFrame({"n_docs": [2], "total_tokens": [150],
+                          "is_overflow": [True]}), None, budget=100)
+    with pytest.raises(AssertionError, match="lost or duplicated doc"):
+        verify_pack_invariants(
+            pd.DataFrame({"n_docs": [1], "total_tokens": [40],
+                          "is_overflow": [False]}), counted, budget=100)
+    with pytest.raises(AssertionError, match="lost or duplicated tok"):
+        verify_pack_invariants(
+            pd.DataFrame({"n_docs": [3], "total_tokens": [100],
+                          "is_overflow": [False]}), counted, budget=100)
+    # first-fit bound: 3 half-empty packs but only 1 chunk
+    lazy = pd.DataFrame({
+        "n_docs": [1, 1, 1], "total_tokens": [40, 50, 150],
+        "is_overflow": [False, False, False]})
+    with pytest.raises(AssertionError, match="half-empty"):
+        verify_pack_invariants(lazy, counted, budget=1000,
+                               num_buckets=1)
